@@ -1,13 +1,136 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.price.PriceFunctions
+import graft.relational.Fixtures
+import graft.text.{CzechText, NameCorrection}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY §2 gets a `queries` entry; the
+  * SQL-expressible ones also get a DuckDB oracle in `oracleSql`. Queries
+  * receive the scale-factor directory and read only driver testdata or
+  * bundled fixtures. Aggregates over doubles are rounded on both sides so
+  * the driver's hash compare is insensitive to summation order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  private def resource(path: String): String = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing resource $path")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.mkString finally src.close()
+  }
+
+  /** Czech pangram appended to each document so the normalization queries
+    * actually exercise the diacritic fold on the ASCII-ish testdata. */
+  private val CzechProbe = " Příliš žluťoučký kůň\tpěl|ódy "
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Revenue per nation: lineitem ⋈ orders ⋈ customer ⋈ nation with the
+    * small dims broadcast — representative of the engine's join+agg path. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(t(dir, "lineitem"))
+    val o = spark.read.parquet(t(dir, "orders"))
+    val c = spark.read.parquet(t(dir, "customer"))
+    val n = spark.read.parquet(t(dir, "nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name").as("nation"))
+      .agg(round(sum(li("l_extendedprice") * (lit(1.0) - li("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("nation"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A-family: aggregation over lineitem (SURVEY §2.3)
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    // P1/T1: Czech normalization as pure built-ins (SURVEY §2.6)
+    "czech_normalize" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          CzechText.normalizeCzech(concat(col("text"), lit(CzechProbe)))
+            .as("norm_text"))
+        .orderBy(col("doc_id"))
+    }),
+    // F1-F18: shop price dispatcher over the golden corpus (SURVEY §2.7);
+    // oracle VALUES were produced by executing the reference implementation.
+    "price_parse" -> ((s, _) => {
+      val r = PriceFunctions.processPrice(col("shop"), col("text"), col("class_id"))
+      Fixtures.priceCases(s)
+        .select(col("id"), col("shop"), col("class_id"), r.as("r"))
+        .select(col("id"), col("shop"), col("class_id"),
+          col("r.item_price").as("item_price"),
+          col("r.initial_price").as("initial_price"),
+          col("r.member_price").as("member_price"),
+          col("r.volume").as("volume"),
+          col("r.packaging").as("packaging"),
+          col("r.price_ex_vat").as("price_ex_vat"),
+          col("r.member_tag").as("member_tag"))
+        .orderBy(col("id"))
+    }),
+    // T2-T5: trie + DP name correction over the golden corpus (SURVEY §2.6)
+    "name_correct" -> ((s, _) => {
+      Fixtures.nameCases(s)
+        .select(col("id"), NameCorrection.correctName(col("text")).as("corrected"))
+        .orderBy(col("id"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "czech_normalize" ->
+      s"""SELECT doc_id,
+        |  regexp_replace(
+        |    translate(
+        |      lower(regexp_replace(regexp_replace(
+        |        translate(text || ${duckLit(CzechProbe)},
+        |                  chr(160) || chr(9) || chr(10) || '|', ' '),
+        |        '^\\s+', ''), '\\s+$$', '')),
+        |      '${CzechText.CzechSrc.take(16)}', '${CzechText.CzechDst.take(16)}'),
+        |    '[^\\x00-\\x7F]', ' ', 'g') AS norm_text
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "price_parse" -> resource("/graft/oracle_price.sql"),
+    "name_correct" -> resource("/graft/oracle_name.sql"),
+  )
+
+  /** Render a Scala string as a DuckDB string literal: quotes doubled,
+    * tab/newline emitted as chr(n) concatenation, UTF-8 text kept as-is. */
+  private def duckLit(s: String): String = {
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    val sb = new StringBuilder
+    def flush(): Unit =
+      if (sb.nonEmpty) { parts += s"'${sb.toString}'"; sb.clear() }
+    s.foreach {
+      case c @ ('\t' | '\n' | '\r') => flush(); parts += s"chr(${c.toInt})"
+      case '\''                     => sb.append("''")
+      case c                        => sb.append(c)
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString(" || ")
+  }
 }
