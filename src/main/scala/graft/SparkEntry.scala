@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.pipeline.{IngestPipeline, PipelineFixtures}
 import graft.price.PriceFunctions
 import graft.relational.Fixtures
 import graft.text.{CzechText, NameCorrection}
@@ -90,6 +91,45 @@ object SparkEntry {
         .select(col("id"), NameCorrection.correctName(col("text")).as("corrected"))
         .orderBy(col("id"))
     }),
+    // EP1 end-to-end: pages -> detect -> crops -> detect2+OCR -> routing ->
+    // detected_data (SURVEY §3); oracle VALUES computed by executing the
+    // reference implementation over the same fixtures.
+    "detected_items" -> ((s, _) => {
+      val d = IngestPipeline.runFixture(s)
+      val prefixes = Seq(
+        "ip" -> "processed_item_price",
+        "mp" -> "processed_item_member_price",
+        "inp" -> "processed_item_initial_price")
+      val fields = Seq("item_price", "initial_price", "member_price",
+        "volume", "packaging", "price_ex_vat", "member_tag")
+      val flat = for { (p, src) <- prefixes; f <- fields }
+        yield col(s"$src.$f").as(s"${p}_$f")
+      d.select(
+        Seq(col("image_id"), col("item_name"), col("processed_item_name"),
+          col("whole_image_ocr_text"), col("shop_name"), col("item_price"),
+          col("item_member_price"), col("item_initial_price"), col("valid"),
+          col("n_detections")) ++ flat: _*)
+        .orderBy(col("image_id"))
+    }),
+    // P2: bbox pad + clamp over the model-2 detections (SURVEY §2.2)
+    "det2_padded" -> ((s, _) => {
+      val svc = new graft.enrich.FixtureInferenceService
+      val cropDs = IngestPipeline.crops(
+        IngestPipeline.detectPages(PipelineFixtures.pages(s), svc, "model1"))
+      val det2 = IngestPipeline.detectCrops(cropDs, svc)
+      IngestPipeline.withPaddedBox(det2.toDF())
+        .select(col("image_id"), col("idx"), col("class_name"),
+          col("px1").as("x1"), col("py1").as("y1"),
+          col("px2").as("x2"), col("py2").as("y2"))
+        .orderBy(col("image_id"), col("idx"))
+    }),
+    // A2: per-image regroup into class -> [detections] (nested map; driver
+    // records a rows-only check — no SQL-expressible oracle)
+    "item_detection_regroup" -> ((s, _) => {
+      val svc = new graft.enrich.FixtureInferenceService
+      val det1 = IngestPipeline.detectPages(PipelineFixtures.pages(s), svc, "model1")
+      IngestPipeline.itemDetectionData(det1).orderBy(col("image_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -116,6 +156,8 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "price_parse" -> resource("/graft/oracle_price.sql"),
     "name_correct" -> resource("/graft/oracle_name.sql"),
+    "detected_items" -> resource("/graft/oracle_detected.sql"),
+    "det2_padded" -> resource("/graft/oracle_det2_padded.sql"),
   )
 
   /** Render a Scala string as a DuckDB string literal: quotes doubled,
