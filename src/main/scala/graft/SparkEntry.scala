@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{IngestPipeline, PipelineFixtures}
+import graft.pipeline.{IngestPipeline, PipelineFixtures, ValidityPipeline}
 import graft.price.PriceFunctions
 import graft.relational.Fixtures
 import graft.text.{CzechText, NameCorrection}
@@ -130,7 +130,41 @@ object SparkEntry {
       val det1 = IngestPipeline.detectPages(PipelineFixtures.pages(s), svc, "model1")
       IngestPipeline.itemDetectionData(det1).orderBy(col("image_id"))
     }),
+    // ST2: daily validity sweep — CDC set of flipped flags (SURVEY §2.8)
+    "validity_sweep" -> ((s, _) => {
+      ValidityPipeline.validitySweep(PipelineFixtures.pdfMetadata(s), Ep2AsOf)
+        .orderBy(col("filename"), col("shop_name"))
+    }),
+    // ST3/J2: propagate flips to detected items of affected files only
+    "validity_propagate" -> ((s, _) => {
+      val svc = new graft.enrich.FixtureInferenceService
+      val meta = PipelineFixtures.pdfMetadata(s)
+      val changes = ValidityPipeline.validitySweep(meta, Ep2AsOf)
+      val cropIds = IngestPipeline.crops(
+        IngestPipeline.detectPages(PipelineFixtures.pages(s), svc, "model1"))
+      ValidityPipeline.propagateValidity(cropIds.toDF(), changes)
+        .orderBy(col("image_id"))
+    }),
+    // A5: users regrouped by effective shop preference
+    "users_by_shop" -> ((s, _) => {
+      ValidityPipeline.usersByShop(PipelineFixtures.users(s))
+        .orderBy(col("shop_name"), col("user_id"))
+    }),
+    // A6: shop -> currently-valid files
+    "shop_valid_files" -> ((s, _) => {
+      ValidityPipeline.shopToValidFiles(PipelineFixtures.pdfMetadata(s), Ep2AsOf)
+        .orderBy(col("shop_name"))
+    }),
+    // J3/ST4: notification targeting (opted-in users x valid files)
+    "notifications" -> ((s, _) => {
+      ValidityPipeline.notifications(PipelineFixtures.users(s),
+        PipelineFixtures.pdfMetadata(s), Ep2AsOf)
+        .orderBy(col("user_id"), col("shop_name"))
+    }),
   )
+
+  /** Fixed EP2 sweep date (fixtures span windows before/around/after it). */
+  private def Ep2AsOf = to_date(lit("2024-10-15"))
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -158,6 +192,11 @@ object SparkEntry {
     "name_correct" -> resource("/graft/oracle_name.sql"),
     "detected_items" -> resource("/graft/oracle_detected.sql"),
     "det2_padded" -> resource("/graft/oracle_det2_padded.sql"),
+    "validity_sweep" -> resource("/graft/oracle_validity_sweep.sql"),
+    "validity_propagate" -> resource("/graft/oracle_validity_propagate.sql"),
+    "users_by_shop" -> resource("/graft/oracle_users_by_shop.sql"),
+    "shop_valid_files" -> resource("/graft/oracle_shop_valid_files.sql"),
+    "notifications" -> resource("/graft/oracle_notifications.sql"),
   )
 
   /** Render a Scala string as a DuckDB string literal: quotes doubled,

@@ -185,4 +185,15 @@ object PipelineFixtures {
       PdfMeta(c(0), c(1), java.sql.Date.valueOf(c(2)),
         java.sql.Date.valueOf(c(3)), c(4).toBoolean, c(5).toInt)).toDS()
   }
+
+  /** Notification-targeting users (FIXTURES.md A8, README.md:86-98). */
+  def users(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def arr(s: String): Seq[String] =
+      if (s.isEmpty) Nil else s.split(",", -1).toSeq
+    rows("/graft/pipeline_users.tsv").map(c =>
+      (c(0).toLong, arr(c(1)), arr(c(2)), c(3).toBoolean, arr(c(4))))
+      .toDF("user_id", "included_shops", "excluded_shops", "wants_pdf_news",
+        "tracked_items")
+  }
 }

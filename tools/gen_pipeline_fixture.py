@@ -55,8 +55,14 @@ for shop in SHOPS:
     slug = shop.lower().replace(" ", "_")
     filename = f"{slug}_flyer.pdf"
     n_pages = rng.randint(1, 3)
-    pdfs.append((filename, shop, "2024-10-01", "2024-10-31",
-                 "true" if rng.random() < 0.8 else "false", n_pages))
+    # varied windows relative to the EP2 sweep date 2024-10-15: past,
+    # current, and future validity intervals, with flags that may disagree
+    vfrom, vto = rng.choice([("2024-09-01", "2024-09-30"),
+                             ("2024-10-01", "2024-10-31"),
+                             ("2024-10-10", "2024-10-20"),
+                             ("2024-10-16", "2024-11-05")])
+    pdfs.append((filename, shop, vfrom, vto,
+                 "true" if rng.random() < 0.6 else "false", n_pages))
     base = filename.rsplit(".", 1)[0]
     for p in range(1, n_pages + 1):
         page_id = f"pages/valid/{base}_page_{p}.png"
