@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.pipeline.{IngestPipeline, PipelineFixtures, ValidityPipeline}
 import graft.price.PriceFunctions
-import graft.relational.Fixtures
+import graft.relational.{Fixtures, RelationalQueries}
 import graft.text.{CzechText, NameCorrection}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -49,7 +49,7 @@ object SparkEntry {
       .orderBy(col("nation"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A-family: aggregation over lineitem (SURVEY §2.3)
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(t(dir, "lineitem"))
@@ -166,7 +166,14 @@ object SparkEntry {
   /** Fixed EP2 sweep date (fixtures span windows before/around/after it). */
   private def Ep2AsOf = to_date(lit("2024-10-15"))
 
-  def oracleSql: Map[String, String] = Map(
+  /** Full query surface = core/domain queries + the relational module. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ RelationalQueries.all.map(q => q.name -> q.fn)
+
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ RelationalQueries.all.flatMap(q => q.oracle.map(q.name -> _))
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,327 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's general relational surface over the driver testdata
+  * (TPC-H-ish star schema, TESTDATA.md) — the harness queries from SURVEY
+  * §2.4/§2.5. Each entry pairs an idiomatic DataFrame plan with a DuckDB
+  * oracle.
+  *
+  * Scale discipline: dimension joins are broadcast; selective filters sit
+  * directly on the scans (pushed to parquet by Catalyst); aggregates are
+  * partial before shuffles; window partitions are high-cardinality keys;
+  * every ORDER BY exists for driver-compare determinism and carries a
+  * unique tiebreak. Double aggregates are rounded identically on both
+  * sides; integer sums are cast to BIGINT in DuckDB (which would otherwise
+  * widen to HUGEINT).
+  */
+object RelationalQueries {
+
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  val all: Seq[Q] = Seq(
+    // ---- joins -------------------------------------------------------
+    Q("q3_join_topk", (s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val o = s.read.parquet(t(dir, "orders"))
+      val li = s.read.parquet(t(dir, "lineitem"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .filter(c("c_mktsegment") === "BUILDING")
+        .groupBy(o("o_orderkey").as("o_orderkey"))
+        .agg(round(sum(li("l_extendedprice") * (lit(1.0) - li("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(20)
+    }, Some(
+      """SELECT o_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    Q("q5_broadcast_dims", (s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val sup = s.read.parquet(t(dir, "supplier"))
+      val n = s.read.parquet(t(dir, "nation"))
+      val r = s.read.parquet(t(dir, "region"))
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name").as("r_name"), n("n_name").as("n_name"))
+        .agg(round(sum(li("l_extendedprice") * (lit(1.0) - li("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }, Some(
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    Q("q_semi_join", (s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val o = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    }, Some(
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    Q("q_anti_join", (s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val o = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_totalprice") > 450000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- selective scan (predicate pushdown showcase) ---------------
+    Q("q6_selective", (s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }, Some(
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+        |  AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // ---- windows -----------------------------------------------------
+    Q("q_window_topk_per_group", (s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }, Some(
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem) x
+        |WHERE rn <= 2 ORDER BY l_suppkey, rn""".stripMargin)),
+
+    Q("q_window_running", (s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.filter(col("o_custkey") % 100 === 0)
+        .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    Q("q_window_lag", (s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.filter(col("o_custkey") % 200 === 0)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("delta", round(col("o_totalprice") - col("prev_price"), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("delta"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+        |  round(o_totalprice - lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey), 2) AS delta
+        |FROM orders WHERE o_custkey % 200 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- top-k / sort ------------------------------------------------
+    Q("q_topk_global", (s, dir) => {
+      s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(15)
+    }, Some(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin)),
+
+    // ---- grouping sets ----------------------------------------------
+    Q("q_rollup", (s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }, Some(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    Q("q_cube", (s, dir) => {
+      s.read.parquet(t(dir, "orders"))
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }, Some(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // ---- set operations ---------------------------------------------
+    Q("q_setops", (s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val c = s.read.parquet(t(dir, "customer"))
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+      val neg = c.filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("o_custkey"))
+      f.intersect(p).except(neg)
+        .orderBy(col("o_custkey"))
+    }, Some(
+      """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |EXCEPT
+        |SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY o_custkey""".stripMargin)),
+
+    Q("q_union_all", (s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val hi = o.filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), lit("high").as("bucket"))
+      val lo = o.filter(col("o_totalprice") < 1000)
+        .select(col("o_orderkey"), lit("low").as("bucket"))
+      hi.unionAll(lo)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }, Some(
+      """SELECT bucket, count(*) AS n FROM (
+        |  SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 400000
+        |  UNION ALL
+        |  SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 1000) x
+        |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // ---- pivot (P4's relational shape) ------------------------------
+    Q("q_pivot_status", (s, dir) => {
+      s.read.parquet(t(dir, "orders"))
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+        .orderBy(col("o_orderpriority"))
+    }, Some(
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- distinct / having / case -----------------------------------
+    Q("q_distinct_having", (s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(col("l_suppkey"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"))
+        .filter(col("n_parts") >= 40)
+        .orderBy(col("l_suppkey"))
+    }, Some(
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+        |  round(avg(l_quantity), 4) AS avg_qty
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING count(DISTINCT l_partkey) >= 40
+        |ORDER BY l_suppkey""".stripMargin)),
+
+    Q("q_case_buckets", (s, dir) => {
+      s.read.parquet(t(dir, "customer"))
+        .withColumn("bucket",
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 3000, "low")
+            .when(col("c_acctbal") < 7000, "mid")
+            .otherwise("high"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total"))
+        .orderBy(col("bucket"))
+    }, Some(
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |  WHEN c_acctbal < 3000 THEN 'low'
+        |  WHEN c_acctbal < 7000 THEN 'mid' ELSE 'high' END AS bucket,
+        |  count(*) AS n, round(sum(c_acctbal), 2) AS total
+        |FROM customer GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- strings / dates --------------------------------------------
+    Q("q_string_funcs", (s, dir) => {
+      s.read.parquet(t(dir, "part"))
+        .filter(col("p_type").like("%AR%"))
+        .select(col("p_partkey"),
+          upper(substring(col("p_brand"), 1, 5)).as("brand5"),
+          length(col("p_name")).cast("int").as("name_len"),
+          regexp_extract(col("p_type"), "(\\w+)$", 1).as("type_last"))
+        .orderBy(col("p_partkey"))
+    }, Some(
+      """SELECT p_partkey, upper(substring(p_brand, 1, 5)) AS brand5,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  regexp_extract(p_type, '(\w+)$', 1) AS type_last
+        |FROM part WHERE p_type LIKE '%AR%' ORDER BY p_partkey""".stripMargin)),
+
+    Q("q_date_trunc", (s, dir) => {
+      s.read.parquet(t(dir, "orders"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("month"))
+    }, Some(
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
+
+    // ---- explode / unnest -------------------------------------------
+    Q("q_explode_words", (s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    }, Some(
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) x
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin)),
+  )
+}
