@@ -1,0 +1,122 @@
+package graft.analysis
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification, document
+  * fingerprinting. Everything is a composition of codegen'd built-ins —
+  * no UDFs — so the whole stage stays inside whole-stage codegen and
+  * scales as a narrow map over the corpus (zero shuffle).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (empty/blank text counts 0). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword proxy: alpha runs, digit runs, and single
+    * punctuation marks each count as one token. */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
+
+  /** Punctuation-to-character ratio, 4 decimals. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      round(size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("double") / length(text), 4))
+
+  /** Mean whitespace-token length, 4 decimals (0 for blank text). */
+  def meanWordLen(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0)).otherwise(
+      round(length(regexp_replace(text, "\\s+", "")).cast("double")
+        / tokenCount(text), 4))
+
+  /** English stopword-token ratio, 4 decimals. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordRatio(text: Column): Column = {
+    val pat = "(?i)\\b(" + EnStopwords.mkString("|") + ")\\b"
+    when(tokenCount(text) === 0, lit(0.0)).otherwise(
+      round(size(regexp_extract_all(text, lit(pat), lit(0))).cast("double")
+        / tokenCount(text), 4))
+  }
+
+  /** Composite quality score in [0,1], 4 decimals: rewards mid-length
+    * documents, low punctuation noise, and a sane stopword share —
+    * the standard shape of heuristic corpus-quality filters. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round((lenScore * 0.5 + (lit(1.0) - punctPenalty) * 0.3 + stopScore * 0.2), 4)
+  }
+
+  /** Marker-word language ID over {en, cs, de}: the language with the
+    * most marker-token hits wins; ties resolve en > cs > de; zero hits
+    * -> "und". A cheap n-gram-free heuristic that runs entirely in
+    * codegen. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to", "with", "for"),
+    "cs" -> Seq("je", "se", "na", "za", "do", "pro", "nebo"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "fur"))
+
+  private def markerHits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, ws) => l -> markerHits(text, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((l, sc), acc) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Exact content fingerprint: md5 of the lowercased,
+    * whitespace-collapsed, trimmed text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  // ---- DuckDB oracle twins (same semantics, SQL dialect) -------------
+
+  def tokenCountSql(c: String): String =
+    s"CASE WHEN length(trim($c)) = 0 THEN 0 ELSE CAST(len(regexp_split_to_array(trim($c), '\\s+')) AS BIGINT) END"
+
+  def bpeTokenCountSql(c: String): String =
+    s"CAST(len(regexp_extract_all($c, '$BpeTokenPattern')) AS BIGINT)"
+
+  def punctRatioSql(c: String): String =
+    s"CASE WHEN length($c) = 0 THEN 0.0 ELSE round(len(regexp_extract_all($c, '[^A-Za-z0-9\\s]')) * 1.0 / length($c), 4) END"
+
+  def meanWordLenSql(c: String): String =
+    s"CASE WHEN ${tokenCountSql(c)} = 0 THEN 0.0 ELSE round(length(regexp_replace($c, '\\s+', '', 'g')) * 1.0 / ${tokenCountSql(c)}, 4) END"
+
+  def stopwordRatioSql(c: String): String = {
+    val pat = "(?i)\\b(" + EnStopwords.mkString("|") + ")\\b"
+    s"CASE WHEN ${tokenCountSql(c)} = 0 THEN 0.0 ELSE round(len(regexp_extract_all($c, '$pat')) * 1.0 / ${tokenCountSql(c)}, 4) END"
+  }
+
+  def qualityScoreSql(c: String): String =
+    s"""round(least(${tokenCountSql(c)} * 1.0 / 100.0, 1.0) * 0.5
+       | + (1.0 - least(${punctRatioSql(c)} * 5.0, 1.0)) * 0.3
+       | + least(${stopwordRatioSql(c)} * 5.0, 1.0) * 0.2, 4)""".stripMargin
+
+  def langIdSql(c: String): String = {
+    def hits(ws: Seq[String]) =
+      s"len(regexp_extract_all(lower($c), '\\b(${ws.mkString("|")})\\b'))"
+    val cases = LangMarkers.map { case (l, ws) => (l, hits(ws)) }
+    val best = cases.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+    val whens = cases.map { case (l, h) =>
+      s"WHEN $h = $best AND $best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  def fingerprintSql(c: String): String =
+    s"md5(regexp_replace(trim(lower($c)), '\\s+', ' ', 'g'))"
+}

@@ -1,0 +1,276 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.TextAnalysis
+
+/** Deduplication operators for training-data pipelines, each designed as
+  * the shuffle-minimal Spark shape that survives a 100 TB corpus:
+  *
+  *  - exact:    one groupBy on a 128-bit fingerprint (a single shuffle of
+  *              (hash, id) pairs — never the document bodies).
+  *  - n-gram Jaccard: shingle explode (narrow) -> shared-shingle candidate
+  *              join -> count-based exact Jaccard. The candidate join is
+  *              the classic inverted-index trick: only documents sharing
+  *              at least one shingle ever meet, so the quadratic pair
+  *              space is never materialized.
+  *  - MinHash+LSH: per-document k-hash signature (one aggregation), band
+  *              keys, equi-join on (band, key) — candidate generation cost
+  *              is linear in corpus size; only candidates get the exact
+  *              Jaccard rescore.
+  *  - SimHash:  bit-vote aggregation to one 32-bit signature per document;
+  *              near-dup = small Hamming distance.
+  *
+  * All hash math derives from md5 (hex -> integer), which exists in both
+  * Spark and the DuckDB oracle — signatures are engine-independent, so
+  * even the LSH path is hash-checked, not just "rows > 0".
+  *
+  * Skew note: a pathologically hot shingle (stopword phrase) would fan the
+  * candidate join; production corpora should cap shingle document
+  * frequency before the join (drop shingles with df > limit) — a
+  * frequency-capped variant is one filter away from this plan.
+  */
+object Dedup {
+
+  val ShingleSize = 3
+  val MinhashK = 8
+  val Bands = 4 // 2 rows per band
+  val JaccardThreshold = 0.8
+  val SimhashBits = 32
+  val HammingMax = 3
+
+  /** Word-shingle array (size 3) of a whitespace-tokenized text column;
+    * documents with fewer than 3 words get no shingles. */
+  def shingles(text: Column): Column = {
+    val ws = split(text, " ")
+    when(size(ws) < ShingleSize, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(ws) - (ShingleSize - 1)),
+        i => concat_ws("|", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2))))
+  }
+
+  /** Deterministic 32-bit-range hash of a string via md5 (engine-neutral). */
+  def md5Hash32(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), c)), 1, 8), 16, 10).cast("long")
+
+  /** (doc_id, shingle) pairs, distinct. */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol))).as("s"))
+      .distinct()
+
+  /** Exact duplicate groups by normalized-content fingerprint:
+    * (fingerprint, n, ids_csv) for groups with more than one member. */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("ids_csv"))
+      .filter(col("n") > 1)
+
+  /** Exact pairwise n-gram Jaccard over documents that share at least one
+    * shingle, thresholded. Output: (da, db, jaccard). */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("n", "na"), "da")
+      .join(counts.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("n", "nb"), "db")
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** MinHash signature columns h0..h{k-1} per document. */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val hs = (0 until MinhashK).map(i =>
+      min(md5Hash32(col("s"), s"$i:")).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(hs.head, hs.tail: _*)
+  }
+
+  /** LSH candidate pairs (shared band) -> exact Jaccard rescore. */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol)
+    val sig = minhashSignatures(sh)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("bi"),
+          concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bk"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bk").as("bk"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x")
+      .join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    cand
+      .join(inter, Seq("da", "db"))
+      .join(counts.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("n", "na"), "da")
+      .join(counts.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("n", "nb"), "db")
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash per document from distinct whitespace tokens:
+    * per-bit majority vote over word hashes. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .withColumn("h", md5Hash32(col("w"), "sh:"))
+    // bit extraction via exact double arithmetic (2^b for b<32 is exact):
+    // shiftright/shiftleft built-ins take only literal shift amounts
+    val bits = words.select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))
+      .withColumn("vote",
+        when(floor(col("h") / pow(lit(2.0), col("b"))).cast("long") % 2 === 1,
+          lit(1)).otherwise(lit(-1)))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("vote")).as("v"))
+    bits
+      .withColumn("bitval",
+        when(col("v") > 0, pow(lit(2.0), col("b")).cast("long"))
+          .otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bitval")).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance <= maxDist.
+    *
+    * Candidate generation uses Hamming-LSH banding, not a cross join: the
+    * 32-bit signature splits into (maxDist + 1) bands, and by pigeonhole
+    * any pair within distance maxDist agrees exactly on at least one
+    * band — so an equi-join on (band index, band value) finds EVERY
+    * qualifying pair with linear candidate cost. Result is exact. */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = HammingMax): DataFrame = {
+    val sig = simhash(docs, idCol, textCol)
+    val nBands = maxDist + 1
+    val bandBits = SimhashBits / nBands
+    val bandMod = math.pow(2, bandBits).toLong
+    val bands = sig.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("bi"))
+      .withColumn("bv",
+        floor(col("simhash") / pow(lit(2.0), col("bi") * bandBits)).cast("long")
+          % bandMod)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("a.simhash").as("sa"),
+        col("b.doc_id").as("db"), col("b.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("da"), col("db"), col("hamming").cast("int").as("hamming"))
+  }
+
+  // ---- DuckDB oracle builders (same constructions, SQL dialect) ------
+
+  /** Shared CTE: distinct (doc_id, shingle) pairs from a docs relation. */
+  def shinglesCte(docsRel: String): String =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([ws[i] || '|' || ws[i+1] || '|' || ws[i+2]
+       |            for i in range(1, len(ws) - ${ShingleSize - 2})]) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $docsRel) __w
+       |  WHERE len(ws) >= $ShingleSize)""".stripMargin
+
+  def md5Hash32Sql(expr: String, salt: String): String =
+    s"(('0x' || substr(md5('$salt' || $expr), 1, 8))::BIGINT)"
+
+  val jaccardCte: String =
+    s"""cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT da, db, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+       |  FROM inter
+       |  JOIN cnt ca ON ca.doc_id = da
+       |  JOIN cnt cb ON cb.doc_id = db)""".stripMargin
+
+  def ngramJaccardOracle(docsRel: String, threshold: Double): String =
+    s"""WITH ${shinglesCte(docsRel)},
+       |$jaccardCte
+       |SELECT da, db, jaccard FROM jac WHERE jaccard >= $threshold
+       |ORDER BY da, db""".stripMargin
+
+  def minhashLshOracle(docsRel: String, threshold: Double): String = {
+    val hashes = (0 until MinhashK)
+      .map(i => s"min(${md5Hash32Sql("s", s"$i:")}) AS h$i").mkString(", ")
+    val bandRows = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS bi, h${2 * b} || '_' || h${2 * b + 1} AS bk FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${shinglesCte(docsRel)},
+       |sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |$jaccardCte
+       |SELECT j.da, j.db, j.jaccard
+       |FROM jac j JOIN cand c ON j.da = c.da AND j.db = c.db
+       |WHERE j.jaccard >= $threshold
+       |ORDER BY j.da, j.db""".stripMargin
+  }
+
+  def simhashPairsOracle(docsRel: String, maxDist: Int): String =
+    s"""WITH words AS (
+       |  SELECT DISTINCT doc_id, w
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $docsRel) __u
+       |  WHERE length(w) > 0),
+       |hashed AS (SELECT doc_id, ${md5Hash32Sql("w", "sh:")} AS h FROM words),
+       |bits AS (
+       |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hashed, (SELECT unnest(range(0, $SimhashBits)) AS b) __bits
+       |  GROUP BY doc_id, b),
+       |sig AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS da, b.doc_id AS db,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
+       |ORDER BY da, db""".stripMargin
+}

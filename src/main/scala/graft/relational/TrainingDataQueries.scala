@@ -1,0 +1,110 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.TextAnalysis
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.relational.RelationalQueries.Q
+
+/** Training-data pipeline operators over the `documents` and `embeddings`
+  * testdata tables: text analysis, dedup (exact / n-gram Jaccard /
+  * MinHash-LSH / SimHash), and similarity search (brute force + LSH ANN).
+  * Every query is hash-checked against a DuckDB oracle — including the
+  * LSH paths, whose hash math is md5-derived and engine-neutral.
+  */
+object TrainingDataQueries {
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "documents"))
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "embeddings"))
+
+  /** documents plus planted exact duplicates (the testdata has none):
+    * the first 5 docs re-appear with doc_id + 100000. */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionAll(d.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  private val docsWithDupsSql =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text FROM documents
+      | WHERE doc_id < 5)""".stripMargin
+
+  val SimilarPairsThreshold = 0.45
+  val AnnQueries = 20
+  val AnnK = 5
+
+  val all: Seq[Q] = Seq(
+    Q("text_stats", (s, dir) => {
+      val c = col("text")
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(c).as("n_tokens"),
+        TextAnalysis.bpeTokenCount(c).as("n_bpe_tokens"),
+        TextAnalysis.punctRatio(c).as("punct_ratio"),
+        TextAnalysis.meanWordLen(c).as("mean_word_len"),
+        TextAnalysis.stopwordRatio(c).as("stopword_ratio"),
+        TextAnalysis.qualityScore(c).as("quality"),
+        TextAnalysis.langId(c).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""SELECT doc_id,
+         |  ${TextAnalysis.tokenCountSql("text")} AS n_tokens,
+         |  ${TextAnalysis.bpeTokenCountSql("text")} AS n_bpe_tokens,
+         |  ${TextAnalysis.punctRatioSql("text")} AS punct_ratio,
+         |  ${TextAnalysis.meanWordLenSql("text")} AS mean_word_len,
+         |  ${TextAnalysis.stopwordRatioSql("text")} AS stopword_ratio,
+         |  ${TextAnalysis.qualityScoreSql("text")} AS quality,
+         |  ${TextAnalysis.langIdSql("text")} AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("exact_dedup", (s, dir) => {
+      Dedup.exactDupGroups(docsWithDups(s, dir), "doc_id", "text")
+        .orderBy(col("fp"))
+    }, Some(
+      s"""WITH d AS (SELECT * FROM $docsWithDupsSql __dd)
+         |SELECT ${TextAnalysis.fingerprintSql("text")} AS fp,
+         |  count(*) AS n,
+         |  string_agg(doc_id, ',' ORDER BY doc_id) AS ids_csv
+         |FROM d
+         |GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY fp""".stripMargin)),
+
+    Q("ngram_jaccard_dups", (s, dir) => {
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text")
+        .orderBy(col("da"), col("db"))
+    }, Some(Dedup.ngramJaccardOracle("documents", Dedup.JaccardThreshold))),
+
+    Q("minhash_lsh_dups", (s, dir) => {
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
+        .orderBy(col("da"), col("db"))
+    }, Some(Dedup.minhashLshOracle("documents", Dedup.JaccardThreshold))),
+
+    Q("simhash_dups", (s, dir) => {
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text")
+        .orderBy(col("da"), col("db"))
+    }, Some(Dedup.simhashPairsOracle("documents", Dedup.HammingMax))),
+
+    Q("embedding_similar_pairs", (s, dir) => {
+      Similarity.similarPairs(emb(s, dir), SimilarPairsThreshold)
+        .orderBy(col("va"), col("vb"))
+    }, Some(Similarity.similarPairsOracle("embeddings", SimilarPairsThreshold))),
+
+    Q("ann_topk_brute", (s, dir) => {
+      Similarity.bruteForceTopK(emb(s, dir), AnnQueries, AnnK)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(Similarity.bruteForceTopKOracle("embeddings", AnnQueries, AnnK))),
+
+    Q("ann_topk_lsh", (s, dir) => {
+      Similarity.lshTopK(emb(s, dir), AnnQueries, AnnK)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(Similarity.lshTopKOracle("embeddings", AnnQueries, AnnK))),
+  )
+}

@@ -1,0 +1,162 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`Array[Float]`, dim 64 in the testdata).
+  *
+  *  - Brute force: query-set x corpus cosine with a per-query top-k
+  *    window — the correctness baseline. Cost is |Q| x |C|; fine for
+  *    small query sets, never for corpus x corpus at scale.
+  *  - LSH (random hyperplanes): each vector lands in a bucket keyed by
+  *    the sign pattern of `NPlanes` fixed hyperplane projections;
+  *    candidates are bucket-mates only, so the join is an equi-join on
+  *    the bucket key (linear candidate generation, the 100 TB path).
+  *    Hyperplane coefficients are derived deterministically from md5, so
+  *    the oracle reproduces them bit-for-bit.
+  *
+  * All similarities are rounded to 4 decimals BEFORE ranking, with vec_id
+  * tiebreaks, so rankings are engine-independent despite floating-point
+  * summation-order differences.
+  */
+object Similarity {
+
+  val NPlanes = 4
+  val Dim = 64
+
+  /** Deterministic hyperplane coefficients in [-1, 1): md5-derived,
+    * reproducible in any engine with md5. */
+  lazy val planes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NPlanes) { p =>
+      Array.tabulate(Dim) { d =>
+        val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0
+      }
+    }
+  }
+
+  /** Cosine similarity of two array<double> columns (sequential fold, so
+    * the summation order matches a scalar loop). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force top-k: for each query vector (vec_id < nQueries), the k
+    * nearest corpus vectors by cosine (self excluded). */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val c = emb.select(col("vec_id").as("cid"),
+      asDouble(col("embedding")).as("cv"))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("sim"))
+  }
+
+  /** All corpus pairs with cosine >= threshold (rounded) — the
+    * embedding-space near-duplicate detector. Quadratic: reserved for
+    * small corpora / within-bucket rescoring at scale. */
+  def similarPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("va"),
+      asDouble(col("embedding")).as("ea"))
+    val b = emb.select(col("vec_id").as("vb"),
+      asDouble(col("embedding")).as("eb"))
+    a.join(b, col("va") < col("vb"))
+      .withColumn("sim", round(cosine(col("ea"), col("eb")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("va"), col("vb"), col("sim"))
+  }
+
+  /** Sign-pattern LSH bucket id of an embedding column. */
+  def lshBucket(v: Column): Column =
+    (0 until NPlanes).map { p =>
+      val coefs = array(planes(p).map(lit): _*)
+      when(aggregate(zip_with(v, coefs, (x, c) => x * c), lit(0.0),
+        (acc, x) => acc + x) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH top-k: same contract as [[bruteForceTopK]] but candidates are
+    * restricted to the query's bucket (approximate; deterministic). */
+  def lshTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val withBucket = emb.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"),
+      lshBucket(asDouble(col("embedding"))).as("bucket"))
+    val q = withBucket.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+    val c = withBucket.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("sim"))
+  }
+
+  // ---- DuckDB oracle builders ---------------------------------------
+
+  private def planeSqlValues: String =
+    (0 until NPlanes).map { p =>
+      "(" + p + ", [" + planes(p).mkString(", ") + "]::DOUBLE[])"
+    }.mkString(",\n")
+
+  def bruteForceTopKOracle(embRel: String, nQueries: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embRel),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    round(list_cosine_similarity(q.v, c.v), 4) AS sim
+       |  FROM e q JOIN e c ON q.vec_id < $nQueries AND q.vec_id != c.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM scored)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
+       |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  def similarPairsOracle(embRel: String, threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embRel)
+       |SELECT a.vec_id AS va, b.vec_id AS vb,
+       |  round(list_cosine_similarity(a.v, b.v), 4) AS sim
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= $threshold
+       |ORDER BY va, vb""".stripMargin
+
+  def lshTopKOracle(embRel: String, nQueries: Int, k: Int): String = {
+    val bucketExpr = (0 until NPlanes).map { p =>
+      s"(CASE WHEN list_dot_product(e.v, pl$p.coefs) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val planeJoins = (0 until NPlanes)
+      .map(p => s"JOIN planes pl$p ON pl$p.p = $p").mkString(" ")
+    s"""WITH planes(p, coefs) AS (VALUES
+       |$planeSqlValues),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embRel),
+       |wb AS (
+       |  SELECT e.vec_id, e.v, $bucketExpr AS bucket
+       |  FROM e $planeJoins),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    round(list_cosine_similarity(q.v, c.v), 4) AS sim
+       |  FROM wb q JOIN wb c ON q.bucket = c.bucket
+       |    AND q.vec_id < $nQueries AND q.vec_id != c.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM scored)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
+       |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+}
