@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.pipeline.{IngestPipeline, PipelineFixtures, ValidityPipeline}
 import graft.price.PriceFunctions
-import graft.relational.{Fixtures, RelationalQueries, TrainingDataQueries}
+import graft.relational.{Fixtures, RelationalQueries, StreamingQueries, TrainingDataQueries}
 import graft.text.{CzechText, NameCorrection}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -169,11 +169,12 @@ object SparkEntry {
   /** Full query surface = core/domain queries + the relational module. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++
-      (RelationalQueries.all ++ TrainingDataQueries.all).map(q => q.name -> q.fn)
+      (RelationalQueries.all ++ TrainingDataQueries.all ++ StreamingQueries.all)
+        .map(q => q.name -> q.fn)
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++
-      (RelationalQueries.all ++ TrainingDataQueries.all)
+      (RelationalQueries.all ++ TrainingDataQueries.all ++ StreamingQueries.all)
         .flatMap(q => q.oracle.map(q.name -> _))
 
   private def coreOracleSql: Map[String, String] = Map(

@@ -106,5 +106,38 @@ object TrainingDataQueries {
       Similarity.lshTopK(emb(s, dir), AnnQueries, AnnK)
         .orderBy(col("qid"), col("rank"))
     }, Some(Similarity.lshTopKOracle("embeddings", AnnQueries, AnnK))),
+
+    // multimodal: binary-column decode + feature extraction as partition
+    // batches; oracle VALUES from the independent python mirror of the
+    // synthetic blob format (tools/gen_media_oracle.py)
+    Q("media_features", (s, _) => {
+      import graft.multimodal.{Multimodal, SyntheticCodec}
+      Multimodal.mediaFeatures(Multimodal.syntheticMedia(s, 100),
+          new SyntheticCodec)
+        .toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("n_bytes"), col("mean_byte"),
+          element_at(col("histogram4"), 1).as("h0"),
+          element_at(col("histogram4"), 2).as("h1"),
+          element_at(col("histogram4"), 3).as("h2"),
+          element_at(col("histogram4"), 4).as("h3"))
+        .orderBy(col("media_id"))
+    }, Some(resourceSql("/graft/oracle_media_features.sql"))),
+
+    Q("media_frames", (s, _) => {
+      import graft.multimodal.{Multimodal, SyntheticCodec}
+      Multimodal.sampledFrames(Multimodal.syntheticMedia(s, 100),
+          new SyntheticCodec, everyN = 2)
+        .select(col("media_id"), col("frame_no"), col("frame_bytes"),
+          col("byte_sum"))
+        .orderBy(col("media_id"), col("frame_no"))
+    }, Some(resourceSql("/graft/oracle_media_frames.sql"))),
   )
+
+  private def resourceSql(path: String): String = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing resource $path")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.mkString finally src.close()
+  }
 }

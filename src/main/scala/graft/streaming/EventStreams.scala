@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream analytics (the `events` table extension, SURVEY §2.8):
+  * tumbling / sliding / session windows, expressed once so the SAME plan
+  * runs in batch (for the DuckDB oracle) and under Structured Streaming
+  * (with watermarks, exercised in the test suite via MemoryStream).
+  *
+  * Streaming-at-scale notes: aggregation state is keyed by
+  * (window, event_type) or (user_id, session) — bounded by the watermark,
+  * which caps state size; `session_window` + watermark is Spark's native
+  * scalable session implementation, and the `flatMapGroupsWithState`
+  * variant shows the custom-state escape hatch for semantics the built-in
+  * cannot express.
+  */
+object EventStreams {
+
+  val SessionGap = "10 minutes"
+
+  /** Tumbling 1-hour counts per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  val tumblingOracle: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** Sliding 1-hour windows every 30 minutes (each event lands in 2). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("window_start"), col("n"), col("total"))
+
+  val slidingOracle: String =
+    """SELECT window_start, count(*) AS n, round(sum(value), 2) AS total
+      |FROM (
+      |  SELECT unnest([
+      |      CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP),
+      |      CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP)
+      |        - INTERVAL 30 MINUTE
+      |    ]) AS window_start, value
+      |  FROM events) x
+      |GROUP BY 1 ORDER BY window_start""".stripMargin
+
+  /** Session windows per user with a 10-minute inactivity gap, via
+    * Spark's native session_window (streaming-capable with watermark). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), SessionGap).as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"), col("total"))
+
+  /** Gaps-and-islands twin of session_window semantics: a session ends
+    * `gap` after its last event. */
+  val sessionOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 10 MINUTE
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 10 MINUTE AS session_end,
+      |  count(*) AS n, round(sum(value), 2) AS total
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---- Structured Streaming forms -----------------------------------
+
+  /** Streaming tumbling aggregation with a 10-minute watermark: late
+    * events beyond the watermark are dropped; state is bounded. */
+  def streamingTumblingCounts(events: DataFrame): DataFrame =
+    tumblingCounts(events.withWatermark("ts", "10 minutes"))
+
+  def streamingSessionCounts(events: DataFrame): DataFrame =
+    sessionCounts(events.withWatermark("ts", "10 minutes"))
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the escape
+    * hatch for session semantics the built-in cannot express. Emits
+    * closed sessions when a new event arrives more than the gap after
+    * the previous one (final open sessions stay in state; for batch
+    * comparison use [[sessionCounts]]). */
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(
+      start: Long, last: Long, n: Long, total: Double)
+  final case class ClosedSession(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n: Long, total: Double)
+
+  val GapMs: Long = 10 * 60 * 1000L
+
+  def sessionize(
+      userId: Long,
+      events: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[ClosedSession] = {
+    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    var cur = state.getOption
+    val closed = Seq.newBuilder[ClosedSession]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(st) if t - st.last > GapMs =>
+          closed += ClosedSession(userId, new java.sql.Timestamp(st.start),
+            new java.sql.Timestamp(st.last + GapMs), st.n, st.total)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case Some(st) =>
+          cur = Some(SessionState(st.start, t, st.n + 1, st.total + e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    cur.foreach(state.update)
+    closed.result().iterator
+  }
+
+  def customSessions(events: Dataset[Ev]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(sessionize)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.multimodal.{MediaBlob, Multimodal, SyntheticCodec}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing: synthetic-format decode in partition batches plus
+  * the REAL JDK ImageIO codec path over genuinely encoded PNG bytes. */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("synthetic decode round-trips header fields") {
+    val feats = Multimodal.mediaFeatures(
+      Multimodal.syntheticMedia(spark, 30), new SyntheticCodec).collect()
+    assert(feats.length == 30)
+    feats.foreach { f =>
+      assert(f.width == 16 + (f.media_id % 32).toInt)
+      assert(f.height == 16 + (f.media_id * 3 % 32).toInt)
+      assert(f.histogram4.sum == f.n_bytes - 13)
+    }
+  }
+
+  test("real PNG decode + resize via JDK ImageIO inside the pipeline") {
+    import spark.implicits._
+    // encode genuine PNGs driver-side
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val blobs = Seq(
+      MediaBlob(0L, "image", png(40, 20)),
+      MediaBlob(1L, "image", png(64, 64))).toDS()
+    val dims = blobs.mapPartitions(_.map { b =>
+      val Some((w, h)) = Multimodal.decodePngDims(b.content)
+      val resized = Multimodal.resizePng(b.content, 8, 8)
+      val Some((rw, rh)) = Multimodal.decodePngDims(resized)
+      (b.media_id, w, h, rw, rh)
+    }).collect().sortBy(_._1)
+    assert(dims.toSeq == Seq((0L, 40, 20, 8, 8), (1L, 64, 64, 8, 8)))
+  }
+
+  test("video frame sampling fans out deterministically") {
+    val frames = Multimodal.sampledFrames(
+      Multimodal.syntheticMedia(spark, 30), new SyntheticCodec, everyN = 2)
+      .collect()
+    assert(frames.nonEmpty)
+    // only video-kind ids (id % 3 == 2)
+    assert(frames.forall(_.getLong(0) % 3 == 2))
+  }
+}

@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Oracle VALUES for the multimodal queries: an independent python mirror
+of graft.multimodal.Multimodal's synthetic blob format (keep in sync)."""
+
+N = 100
+KINDS = ["image", "audio", "video"]
+OUT = "/root/repo/src/main/resources/graft"
+
+def payload(mid):
+    plen = 64 + mid % 64
+    return [(mid * 31 + i * 7) % 256 for i in range(plen)]
+
+rows = []
+for mid in range(N):
+    p = payload(mid)
+    width = 16 + mid % 32
+    height = 16 + (mid * 3) % 32
+    n_bytes = 13 + len(p)
+    mean = sum(p) / len(p)
+    # match Scala math.rint(mean*10000)/10000 (half-even on the same double)
+    mean_r = round(mean * 10000) / 10000
+    hist = [0, 0, 0, 0]
+    for b in p:
+        hist[b // 64] += 1
+    rows.append(f"({mid}, '{KINDS[mid % 3]}', {width}, {height}, {n_bytes}, "
+                f"CAST({mean_r!r} AS DOUBLE), {hist[0]}, {hist[1]}, {hist[2]}, {hist[3]})")
+
+sql = ("SELECT * FROM (VALUES\n" + ",\n".join(rows) +
+       ") AS t(media_id, kind, width, height, n_bytes, mean_byte, h0, h1, h2, h3)"
+       "\nORDER BY media_id")
+open(f"{OUT}/oracle_media_features.sql", "w").write(sql)
+
+frames = []
+for mid in range(N):
+    if mid % 3 != 2:  # video kind only
+        continue
+    p = payload(mid)
+    blocks = [p[i:i + 16] for i in range(0, len(p), 16)]
+    fno = 0
+    for i, blk in enumerate(blocks):
+        if i % 2 == 0:  # everyN = 2
+            frames.append(f"({mid}, {fno}, {len(blk)}, {sum(blk)})")
+            fno += 1
+
+sql2 = ("SELECT * FROM (VALUES\n" + ",\n".join(frames) +
+        ") AS t(media_id, frame_no, frame_bytes, byte_sum)\nORDER BY media_id, frame_no")
+open(f"{OUT}/oracle_media_frames.sql", "w").write(sql2)
+print(f"media rows={len(rows)} frame rows={len(frames)}")
