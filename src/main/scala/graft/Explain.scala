@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of the named queries
+  * (default: a representative set) so pushdown / broadcast / codegen can
+  * be inspected. Usage: runMain graft.Explain [sfDir] [query ...] */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q1_agg", "q6_selective", "q5_broadcast_dims", "q3_join_topk",
+        "ann_topk_brute", "minhash_lsh_dups")
+    val spark = GraftSession.local("graft-explain", 4)
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries.get(n) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None     => println("unknown query")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -35,7 +35,12 @@ object Dedup {
 
   val ShingleSize = 3
   val MinhashK = 8
-  val Bands = 4 // 2 rows per band
+  /** 2 bands x 4 rows: candidate probability ~ 1-(1-j^4)^2 — near 1 for
+    * true near-dups (j >= 0.95) while suppressing this corpus's high
+    * baseline similarity (j ~ 0.2 -> 0.3% candidate rate; 2-row bands
+    * would admit ~16% of ALL pairs as candidates). */
+  val Bands = 2
+  val RowsPerBand: Int = MinhashK / Bands
   val JaccardThreshold = 0.8
   val SimhashBits = 32
   val HammingMax = 3
@@ -103,7 +108,13 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(hs.head, hs.tail: _*)
   }
 
-  /** LSH candidate pairs (shared band) -> exact Jaccard rescore. */
+  /** LSH candidate pairs (shared band) -> exact Jaccard rescore.
+    *
+    * Unlike [[ngramJaccardPairs]] (whose inverted-index join IS the
+    * algorithm), here only the few LSH candidates need exact Jaccard, so
+    * the rescore joins each candidate pair against per-document shingle
+    * SETS and intersects in-place — the shared-shingle join over the whole
+    * corpus never happens. */
   def minhashLshPairs(
       docs: DataFrame,
       idCol: String,
@@ -113,8 +124,9 @@ object Dedup {
     val sig = minhashSignatures(sh)
     val bands = sig.select(col("doc_id"),
       explode(array((0 until Bands).map { b =>
-        struct(lit(b).as("bi"),
-          concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bk"))
+        val hs = (0 until RowsPerBand)
+          .map(r => col(s"h${RowsPerBand * b + r}"))
+        struct(lit(b).as("bi"), concat_ws("_", hs: _*).as("bk"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.bi").as("bi"), col("band.bk").as("bk"))
     val cand = bands.as("a")
@@ -123,18 +135,14 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("x")
-      .join(sh.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .agg(count(lit(1)).as("i"))
+    val shSets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("s")).as("ss"), count(lit(1)).as("n"))
     cand
-      .join(inter, Seq("da", "db"))
-      .join(counts.withColumnRenamed("doc_id", "da")
-        .withColumnRenamed("n", "na"), "da")
-      .join(counts.withColumnRenamed("doc_id", "db")
-        .withColumnRenamed("n", "nb"), "db")
+      .join(shSets.select(col("doc_id").as("da"), col("ss").as("ssa"),
+        col("n").as("na")), "da")
+      .join(shSets.select(col("doc_id").as("db"), col("ss").as("ssb"),
+        col("n").as("nb")), "db")
+      .withColumn("i", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
       .withColumn("jaccard",
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
       .filter(col("jaccard") >= threshold)
@@ -237,7 +245,11 @@ object Dedup {
     val hashes = (0 until MinhashK)
       .map(i => s"min(${md5Hash32Sql("s", s"$i:")}) AS h$i").mkString(", ")
     val bandRows = (0 until Bands)
-      .map(b => s"SELECT doc_id, $b AS bi, h${2 * b} || '_' || h${2 * b + 1} AS bk FROM sig")
+      .map { b =>
+        val key = (0 until RowsPerBand)
+          .map(r => s"h${RowsPerBand * b + r}").mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS bi, $key AS bk FROM sig"
+      }
       .mkString("\n  UNION ALL ")
     s"""WITH ${shinglesCte(docsRel)},
        |sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.ArrayOps.array_dot
+
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`Array[Float]`, dim 64 in the testdata).
   *
@@ -39,13 +41,16 @@ object Similarity {
     }
   }
 
-  /** Cosine similarity of two array<double> columns (sequential fold, so
-    * the summation order matches a scalar loop). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity of two array<double> columns via the codegen'd
+    * [[graft.functions.ArrayDot]] expression (sequential summation order —
+    * bit-equal to a scalar loop). */
+  def cosine(a: Column, b: Column): Column =
+    array_dot(a, b) / (sqrt(array_dot(a, a)) * sqrt(array_dot(b, b)))
+
+  /** Cosine from a precomputed dot and per-vector norms (saves the two
+    * self-dots on every pair of a quadratic join). */
+  private def cosinePre(dot: Column, na: Column, nb: Column): Column =
+    dot / (na * nb)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -54,10 +59,13 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(array_dot(col("qv"), col("qv"))))
     val c = emb.select(col("vec_id").as("cid"),
-      asDouble(col("embedding")).as("cv"))
+        asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", sqrt(array_dot(col("cv"), col("cv"))))
     val scored = q.join(c, col("qid") =!= col("cid"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("sim",
+        round(cosinePre(array_dot(col("qv"), col("cv")), col("qn"), col("cn")), 4))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
@@ -70,11 +78,14 @@ object Similarity {
     * small corpora / within-bucket rescoring at scale. */
   def similarPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val a = emb.select(col("vec_id").as("va"),
-      asDouble(col("embedding")).as("ea"))
+        asDouble(col("embedding")).as("ea"))
+      .withColumn("na", sqrt(array_dot(col("ea"), col("ea"))))
     val b = emb.select(col("vec_id").as("vb"),
-      asDouble(col("embedding")).as("eb"))
+        asDouble(col("embedding")).as("eb"))
+      .withColumn("nb", sqrt(array_dot(col("eb"), col("eb"))))
     a.join(b, col("va") < col("vb"))
-      .withColumn("sim", round(cosine(col("ea"), col("eb")), 4))
+      .withColumn("sim",
+        round(cosinePre(array_dot(col("ea"), col("eb")), col("na"), col("nb")), 4))
       .filter(col("sim") >= threshold)
       .select(col("va"), col("vb"), col("sim"))
   }
@@ -83,8 +94,7 @@ object Similarity {
   def lshBucket(v: Column): Column =
     (0 until NPlanes).map { p =>
       val coefs = array(planes(p).map(lit): _*)
-      when(aggregate(zip_with(v, coefs, (x, c) => x * c), lit(0.0),
-        (acc, x) => acc + x) >= 0, lit(1 << p)).otherwise(lit(0))
+      when(array_dot(v, coefs) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** LSH top-k: same contract as [[bruteForceTopK]] but candidates are
