@@ -161,6 +161,58 @@ object SparkEntry {
         PipelineFixtures.pdfMetadata(s), Ep2AsOf)
         .orderBy(col("user_id"), col("shop_name"))
     }),
+    // P7: external-boundary JSON parsed against a DECLARED schema (the
+    // reference trusts ast.literal_eval blindly; we parse + explode)
+    "json_boundary" -> ((s, _) => {
+      val schema = "detections ARRAY<STRUCT<box: ARRAY<INT>, " +
+        "class: STRING, confidence: DOUBLE, ocr_text: STRING>>"
+      PipelineFixtures.payloads(s)
+        .select(col("image_id"), from_json(col("payload"), schema,
+          Map.empty[String, String]).as("p"))
+        .select(col("image_id"),
+          posexplode(col("p.detections")).as(Seq("det_idx", "d")))
+        .select(col("image_id"), col("det_idx"),
+          col("d.class").as("class_name"),
+          element_at(col("d.box"), 1).as("x1"),
+          element_at(col("d.box"), 2).as("y1"),
+          element_at(col("d.box"), 3).as("x2"),
+          element_at(col("d.box"), 4).as("y2"),
+          col("d.confidence").as("confidence"),
+          col("d.ocr_text").as("ocr_text"))
+        .orderBy(col("image_id"), col("det_idx"))
+    }),
+    // S1: PDF split source — binaryFile scan + per-page typed flatMap
+    // fan-out with the reference's page-naming scheme (structural
+    // rasterizer; dims = A4 @ dpi 250)
+    "pdf_split" -> ((s, _) => {
+      import graft.sources.{PdfSource, StructuralRasterizer}
+      val dir = PdfSource.writeFixturePdfs(
+        sys.props("java.io.tmpdir") + "/graft_pdfs")
+      val shops = Map("a.pdf" -> "Lidl", "b.pdf" -> "Penny", "c.pdf" -> "Billa")
+      PdfSource.splitToPages(PdfSource.readPdfs(s, dir),
+          f => shops.getOrElse(f, "Unknown"), new StructuralRasterizer)
+        .toDF()
+        .orderBy(col("image_id"))
+    }),
+    // J1: point-lookup join of pages -> catalog (broadcast; misses kept
+    // and flagged instead of failing, the anti-join surface)
+    "pages_meta_join" -> ((s, _) => {
+      import s.implicits._
+      val orphans = Seq(
+        ("pages/valid/orphan_1.png", "ghost.pdf", "Lidl"),
+        ("pages/valid/orphan_2.png", "phantom.pdf", "NoShop"))
+        .toDF("image_id", "filename", "shop_name")
+      val pages = PipelineFixtures.pages(s).toDF()
+        .select(col("image_id"), col("filename"), col("shop_name"))
+        .unionAll(orphans)
+      val meta = PipelineFixtures.pdfMetadata(s).toDF()
+        .select(col("filename"), col("shop_name"), col("valid"))
+      pages.join(broadcast(meta), Seq("filename", "shop_name"), "left")
+        .select(col("image_id"), col("filename"), col("shop_name"),
+          col("valid").isNotNull.as("joined"),
+          coalesce(col("valid"), lit(false)).as("valid"))
+        .orderBy(col("image_id"))
+    }),
   )
 
   /** Fixed EP2 sweep date (fixtures span windows before/around/after it). */
@@ -203,6 +255,19 @@ object SparkEntry {
     "name_correct" -> resource("/graft/oracle_name.sql"),
     "detected_items" -> resource("/graft/oracle_detected.sql"),
     "det2_padded" -> resource("/graft/oracle_det2_padded.sql"),
+    "json_boundary" -> resource("/graft/oracle_json_payloads.sql"),
+    "pdf_split" -> {
+      val rows = Seq(("a.pdf", "Lidl", 2), ("b.pdf", "Penny", 1),
+        ("c.pdf", "Billa", 3)).flatMap { case (f, shop, n) =>
+        val base = f.stripSuffix(".pdf")
+        (1 to n).map(p =>
+          s"('pages/valid/${base}_page_$p.png', '$f', '$shop', $p, 2067, 2922)")
+      }
+      "SELECT * FROM (VALUES\n" + rows.mkString(",\n") +
+        ") AS t(image_id, filename, shop_name, page_no, width, height)" +
+        "\nORDER BY image_id"
+    },
+    "pages_meta_join" -> resource("/graft/oracle_pages_meta.sql"),
     "validity_sweep" -> resource("/graft/oracle_validity_sweep.sql"),
     "validity_propagate" -> resource("/graft/oracle_validity_propagate.sql"),
     "users_by_shop" -> resource("/graft/oracle_users_by_shop.sql"),

@@ -49,6 +49,31 @@ object IngestPipeline {
     }
   }
 
+  /** ST6 divergence: the reference swallows per-image errors and silently
+    * drops the image (yolo_ocr_utils.py:198-199); here failures surface
+    * on a dead-letter channel while healthy rows flow on. */
+  final case class EnrichError(image_id: String, error: String)
+
+  def detectPagesSafe(
+      pages: Dataset[PageImage],
+      svc: InferenceService,
+      model: String): (Dataset[ImageDetection], Dataset[EnrichError]) = {
+    import pages.sparkSession.implicits._
+    val attempted = pages.map { p =>
+      scala.util.Try(svc.detect(p.image_id, model)) match {
+        case scala.util.Success(ds) =>
+          (ds.map(d => ImageDetection(p.image_id, p.shop_name, p.width,
+            p.height, d.idx, d.class_name, d.x1, d.y1, d.x2, d.y2,
+            d.confidence, d.ocr_text)),
+            None: Option[EnrichError])
+        case scala.util.Failure(e) =>
+          (Seq.empty[ImageDetection],
+            Some(EnrichError(p.image_id, String.valueOf(e.getMessage))))
+      }
+    }
+    (attempted.flatMap(_._1), attempted.flatMap(_._2))
+  }
+
   def detectCrops(
       crops: Dataset[CropImage],
       svc: InferenceService): Dataset[ImageDetection] = {
@@ -184,6 +209,15 @@ object PipelineFixtures {
     rows("/graft/pipeline_pdf_metadata.tsv").map(c =>
       PdfMeta(c(0), c(1), java.sql.Date.valueOf(c(2)),
         java.sql.Date.valueOf(c(3)), c(4).toBoolean, c(5).toInt)).toDS()
+  }
+
+  /** Raw inference-API JSON payloads per image (the reference's
+    * response shape, yolo_ocr_utils.py:100) — input for the from_json
+    * external-boundary pattern (SURVEY §2.2 P7). */
+  def payloads(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    rows("/graft/pipeline_payloads.tsv").map(c => (c(0), c(1)))
+      .toDF("image_id", "payload")
   }
 
   /** Notification-targeting users (FIXTURES.md A8, README.md:86-98). */

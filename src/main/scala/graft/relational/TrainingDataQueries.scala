@@ -102,6 +102,14 @@ object TrainingDataQueries {
         .orderBy(col("qid"), col("rank"))
     }, Some(Similarity.bruteForceTopKOracle("embeddings", AnnQueries, AnnK))),
 
+    // same contract as ann_topk_brute but via the bounded-heap Aggregator
+    // (map-side k rows per group instead of a full window sort) — shares
+    // the brute-force oracle because outputs are defined to be identical
+    Q("ann_topk_agg", (s, dir) => {
+      Similarity.bruteForceTopKAgg(emb(s, dir), AnnQueries, AnnK)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(Similarity.bruteForceTopKOracle("embeddings", AnnQueries, AnnK))),
+
     Q("ann_topk_lsh", (s, dir) => {
       Similarity.lshTopK(emb(s, dir), AnnQueries, AnnK)
         .orderBy(col("qid"), col("rank"))

@@ -90,6 +90,33 @@ object Similarity {
       .select(col("va"), col("vb"), col("sim"))
   }
 
+  /** Top-k via the bounded heap [[graft.functions.TopKAggregator]]
+    * instead of a window sort: map-side reduces each partition to k rows
+    * per query before the shuffle — the scale path for global/grouped
+    * top-k. Output contract identical to [[bruteForceTopK]]. */
+  def bruteForceTopKAgg(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(array_dot(col("qv"), col("qv"))))
+    val c = emb.select(col("vec_id").as("cid"),
+        asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", sqrt(array_dot(col("cv"), col("cv"))))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .select(col("qid"),
+        round(cosinePre(array_dot(col("qv"), col("cv")), col("qn"), col("cn")), 4)
+          .as("sim"),
+        col("cid"))
+      .as[(Long, Double, Long)]
+    scored.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAggregator(k).toColumn)
+      .flatMap { case (qid, items) =>
+        items.zipWithIndex.map { case ((sim, cid), i) => (qid, i + 1, cid, sim) }
+      }
+      .toDF("qid", "rank", "cid", "sim")
+  }
+
   /** Sign-pattern LSH bucket id of an embedding column. */
   def lshBucket(v: Column): Column =
     (0 until NPlanes).map { p =>

@@ -1,0 +1,63 @@
+package graft
+
+import graft.enrich.InferenceService
+import graft.model.RawDetection
+import graft.pipeline.{IngestPipeline, PipelineFixtures}
+import graft.sinks.KeyedUpsertSink
+import graft.sources.{PdfSource, StructuralRasterizer}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class SourcesSinksSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("pdf binaryFile source fans out pages with reference naming") {
+    val dir = PdfSource.writeFixturePdfs(
+      Files.createTempDirectory("pdfsrc").toString)
+    val pages = PdfSource.splitToPages(PdfSource.readPdfs(spark, dir),
+      _ => "Lidl", new StructuralRasterizer).collect()
+    assert(pages.length == 6)
+    assert(pages.map(_.image_id).toSet.contains("pages/valid/c_page_3.png"))
+    assert(pages.forall(p => p.width == 2067 && p.height == 2922))
+  }
+
+  test("keyed upsert: incoming wins, re-run is a no-op, untouched rows survive") {
+    val path = Files.createTempDirectory("upsert").toString + "/store"
+    val b1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    KeyedUpsertSink.upsert(b1, path, "k")
+    val b2 = Seq((2L, "B2"), (4L, "d")).toDF("k", "v")
+    KeyedUpsertSink.upsert(b2, path, "k")
+    val got = KeyedUpsertSink.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    // idempotent re-run
+    KeyedUpsertSink.upsert(b2, path, "k")
+    val again = KeyedUpsertSink.read(spark, path).count()
+    assert(again == 4)
+  }
+
+  test("dead-letter channel captures per-image enrichment failures") {
+    val flaky = new InferenceService {
+      override def detect(imageId: String, model: String): Seq[RawDetection] =
+        if (imageId.contains("page_2"))
+          throw new RuntimeException(s"inference down for $imageId")
+        else Seq(RawDetection(0, "shop_item", 1, 2, 30, 40, 0.9, None))
+    }
+    val pages = PipelineFixtures.pages(spark).limit(20)
+    val (ok, errors) = IngestPipeline.detectPagesSafe(pages, flaky, "model1")
+    val nPages = pages.count()
+    val nBad = pages.filter(_.image_id.contains("page_2")).count()
+    assert(errors.count() == nBad)
+    assert(ok.count() == nPages - nBad)
+    assert(errors.collect().forall(_.error.contains("inference down")))
+  }
+}
