@@ -1,0 +1,55 @@
+package graft
+
+import graft.pipeline.PipelineFixtures
+import graft.streaming.ValidityJob
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class ValidityJobSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("AvailableNow drains the catalog once and only new data on re-run") {
+    val base = Files.createTempDirectory("vjob").toString
+    val metaDir = s"$base/meta"
+    val ckpt = s"$base/ckpt"
+    PipelineFixtures.pdfMetadata(spark).write.parquet(metaDir)
+
+    var batches = Vector.empty[Long]
+    ValidityJob.runOnce(spark, metaDir, ckpt, "2024-10-15") { changes =>
+      batches :+= changes.count()
+    }
+    assert(batches.sum == 11) // the oracle-checked sweep size at this date
+
+    // re-run with no new files: checkpoint prevents reprocessing
+    var batches2 = Vector.empty[Long]
+    ValidityJob.runOnce(spark, metaDir, ckpt, "2024-10-15") { changes =>
+      batches2 :+= changes.count()
+    }
+    assert(batches2.sum == 0)
+
+    // new snapshot file arrives -> only it is processed
+    PipelineFixtures.pdfMetadata(spark).limit(5)
+      .write.mode("append").parquet(metaDir)
+    var batches3 = Vector.empty[Long]
+    ValidityJob.runOnce(spark, metaDir, ckpt, "2024-10-15") { changes =>
+      batches3 :+= changes.count()
+    }
+    assert(batches3.sum <= 5 && batches3.nonEmpty)
+  }
+
+  test("array_dot registered for SQL via extensions hook") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 11.0)
+  }
+}
