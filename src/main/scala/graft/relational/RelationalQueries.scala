@@ -309,6 +309,34 @@ object RelationalQueries {
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
 
+    // ---- skew levers: result-identical to the plain formulations ----
+    Q("q_salted_join", (s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val sup = s.read.parquet(t(dir, "supplier"))
+        .select(col("s_suppkey"), col("s_name"))
+      Scale.saltedEquiJoin(
+          li.select(col("l_suppkey").as("s_suppkey"), col("l_extendedprice")),
+          sup, "s_suppkey")
+        .groupBy(col("s_name"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("s_name"))
+    }, Some(
+      """SELECT s_name, round(sum(l_extendedprice), 2) AS total,
+        |  count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin)),
+
+    Q("q_salted_agg", (s, dir) => {
+      Scale.saltedSumCount(s.read.parquet(t(dir, "orders")),
+          "o_orderpriority", "o_totalprice")
+        .orderBy(col("o_orderpriority"))
+    }, Some(
+      """SELECT o_orderpriority, round(sum(o_totalprice), 2) AS total,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- explode / unnest -------------------------------------------
     Q("q_explode_words", (s, dir) => {
       s.read.parquet(t(dir, "documents"))

@@ -1,0 +1,46 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale levers that change the PLAN, not the RESULT — salting for skewed
+  * keys and bucketed co-located joins. Outputs are defined to be identical
+  * to the unsalted/unbucketed formulations, so the driver oracle checks
+  * them against plain SQL.
+  */
+object Scale {
+
+  /** Skew-safe equi-join: the fact side gets a deterministic (seeded)
+    * random salt, the dim side is replicated once per salt value, and the
+    * join key becomes (key, salt) — a hot key's rows spread over `nSalts`
+    * reducers instead of one. Complements AQE's runtime skew splitting
+    * when skew is known a priori; result set is exactly the plain join. */
+  def saltedEquiJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      nSalts: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      (rand(seed) * nSalts).cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase salted aggregation: partial aggregate on (key, salt), then
+    * combine partials per key. For algebraic aggregates the result equals
+    * the direct groupBy; the win is bounded per-reducer state under hot
+    * keys. */
+  def saltedSumCount(
+      df: DataFrame,
+      key: String,
+      valueCol: String,
+      nSalts: Int = 8,
+      seed: Long = 42L): DataFrame =
+    df.withColumn("__salt", (rand(seed) * nSalts).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__ps"), count(lit(1)).as("__pc"))
+      .groupBy(col(key))
+      .agg(round(sum(col("__ps")), 2).as("total"), sum(col("__pc")).as("n"))
+}

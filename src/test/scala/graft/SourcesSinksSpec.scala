@@ -45,6 +45,20 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(again == 4)
   }
 
+  test("dynamo-shaped sink stringifies only at the boundary") {
+    val shaped = graft.sinks.DynamoShapedSink.toDynamoShape(
+      IngestPipeline.runFixture(spark)).collect()
+    assert(shaped.nonEmpty)
+    val schema = graft.sinks.DynamoShapedSink.toDynamoShape(
+      IngestPipeline.runFixture(spark)).schema
+    // every column at the sink is string/boolean — the DynamoDB shape
+    assert(schema.fields.forall(f =>
+      f.dataType.typeName == "string" || f.dataType.typeName == "boolean"))
+    // nested coords are stringified inside the JSON document
+    val withDets = shaped.find(_.getString(4).contains("bounding_box")).get
+    assert(withDets.getString(4).contains("\"x1\":\""))
+  }
+
   test("dead-letter channel captures per-image enrichment failures") {
     val flaky = new InferenceService {
       override def detect(imageId: String, model: String): Seq[RawDetection] =
