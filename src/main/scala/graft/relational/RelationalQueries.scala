@@ -309,6 +309,70 @@ object RelationalQueries {
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
 
+    // ---- subquery / distribution shapes -----------------------------
+    // TPC-H Q13 shape: per-customer order counts (left join keeps
+    // zero-order customers), then the distribution of those counts
+    Q("q_count_histogram", (s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val o = s.read.parquet(t(dir, "orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey").as("c_custkey"))
+        .agg(count(o("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }, Some(
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) x
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q22 shape: scalar subquery (global average) as a filter
+    Q("q_scalar_subquery", (s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      // scalar subquery as a broadcast 1-row cross join — no driver-side
+      // collect, the scalar stays inside the plan
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("__avg_bal"))
+      val o = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_totalprice") > 350000)
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg_bal"))
+        .drop("__avg_bal")
+        .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }, Some(
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_totalprice > 350000)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // correlated aggregate filter: parts above their brand's average price
+    Q("q_above_brand_avg", (s, dir) => {
+      val p = s.read.parquet(t(dir, "part"))
+      val brandAvg = p.groupBy(col("p_brand").as("b"))
+        .agg(avg(col("p_retailprice")).as("brand_avg"))
+      p.join(broadcast(brandAvg), p("p_brand") === brandAvg("b"))
+        .filter(col("p_retailprice") > col("brand_avg") * 1.05)
+        .select(col("p_partkey"), col("p_brand"),
+          round(col("p_retailprice") - col("brand_avg"), 2).as("over"))
+        .orderBy(col("p_partkey"))
+    }, Some(
+      """SELECT p_partkey, p_brand,
+        |  round(p_retailprice - brand_avg, 2) AS over
+        |FROM part JOIN (SELECT p_brand AS b, avg(p_retailprice) AS brand_avg
+        |                FROM part GROUP BY 1) ba ON p_brand = ba.b
+        |WHERE p_retailprice > brand_avg * 1.05
+        |ORDER BY p_partkey""".stripMargin)),
+
     // ---- skew levers: result-identical to the plain formulations ----
     Q("q_salted_join", (s, dir) => {
       val li = s.read.parquet(t(dir, "lineitem"))
