@@ -82,6 +82,73 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** Winnowing (rolling-hash) fingerprints, MOSS-style: hash every
+    * character k-gram of the normalized text, slide a window of `w`
+    * consecutive hashes, keep each window's minimum — the classic
+    * position-robust document fingerprint set. Runs as explode + window
+    * min + distinct: narrow per-document work, one shuffle on doc_id. */
+  val WinnowK = 8
+  val WinnowW = 4
+
+  /** Per-document fingerprint-set summary: (doc_id, n_fp, fp_min, fp_max).
+    * Input column must be the document text; hashing is md5-based and
+    * engine-neutral. */
+  def winnowSummary(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), norm.as("t"))
+      .filter(length(col("t")) >= WinnowK)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, length(t) - ${WinnowK - 1}), " +
+            s"i -> substring(t, i, $WinnowK))"))
+          .as(Seq("pos0", "gram")))
+      .withColumn("pos", col("pos0") + 1) // posexplode is 0-based
+      .withColumn("h",
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, WinnowW - 1)
+    grams
+      .withColumn("wmin", min(col("h")).over(w))
+      .withColumn("wlast",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("wlast") - (WinnowW - 1)) // full windows only
+      .select(col("doc_id"), col("wmin"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), min(col("wmin")).as("fp_min"),
+        max(col("wmin")).as("fp_max"))
+  }
+
+  def winnowSummarySql(docsRel: String): String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    unnest([{'pos': i, 'gram': substring(t, i, $WinnowK)}
+       |            for i in range(1, length(t) - ${WinnowK - 2})]) AS pg,
+       |    length(t) - ${WinnowK - 1} AS ngrams
+       |  FROM (SELECT doc_id,
+       |          regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+       |        FROM $docsRel) __n
+       |  WHERE length(t) >= $WinnowK),
+       |h AS (
+       |  SELECT doc_id, pg.pos AS pos, ngrams,
+       |    ('0x' || substr(md5(pg.gram), 1, 8))::BIGINT AS h
+       |  FROM g),
+       |wm AS (
+       |  SELECT doc_id,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin,
+       |    pos, ngrams
+       |  FROM h),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, wmin
+       |  FROM wm WHERE pos <= ngrams - ${WinnowW - 1})
+       |SELECT doc_id, count(*) AS n_fp, min(wmin) AS fp_min,
+       |  max(wmin) AS fp_max
+       |FROM fp GROUP BY doc_id""".stripMargin
+
   // ---- DuckDB oracle twins (same semantics, SQL dialect) -------------
 
   def tokenCountSql(c: String): String =

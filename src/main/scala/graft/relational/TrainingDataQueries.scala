@@ -65,6 +65,13 @@ object TrainingDataQueries {
          |  ${TextAnalysis.langIdSql("text")} AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // rolling-hash (winnowing) document fingerprints, MOSS-style
+    Q("doc_winnow", (s, dir) => {
+      TextAnalysis.winnowSummary(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }, Some(TextAnalysis.winnowSummarySql("documents") +
+      "\nORDER BY doc_id")),
+
     Q("exact_dedup", (s, dir) => {
       Dedup.exactDupGroups(docsWithDups(s, dir), "doc_id", "text")
         .orderBy(col("fp"))
