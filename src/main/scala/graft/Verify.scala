@@ -14,7 +14,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // clear stale outputs: a crashed run must not leave old dumps that a
+    // later compare would silently read as current
+    val out = new java.io.File(outDir)
+    if (out.exists()) {
+      java.nio.file.Files.walk(out.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => p.toFile.delete())
+    }
+    out.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join — an operator Spark lacks natively: for each left
+  * row, attach the most recent right row with `right.ts <= left.ts` within
+  * the same key.
+  *
+  * Implemented as the union + ordered-window formulation (SURVEY §2's
+  * "compose existing ops" preference): tag both sides, union on a common
+  * schema, then `last(payload, ignoreNulls) OVER (PARTITION BY key ORDER
+  * BY ts, side)` carries the latest right payload forward to each left
+  * row. One shuffle on the key, linear in |L| + |R| — no per-row probe,
+  * no range cross join; at equal timestamps the right row sorts first, so
+  * the match is inclusive (>=), matching DuckDB/kdb ASOF semantics.
+  */
+object AsOfJoin {
+
+  /** @param rightVals right columns to carry onto matched left rows,
+    *                  emitted typed as `asof_<name>` (NULL = no prior row) */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val otherLeft = leftCols.filterNot(c => c == key || c == ts)
+
+    val rp = right.select(col(key), col(ts),
+      struct(rightVals.map(col): _*).as("__rv"))
+    val payloadType = rp.schema("__rv").dataType
+
+    val l = left.select(
+      (Seq(col(key), col(ts), lit(1).as("__side"),
+        lit(null).cast(payloadType).as("__rv")) ++ otherLeft.map(col)): _*)
+    val r = rp.select(
+      (Seq(col(key), col(ts), lit(0).as("__side"), col("__rv")) ++
+        otherLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightVals.map(c => col(s"__m.$c").as(s"asof_$c")): _*)
+  }
+}

@@ -22,6 +22,18 @@ object StreamingQueries {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Literal test intervals over the events' January-2024 span
+    * (overlapping on purpose — points can land in several). */
+  val RangeIntervals: Seq[(Int, String, String)] = Seq(
+    (1, "2024-01-02 00:00:00", "2024-01-04 12:00:00"),
+    (2, "2024-01-03 06:00:00", "2024-01-05 00:00:00"),
+    (3, "2024-01-08 00:00:00", "2024-01-08 23:59:59"),
+    (4, "2024-01-10 12:00:00", "2024-01-15 00:00:00"),
+    (5, "2024-01-14 00:00:00", "2024-01-14 06:30:00"),
+    (6, "2024-01-18 00:00:00", "2024-01-25 00:00:00"),
+    (7, "2024-01-24 18:00:00", "2024-01-26 12:00:00"),
+    (8, "2024-01-29 00:00:00", "2024-02-02 00:00:00"))
+
   val all: Seq[Q] = Seq(
     Q("events_tumbling", (s, dir) => {
       EventStreams.tumblingCounts(events(s, dir))
@@ -37,5 +49,56 @@ object StreamingQueries {
       EventStreams.sessionCounts(events(s, dir))
         .orderBy(col("user_id"), col("session_start"))
     }, Some(EventStreams.sessionOracle)),
+
+    // as-of join: each click gets the user's most recent prior error
+    Q("asof_click_error", (s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("ts").as("err_ts"),
+          col("value").as("err_value"))
+      graft.operators.AsOfJoin
+        .backward(clicks, errors, "user_id", "ts", Seq("err_ts", "err_value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_err_value"),
+          (expr("unix_micros(ts)") - expr("unix_micros(asof_err_ts)"))
+            .as("us_since_error"))
+        .orderBy(col("event_id"))
+    }, Some(
+      """WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
+        |               WHERE event_type = 'click'),
+        |errors AS (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id, e.value AS asof_err_value,
+        |  epoch_us(c.ts) - epoch_us(e.ts) AS us_since_error
+        |FROM clicks c ASOF LEFT JOIN errors e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.event_id""".stripMargin)),
+
+    // bucketed point-in-interval range join over literal intervals
+    Q("range_join_intervals", (s, dir) => {
+      import s.implicits._
+      val iv = RangeIntervals.map { case (id, a, b) => (id, a, b) }
+        .toDF("interval_id", "start_s", "end_s")
+        .select(col("interval_id"),
+          col("start_s").cast("timestamp").as("start"),
+          col("end_s").cast("timestamp").as("end"))
+      graft.operators.RangeJoin
+        .pointInInterval(events(s, dir), iv, bucketWidthSec = 86400L)
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("interval_id"))
+    }, Some {
+      val vals = RangeIntervals.map { case (id, a, b) =>
+        s"($id, TIMESTAMP '$a', TIMESTAMP '$b')"
+      }.mkString(",\n")
+      s"""WITH iv(interval_id, s, e) AS (VALUES
+         |$vals)
+         |SELECT interval_id, count(*) AS n, round(sum(value), 2) AS total
+         |FROM events JOIN iv ON ts >= s AND ts < e
+         |GROUP BY interval_id ORDER BY interval_id""".stripMargin
+    }),
   )
+
 }
