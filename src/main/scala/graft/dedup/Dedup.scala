@@ -60,11 +60,20 @@ object Dedup {
   def md5Hash32(c: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt), c)), 1, 8), 16, 10).cast("long")
 
-  /** (doc_id, shingle) pairs, distinct. */
-  def docShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Per-document distinct shingle SETS — one shuffle (groupBy +
+    * collect_set); every downstream consumer (signatures, counts, the
+    * inverted index) derives narrowly from this, instead of re-shuffling
+    * a (doc, shingle) distinct per consumer. */
+  def docShingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol))).as("s"))
-      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("ss"))
+
+  /** (doc_id, shingle) pairs, distinct (narrow explode of the sets). */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docShingleSets(docs, idCol, textCol)
+      .select(col("doc_id"), explode(col("ss")).as("s"))
 
   /** Exact duplicate groups by normalized-content fingerprint:
     * (fingerprint, n, ids_csv) for groups with more than one member. */
@@ -83,8 +92,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double = JaccardThreshold): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol)
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sets = docShingleSets(docs, idCol, textCol)
+    val sh = sets.select(col("doc_id"), explode(col("ss")).as("s"))
+    val counts = sets.select(col("doc_id"), size(col("ss")).cast("long").as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -101,10 +111,19 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** Universal-hash family over one md5 base hash: h_i(s) =
+    * (A_i * H(s) + B_i) mod P with P prime — one md5 per shingle instead
+    * of k, same LSH guarantees. Constants are fixed so the DuckDB oracle
+    * reproduces signatures exactly. */
+  val MinhashP = 2147483647L // 2^31 - 1
+  def minhashA(i: Int): Long = 2L * i + 3L
+  def minhashB(i: Int): Long = 7L * i + 1L
+
   /** MinHash signature columns h0..h{k-1} per document. */
   def minhashSignatures(sh: DataFrame): DataFrame = {
+    val base = md5Hash32(col("s"), "mh:")
     val hs = (0 until MinhashK).map(i =>
-      min(md5Hash32(col("s"), s"$i:")).as(s"h$i"))
+      min((base * minhashA(i) + minhashB(i)) % MinhashP).as(s"h$i"))
     sh.groupBy(col("doc_id")).agg(hs.head, hs.tail: _*)
   }
 
@@ -120,7 +139,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double = JaccardThreshold): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol)
+    val sets = docShingleSets(docs, idCol, textCol)
+    val sh = sets.select(col("doc_id"), explode(col("ss")).as("s"))
     val sig = minhashSignatures(sh)
     val bands = sig.select(col("doc_id"),
       explode(array((0 until Bands).map { b =>
@@ -135,8 +155,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val shSets = sh.groupBy(col("doc_id"))
-      .agg(collect_list(col("s")).as("ss"), count(lit(1)).as("n"))
+    val shSets = sets.select(col("doc_id"), col("ss"),
+      size(col("ss")).cast("long").as("n"))
     cand
       .join(shSets.select(col("doc_id").as("da"), col("ss").as("ssa"),
         col("n").as("na")), "da")
@@ -150,29 +170,26 @@ object Dedup {
   }
 
   /** 32-bit SimHash per document from distinct whitespace tokens:
-    * per-bit majority vote over word hashes. */
+    * per-bit majority vote over word hashes, folded by the
+    * [[graft.functions.BitVoteAggregator]] (map-side partials carry one
+    * 32-long vector per document — no per-bit row explosion). Votes are
+    * integer-exact, so results equal the explode formulation and the
+    * DuckDB oracle. Document ids must be integral. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
     val words = docs
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).cast("long").as("doc_id"),
         explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .distinct()
       .withColumn("h", md5Hash32(col("w"), "sh:"))
-    // bit extraction via exact double arithmetic (2^b for b<32 is exact):
-    // shiftright/shiftleft built-ins take only literal shift amounts
-    val bits = words.select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))
-      .withColumn("vote",
-        when(floor(col("h") / pow(lit(2.0), col("b"))).cast("long") % 2 === 1,
-          lit(1)).otherwise(lit(-1)))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("vote")).as("v"))
-    bits
-      .withColumn("bitval",
-        when(col("v") > 0, pow(lit(2.0), col("b")).cast("long"))
-          .otherwise(lit(0L)))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("bitval")).as("simhash"))
+      .select(col("doc_id"), col("h"))
+      .as[(Long, Long)]
+    words.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.BitVoteAggregator(SimhashBits).toColumn
+        .name("simhash"))
+      .toDF("doc_id", "simhash")
   }
 
   /** Near-dup pairs by SimHash Hamming distance <= maxDist.
@@ -243,7 +260,8 @@ object Dedup {
 
   def minhashLshOracle(docsRel: String, threshold: Double): String = {
     val hashes = (0 until MinhashK)
-      .map(i => s"min(${md5Hash32Sql("s", s"$i:")}) AS h$i").mkString(", ")
+      .map(i => s"min((${md5Hash32Sql("s", "mh:")} * ${minhashA(i)} + " +
+        s"${minhashB(i)}) % $MinhashP) AS h$i").mkString(", ")
     val bandRows = (0 until Bands)
       .map { b =>
         val key = (0 until RowsPerBand)

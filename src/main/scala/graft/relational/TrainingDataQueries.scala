@@ -65,6 +65,38 @@ object TrainingDataQueries {
          |  ${TextAnalysis.langIdSql("text")} AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // the end-use composition: select the clean training subset — quality
+    // threshold, language, token range, and near-dup removal (keep the
+    // lower doc_id of every >=0.8-Jaccard pair)
+    Q("corpus_select", (s, dir) => {
+      val c = col("text")
+      val d = docs(s, dir)
+      val dupLosers = Dedup.ngramJaccardPairs(d, "doc_id", "text")
+        .select(col("db").as("doc_id")).distinct()
+      d.select(col("doc_id"),
+          TextAnalysis.qualityScore(c).as("q"),
+          TextAnalysis.langId(c).as("l"),
+          TextAnalysis.tokenCount(c).as("n"))
+        .filter(col("q") >= 0.5 && col("l") === "en" &&
+          col("n").between(50, 400))
+        .join(dupLosers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("q"), col("n"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH ${Dedup.shinglesCte("documents")},
+         |${Dedup.jaccardCte},
+         |losers AS (
+         |  SELECT DISTINCT db AS doc_id FROM jac WHERE jaccard >= 0.8)
+         |SELECT doc_id,
+         |  ${TextAnalysis.qualityScoreSql("text")} AS q,
+         |  ${TextAnalysis.tokenCountSql("text")} AS n
+         |FROM documents
+         |WHERE ${TextAnalysis.qualityScoreSql("text")} >= 0.5
+         |  AND ${TextAnalysis.langIdSql("text")} = 'en'
+         |  AND ${TextAnalysis.tokenCountSql("text")} BETWEEN 50 AND 400
+         |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin)),
+
     // rolling-hash (winnowing) document fingerprints, MOSS-style
     Q("doc_winnow", (s, dir) => {
       TextAnalysis.winnowSummary(docs(s, dir), "doc_id", "text")
