@@ -120,7 +120,7 @@ object Similarity {
   /** Sign-pattern LSH bucket id of an embedding column. */
   def lshBucket(v: Column): Column =
     (0 until NPlanes).map { p =>
-      val coefs = array(planes(p).map(lit): _*)
+      val coefs = array(planes(p).toIndexedSeq.map(lit): _*)
       when(array_dot(v, coefs) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
