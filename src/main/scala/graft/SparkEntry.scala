@@ -161,6 +161,14 @@ object SparkEntry {
         PipelineFixtures.pdfMetadata(s), Ep2AsOf)
         .orderBy(col("user_id"), col("shop_name"))
     }),
+    // ST4 per-item tracking (README-only): users' tracked item words x
+    // detected corrected names, equi-joined on (shop, word)
+    "item_alerts" -> ((s, _) => {
+      ValidityPipeline.itemAlerts(PipelineFixtures.users(s),
+          IngestPipeline.runFixture(s))
+        .orderBy(col("user_id"), col("shop_name"), col("word"),
+          col("image_id"))
+    }),
     // P7: external-boundary JSON parsed against a DECLARED schema (the
     // reference trusts ast.literal_eval blindly; we parse + explode)
     "json_boundary" -> ((s, _) => {
@@ -273,6 +281,7 @@ object SparkEntry {
     "users_by_shop" -> resource("/graft/oracle_users_by_shop.sql"),
     "shop_valid_files" -> resource("/graft/oracle_shop_valid_files.sql"),
     "notifications" -> resource("/graft/oracle_notifications.sql"),
+    "item_alerts" -> resource("/graft/oracle_item_alerts.sql"),
   )
 
   /** Render a Scala string as a DuckDB string literal: quotes doubled,

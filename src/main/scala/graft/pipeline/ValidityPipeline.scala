@@ -80,6 +80,28 @@ object ValidityPipeline {
     usersByShop(users.filter(col("wants_pdf_news")))
       .join(shopToValidFiles(meta, asOf), Seq("shop_name"), "inner")
       .select(col("user_id"), col("shop_name"), col("files_csv"))
+
+  /** Per-item tracking (README.md:98 "tracking specific items"): alert
+    * rows for users whose tracked item words appear in a detected item's
+    * corrected name, restricted to shops the user effectively follows.
+    * The detected side explodes to (shop, name-words) once; users explode
+    * by tracked item — both sides meet on an equi-join of (shop_name,
+    * word), so no cross join of users x items ever forms. */
+  def itemAlerts(users: DataFrame, detected: DataFrame): DataFrame = {
+    val trackedByShop = usersByShop(users)
+      .join(users.select(col("user_id"), col("tracked_items")), Seq("user_id"))
+      .select(col("user_id"), col("shop_name"),
+        explode(col("tracked_items")).as("word"))
+    val itemWords = detected
+      .filter(col("processed_item_name").isNotNull &&
+        length(col("processed_item_name")) > 0)
+      .select(col("image_id"), col("shop_name"),
+        explode(split(col("processed_item_name"), " ")).as("word"))
+    trackedByShop.join(itemWords, Seq("shop_name", "word"))
+      .select(col("user_id"), col("shop_name"), col("word"),
+        col("image_id"))
+      .distinct()
+  }
 }
 
 /** Batched webhook-style delivery (README.md:89 "send updates in groups"):

@@ -108,3 +108,36 @@ JOIN valid_files v USING (shop_name)
 ORDER BY b.user_id, b.shop_name""")
 
 print(f"users={len(users)} meta={len(meta_rows)} ids={len(ids)}")
+
+# ---- per-item tracking alerts oracle (README.md ST4 "tracking items") ----
+items_rows = []
+for line in open(f"{OUT}/detected_goldens.tsv").read().splitlines()[1:]:
+    c = line.split("\t")
+    img, shop, pname = c[0], c[4], c[2]
+    pv = "CAST(NULL AS VARCHAR)" if pname == "\\N" else sqlq(pname)
+    items_rows.append(f"({sqlq(img)}, {sqlq(shop)}, {pv})")
+ITEMS = ("items(image_id, shop_name, pname) AS (VALUES\n"
+         + ",\n".join(items_rows) + ")")
+USERS_T = ("users(user_id, included, excluded, tracked) AS (VALUES\n"
+           + ",\n".join(f"({u[0]}, {sqlq(u[1])}, {sqlq(u[2])}, {sqlq(u[4])})"
+                        for u in users) + ")")
+open(f"{OUT}/oracle_item_alerts.sql", "w").write(f"""WITH {USERS_T},
+{ITEMS},
+byshop AS (
+  SELECT user_id, unnest(string_split(included, ',')) AS shop_name,
+         excluded, tracked
+  FROM users),
+eff AS (
+  SELECT user_id, shop_name, tracked FROM byshop
+  WHERE NOT list_contains(string_split(excluded, ','), shop_name)),
+tw AS (
+  SELECT user_id, shop_name, unnest(string_split(tracked, ',')) AS word
+  FROM eff WHERE tracked != ''),
+iw AS (
+  SELECT DISTINCT image_id, shop_name,
+    unnest(string_split(pname, ' ')) AS word
+  FROM items WHERE pname IS NOT NULL AND length(pname) > 0)
+SELECT DISTINCT t.user_id, t.shop_name, t.word, i.image_id
+FROM tw t JOIN iw i USING (shop_name, word)
+ORDER BY user_id, shop_name, word, image_id""")
+print("item_alerts oracle written")
