@@ -166,6 +166,43 @@ object RelationalQueries {
         |FROM orders WHERE o_custkey % 200 = 0
         |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    Q("q_ranking_funcs", (s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val spend = o.groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+        .filter(col("o_custkey") % 50 === 0)
+      val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+      spend
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct", round(percent_rank().over(w), 6))
+        .orderBy(col("rnk"), col("o_custkey"))
+    }, Some(
+      """SELECT o_custkey, spend,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct
+        |FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+        |      FROM orders WHERE o_custkey % 50 = 0 GROUP BY o_custkey) x
+        |WINDOW w AS (ORDER BY spend DESC, o_custkey)
+        |ORDER BY rnk, o_custkey""".stripMargin)),
+
+    Q("q_grouping_sets", (s, dir) => {
+      s.read.parquet(t(dir, "orders")).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    }, Some(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
     // ---- top-k / sort ------------------------------------------------
     Q("q_topk_global", (s, dir) => {
       s.read.parquet(t(dir, "orders"))
