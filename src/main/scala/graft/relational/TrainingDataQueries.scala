@@ -154,6 +154,11 @@ object TrainingDataQueries {
         .orderBy(col("qid"), col("rank"))
     }, Some(Similarity.lshTopKOracle("embeddings", AnnQueries, AnnK))),
 
+    Q("ann_topk_ivf", (s, dir) => {
+      Similarity.ivfTopK(emb(s, dir), AnnQueries, AnnK)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(Similarity.ivfTopKOracle("embeddings", AnnQueries, AnnK))),
+
     // multimodal: binary-column decode + feature extraction as partition
     // batches; oracle VALUES from the independent python mirror of the
     // synthetic blob format (tools/gen_media_oracle.py)

@@ -144,6 +144,75 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), col("sim"))
   }
 
+  val IvfCentroids = 8
+  val IvfProbes = 2
+
+  /** IVF top-k: a coarse quantizer partitions the corpus into inverted
+    * lists (each vector assigned to its most-similar centroid); queries
+    * probe only the `IvfProbes` nearest lists. Candidate cost is
+    * |corpus|/C * probes per query — the other classic ANN scale path
+    * next to LSH. Centroids are the first `IvfCentroids` corpus vectors
+    * (deterministic coarse quantizer; k-means refinement iterations are
+    * intentionally omitted so the oracle reproduces assignments exactly).
+    * Similarities are rounded before every argmax/rank with id tiebreaks.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = v.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val simToCent = v.crossJoin(broadcast(cents))
+      .withColumn("csim", round(cosine(col("v"), col("cv")), 4))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val assigned = simToCent
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id"))
+    val probes = simToCent
+      .filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cent_id"))
+    val scored = probes.join(assigned, Seq("cent_id"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("v")), 4))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("cid"), col("sim"))
+  }
+
+  def ivfTopKOracle(embRel: String, nQueries: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embRel),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |          WHERE vec_id < $IvfCentroids),
+       |sim2c AS (
+       |  SELECT e.vec_id, e.v, c.cent_id,
+       |    round(list_cosine_similarity(e.v, c.cv), 4) AS csim
+       |  FROM e CROSS JOIN cents c),
+       |ranked2c AS (
+       |  SELECT vec_id, v, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY csim DESC, cent_id) AS rn
+       |  FROM sim2c),
+       |assigned AS (
+       |  SELECT vec_id, v, cent_id FROM ranked2c WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, v AS qv, cent_id FROM ranked2c
+       |  WHERE rn <= $IvfProbes AND vec_id < $nQueries),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id AS cid,
+       |    round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+       |  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+       |  WHERE p.qid != a.vec_id),
+       |rk AS (
+       |  SELECT qid, cid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM scored)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
+       |FROM rk WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   // ---- DuckDB oracle builders ---------------------------------------
 
   private def planeSqlValues: String =
