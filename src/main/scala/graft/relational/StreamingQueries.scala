@@ -50,6 +50,16 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("session_start"))
     }, Some(EventStreams.sessionOracle)),
 
+    // interval (stream-stream capable) join: clicks x same-user errors
+    // within the preceding 15 minutes
+    Q("events_interval_join", (s, dir) => {
+      val ev = events(s, dir)
+      EventStreams.clickErrorIntervalJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "error"))
+        .orderBy(col("click_id"), col("us_before_click"))
+    }, Some(EventStreams.intervalJoinOracle)),
+
     // as-of join: each click gets the user's most recent prior error
     Q("asof_click_error", (s, dir) => {
       val ev = events(s, dir)

@@ -82,6 +82,39 @@ object EventStreams {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Interval join: each click pairs with the same user's errors from the
+    * preceding 2 hours. Written once; in streaming both sides carry
+    * watermarks and the time-range predicate bounds the join state (Spark
+    * evicts rows older than watermark + range). */
+  def clickErrorIntervalJoin(
+      clicks: DataFrame,
+      errors: DataFrame): DataFrame =
+    clicks.alias("c")
+      .join(errors.alias("e"),
+        expr("""c.user_id = e.user_id AND
+                e.ts >= c.ts - INTERVAL 2 HOURS AND
+                e.ts <= c.ts"""))
+      .select(col("c.event_id").as("click_id"), col("c.user_id").as("user_id"),
+        (expr("unix_micros(c.ts)") - expr("unix_micros(e.ts)"))
+          .as("us_before_click"),
+        col("e.value").as("err_value"))
+
+  val intervalJoinOracle: String =
+    """SELECT c.event_id AS click_id, c.user_id,
+      |  epoch_us(c.ts) - epoch_us(e.ts) AS us_before_click,
+      |  e.value AS err_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON c.user_id = e.user_id
+      | AND e.ts >= c.ts - INTERVAL 2 HOUR AND e.ts <= c.ts
+      |ORDER BY click_id, us_before_click""".stripMargin
+
+  /** Streaming form with bounded state on both sides. */
+  def streamingIntervalJoin(clicks: DataFrame, errors: DataFrame): DataFrame =
+    clickErrorIntervalJoin(
+      clicks.withWatermark("ts", "10 minutes"),
+      errors.withWatermark("ts", "30 minutes"))
+
   // ---- Structured Streaming forms -----------------------------------
 
   /** Streaming tumbling aggregation with a 10-minute watermark: late

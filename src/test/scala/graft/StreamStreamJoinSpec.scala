@@ -1,0 +1,68 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Stream-stream interval join: the same plan that the driver oracle
+  * checks in batch (events_interval_join), run as a genuine two-stream
+  * join with watermarked state. */
+class StreamStreamJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("streaming interval join equals the batch twin on the same data") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp, Double)]
+    val errors = MemoryStream[(Long, Long, Timestamp, Double)]
+    def df(m: MemoryStream[(Long, Long, Timestamp, Double)]) =
+      m.toDF().toDF("event_id", "user_id", "ts", "value")
+
+    val joined = EventStreams.streamingIntervalJoin(df(clicks), df(errors))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+
+    // user 1: error at 10:00, clicks at 10:05 (match) and 13:30 (outside 2h)
+    // user 2: click at 10:10 with no error
+    errors.addData((100L, 1L, ts(0), 9.9))
+    clicks.addData((1L, 1L, ts(5), 1.0), (2L, 1L, Timestamp.valueOf("2024-01-01 13:30:00"), 2.0),
+      (3L, 2L, ts(10), 3.0))
+    q.processAllAvailable()
+    // push watermarks forward so results flush
+    errors.addData((101L, 9L, Timestamp.valueOf("2024-01-01 18:00:00"), 0.0))
+    clicks.addData((4L, 9L, Timestamp.valueOf("2024-01-01 18:00:00"), 0.0))
+    q.processAllAvailable()
+
+    val streamed = spark.table("ssj_out")
+      .select("click_id", "user_id", "us_before_click")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+
+    val batchClicks = Seq((1L, 1L, ts(5), 1.0), (2L, 1L, Timestamp.valueOf("2024-01-01 13:30:00"), 2.0),
+      (3L, 2L, ts(10), 3.0), (4L, 9L, Timestamp.valueOf("2024-01-01 18:00:00"), 0.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val batchErrors = Seq((100L, 1L, ts(0), 9.9),
+      (101L, 9L, Timestamp.valueOf("2024-01-01 18:00:00"), 0.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val batch = EventStreams.clickErrorIntervalJoin(batchClicks, batchErrors)
+      .select("click_id", "user_id", "us_before_click")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(streamed == batch)
+    assert(streamed.contains((1L, 1L, 5L * 60 * 1000000L)))
+    assert(!streamed.exists(_._1 == 2L), "click outside the 2h range must not join")
+  }
+}
