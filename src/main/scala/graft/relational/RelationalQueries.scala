@@ -98,6 +98,46 @@ object RelationalQueries {
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
         |ORDER BY c_custkey""".stripMargin)),
 
+    Q("q_full_outer", (s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+        .filter(col("c_acctbal") > 9900)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_rich_cust"))
+      val sup = s.read.parquet(t(dir, "supplier"))
+        .filter(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_rich_supp"))
+      c.join(sup, Seq("nationkey"), "full_outer")
+        .na.fill(0L, Seq("n_rich_cust", "n_rich_supp"))
+        .orderBy(col("nationkey"))
+    }, Some(
+      """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  coalesce(c.n, 0) AS n_rich_cust, coalesce(s.n, 0) AS n_rich_supp
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n FROM customer
+        |      WHERE c_acctbal > 9900 GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n
+        |      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+        |  USING (nationkey)
+        |ORDER BY nationkey""".stripMargin)),
+
+    Q("q_stats_aggs", (s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("median(l_quantity)"), 4).as("med_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+          round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("qty_price_corr"))
+        .orderBy(col("l_returnflag"))
+    }, Some(
+      """SELECT l_returnflag,
+        |  round(median(l_quantity), 4) AS med_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+        |  round(stddev_samp(l_discount), 6) AS sd_disc,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- selective scan (predicate pushdown showcase) ---------------
     Q("q6_selective", (s, dir) => {
       s.read.parquet(t(dir, "lineitem"))
