@@ -175,12 +175,19 @@ object IngestPipeline {
   }
 
   /** The full EP1 plan over the bundled fixtures — pages through
-    * detected_data with the deterministic fake services. */
+    * detected_data with the deterministic fake services.
+    *
+    * Checkpoint-after-enrichment discipline (SURVEY §4): `crops` feeds
+    * BOTH the model-2 detection pass and the whole-image OCR pass, so it
+    * is persisted — with a real (nondeterministic, paid-per-call)
+    * inference service, re-deriving it would re-run model-1 inference;
+    * persist makes each enrichment happen exactly once per run. */
   def runFixture(spark: SparkSession): DataFrame = {
     val svc = new graft.enrich.FixtureInferenceService
     val pages = PipelineFixtures.pages(spark)
     val det1 = detectPages(pages, svc, "model1")
     val cropDs = crops(det1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val det2 = detectCrops(cropDs, svc)
     val ocr = wholeImageOcr(cropDs, svc)
     detectedData(det2, ocr)

@@ -120,6 +120,26 @@ object RelationalQueries {
         |  USING (nationkey)
         |ORDER BY nationkey""".stripMargin)),
 
+    Q("q_minby_maxby", (s, dir) => {
+      // tiebreak-proof ordering value: acctbal spread out by a factor that
+      // keeps custkey additions exact in double (< 2^53)
+      val ord = col("c_acctbal") * 10000000.0 + col("c_custkey")
+      s.read.parquet(t(dir, "customer"))
+        .groupBy(col("c_nationkey"))
+        .agg(
+          min_by(col("c_custkey"), ord).as("poorest_cust"),
+          max_by(col("c_custkey"), ord).as("richest_cust"),
+          round(min(col("c_acctbal")), 2).as("min_bal"),
+          round(max(col("c_acctbal")), 2).as("max_bal"))
+        .orderBy(col("c_nationkey"))
+    }, Some(
+      """SELECT c_nationkey,
+        |  min_by(c_custkey, c_acctbal * 10000000.0 + c_custkey) AS poorest_cust,
+        |  max_by(c_custkey, c_acctbal * 10000000.0 + c_custkey) AS richest_cust,
+        |  round(min(c_acctbal), 2) AS min_bal,
+        |  round(max(c_acctbal), 2) AS max_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     Q("q_stats_aggs", (s, dir) => {
       s.read.parquet(t(dir, "lineitem"))
         .groupBy(col("l_returnflag"))
