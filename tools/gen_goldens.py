@@ -105,6 +105,39 @@ NAME_CASES = [
     "pivo plzen", "p1vopizen", "a b c", "jablka cervena", "jab1kacervena",
 ]
 
+
+# --- seeded fuzz corpus: random price-like strings through EVERY shop ---
+import random as _random
+_rng = _random.Random(20260812)
+_frag = ["19", "90", "1990", "24,90", "31'90", "45-", "45:", "12.7.", "-",
+         "14.7.", "%", "HOP", "KC", "kc", "BAL", "ks", "bodu", "bodi",
+         "€", "(", ")", "akce", "cena", "A VICE", "pri koupi", "2", "0",
+         ".", ",", "'", "  ", "x", "99", "139", "5290", "12,50", "*"]
+_shop_list = ["EsoMarket", "Penny", "Billa", "Albert Hypermarket",
+              "Tesco Supermarket", "Lidl", "Kaufland", "Flop Top",
+              "Travel Free", "CBA Potraviny", "Makro", "Globus",
+              "Tamda Foods", "Ratio", "Lidl Shop"]
+_classes = ["item_price", "item_member_price", "item_initial_price"]
+for _i in range(150):
+    _shop = _rng.choice(_shop_list)
+    _cid = _rng.choice(_classes)
+    _text = " ".join(_rng.choice(_frag) for _ in range(_rng.randint(1, 6)))
+    PRICE_CASES.append((_shop, _cid, _text))
+
+# --- fuzz name cases: vocab concatenations with confusions/diacritics ---
+_vocab_words = ["smetanovy", "jogurt", "mleko", "maslo", "cerstve", "syr",
+                "eidam", "kureci", "prsa", "chleb", "tmavy", "pivo"]
+_subs = {"i": "il1", "l": "il1", "r": "rj", "j": "rj", "e": "eo", "o": "eo"}
+for _i in range(60):
+    _ws = [_rng.choice(_vocab_words) for _ in range(_rng.randint(1, 3))]
+    _t = ("" if _rng.random() < 0.5 else " ").join(_ws)
+    if _rng.random() < 0.6:
+        _t = "".join(_rng.choice(_subs[c]) if c in _subs and _rng.random() < 0.3
+                     else c for c in _t)
+    if _rng.random() < 0.2:
+        _t = _t.replace("e", "é", 1)
+    NAME_CASES.append(_t)
+
 def norm_price(res):
     """Map the reference's float/dict/str union into the unified struct."""
     return res
