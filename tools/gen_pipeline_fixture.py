@@ -52,8 +52,9 @@ predictions = {}
 crop_shop = {}
 
 for shop in SHOPS:
+  for flyer_no in (1, 2):
     slug = shop.lower().replace(" ", "_")
-    filename = f"{slug}_flyer.pdf"
+    filename = f"{slug}_flyer{flyer_no}.pdf"
     n_pages = rng.randint(1, 3)
     # varied windows relative to the EP2 sweep date 2024-10-15: past,
     # current, and future validity intervals, with flags that may disagree
