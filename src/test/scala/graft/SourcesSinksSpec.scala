@@ -59,6 +59,34 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(withDets.getString(4).contains("\"x1\":\""))
   }
 
+  test("csv and json sources roundtrip typed rows losslessly") {
+    val base = Files.createTempDirectory("formats").toString
+    val orig = graft.relational.StreamingQueries
+      .events(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.col("user_id") < 5)
+      .select("event_id", "user_id", "event_type", "value")
+    orig.write.option("header", "true").csv(s"$base/csv")
+    orig.write.json(s"$base/json")
+    val fromCsv = spark.read.option("header", "true")
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .csv(s"$base/csv")
+    val fromJson = spark.read
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .json(s"$base/json")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))
+    val o = orig.collect().map(key).toSet
+    assert(fromCsv.collect().map(key).toSet == o)
+    assert(fromJson.collect().map(key).toSet == o)
+    // and the three unioned sources agree under aggregation
+    val total = orig.unionByName(fromCsv).unionByName(fromJson)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val single = orig.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(total == single.map { case (k, v) => k -> v * 3 })
+  }
+
   test("dead-letter channel captures per-image enrichment failures") {
     val flaky = new InferenceService {
       override def detect(imageId: String, model: String): Seq[RawDetection] =
