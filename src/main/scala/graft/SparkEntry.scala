@@ -130,6 +130,20 @@ object SparkEntry {
       val det1 = IngestPipeline.detectPages(PipelineFixtures.pages(s), svc, "model1")
       IngestPipeline.itemDetectionData(det1).orderBy(col("image_id"))
     }),
+    // A2 flattened: the nested class->detections map exploded back out,
+    // proving map construction + insertion order against a golden oracle
+    "regroup_flat" -> ((s, _) => {
+      val svc = new graft.enrich.FixtureInferenceService
+      val det1 = IngestPipeline.detectPages(PipelineFixtures.pages(s), svc, "model1")
+      IngestPipeline.itemDetectionData(det1)
+        .select(col("image_id"),
+          explode(col("detections")).as(Seq("class_name", "items")))
+        .select(col("image_id"), col("class_name"),
+          size(col("items")).as("n_items"),
+          element_at(col("items"), 1).getField("bounding_box")
+            .getField("x1").as("first_x1"))
+        .orderBy(col("image_id"), col("class_name"))
+    }),
     // ST2: daily validity sweep — CDC set of flipped flags (SURVEY §2.8)
     "validity_sweep" -> ((s, _) => {
       ValidityPipeline.validitySweep(PipelineFixtures.pdfMetadata(s), Ep2AsOf)
@@ -276,6 +290,7 @@ object SparkEntry {
         "\nORDER BY image_id"
     },
     "pages_meta_join" -> resource("/graft/oracle_pages_meta.sql"),
+    "regroup_flat" -> resource("/graft/oracle_regroup_flat.sql"),
     "validity_sweep" -> resource("/graft/oracle_validity_sweep.sql"),
     "validity_propagate" -> resource("/graft/oracle_validity_propagate.sql"),
     "users_by_shop" -> resource("/graft/oracle_users_by_shop.sql"),

@@ -235,3 +235,19 @@ open(f"{OUT}/oracle_det2_padded.sql", "w").write(sql2)
 
 print(f"pdfs={len(pdfs)} pages={len(pages)} det1={len(det1)} det2={len(det2)} "
       f"crops={len(golden)}")
+
+# ---- flattened regroup oracle: per (image, class) count + first padded box
+import collections
+grp = collections.OrderedDict()
+for (page_id, i, cls, x1, y1, x2, y2, conf) in det1:
+    # model-1 detections pad against the page dims (1240 x 1754)
+    pw = int((x2 - x1) * 0.10); ph = int((y2 - y1) * 0.10)
+    px1 = max(0, x1 - pw)
+    grp.setdefault((page_id, cls), []).append(px1)
+rows2 = []
+for (page_id, cls), xs in grp.items():
+    rows2.append(f"({sqlq(page_id)}, {sqlq(cls)}, {len(xs)}, {xs[0]})")
+sql3 = ("SELECT * FROM (VALUES\n" + ",\n".join(rows2) +
+        ") AS t(image_id, class_name, n_items, first_x1)\nORDER BY image_id, class_name")
+open(f"{OUT}/oracle_regroup_flat.sql", "w").write(sql3)
+print(f"regroup groups={len(rows2)}")
