@@ -1,34 +1,34 @@
 WITH users(user_id, included, excluded, wants) AS (VALUES
-(1, 'Albert Supermarket,EsoMarket,CBA Potraviny,Globus', 'Kaufland', true),
-(2, 'Albert Supermarket,Globus', 'Lidl Shop,Albert Hypermarket', true),
-(3, 'Albert Hypermarket,Tesco Supermarket,Lidl', 'Globus,Lidl', false),
-(4, 'Flop,EsoMarket,Ratio', '', true),
-(5, 'Flop Top,Tesco Supermarket,Travel Free', 'Makro,Lidl Shop', true),
-(6, 'Kaufland,Tesco Supermarket,Tamda Foods,Flop Top', 'Kaufland', false),
-(7, 'Bene,CBA Premium,Lidl Shop,Lidl', 'Lidl', true),
-(8, 'Lidl,Travel Free', 'Tesco Hypermarket,CBA Market', true),
-(9, 'Albert Hypermarket,Bene', '', false),
-(10, 'Lidl Shop,Tesco Hypermarket,Bene,Travel Free', '', true),
-(11, 'Lidl Shop', 'Lidl,CBA Premium', true),
-(12, 'Albert Supermarket,EsoMarket,Tamda Foods,Tesco Supermarket,Penny', 'CBA Premium,Albert Supermarket', true),
-(13, 'Flop,Albert Hypermarket', '', true),
-(14, 'Kaufland,Lidl,Travel Free', '', false),
-(15, 'Billa,Albert Supermarket', '', true),
-(16, 'CBA Premium', '', true),
-(17, 'Makro,Globus', 'CBA Potraviny', true),
-(18, 'Kaufland,CBA Market', 'Penny', false),
-(19, 'EsoMarket,Lidl Shop', '', true),
-(20, 'Flop,Bene', 'Lidl,Ratio', true),
-(21, 'CBA Market,Lidl,Tesco Hypermarket', 'Kaufland,Flop Top', true),
-(22, 'CBA Premium', 'Albert Supermarket', false),
-(23, 'Albert Supermarket', 'Albert Hypermarket,Lidl', true),
-(24, 'Globus,Ratio,Lidl Shop', '', true),
-(25, 'Penny,Globus,CBA Premium,CBA Market,Tamda Foods', '', true),
-(26, 'Flop Top,Kaufland', 'Tesco Hypermarket', true),
-(27, 'Kaufland,Bene', 'Albert Hypermarket,Globus', true),
-(28, 'Kaufland,Lidl,Travel Free', 'CBA Premium', true),
-(29, 'Tesco Supermarket,Billa', 'Kaufland,Globus', false),
-(30, 'Globus,Billa,CBA Potraviny', '', true)),
+(CAST(1 AS BIGINT), 'Albert Supermarket,EsoMarket,CBA Potraviny,Globus', 'Kaufland', true),
+(CAST(2 AS BIGINT), 'Albert Supermarket,Globus', 'Lidl Shop,Albert Hypermarket', true),
+(CAST(3 AS BIGINT), 'Albert Hypermarket,Tesco Supermarket,Lidl', 'Globus,Lidl', false),
+(CAST(4 AS BIGINT), 'Flop,EsoMarket,Ratio', '', true),
+(CAST(5 AS BIGINT), 'Flop Top,Tesco Supermarket,Travel Free', 'Makro,Lidl Shop', true),
+(CAST(6 AS BIGINT), 'Kaufland,Tesco Supermarket,Tamda Foods,Flop Top', 'Kaufland', false),
+(CAST(7 AS BIGINT), 'Bene,CBA Premium,Lidl Shop,Lidl', 'Lidl', true),
+(CAST(8 AS BIGINT), 'Lidl,Travel Free', 'Tesco Hypermarket,CBA Market', true),
+(CAST(9 AS BIGINT), 'Albert Hypermarket,Bene', '', false),
+(CAST(10 AS BIGINT), 'Lidl Shop,Tesco Hypermarket,Bene,Travel Free', '', true),
+(CAST(11 AS BIGINT), 'Lidl Shop', 'Lidl,CBA Premium', true),
+(CAST(12 AS BIGINT), 'Albert Supermarket,EsoMarket,Tamda Foods,Tesco Supermarket,Penny', 'CBA Premium,Albert Supermarket', true),
+(CAST(13 AS BIGINT), 'Flop,Albert Hypermarket', '', true),
+(CAST(14 AS BIGINT), 'Kaufland,Lidl,Travel Free', '', false),
+(CAST(15 AS BIGINT), 'Billa,Albert Supermarket', '', true),
+(CAST(16 AS BIGINT), 'CBA Premium', '', true),
+(CAST(17 AS BIGINT), 'Makro,Globus', 'CBA Potraviny', true),
+(CAST(18 AS BIGINT), 'Kaufland,CBA Market', 'Penny', false),
+(CAST(19 AS BIGINT), 'EsoMarket,Lidl Shop', '', true),
+(CAST(20 AS BIGINT), 'Flop,Bene', 'Lidl,Ratio', true),
+(CAST(21 AS BIGINT), 'CBA Market,Lidl,Tesco Hypermarket', 'Kaufland,Flop Top', true),
+(CAST(22 AS BIGINT), 'CBA Premium', 'Albert Supermarket', false),
+(CAST(23 AS BIGINT), 'Albert Supermarket', 'Albert Hypermarket,Lidl', true),
+(CAST(24 AS BIGINT), 'Globus,Ratio,Lidl Shop', '', true),
+(CAST(25 AS BIGINT), 'Penny,Globus,CBA Premium,CBA Market,Tamda Foods', '', true),
+(CAST(26 AS BIGINT), 'Flop Top,Kaufland', 'Tesco Hypermarket', true),
+(CAST(27 AS BIGINT), 'Kaufland,Bene', 'Albert Hypermarket,Globus', true),
+(CAST(28 AS BIGINT), 'Kaufland,Lidl,Travel Free', 'CBA Premium', true),
+(CAST(29 AS BIGINT), 'Tesco Supermarket,Billa', 'Kaufland,Globus', false),
+(CAST(30 AS BIGINT), 'Globus,Billa,CBA Potraviny', '', true)),
 e AS (
   SELECT user_id, unnest(string_split(included, ',')) AS shop_name, excluded
   FROM users)

@@ -186,7 +186,8 @@ object RelationalQueries {
           col("l_linenumber"), col("l_extendedprice"))
         .orderBy(col("l_suppkey"), col("rn"))
     }, Some(
-      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice
+      """SELECT l_suppkey, CAST(rn AS INTEGER) AS rn, l_orderkey,
+        |  l_linenumber, l_extendedprice
         |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
         |        row_number() OVER (PARTITION BY l_suppkey
         |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
@@ -240,8 +241,9 @@ object RelationalQueries {
         .orderBy(col("rnk"), col("o_custkey"))
     }, Some(
       """SELECT o_custkey, spend,
-        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
-        |  ntile(4) OVER w AS quartile,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         |  round(percent_rank() OVER w, 6) AS pct
         |FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
         |      FROM orders WHERE o_custkey % 50 = 0 GROUP BY o_custkey) x

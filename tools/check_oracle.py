@@ -26,6 +26,10 @@ for name, sql in sorted(oracles.items()):
     if list(got.columns) != list(exp.columns):
         print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
         fails += 1; continue
+    dt = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
+          if str(got[c].dtype) != str(exp[c].dtype)]
+    if dt:
+        print(f"WARN {name}: dtype mismatches {dt}")
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails += 1; continue
     gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)

@@ -39,7 +39,7 @@ for line in open(f"{OUT}/pipeline_pdf_metadata.tsv").read().splitlines()[1:]:
 META = ("meta(filename, shop_name, valid_from, valid_to, valid) AS (VALUES\n"
         + ",\n".join(meta_rows) + ")")
 
-users_rows = [f"({u[0]}, {sqlq(u[1])}, {sqlq(u[2])}, {u[3]})" for u in users]
+users_rows = [f"(CAST({u[0]} AS BIGINT), {sqlq(u[1])}, {sqlq(u[2])}, {u[3]})" for u in users]
 USERS = ("users(user_id, included, excluded, wants) AS (VALUES\n"
          + ",\n".join(users_rows) + ")")
 
@@ -119,7 +119,7 @@ for line in open(f"{OUT}/detected_goldens.tsv").read().splitlines()[1:]:
 ITEMS = ("items(image_id, shop_name, pname) AS (VALUES\n"
          + ",\n".join(items_rows) + ")")
 USERS_T = ("users(user_id, included, excluded, tracked) AS (VALUES\n"
-           + ",\n".join(f"({u[0]}, {sqlq(u[1])}, {sqlq(u[2])}, {sqlq(u[4])})"
+           + ",\n".join(f"(CAST({u[0]} AS BIGINT), {sqlq(u[1])}, {sqlq(u[2])}, {sqlq(u[4])})"
                         for u in users) + ")")
 open(f"{OUT}/oracle_item_alerts.sql", "w").write(f"""WITH {USERS_T},
 {ITEMS},

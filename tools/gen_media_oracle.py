@@ -22,8 +22,9 @@ for mid in range(N):
     hist = [0, 0, 0, 0]
     for b in p:
         hist[b // 64] += 1
-    rows.append(f"({mid}, '{KINDS[mid % 3]}', {width}, {height}, {n_bytes}, "
-                f"CAST({mean_r!r} AS DOUBLE), {hist[0]}, {hist[1]}, {hist[2]}, {hist[3]})")
+    rows.append(f"(CAST({mid} AS BIGINT), '{KINDS[mid % 3]}', {width}, {height}, {n_bytes}, "
+                f"CAST({mean_r!r} AS DOUBLE), CAST({hist[0]} AS BIGINT), CAST({hist[1]} AS BIGINT), "
+                f"CAST({hist[2]} AS BIGINT), CAST({hist[3]} AS BIGINT))")
 
 sql = ("SELECT * FROM (VALUES\n" + ",\n".join(rows) +
        ") AS t(media_id, kind, width, height, n_bytes, mean_byte, h0, h1, h2, h3)"
@@ -39,7 +40,7 @@ for mid in range(N):
     fno = 0
     for i, blk in enumerate(blocks):
         if i % 2 == 0:  # everyN = 2
-            frames.append(f"({mid}, {fno}, {len(blk)}, {sum(blk)})")
+            frames.append(f"(CAST({mid} AS BIGINT), {fno}, {len(blk)}, CAST({sum(blk)} AS BIGINT))")
             fno += 1
 
 sql2 = ("SELECT * FROM (VALUES\n" + ",\n".join(frames) +
