@@ -73,11 +73,14 @@ class SourcesSinksSpec extends AnyFunSuite {
     val fromJson = spark.read
       .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
       .json(s"$base/json")
+    orig.write.orc(s"$base/orc")
+    val fromOrc = spark.read.orc(s"$base/orc")
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))
     val o = orig.collect().map(key).toSet
     assert(fromCsv.collect().map(key).toSet == o)
     assert(fromJson.collect().map(key).toSet == o)
+    assert(fromOrc.collect().map(key).toSet == o)
     // and the three unioned sources agree under aggregation
     val total = orig.unionByName(fromCsv).unionByName(fromJson)
       .groupBy("event_type").count().collect()
