@@ -21,10 +21,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // noop sink: forces FULL evaluation of every output column — count()
+    // would let Catalyst prune projection work (a map-only query's
+    // expressions would never execute and its timing would be fiction)
+    def execute(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     def runOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      try execute(fn(spark, sfDir))
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -35,7 +41,7 @@ object Bench {
 
     // warmup: absorb session/codegen/scan-init cost outside the timings
     SparkEntry.queries.get("q1_agg").foreach(fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () })
+      try execute(fn(spark, sfDir)) catch { case _: Throwable => () })
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) => name -> runOne(name, fn)

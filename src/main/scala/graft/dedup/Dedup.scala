@@ -139,7 +139,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double = JaccardThreshold): DataFrame = {
-    val sets = docShingleSets(docs, idCol, textCol)
+    val sets = docShingleSets(docs, idCol, textCol).localCheckpoint()
     val sh = sets.select(col("doc_id"), explode(col("ss")).as("s"))
     val sig = minhashSignatures(sh)
     val bands = sig.select(col("doc_id"),
@@ -204,7 +204,10 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxDist: Int = HammingMax): DataFrame = {
-    val sig = simhash(docs, idCol, textCol)
+    // the signature table is tiny (one row per doc) but feeds both sides
+    // of the band self-join: materialize once instead of recomputing the
+    // whole word-hash aggregation per side
+    val sig = simhash(docs, idCol, textCol).localCheckpoint()
     val nBands = maxDist + 1
     val bandBits = SimhashBits / nBands
     val bandMod = math.pow(2, bandBits).toLong
