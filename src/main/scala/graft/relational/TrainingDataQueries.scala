@@ -97,6 +97,26 @@ object TrainingDataQueries {
          |  AND doc_id NOT IN (SELECT doc_id FROM losers)
          |ORDER BY doc_id""".stripMargin)),
 
+    // deterministic train/val/test assignment: a stable hash of the doc id
+    // buckets 80/10/10 — reproducible splits with no RNG state, the
+    // standard shape for corpus partitioning at scale
+    Q("corpus_split", (s, dir) => {
+      val bucket = Dedup.md5Hash32(col("doc_id").cast("string"), "split:") % 100
+      val split = when(bucket < 80, "train")
+        .when(bucket < 90, "val").otherwise("test")
+      docs(s, dir)
+        .select(split.as("split"), col("n_chars"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy(col("split"))
+    }, Some(
+      s"""SELECT CASE
+         |    WHEN ${Dedup.md5Hash32Sql("CAST(doc_id AS VARCHAR)", "split:")} % 100 < 80 THEN 'train'
+         |    WHEN ${Dedup.md5Hash32Sql("CAST(doc_id AS VARCHAR)", "split:")} % 100 < 90 THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin)),
+
     // rolling-hash (winnowing) document fingerprints, MOSS-style
     Q("doc_winnow", (s, dir) => {
       TextAnalysis.winnowSummary(docs(s, dir), "doc_id", "text")
