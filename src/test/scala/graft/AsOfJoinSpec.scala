@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Edge semantics of the as-of join that the oracle data (microsecond-
+  * random timestamps) never exercises: equal-timestamp inclusivity and
+  * the no-prior-row null. */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+
+  test("equal timestamps match inclusively; no prior row yields null") {
+    val left = Seq(
+      (1L, ts("10:00:00"), "L-equal"),   // same ts as a right row -> match
+      (1L, ts("09:00:00"), "L-before"),  // before any right row -> null
+      (2L, ts("11:00:00"), "L-later"))   // strictly after -> match
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("10:00:00"), "R1"),
+      (2L, ts("10:30:00"), "R2"))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.backward(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(out("L-equal").contains("R1"), "equal ts must match (inclusive >=)")
+    assert(out("L-before").isEmpty, "no prior right row -> null")
+    assert(out("L-later").contains("R2"))
+  }
+
+  test("latest prior row wins among several") {
+    val left = Seq((1L, ts("12:00:00"), "L")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("10:00:00"), "old"),
+      (1L, ts("11:00:00"), "newer"),
+      (1L, ts("13:00:00"), "future"))
+      .toDF("k", "ts", "v")
+    val got = AsOfJoin.backward(left, right, "k", "ts", Seq("v"))
+      .collect()(0).getString(3)
+    assert(got == "newer")
+  }
+}
