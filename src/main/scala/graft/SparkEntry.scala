@@ -123,12 +123,17 @@ object SparkEntry {
           col("px2").as("x2"), col("py2").as("y2"))
         .orderBy(col("image_id"), col("idx"))
     }),
-    // A2: per-image regroup into class -> [detections] (nested map; driver
-    // records a rows-only check — no SQL-expressible oracle)
+    // A2: per-image regroup into class -> [detections]. The nested
+    // map<string,array<struct>> itself is spec-checked (IngestPipelineSpec)
+    // and oracle-checked via the flattened twin below; here the map is
+    // serialized with to_json so the driver's row-hash compare gets a
+    // plain sortable string column (rows-only check — no SQL oracle).
     "item_detection_regroup" -> ((s, _) => {
       val svc = new graft.enrich.FixtureInferenceService
       val det1 = IngestPipeline.detectPages(PipelineFixtures.pages(s), svc, "model1")
-      IngestPipeline.itemDetectionData(det1).orderBy(col("image_id"))
+      IngestPipeline.itemDetectionData(det1)
+        .select(col("image_id"), to_json(col("detections")).as("detections_json"))
+        .orderBy(col("image_id"))
     }),
     // A2 flattened: the nested class->detections map exploded back out,
     // proving map construction + insertion order against a golden oracle

@@ -18,8 +18,12 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
 
+  // s + 0.0 collapses -0.0 to 0.0 before negation: Spark's window sort
+  // treats -0.0 == 0.0, while Double.compare distinguishes them — without
+  // the normalization a -0.0 vs 0.0 tie at the rank-k boundary could order
+  // differently from the row_number formulation this claims parity with.
   private val ord: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
+    Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-(s + 0.0), id) }
 
   override def zero: List[(Double, Long)] = Nil
 

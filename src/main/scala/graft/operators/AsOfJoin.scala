@@ -27,6 +27,11 @@ object AsOfJoin {
       ts: String,
       rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val reserved = Set("__rv", "__side", "__m")
+    val clashes = (leftCols ++ right.columns).filter(reserved)
+    require(clashes.isEmpty,
+      s"AsOfJoin reserves column names ${reserved.mkString(", ")}; " +
+        s"input carries ${clashes.distinct.mkString(", ")}")
     val otherLeft = leftCols.filterNot(c => c == key || c == ts)
 
     val rp = right.select(col(key), col(ts),
@@ -40,8 +45,13 @@ object AsOfJoin {
       (Seq(col(key), col(ts), lit(0).as("__side"), col("__rv")) ++
         otherLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
+    // Final tiebreak on the payload struct itself: when several right rows
+    // share one (key, ts), `last` deterministically carries the greatest
+    // payload (struct ordering is lexicographic by field) instead of
+    // whichever row the shuffle happened to order last. Left rows carry a
+    // NULL payload, which sorts first and never wins the tie.
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+      .orderBy(col(ts), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)

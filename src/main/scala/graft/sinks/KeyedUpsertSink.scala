@@ -26,9 +26,18 @@ object KeyedUpsertSink {
   def upsert(batch: DataFrame, path: String, keyCol: String): Unit = {
     val spark = batch.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val incoming = withBucket(batch, keyCol).cache()
+    // put_item is last-wins per key, so a batch carrying the same key
+    // twice must land exactly one row (dropDuplicates keeps one; callers
+    // needing a specific winner order the batch with e.g. max_by first)
+    val incoming = withBucket(batch.dropDuplicates(keyCol), keyCol).cache()
     try {
-      val exists = new java.io.File(path).exists()
+      // Hadoop FS resolution, not java.io.File: the store may live on
+      // HDFS/S3/any Hadoop-supported FS; a local-only check would miss an
+      // existing remote store and dynamic overwrite would then drop every
+      // previously stored row in the touched buckets
+      val hadoopPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hadoopPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val exists = fs.exists(hadoopPath)
       val merged =
         if (!exists) incoming
         else {

@@ -62,7 +62,10 @@ object EventStreams {
         col("w.end").as("session_end"), col("n"), col("total"))
 
   /** Gaps-and-islands twin of session_window semantics: a session ends
-    * `gap` after its last event. */
+    * `gap` after its last event. Boundary (verified by the exact-gap test
+    * in EventStreamsSpec): Spark MERGES an event arriving exactly `gap`
+    * after its predecessor — adjacent [ts, ts+gap) windows coalesce — so
+    * a new session starts only when the gap is STRICTLY greater. */
   val sessionOracle: String =
     """WITH marked AS (
       |  SELECT user_id, ts, value,
@@ -149,6 +152,9 @@ object EventStreams {
     sorted.foreach { e =>
       val t = e.ts.getTime
       cur match {
+        // strictly > : exactly-gap-spaced events MERGE, matching the
+        // built-in session_window (adjacent windows coalesce — verified
+        // by the exact-gap test in EventStreamsSpec)
         case Some(st) if t - st.last > GapMs =>
           closed += ClosedSession(userId, new java.sql.Timestamp(st.start),
             new java.sql.Timestamp(st.last + GapMs), st.n, st.total)

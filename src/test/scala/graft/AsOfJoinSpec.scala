@@ -49,4 +49,28 @@ class AsOfJoinSpec extends AnyFunSuite {
       .collect()(0).getString(3)
     assert(got == "newer")
   }
+
+  test("duplicate (key, ts) right rows resolve deterministically to the greatest payload") {
+    val left = Seq((1L, ts("12:00:00"), "L")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("11:00:00"), "alpha"),
+      (1L, ts("11:00:00"), "zeta"),
+      (1L, ts("11:00:00"), "mid"))
+      .toDF("k", "ts", "v")
+    // repeat: partition/shuffle nondeterminism must never change the winner
+    (1 to 3).foreach { _ =>
+      val got = AsOfJoin.backward(left, right.repartition(3), "k", "ts", Seq("v"))
+        .collect()(0).getString(3)
+      assert(got == "zeta", "greatest payload struct must win the ts tie")
+    }
+  }
+
+  test("reserved helper column names are rejected") {
+    val left = Seq((1L, ts("12:00:00"), "x")).toDF("k", "ts", "__side")
+    val right = Seq((1L, ts("11:00:00"), "v")).toDF("k", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, "k", "ts", Seq("v"))
+    }
+    assert(e.getMessage.contains("__side"))
+  }
 }

@@ -96,4 +96,22 @@ class EventStreamsSpec extends AnyFunSuite {
     }.sortBy(t => (t._1, t._2.getTime))
     assert(custom.toSeq == closedExpected)
   }
+
+  test("an event exactly one gap after its predecessor MERGES into the session") {
+    // Empirically pinned boundary semantics: Spark's session_window
+    // coalesces ADJACENT [ts, ts+gap) windows, so ts(0) and ts(10) form
+    // ONE session [10:00, 10:20). The gaps-and-islands oracle (strict >)
+    // and the custom sessionizer must agree.
+    val raw = Seq((1L, ts(0), 1.0), (1L, ts(10), 2.0))
+    val df = raw.toDF("user_id", "ts", "value")
+    val builtin = EventStreams.sessionCounts(df).collect()
+    assert(builtin.length == 1, "exact-gap spacing must merge sessions")
+    assert(builtin(0).getTimestamp(1) == ts(0) &&
+      builtin(0).getTimestamp(2) == ts(20) && builtin(0).getLong(3) == 2L)
+    val custom = EventStreams.customSessions(
+        df.as[(Long, Timestamp, Double)].map(t => Ev(t._1, t._2, t._3)))
+      .collect()
+    // the single merged session stays open -> no closed session emitted
+    assert(custom.isEmpty)
+  }
 }

@@ -45,6 +45,15 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(again == 4)
   }
 
+  test("keyed upsert: duplicate keys within one batch land exactly one row") {
+    val path = Files.createTempDirectory("upsertdup").toString + "/store"
+    val b = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "v")
+    KeyedUpsertSink.upsert(b, path, "k")
+    val rows = KeyedUpsertSink.read(spark, path).collect()
+    assert(rows.length == 2, "put_item semantics: one row per key")
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("dynamo-shaped sink stringifies only at the boundary") {
     val shaped = graft.sinks.DynamoShapedSink.toDynamoShape(
       IngestPipeline.runFixture(spark)).collect()
