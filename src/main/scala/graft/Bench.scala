@@ -27,16 +27,31 @@ object Bench {
     def execute(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Per-query isolation: queries that localCheckpoint/cache would
+    // otherwise pin blocks for the REST of the run — 60+ queries in one
+    // JVM accumulate gigabytes of dead blocks, and the resulting memory
+    // pressure lands on whichever query runs later (r01 saw a 6s query
+    // report 40s this way). Dropping leftover state between queries makes
+    // each timing reflect that query alone.
+    def resetState(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(
+        _.unpersist(blocking = false))
+    }
+
     def runOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try execute(fn(spark, sfDir))
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { execute(fn(spark, sfDir)); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9 // reset cost excluded
+      resetState()
+      if (ok) dt else -1.0
     }
 
     // warmup: absorb session/codegen/scan-init cost outside the timings

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Stage-level profiler for the dedup pipelines: times each sub-stage of
+  * a slow query in isolation so regressions can be attributed to a stage
+  * instead of guessed at. Usage: runMain graft.Profile [sfDir] */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    time("warmup count")(docs.count())
+
+    val sets = time("docShingleSets+checkpoint")(
+      Dedup.docShingleSets(docs, "doc_id", "text").localCheckpoint())
+    val sh = sets.select(col("doc_id"), explode(col("ss")).as("s"))
+    time("signatures")(noop(Dedup.minhashSignatures(sh)))
+    time("full minhashLshPairs")(noop(
+      Dedup.minhashLshPairs(docs, "doc_id", "text")))
+    time("full ngramJaccardPairs")(noop(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text")))
+    time("full simhashPairs")(noop(
+      Dedup.simhashPairs(docs, "doc_id", "text")))
+    spark.stop()
+  }
+}
