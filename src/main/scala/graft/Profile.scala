@@ -33,6 +33,13 @@ object Profile {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     time("warmup count")(docs.count())
 
+    time("split only")(noop(docs.select(split(col("text"), " ").as("ws"))))
+    time("shingles only")(noop(
+      docs.select(Dedup.shingles(col("text")).as("sh"))))
+    time("shingles+explode")(noop(
+      docs.select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("s"))))
+    time("docShingleSets")(noop(
+      Dedup.docShingleSets(docs, "doc_id", "text")))
     val sets = time("docShingleSets+checkpoint")(
       Dedup.docShingleSets(docs, "doc_id", "text").localCheckpoint())
     val sh = sets.select(col("doc_id"), explode(col("ss")).as("s"))
@@ -43,6 +50,26 @@ object Profile {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text")))
     time("full simhashPairs")(noop(
       Dedup.simhashPairs(docs, "doc_id", "text")))
+    time("simhash signatures")(noop(
+      Dedup.simhash(docs, "doc_id", "text")))
+
+    // embedding similar-pairs variants
+    import graft.functions.ArrayOps.array_dot
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    time("similarPairs current")(noop(
+      graft.sim.Similarity.similarPairs(emb, 0.45)))
+    locally {
+      def side(v: String, e: String, n: String) = emb
+        .select(col("vec_id").as(v),
+          col("embedding").cast("array<double>").as(e))
+        .withColumn(n, sqrt(array_dot(col(e), col(e))))
+      val a = side("va", "ea", "na")
+      val b = side("vb", "eb", "nb")
+      val sim = round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+      val out = a.join(b, col("va") < col("vb") && sim >= 0.45)
+        .select(col("va"), col("vb"), sim.as("sim"))
+      time("similarPairs cheap-first")(noop(out))
+    }
     spark.stop()
   }
 }

@@ -92,34 +92,44 @@ object TextAnalysis {
 
   /** Per-document fingerprint-set summary: (doc_id, n_fp, fp_min, fp_max).
     * Input column must be the document text; hashing is md5-based and
-    * engine-neutral. */
+    * engine-neutral.
+    *
+    * Winnowing is row-local — every document's fingerprint set depends on
+    * that document alone — so this runs as ONE narrow projection over
+    * array columns: gram hashes, sliding-window minima, and the distinct
+    * set are all per-row array ops. The r01 formulation (explode 300
+    * grams/doc -> window min over a doc-partitioned sort -> distinct ->
+    * groupBy) paid three shuffles of |corpus|*|grams| rows for work that
+    * needs none; at 100 TB the shuffle-free shape is the only viable one.
+    * Each stage is projected to an attribute before the next lambda uses
+    * it (lambda bodies re-evaluate non-attribute references per element).
+    * Docs with no full window (fewer than k+w-1 chars) are absent from
+    * the output, matching the oracle. */
   def winnowSummary(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
-    val grams = docs
+    val spark = docs.sparkSession
+    docs
       .select(col(idCol).as("doc_id"), norm.as("t"))
-      .filter(length(col("t")) >= WinnowK)
+      .filter(length(col("t")) >= WinnowK + WinnowW - 1) // >= 1 full window
+      // one cheap shuffle of the raw texts so the md5-heavy projection
+      // parallelizes even when the input is a single parquet split (a
+      // large corpus arrives in thousands of splits and skips this cost;
+      // a single-row-group file would otherwise hash on ONE core)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(1, length(t) - ${WinnowK - 1}), " +
-            s"i -> substring(t, i, $WinnowK))"))
-          .as(Seq("pos0", "gram")))
-      .withColumn("pos", col("pos0") + 1) // posexplode is 0-based
-      .withColumn("h",
-        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(0, WinnowW - 1)
-    grams
-      .withColumn("wmin", min(col("h")).over(w))
-      .withColumn("wlast",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .filter(col("pos") <= col("wlast") - (WinnowW - 1)) // full windows only
-      .select(col("doc_id"), col("wmin"))
-      .distinct()
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fp"), min(col("wmin")).as("fp_min"),
-        max(col("wmin")).as("fp_max"))
+        transform(sequence(lit(1), length(col("t")) - (WinnowK - 1)),
+          i => conv(substring(md5(col("t").substr(i, lit(WinnowK))), 1, 8),
+            16, 10).cast("long")).as("hs"))
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("hs")) - (WinnowW - 1)),
+          i => least((0 until WinnowW)
+            .map(o => element_at(col("hs"), i + o)): _*)).as("wmins"))
+      .select(col("doc_id"), array_distinct(col("wmins")).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"))
   }
 
   def winnowSummarySql(docsRel: String): String =

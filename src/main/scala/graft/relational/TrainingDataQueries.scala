@@ -21,6 +21,13 @@ object TrainingDataQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(t(dir, "documents"))
 
+  /** One cheap shuffle of the raw rows so CPU-heavy narrow stages (regex
+    * scoring, hashing) parallelize even when the input is a single
+    * parquet split; a production corpus arrives in thousands of splits
+    * and never needs this. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(t(dir, "embeddings"))
 
@@ -45,7 +52,7 @@ object TrainingDataQueries {
   val all: Seq[Q] = Seq(
     Q("text_stats", (s, dir) => {
       val c = col("text")
-      docs(s, dir).select(col("doc_id"),
+      spread(docs(s, dir)).select(col("doc_id"),
         TextAnalysis.tokenCount(c).as("n_tokens"),
         TextAnalysis.bpeTokenCount(c).as("n_bpe_tokens"),
         TextAnalysis.punctRatio(c).as("punct_ratio"),
@@ -70,7 +77,7 @@ object TrainingDataQueries {
     // lower doc_id of every >=0.8-Jaccard pair)
     Q("corpus_select", (s, dir) => {
       val c = col("text")
-      val d = docs(s, dir)
+      val d = spread(docs(s, dir))
       val dupLosers = Dedup.ngramJaccardPairs(d, "doc_id", "text")
         .select(col("db").as("doc_id")).distinct()
       d.select(col("doc_id"),
