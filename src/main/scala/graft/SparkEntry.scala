@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.pipeline.{IngestPipeline, PipelineFixtures, ValidityPipeline}
 import graft.price.PriceFunctions
-import graft.relational.{Fixtures, RelationalQueries, StreamingQueries, TrainingDataQueries}
+import graft.relational.{AdvancedQueries, Fixtures, RelationalQueries, StreamingQueries, TrainingDataQueries}
 import graft.text.{CzechText, NameCorrection}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -246,15 +246,15 @@ object SparkEntry {
   private def Ep2AsOf = to_date(lit("2024-10-15"))
 
   /** Full query surface = core/domain queries + the relational module. */
+  private def modules =
+    RelationalQueries.all ++ AdvancedQueries.all ++
+      TrainingDataQueries.all ++ StreamingQueries.all
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++
-      (RelationalQueries.all ++ TrainingDataQueries.all ++ StreamingQueries.all)
-        .map(q => q.name -> q.fn)
+    coreQueries ++ modules.map(q => q.name -> q.fn)
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++
-      (RelationalQueries.all ++ TrainingDataQueries.all ++ StreamingQueries.all)
-        .flatMap(q => q.oracle.map(q.name -> _))
+    coreOracleSql ++ modules.flatMap(q => q.oracle.map(q.name -> _))
 
   private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->

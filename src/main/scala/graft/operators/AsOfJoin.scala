@@ -25,7 +25,28 @@ object AsOfJoin {
       right: DataFrame,
       key: String,
       ts: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String]): DataFrame =
+    joined(left, right, key, ts, rightVals, forward = false)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` within the key (NULL = no later row). Same
+    * union + ordered-window shape as [[backward]], with the timestamp
+    * ordering reversed. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightVals: Seq[String]): DataFrame =
+    joined(left, right, key, ts, rightVals, forward = true)
+
+  private def joined(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightVals: Seq[String],
+      forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val reserved = Set("__rv", "__side", "__m")
     val clashes = (leftCols ++ right.columns).filter(reserved)
@@ -50,8 +71,10 @@ object AsOfJoin {
     // payload (struct ordering is lexicographic by field) instead of
     // whichever row the shuffle happened to order last. Left rows carry a
     // NULL payload, which sorts first and never wins the tie.
+    // Forward direction = the same scan over reversed time.
+    val tsOrder = if (forward) col(ts).desc else col(ts).asc
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"), col("__rv"))
+      .orderBy(tsOrder, col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the operator that
+  * turns pairwise near-duplicate PAIRS into duplicate GROUPS (keep one
+  * document per component: the standard last step of corpus dedup).
+  *
+  * Spark-native iterative min-label propagation: every node repeatedly
+  * adopts the minimum label among itself and its neighbors until a round
+  * changes nothing. Each round is one shuffle (join on node id) +
+  * aggregation; `localCheckpoint` truncates the growing lineage so round
+  * N's plan does not replay rounds 1..N-1. Rounds needed = component
+  * diameter — near-dup clusters are shallow (stars/cliques), so this
+  * converges in 2-3 rounds; a pathological chain of length D costs D
+  * rounds, and `maxIter` bounds the worst case. (GraphX/GraphFrames ship
+  * alternating large-star/small-star for O(log D) — out of scope here;
+  * the dataflow below is the same shape.)
+  *
+  * Determinism: min() is order-insensitive, so the result is exact and
+  * engine-independent — the DuckDB oracle walks the same closure with a
+  * recursive CTE.
+  */
+object ConnectedComponents {
+
+  /** @param edges two long columns (srcCol, dstCol), undirected pairs
+    * @return (node, component) — component is the min node id reachable;
+    *         every node that appears in any edge gets a row */
+  def run(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("node"), col(dstCol).as("peer"))
+      .unionAll(edges.select(col(dstCol).as("node"), col(srcCol).as("peer")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym.select(col("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min over own label and all neighbors' labels
+      val neighborLabels = sym
+        .join(labels.withColumnRenamed("node", "peer"), "peer")
+        .select(col("node"), col("component"))
+        .unionAll(labels)
+        .groupBy(col("node"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      val changed = neighborLabels.as("n")
+        .join(labels.as("o"), "node")
+        .filter(col("n.component") =!= col("o.component"))
+        .limit(1).count() // any-change probe, not a full count
+      val old = labels
+      labels = neighborLabels
+      old.unpersist(blocking = false)
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** DuckDB oracle: min reachable id via recursive closure. `pairsRel`
+    * must expose (da, db) columns. */
+  def oracleSql(pairsRel: String): String =
+    s"""edges AS (
+       |  SELECT da AS node, db AS peer FROM $pairsRel
+       |  UNION SELECT db, da FROM $pairsRel),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM edges
+       |  UNION
+       |  SELECT e.node, re.r FROM edges e JOIN reach re ON re.node = e.peer),
+       |components AS (
+       |  SELECT node, min(r) AS component FROM reach GROUP BY node)""".stripMargin
+}

@@ -1,0 +1,119 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.relational.RelationalQueries.Q
+
+/** Second-wave relational surface: SCD2 interval construction, unpivot
+  * (melt), deterministic hash sampling, and lateral per-group top-k —
+  * shapes a production warehouse/pipeline needs beyond the classic TPC-H
+  * queries. Every entry carries a DuckDB oracle.
+  */
+object AdvancedQueries {
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  val all: Seq[Q] = Seq(
+    // SCD2 (slowly-changing-dimension) history: each customer's order
+    // status timeline as half-open validity intervals [from, to) with a
+    // current-row flag — one window pass, no self-join
+    Q("scd2_intervals", (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      s.read.parquet(t(dir, "orders"))
+        .filter(col("o_custkey") <= 100)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_from", col("o_orderdate"))
+        // open intervals close at the conventional SCD2 high-date (also
+        // keeps the compare null-free: NaT != NaT under pandas)
+        .withColumn("valid_to",
+          coalesce(lead(col("o_orderdate"), 1).over(w),
+            to_date(lit("9999-12-31"))))
+        .withColumn("is_current", col("valid_to") === to_date(lit("9999-12-31")))
+        .select(col("o_custkey"), col("version"), col("o_orderkey"),
+          col("o_orderstatus"), col("valid_from"), col("valid_to"),
+          col("is_current"))
+        .orderBy(col("o_custkey"), col("version"))
+    }, Some(
+      """SELECT o_custkey,
+        |  CAST(row_number() OVER w AS INTEGER) AS version,
+        |  o_orderkey, o_orderstatus,
+        |  o_orderdate AS valid_from,
+        |  coalesce(lead(o_orderdate, 1) OVER w, DATE '9999-12-31') AS valid_to,
+        |  coalesce(lead(o_orderdate, 1) OVER w, DATE '9999-12-31')
+        |    = DATE '9999-12-31' AS is_current
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin)),
+
+    // unpivot (melt): order counts pivoted wide by status, melted back to
+    // (priority, status, n) — the Dataset.unpivot API surface
+    Q("q_unpivot", (s, dir) => {
+      val wide = s.read.parquet(t(dir, "orders"))
+        .groupBy(col("o_orderpriority"))
+        .pivot(col("o_orderstatus"), Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")),
+          "status", "n_orders")
+        .orderBy(col("o_orderpriority"), col("status"))
+    }, Some(
+      """SELECT p.o_orderpriority, st.status,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders
+        |FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+        |CROSS JOIN (VALUES ('F'), ('O'), ('P')) st(status)
+        |LEFT JOIN (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |  FROM orders GROUP BY 1, 2) c
+        |  ON c.o_orderpriority = p.o_orderpriority
+        | AND c.o_orderstatus = st.status
+        |ORDER BY p.o_orderpriority, st.status""".stripMargin)),
+
+    // deterministic ~10% sample: md5-bucket on the row key instead of an
+    // RNG — reproducible across engines, retries, and cluster sizes (the
+    // only sampling discipline that survives a distributed re-run)
+    Q("q_hash_sample", (s, dir) => {
+      val key = concat_ws(":", col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"))
+      s.read.parquet(t(dir, "lineitem"))
+        .filter(Dedup.md5Hash32(key, "smp:") % 10 === 0)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"))
+    }, Some(
+      s"""SELECT count(*) AS n_rows,
+         |  round(sum(l_extendedprice), 2) AS sum_price,
+         |  round(avg(l_quantity), 4) AS avg_qty
+         |FROM lineitem
+         |WHERE ${Dedup.md5Hash32Sql(
+              "(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR)",
+              "smp:")} % 10 = 0""".stripMargin)),
+
+    // lateral correlated subquery: top-2 suppliers per nation through the
+    // SQL front-end (LATERAL), planned by Catalyst as a ranked window
+    Q("q_lateral_topk", (s, dir) => {
+      s.read.parquet(t(dir, "supplier")).createOrReplaceTempView("supplier")
+      s.read.parquet(t(dir, "nation")).createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT n.n_name, t.s_name, round(t.s_acctbal, 2) AS acctbal
+          |FROM nation n,
+          |LATERAL (SELECT s_name, s_acctbal FROM supplier s
+          |         WHERE s.s_nationkey = n.n_nationkey
+          |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+          |ORDER BY n.n_name, acctbal DESC, t.s_name""".stripMargin)
+    }, Some(
+      """SELECT n.n_name, t.s_name, round(t.s_acctbal, 2) AS acctbal
+        |FROM nation n,
+        |LATERAL (SELECT s_name, s_acctbal FROM supplier s
+        |         WHERE s.s_nationkey = n.n_nationkey
+        |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+        |ORDER BY n.n_name, acctbal DESC, t.s_name""".stripMargin)),
+  )
+}

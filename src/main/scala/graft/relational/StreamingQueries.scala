@@ -86,6 +86,32 @@ object StreamingQueries {
         |  ON c.user_id = e.user_id AND c.ts >= e.ts
         |ORDER BY c.event_id""".stripMargin)),
 
+    // forward as-of: each error gets the user's NEXT click at-or-after it
+    Q("asof_forward", (s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("ts").as("clk_ts"),
+          col("value").as("clk_value"))
+      graft.operators.AsOfJoin
+        .forward(errors, clicks, "user_id", "ts", Seq("clk_ts", "clk_value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_clk_value"),
+          (expr("unix_micros(asof_clk_ts)") - expr("unix_micros(ts)"))
+            .as("us_until_click"))
+        .orderBy(col("event_id"))
+    }, Some(
+      """WITH errors AS (SELECT event_id, user_id, ts, value FROM events
+        |               WHERE event_type = 'error'),
+        |clicks AS (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, c.value AS asof_clk_value,
+        |  epoch_us(c.ts) - epoch_us(e.ts) AS us_until_click
+        |FROM errors e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts <= c.ts
+        |ORDER BY e.event_id""".stripMargin)),
+
     // bucketed point-in-interval range join over literal intervals
     Q("range_join_intervals", (s, dir) => {
       import s.implicits._

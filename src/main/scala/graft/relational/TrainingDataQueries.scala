@@ -153,6 +153,91 @@ object TrainingDataQueries {
         .orderBy(col("da"), col("db"))
     }, Some(Dedup.minhashLshOracle("documents", Dedup.JaccardThreshold))),
 
+    // pairs -> GROUPS: connected components over the near-dup pair graph
+    // (iterative min-label propagation; DuckDB walks the same closure
+    // with a recursive CTE)
+    Q("dedup_components", (s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text")
+      graft.operators.ConnectedComponents.run(pairs, "da", "db")
+        .orderBy(col("node"))
+    }, Some(
+      s"""WITH RECURSIVE ${Dedup.shinglesCte("documents")},
+         |${Dedup.jaccardCte},
+         |pairs AS (
+         |  SELECT da, db FROM jac WHERE jaccard >= ${Dedup.JaccardThreshold}),
+         |${graft.operators.ConnectedComponents.oracleSql("pairs")}
+         |SELECT node, component FROM components ORDER BY node""".stripMargin)),
+
+    // classic TF-IDF: top-3 terms per document, scores rounded BEFORE
+    // ranking so the rank-3 tiebreak (score desc, term asc) is
+    // engine-independent
+    Q("tfidf_top_terms", (s, dir) => {
+      val d = spread(docs(s, dir))
+      val words = d
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val tf = words.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = words.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = d.select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
+      tf.join(dfreq, "w").crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 4))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("w").as("term"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }, Some(
+      """WITH wf AS (
+        |  SELECT doc_id, w
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) __u
+        |  WHERE length(w) > 0),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM wf GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT w, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, w FROM wf) __d GROUP BY w),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, w, round(tf * ln(n_docs / df), 4) AS score
+        |  FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+        |rk AS (
+        |  SELECT doc_id, w, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, w) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, w AS term, score
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // element-wise group centroids over the embedding column. Floating
+    // sums are summation-order-dependent, so each element is scaled to an
+    // exact integer first (deterministic per-element rounding) — integer
+    // sums are order-independent and engine-exact, making even this
+    // aggregate hash-checkable
+    Q("embedding_centroids", (s, dir) => {
+      emb(s, dir)
+        .select((col("vec_id") % 8).as("grp"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "e")))
+        .groupBy(col("grp"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("e") * 1000000).cast("long")).as("s"))
+        .select(col("grp"), col("dim"), col("n"),
+          round(col("s") / (col("n") * 1000000.0), 4).as("centroid"))
+        .orderBy(col("grp"), col("dim"))
+    }, Some(
+      """WITH el AS (
+        |  SELECT vec_id % 8 AS grp,
+        |    generate_subscripts(embedding, 1) - 1 AS dim0,
+        |    unnest(embedding::DOUBLE[]) AS e
+        |  FROM embeddings)
+        |SELECT grp, CAST(dim0 AS INTEGER) AS dim, count(*) AS n,
+        |  round(sum(CAST(round(e * 1000000) AS BIGINT))
+        |        / (count(*) * 1000000.0), 4) AS centroid
+        |FROM el GROUP BY grp, dim0 ORDER BY grp, dim""".stripMargin)),
+
     Q("simhash_dups", (s, dir) => {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text")
         .orderBy(col("da"), col("db"))

@@ -65,6 +65,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("forward as-of picks the earliest right row at-or-after") {
+    val left = Seq(
+      (1L, ts("10:00:00"), "L-equal"),   // same ts as a right row -> match
+      (1L, ts("11:30:00"), "L-after"),   // after the last right row -> null
+      (2L, ts("09:00:00"), "L-early"))   // strictly before -> nearest next
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("10:00:00"), "R1"),
+      (1L, ts("11:00:00"), "R2"),
+      (2L, ts("10:30:00"), "R3"),
+      (2L, ts("12:00:00"), "R4"))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.forward(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(out("L-equal").contains("R1"), "equal ts must match (inclusive)")
+    assert(out("L-after").isEmpty, "no later right row -> null")
+    assert(out("L-early").contains("R3"), "nearest NEXT row wins, not any later one")
+  }
+
   test("reserved helper column names are rejected") {
     val left = Seq((1L, ts("12:00:00"), "x")).toDF("k", "ts", "__side")
     val right = Seq((1L, ts("11:00:00"), "v")).toDF("k", "ts", "v")
