@@ -96,6 +96,87 @@ object AdvancedQueries {
               "(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR)",
               "smp:")} % 10 = 0""".stripMargin)),
 
+    // value-range window frame: per customer, revenue of their orders in
+    // the trailing 30 days (RANGE, not ROWS — equal-date rows share one
+    // frame, so the result is set-determined and engine-independent)
+    Q("q_window_range", (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0)
+      s.read.parquet(t(dir, "orders"))
+        .filter(col("o_custkey") <= 200)
+        .withColumn("trailing_30d",
+          round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("trailing_30d"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }, Some(
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+        |    AS trailing_30d
+        |FROM orders WHERE o_custkey <= 200
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // correlated NOT EXISTS through the SQL front-end (planned as a
+    // broadcast null-aware anti join)
+    Q("q_not_exists", (s, dir) => {
+      s.read.parquet(t(dir, "customer")).createOrReplaceTempView("customer")
+      s.read.parquet(t(dir, "orders")).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment
+          |FROM customer c
+          |WHERE c_custkey <= 500 AND NOT EXISTS (
+          |  SELECT 1 FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |    AND o.o_orderdate BETWEEN DATE '1995-01-01'
+          |                          AND DATE '1995-12-31')
+          |ORDER BY c_custkey""".stripMargin)
+    }, Some(
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE c_custkey <= 500 AND NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate BETWEEN DATE '1995-01-01'
+        |                          AND DATE '1995-12-31')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // typed Dataset escape hatch with a full oracle: per-customer order
+    // cadence via groupByKey + mapGroups (imperative per-group logic the
+    // relational surface can also express — proven by the SQL twin)
+    Q("q_map_groups", (s, dir) => {
+      import s.implicits._
+      val orders = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_custkey") <= 300)
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderdate").cast("date").cast("string").as("d"))
+        .as[(Long, String)]
+      orders.groupByKey(_._1)
+        .mapGroups { (ck, rows) =>
+          val ds = rows.map(_._2).toSeq.sorted
+          val gaps = ds.zip(ds.tail).map { case (a, b) =>
+            java.time.temporal.ChronoUnit.DAYS.between(
+              java.time.LocalDate.parse(a), java.time.LocalDate.parse(b))
+          }
+          (ck, ds.length.toLong, if (gaps.isEmpty) 0L else gaps.max)
+        }
+        .toDF("custkey", "n_orders", "max_gap_days")
+        .orderBy(col("custkey"))
+    }, Some(
+      """WITH g AS (
+        |  SELECT o_custkey AS custkey,
+        |    datediff('day',
+        |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_orderdate),
+        |      o_orderdate) AS gap
+        |  FROM orders WHERE o_custkey <= 300)
+        |SELECT custkey, count(*) AS n_orders,
+        |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_days
+        |FROM g GROUP BY custkey ORDER BY custkey""".stripMargin)),
+
     // lateral correlated subquery: top-2 suppliers per nation through the
     // SQL front-end (LATERAL), planned by Catalyst as a ranked window
     Q("q_lateral_topk", (s, dir) => {

@@ -112,6 +112,37 @@ object StreamingQueries {
         |  ON e.user_id = c.user_id AND e.ts <= c.ts
         |ORDER BY e.event_id""".stripMargin)),
 
+    // time-series resample + forward fill: an hourly spine per user,
+    // gap-filled with the most recent observation — the as-of join IS the
+    // forward-fill operator (one shuffle, no per-gap recursion)
+    Q("events_resample", (s, dir) => {
+      val ev = events(s, dir).filter(col("user_id") <= 20)
+        .select(col("user_id"), col("ts"), col("value"))
+      val spine = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          max(col("ts")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+            .as("ts"))
+      graft.operators.AsOfJoin
+        .backward(spine, ev, "user_id", "ts", Seq("value"))
+        .select(col("user_id"), col("ts").as("hour_ts"),
+          round(col("asof_value"), 2).as("ffill_value"))
+        .orderBy(col("user_id"), col("hour_ts"))
+    }, Some(
+      """WITH ev AS (SELECT user_id, ts, value FROM events
+        |            WHERE user_id <= 20),
+        |b AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |        max(ts) AS h1
+        |      FROM ev GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts
+        |  FROM b)
+        |SELECT s.user_id, s.ts AS hour_ts, round(e.value, 2) AS ffill_value
+        |FROM spine s ASOF LEFT JOIN ev e
+        |  ON s.user_id = e.user_id AND s.ts >= e.ts
+        |ORDER BY s.user_id, hour_ts""".stripMargin)),
+
     // bucketed point-in-interval range join over literal intervals
     Q("range_join_intervals", (s, dir) => {
       import s.implicits._
