@@ -129,6 +129,52 @@ object Multimodal {
       .toDF("media_id", "frame_no", "frame_bytes", "byte_sum")
   }
 
+  /** Perceptual average-hash (aHash) of 64 gray "pixels": threshold each
+    * pixel at the integer mean, one bit per pixel. Integer-only math, so
+    * the hash is engine/oracle reproducible. */
+  def aHash64(px: Array[Int]): Long = {
+    require(px.length == 64, s"aHash needs 64 pixels, got ${px.length}")
+    val mean = px.sum / 64 // integer mean — deterministic
+    px.zipWithIndex.foldLeft(0L) { case (h, (v, i)) =>
+      if (v > mean) h | (1L << i) else h
+    }
+  }
+
+  /** aHash over a synthetic blob: the payload bytes, cycled to 64, ARE
+    * the pixels (STUB pixel source; the real-image path is [[aHashPng]]). */
+  def aHashSynthetic(blob: MediaBlob): Long = {
+    val p = blob.content.drop(13)
+    aHash64(Array.tabulate(64)(i => p(i % p.length) & 0xff))
+  }
+
+  /** Real-codec aHash: decode PNG via ImageIO, resize to 8x8, luma
+    * grayscale, mean-threshold — the standard near-duplicate image
+    * fingerprint. */
+  def aHashPng(bytes: Array[Byte]): Option[Long] = {
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    Option(src).map { img =>
+      val dst = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.drawImage(img, 0, 0, 8, 8, null)
+      g.dispose()
+      val px = Array.tabulate(64) { i =>
+        val rgb = dst.getRGB(i % 8, i / 8)
+        val (r, gr, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        (r * 299 + gr * 587 + b * 114) / 1000 // integer luma
+      }
+      aHash64(px)
+    }
+  }
+
+  /** (media_id, ahash) for image-kind blobs, partition-batched. */
+  def aHashes(media: Dataset[MediaBlob]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image")
+      .mapPartitions(_.map(b => (b.media_id, aHashSynthetic(b))))
+      .toDF("media_id", "ahash")
+  }
+
   /** Real-codec path: decode PNG bytes via JDK ImageIO and return dims.
     * Used by tests with genuinely encoded PNGs — proves the plumbing
     * carries real image formats, not only the synthetic one. */

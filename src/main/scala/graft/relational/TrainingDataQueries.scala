@@ -288,6 +288,22 @@ object TrainingDataQueries {
         .orderBy(col("media_id"))
     }, Some(resourceSql("/graft/oracle_media_features.sql"))),
 
+    // image near-dup by perceptual hash: aHash per image blob, pairwise
+    // Hamming <= 8 (small image-kind set -> direct pair join; at corpus
+    // scale the Hamming-LSH banding from Dedup.simhashPairs applies
+    // unchanged to these 64-bit hashes)
+    Q("media_phash", (s, _) => {
+      import graft.multimodal.Multimodal
+      val h = Multimodal.aHashes(Multimodal.syntheticMedia(s, 100))
+        .localCheckpoint()
+      h.as("a").join(h.as("b"), col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"),
+          bit_count(col("a.ahash").bitwiseXOR(col("b.ahash")))
+            .cast("int").as("hamming"))
+        .filter(col("hamming") <= 8)
+        .orderBy(col("ma"), col("mb"))
+    }, Some(resourceSql("/graft/oracle_media_phash.sql"))),
+
     Q("media_frames", (s, _) => {
       import graft.multimodal.{Multimodal, SyntheticCodec}
       Multimodal.sampledFrames(Multimodal.syntheticMedia(s, 100),

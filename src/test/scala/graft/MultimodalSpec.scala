@@ -49,6 +49,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dims.toSeq == Seq((0L, 40, 20, 8, 8), (1L, 64, 64, 8, 8)))
   }
 
+  test("real-PNG perceptual hash: identical images collide, noise differs") {
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, f(x, y) & 0xffffff)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val gradient = (x: Int, y: Int) => (x * 8) << 16 | (y * 8) << 8
+    val a = Multimodal.aHashPng(png(32, 32, gradient)).get
+    // same scene re-encoded at a different size -> tiny hamming distance
+    val b = Multimodal.aHashPng(png(64, 64,
+      (x, y) => gradient(x / 2, y / 2))).get
+    // structurally different scene -> far away
+    val c = Multimodal.aHashPng(png(32, 32,
+      (x, y) => if ((x / 4 + y / 4) % 2 == 0) 0xffffff else 0)).get
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, b) <= 6, s"rescaled twin too far: ${ham(a, b)}")
+    assert(ham(a, c) > 16, s"different scene too close: ${ham(a, c)}")
+  }
+
   test("video frame sampling fans out deterministically") {
     val frames = Multimodal.sampledFrames(
       Multimodal.syntheticMedia(spark, 30), new SyntheticCodec, everyN = 2)

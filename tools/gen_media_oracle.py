@@ -47,3 +47,27 @@ sql2 = ("SELECT * FROM (VALUES\n" + ",\n".join(frames) +
         ") AS t(media_id, frame_no, frame_bytes, byte_sum)\nORDER BY media_id, frame_no")
 open(f"{OUT}/oracle_media_frames.sql", "w").write(sql2)
 print(f"media rows={len(rows)} frame rows={len(frames)}")
+
+# ---- perceptual average-hash pairs (media_phash) ----------------------
+def ahash(p):
+    px = [p[i % len(p)] for i in range(64)]
+    mean = sum(px) // 64  # integer mean, matches the Scala int division
+    h = 0
+    for i, v in enumerate(px):
+        if v > mean:
+            h |= 1 << i
+    return h
+
+HAMMING_MAX = 8
+imgs = [(mid, ahash(payload(mid))) for mid in range(N) if mid % 3 == 0]
+ph = []
+for i in range(len(imgs)):
+    for j in range(i + 1, len(imgs)):
+        d = bin(imgs[i][1] ^ imgs[j][1]).count("1")
+        if d <= HAMMING_MAX:
+            ph.append(f"(CAST({imgs[i][0]} AS BIGINT), CAST({imgs[j][0]} AS BIGINT), {d})")
+
+sql3 = ("SELECT * FROM (VALUES\n" + ",\n".join(ph) +
+        ") AS t(ma, mb, hamming)\nORDER BY ma, mb")
+open(f"{OUT}/oracle_media_phash.sql", "w").write(sql3)
+print(f"phash pairs={len(ph)}")
