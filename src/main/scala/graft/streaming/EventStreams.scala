@@ -176,4 +176,45 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(sessionize)
   }
+
+  // ---- transformWithState (Spark 4 arbitrary-state API) --------------
+
+  /** Running per-user totals via the transformWithState API — the
+    * Spark-4-native replacement for mapGroupsWithState: typed ValueState
+    * handles, timer support, RocksDB-backed state. Emits one
+    * (user_id, n_events, total) row per user per micro-batch. */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      implicit val enc: Encoder[(Long, Double)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+      totals = getHandle.getValueState[(Long, Double)](
+        "totals", enc, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, t) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; t += e.value }
+      totals.update((n, t))
+      Iterator.single((key, n, t))
+    }
+  }
+
+  def runningTotals(events: Dataset[Ev]): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

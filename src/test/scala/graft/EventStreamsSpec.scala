@@ -97,6 +97,29 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(custom.toSeq == closedExpected)
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    implicit val sc = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, Double)]
+      val events = mem.toDS().map(t => Ev(t._1, t._2, t._3))
+      val q = EventStreams.runningTotals(events)
+        .toDF("user_id", "n_events", "total")
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+      mem.addData((1L, ts(0), 1.0), (1L, ts(1), 2.0), (2L, ts(2), 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts(3), 4.0))
+      q.processAllAvailable()
+      val out = spark.table("tws_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      q.stop()
+      // batch 1 snapshots: u1=(2, 3.0), u2=(1, 5.0); batch 2: u1=(3, 7.0)
+      assert(out == Set((1L, 2L, 3.0), (2L, 1L, 5.0), (1L, 3L, 7.0)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("an event exactly one gap after its predecessor MERGES into the session") {
     // Empirically pinned boundary semantics: Spark's session_window
     // coalesces ADJACENT [ts, ts+gap) windows, so ts(0) and ts(10) form
