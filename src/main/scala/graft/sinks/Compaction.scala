@@ -1,0 +1,43 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Small-file compaction — the operational lever every long-running
+  * ingest needs: micro-batch sinks (IngestJob, KeyedUpsertSink) produce
+  * one file per partition per batch, and a year of hourly batches turns
+  * a table scan into an 8760-file metadata storm. Compacts a parquet
+  * directory to ceil(bytes / targetBytes) files via a single coalesce
+  * write (no shuffle), staged next to the table and atomically swapped.
+  */
+object Compaction {
+
+  /** @return number of files after compaction */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+
+    val staging = new Path(path + "__compacting")
+    spark.read.parquet(path)
+      .coalesce(nOut) // narrow: no shuffle, just fewer output tasks
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+
+    // swap: the reader sees either the old or the new directory, never a
+    // half-written mix (same-FS rename; a table format's commit protocol
+    // replaces this at multi-writer scale)
+    val backup = new Path(path + "__precompact")
+    fs.rename(hPath, backup)
+    fs.rename(staging, hPath)
+    fs.delete(backup, true)
+
+    fs.listStatus(hPath)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
+}
