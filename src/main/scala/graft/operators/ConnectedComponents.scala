@@ -42,6 +42,15 @@ object ConnectedComponents {
       .withColumn("component", col("node"))
       .localCheckpoint()
 
+    // convergence probe: labels only ever DECREASE, so the label sum is
+    // strictly monotone until the fixpoint — comparing sums per round
+    // costs one aggregation over the checkpointed result instead of a
+    // join against the previous round's labels
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -53,14 +62,12 @@ object ConnectedComponents {
         .groupBy(col("node"))
         .agg(min(col("component")).as("component"))
         .localCheckpoint()
-      val changed = neighborLabels.as("n")
-        .join(labels.as("o"), "node")
-        .filter(col("n.component") =!= col("o.component"))
-        .limit(1).count() // any-change probe, not a full count
+      val newSum = labelSum(neighborLabels)
       val old = labels
       labels = neighborLabels
       old.unpersist(blocking = false)
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       iter += 1
     }
     labels

@@ -19,7 +19,16 @@ object Compaction {
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val dataFiles = fs.listStatus(hPath)
+    val entries = fs.listStatus(hPath)
+    // a hive-partitioned layout (key=value subdirectories) must be
+    // compacted per partition — a flat rewrite would silently drop the
+    // partition columns from the directory structure
+    val partitionDirs = entries.filter(e =>
+      e.isDirectory && e.getPath.getName.contains("="))
+    require(partitionDirs.isEmpty,
+      s"$path is hive-partitioned (${partitionDirs.head.getPath.getName}, ...);" +
+        " compact each partition directory instead")
+    val dataFiles = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)

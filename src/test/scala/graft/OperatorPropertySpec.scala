@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{AsOfJoin, ConnectedComponents}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+import scala.util.Random
+
+/** Randomized model checks for the composed operators: each Spark
+  * implementation is compared against a direct single-machine reference
+  * model on seeded random inputs (deterministic across runs). */
+class OperatorPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("connected components match union-find on random graphs") {
+    val rnd = new Random(42)
+    (1 to 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(50)
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+
+      // reference model: union-find with min-root normalization
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.foreach { case (a, b) => union(a, b) }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+
+      val got = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (${edges.length} edges)")
+    }
+  }
+
+  test("as-of joins match a per-row reference scan on random series") {
+    val rnd = new Random(7)
+    val left = Seq.fill(60)(
+      (rnd.nextInt(5).toLong, new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L)))
+    val right = Seq.fill(60)(
+      (rnd.nextInt(5).toLong, new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+        rnd.nextInt(1000).toString))
+      // de-dup (key, ts) so the reference pick is unambiguous
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+
+    val lDf = left.toDF("k", "ts")
+    val rDf = right.toDF("k", "ts", "v")
+
+    def reference(forward: Boolean): Map[(Long, Timestamp), Option[String]] =
+      left.map { case (k, ts) =>
+        val cands = right.filter(r => r._1 == k &&
+          (if (forward) !r._2.before(ts) else !r._2.after(ts)))
+        val pick =
+          if (cands.isEmpty) None
+          else Some(
+            (if (forward) cands.minBy(_._2.getTime) else cands.maxBy(_._2.getTime))._3)
+        (k, ts) -> pick
+      }.toMap
+
+    def spark2map(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)) -> Option(r.getString(2)))
+        .toMap
+
+    val back = spark2map(AsOfJoin.backward(lDf.distinct(), rDf, "k", "ts", Seq("v")))
+    val fwd = spark2map(AsOfJoin.forward(lDf.distinct(), rDf, "k", "ts", Seq("v")))
+    val refB = reference(forward = false)
+    val refF = reference(forward = true)
+    left.distinct.foreach { key =>
+      assert(back(key) == refB(key), s"backward mismatch at $key")
+      assert(fwd(key) == refF(key), s"forward mismatch at $key")
+    }
+  }
+}
