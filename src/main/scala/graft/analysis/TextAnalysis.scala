@@ -108,15 +108,11 @@ object TextAnalysis {
   def winnowSummary(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
-    val spark = docs.sparkSession
-    docs
+    // spread narrow inputs so the md5-heavy projection parallelizes even
+    // when the corpus is a single parquet split (no-op otherwise)
+    graft.relational.Scale.spreadIfNarrow(docs)
       .select(col(idCol).as("doc_id"), norm.as("t"))
       .filter(length(col("t")) >= WinnowK + WinnowW - 1) // >= 1 full window
-      // one cheap shuffle of the raw texts so the md5-heavy projection
-      // parallelizes even when the input is a single parquet split (a
-      // large corpus arrives in thousands of splits and skips this cost;
-      // a single-row-group file would otherwise hash on ONE core)
-      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         transform(sequence(lit(1), length(col("t")) - (WinnowK - 1)),
           i => conv(substring(md5(col("t").substr(i, lit(WinnowK))), 1, 8),

@@ -73,11 +73,10 @@ object Dedup {
     * inverted index) derives narrowly from this, instead of re-shuffling
     * a (doc, shingle) distinct per consumer. */
   def docShingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      // spread the raw docs first: shingling runs BEFORE the groupBy
-      // shuffle, i.e. on the input splits — a single-split test file
-      // would shingle on one core (production inputs have many splits)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // spread narrow inputs first: shingling runs BEFORE the groupBy
+    // shuffle, i.e. on the input splits — a single-split test file
+    // would shingle on one core (no-op on well-split inputs)
+    graft.relational.Scale.spreadIfNarrow(docs)
       .select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol))).as("s"))
       .groupBy(col("doc_id"))
@@ -212,6 +211,12 @@ object Dedup {
     * any pair within distance maxDist agrees exactly on at least one
     * band — so an equi-join on (band index, band value) finds EVERY
     * qualifying pair with linear candidate cost. Result is exact. */
+  /** Above this many signature rows the band build side stops being
+    * broadcastable (4 band rows per doc; the 8 GB broadcast-relation
+    * limit and driver memory bound it) and the join falls back to a
+    * shuffle join under AQE skew handling. */
+  val SimhashBroadcastMaxDocs: Long = 20L * 1000 * 1000
+
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
@@ -221,6 +226,7 @@ object Dedup {
     // of the band self-join: materialize once instead of recomputing the
     // whole word-hash aggregation per side
     val sig = simhash(docs, idCol, textCol).localCheckpoint()
+    val nDocs = sig.count() // cheap: counts the checkpointed blocks
     val nBands = maxDist + 1
     val bandBits = SimhashBits / nBands
     val bandMod = math.pow(2, bandBits).toLong
@@ -237,13 +243,16 @@ object Dedup {
     // candidate rows on a clustered corpus (hot buckets), and bit_count
     // is one instruction — filtering first shrinks the distinct's shuffle
     // from |candidates| to |qualifying pairs| (~100x here).
-    // The build side is broadcast: one signature row per document makes
-    // it small by construction, and a sort-merge join would pair each
-    // hot band bucket on a single task (straggler), while a broadcast
-    // hash join spreads the hot bucket's fan-out across every streamed
-    // partition.
+    // Build side broadcast while it fits (a sort-merge join would pair
+    // each hot band bucket on a single task — straggler — while a
+    // broadcast hash join spreads the hot bucket's fan-out across every
+    // streamed partition); beyond the broadcast limit the join falls
+    // back to shuffle + AQE skew splitting.
+    val build =
+      if (nDocs <= SimhashBroadcastMaxDocs) broadcast(bands.as("b"))
+      else bands.as("b")
     bands.as("a")
-      .join(broadcast(bands.as("b")),
+      .join(build,
         col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),

@@ -32,44 +32,69 @@ object ConnectedComponents {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 50): DataFrame = {
-    val sym = edges
-      .select(col(srcCol).as("node"), col(dstCol).as("peer"))
-      .unionAll(edges.select(col(dstCol).as("node"), col(srcCol).as("peer")))
-      .distinct()
-      .localCheckpoint()
+    val sc = edges.sparkSession.sparkContext
 
-    var labels = sym.select(col("node")).distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint()
+    // localCheckpoint-with-tracking: Dataset.unpersist does NOT free a
+    // checkpointed Dataset's blocks (it only clears CacheManager
+    // entries), so each round's snapshot is tracked by the RDD ids the
+    // checkpoint added and freed explicitly when the round is superseded
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+    val (sym, symIds) = checkpointTracked(
+      edges
+        .select(col(srcCol).as("node"), col(dstCol).as("peer"))
+        .unionAll(edges.select(col(dstCol).as("node"), col(srcCol).as("peer")))
+        .distinct())
+
+    var (labels, labelIds) = checkpointTracked(
+      sym.select(col("node")).distinct()
+        .withColumn("component", col("node")))
 
     // convergence probe: labels only ever DECREASE, so the label sum is
     // strictly monotone until the fixpoint — comparing sums per round
     // costs one aggregation over the checkpointed result instead of a
-    // join against the previous round's labels
+    // join against the previous round's labels. Empty graph -> ZERO
+    // (sum over no rows is null), which converges on the first round.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)")))
-        .collect()(0).getDecimal(0)
+      Option(df.agg(sum(col("component").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
 
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // min over own label and all neighbors' labels
-      val neighborLabels = sym
-        .join(labels.withColumnRenamed("node", "peer"), "peer")
-        .select(col("node"), col("component"))
-        .unionAll(labels)
-        .groupBy(col("node"))
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint()
+      val (neighborLabels, newIds) = checkpointTracked(
+        sym
+          .join(labels.withColumnRenamed("node", "peer"), "peer")
+          .select(col("node"), col("component"))
+          .unionAll(labels)
+          .groupBy(col("node"))
+          .agg(min(col("component")).as("component")))
       val newSum = labelSum(neighborLabels)
-      val old = labels
       labels = neighborLabels
-      old.unpersist(blocking = false)
+      free(labelIds)
+      labelIds = newIds
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       iter += 1
     }
+    free(symIds)
+    // a silent partial result would split duplicate groups undetectably —
+    // refuse instead (a diameter above maxIter means the caller should
+    // raise it, or switch to a log-rounds large-star/small-star variant)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds " +
+          "(component diameter exceeds maxIter)")
     labels
   }
 

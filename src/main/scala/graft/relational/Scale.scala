@@ -10,6 +10,18 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Spread a narrow input across the cluster ONLY when it under-fills
+    * it: CPU-heavy narrow stages (regex scoring, hashing, shingling)
+    * inherit the input's split count, so a single-row-group test file
+    * would run them on one core. A well-split production input passes
+    * through untouched — an unconditional repartition would shuffle the
+    * raw bodies for nothing (and even REDUCE parallelism when the input
+    * has more splits than cores). */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Skew-safe equi-join: the fact side gets a deterministic (seeded)
     * random salt, the dim side is replicated once per salt value, and the
     * join key becomes (key, salt) — a hot key's rows spread over `nSalts`

@@ -21,12 +21,9 @@ object TrainingDataQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(t(dir, "documents"))
 
-  /** One cheap shuffle of the raw rows so CPU-heavy narrow stages (regex
-    * scoring, hashing) parallelize even when the input is a single
-    * parquet split; a production corpus arrives in thousands of splits
-    * and never needs this. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  /** Spread CPU-heavy narrow stages across cores when (and only when)
+    * the input under-fills the cluster — see Scale.spreadIfNarrow. */
+  private def spread(df: DataFrame): DataFrame = Scale.spreadIfNarrow(df)
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(t(dir, "embeddings"))

@@ -38,12 +38,22 @@ object Compaction {
       .coalesce(nOut) // narrow: no shuffle, just fewer output tasks
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
 
-    // swap: the reader sees either the old or the new directory, never a
-    // half-written mix (same-FS rename; a table format's commit protocol
-    // replaces this at multi-writer scale)
+    // swap via rename (same-FS, metadata-only; a table format's commit
+    // protocol replaces this at multi-writer scale). Hadoop rename
+    // reports failure by RETURNING FALSE, so each step is checked and a
+    // failed second rename rolls the original back — the backup is only
+    // deleted once the new data is in place. (Readers racing the swap
+    // can hit the gap between the two renames; single-writer tables
+    // only, like every non-committed rename protocol.)
     val backup = new Path(path + "__precompact")
-    fs.rename(hPath, backup)
-    fs.rename(staging, hPath)
+    if (!fs.rename(hPath, backup))
+      throw new java.io.IOException(s"compaction: cannot move $hPath aside")
+    if (!fs.rename(staging, hPath)) {
+      val restored = fs.rename(backup, hPath)
+      throw new java.io.IOException(
+        s"compaction: staging swap failed; original " +
+          (if (restored) "restored" else s"left at $backup"))
+    }
     fs.delete(backup, true)
 
     fs.listStatus(hPath)

@@ -27,8 +27,11 @@ object KeyedUpsertSink {
     val spark = batch.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // put_item is last-wins per key, so a batch carrying the same key
-    // twice must land exactly one row (dropDuplicates keeps one; callers
-    // needing a specific winner order the batch with e.g. max_by first)
+    // twice must land exactly one row. dropDuplicates keeps an ARBITRARY
+    // row per key (pre-ordering the batch does not survive the dedup
+    // shuffle); callers that need a specific winner must reduce first —
+    // groupBy(key).agg(max_by(struct(cols), versionCol)) — and hand this
+    // sink a one-row-per-key batch.
     val incoming = withBucket(batch.dropDuplicates(keyCol), keyCol).cache()
     try {
       // Hadoop FS resolution, not java.io.File: the store may live on
