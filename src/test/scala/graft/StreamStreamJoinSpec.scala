@@ -65,4 +65,44 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     assert(streamed.contains((1L, 1L, 5L * 60 * 1000000L)))
     assert(!streamed.exists(_._1 == 2L), "click outside the 2h range must not join")
   }
+
+  test("left-outer stream-stream join emits null-matched rows after the watermark") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp, Double)]
+    val errors = MemoryStream[(Long, Long, Timestamp, Double)]
+    def df(m: MemoryStream[(Long, Long, Timestamp, Double)]) =
+      m.toDF().toDF("event_id", "user_id", "ts", "value")
+
+    val c = df(clicks).withWatermark("ts", "10 minutes").alias("c")
+    val e = df(errors).withWatermark("ts", "30 minutes").alias("e")
+    val joined = c.join(e,
+        org.apache.spark.sql.functions.expr(
+          """c.user_id = e.user_id AND
+             e.ts >= c.ts - INTERVAL 2 HOURS AND e.ts <= c.ts"""),
+        "left_outer")
+      .select(org.apache.spark.sql.functions.col("c.event_id").as("click_id"),
+        org.apache.spark.sql.functions.col("e.event_id").as("err_id"))
+    val q = joined.writeStream.format("memory").queryName("ssj_left_out")
+      .outputMode("append").start()
+
+    // user 1's click matches an error; user 2's click has none
+    errors.addData((100L, 1L, ts(0), 9.9))
+    clicks.addData((1L, 1L, ts(5), 1.0), (2L, 2L, ts(6), 2.0))
+    q.processAllAvailable()
+    // matched rows can emit immediately; the UNMATCHED left row must wait
+    val early = spark.table("ssj_left_out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(early.contains((1L, 100L)))
+    assert(!early.exists(_._1 == 2L),
+      "unmatched left row must be held until the watermark closes its window")
+    // advance both watermarks far past click 2's join window
+    errors.addData((101L, 9L, Timestamp.valueOf("2024-01-02 12:00:00"), 0.0))
+    clicks.addData((4L, 9L, Timestamp.valueOf("2024-01-02 12:00:00"), 0.0))
+    q.processAllAvailable()
+    val late = spark.table("ssj_left_out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    q.stop()
+    assert(late.contains((2L, -1L)),
+      s"null-matched row for click 2 must flush after the watermark: $late")
+  }
 }
