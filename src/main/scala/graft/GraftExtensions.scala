@@ -28,8 +28,26 @@ object GraftExtensions {
     (children: Seq[Expression]) => ArrayDot(children(0), children(1)))
 
   /** Idempotent per-session registration for sessions built without
-    * extensions (e.g. the driver-owned harness session). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    * extensions (e.g. the driver-owned harness session). Registers the
+    * custom expression plus the whole domain function library, so every
+    * operator of the engine is reachable from pure SQL:
+    *
+    *   SELECT graft_correct_name(ocr_text),
+    *          graft_process_price(shop, txt, 'item_price').item_price,
+    *          graft_normalize_czech(name), graft_parse_price(s),
+    *          array_dot(a, b) ...
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "scala_udf")
+    spark.udf.register("graft_correct_name",
+      (s: String) => graft.text.NameCorrection.correctDefault(s))
+    spark.udf.register("graft_normalize_czech",
+      (s: String) => graft.text.CzechText.normalize(s))
+    spark.udf.register("graft_parse_price",
+      (s: String) => graft.price.PriceParsers.parsePrice(s))
+    spark.udf.register("graft_process_price",
+      (shop: String, text: String, classId: String) =>
+        graft.price.PriceParsers.processPriceByClassId(shop, text, classId))
+  }
 }

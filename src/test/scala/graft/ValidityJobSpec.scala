@@ -57,4 +57,23 @@ class ValidityJobSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(r == 11.0)
   }
+
+  test("the domain function library is reachable from pure SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_normalize_czech('Mléko  Čerstvé') AS norm,
+        |  graft_correct_name('m1eko') AS corrected,
+        |  graft_correct_name('####') AS oov,
+        |  graft_parse_price('1990') AS parsed,
+        |  graft_process_price('Lidl', '24 90', 'item_price').item_price
+        |    AS lidl_price""".stripMargin).collect()(0)
+    assert(row.getString(0) == "mleko  cerstve")
+    // raw-slice emission: the OCR variant is RECOGNIZED via the
+    // canonical trie (non-empty result), not rewritten — reference
+    // behavior, pinned by the m1eko golden
+    assert(row.getString(1) == "m1eko")
+    assert(row.getString(2) == "", "OOV input must yield the empty string")
+    assert(row.getDouble(3) == 19.90)
+    assert(row.getDouble(4) == 24.90)
+  }
 }
