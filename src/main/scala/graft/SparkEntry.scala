@@ -20,12 +20,7 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
-  private def resource(path: String): String = {
-    val in = getClass.getResourceAsStream(path)
-    require(in != null, s"missing resource $path")
-    val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    try src.mkString finally src.close()
-  }
+  private def resource(path: String): String = graft.util.Resources.text(path)
 
   /** Czech pangram appended to each document so the normalization queries
     * actually exercise the diacritic fold on the ASCII-ish testdata. */

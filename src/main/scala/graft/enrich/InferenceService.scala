@@ -38,13 +38,8 @@ class FixtureInferenceService extends InferenceService with OcrService {
 }
 
 object FixtureInferenceService {
-  private def lines(path: String): List[Array[String]] = {
-    val in = getClass.getResourceAsStream(path)
-    require(in != null, s"missing resource $path")
-    val src = Source.fromInputStream(in, "UTF-8")
-    try src.getLines().drop(1).map(_.split("\t", -1)).toList
-    finally src.close()
-  }
+  private def lines(path: String): List[Array[String]] =
+    graft.util.Resources.tsv(path)
 
   private lazy val det1: Map[String, Seq[RawDetection]] =
     lines("/graft/pipeline_det1.tsv")

@@ -18,12 +18,20 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
 
-  // s + 0.0 collapses -0.0 to 0.0 before negation: Spark's window sort
-  // treats -0.0 == 0.0, while Double.compare distinguishes them — without
-  // the normalization a -0.0 vs 0.0 tie at the rank-k boundary could order
-  // differently from the row_number formulation this claims parity with.
-  private val ord: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-(s + 0.0), id) }
+  // Matches Spark's window sort on `score DESC, id ASC` exactly:
+  //  - s + 0.0 collapses -0.0 to 0.0 (the window sort treats them equal;
+  //    Double.compare does not)
+  //  - comparing the ORIGINAL scores descending (not negated ascending)
+  //    keeps NaN as the GREATEST value, as Spark's descending double
+  //    ordering ranks it — negation would flip NaN to sort last and the
+  //    aggregator would silently drop a candidate the window form ranks
+  //    first.
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(p: (Double, Long), q: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(q._1 + 0.0, p._1 + 0.0) // score desc
+      if (c != 0) c else java.lang.Long.compare(p._2, q._2)    // id asc
+    }
+  }
 
   override def zero: List[(Double, Long)] = Nil
 

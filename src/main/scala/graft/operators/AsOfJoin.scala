@@ -55,7 +55,11 @@ object AsOfJoin {
         s"input carries ${clashes.distinct.mkString(", ")}")
     val otherLeft = leftCols.filterNot(c => c == key || c == ts)
 
-    val rp = right.select(col(key), col(ts),
+    // ASOF comparisons never match a NULL timestamp (DuckDB/kdb: the
+    // inequality is simply false): a null-ts right row must not exist in
+    // the union (it would sort nulls-first and forward-fill a spurious
+    // payload), and a null-ts left row must come out unmatched.
+    val rp = right.filter(col(ts).isNotNull).select(col(key), col(ts),
       struct(rightVals.map(col): _*).as("__rv"))
     val payloadType = rp.schema("__rv").dataType
 
@@ -78,7 +82,12 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)
-      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__m",
+        // a null-ts LEFT row matches nothing regardless of where the
+        // null sorted (desc ordering would otherwise place it after
+        // every right row and hand it a spurious payload)
+        when(col(ts).isNull, lit(null).cast(payloadType))
+          .otherwise(last(col("__rv"), ignoreNulls = true).over(w)))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
         rightVals.map(c => col(s"__m.$c").as(s"asof_$c")): _*)

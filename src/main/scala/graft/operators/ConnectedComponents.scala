@@ -36,12 +36,15 @@ object ConnectedComponents {
 
     // localCheckpoint-with-tracking: Dataset.unpersist does NOT free a
     // checkpointed Dataset's blocks (it only clears CacheManager
-    // entries), so each round's snapshot is tracked by the RDD ids the
-    // checkpoint added and freed explicitly when the round is superseded
+    // entries), so each round's snapshot is tracked by the RDD id that
+    // backs its LogicalRDD plan — read directly off the plan, never by
+    // diffing getPersistentRDDs, which would misattribute (and later
+    // force-unpersist) RDDs persisted concurrently by other jobs
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
       val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+      (out,
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .checkpointRddId(out).toSet)
     }
     def free(ids: Set[Int]): Unit =
       ids.foreach(id =>

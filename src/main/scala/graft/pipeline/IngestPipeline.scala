@@ -71,7 +71,13 @@ object IngestPipeline {
             Some(EnrichError(p.image_id, String.valueOf(e.getMessage))))
       }
     }
-    (attempted.flatMap(_._1), attempted.flatMap(_._2))
+    // persist BEFORE splitting: the success and error channels are two
+    // separate jobs over the same mapped dataset — unpersisted, each
+    // would re-run svc.detect per page, and a transiently-failing
+    // service could land an image in BOTH channels (or neither),
+    // breaking exactly the dead-letter contract this exists for
+    val materialized = attempted.persist()
+    (materialized.flatMap(_._1), materialized.flatMap(_._2))
   }
 
   def detectCrops(
@@ -197,13 +203,8 @@ object IngestPipeline {
 /** Bundled EP1 fixture tables (classpath TSVs, generated by
   * tools/gen_pipeline_fixture.py together with reference-produced goldens). */
 object PipelineFixtures {
-  private def rows(path: String): List[Array[String]] = {
-    val in = getClass.getResourceAsStream(path)
-    require(in != null, s"missing resource $path")
-    val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    try src.getLines().drop(1).map(_.split("\t", -1)).toList
-    finally src.close()
-  }
+  private def rows(path: String): List[Array[String]] =
+    graft.util.Resources.tsv(path)
 
   def pages(spark: SparkSession): Dataset[PageImage] = {
     import spark.implicits._

@@ -17,12 +17,8 @@ object Fixtures {
   final case class PriceCase(id: Int, shop: String, class_id: String, text: String)
   final case class NameCase(id: Int, text: String)
 
-  private def resourceLines(path: String): List[String] = {
-    val in = getClass.getResourceAsStream(path)
-    require(in != null, s"missing resource $path")
-    val src = Source.fromInputStream(in, "UTF-8")
-    try src.getLines().toList finally src.close()
-  }
+  private def resourceLines(path: String): List[String] =
+    graft.util.Resources.lines(path)
 
   def priceCases(spark: SparkSession): DataFrame = {
     import spark.implicits._

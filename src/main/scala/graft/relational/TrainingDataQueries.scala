@@ -311,10 +311,6 @@ object TrainingDataQueries {
     }, Some(resourceSql("/graft/oracle_media_frames.sql"))),
   )
 
-  private def resourceSql(path: String): String = {
-    val in = getClass.getResourceAsStream(path)
-    require(in != null, s"missing resource $path")
-    val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    try src.mkString finally src.close()
-  }
+  private def resourceSql(path: String): String =
+    graft.util.Resources.text(path)
 }

@@ -131,16 +131,21 @@ object Similarity {
   /** LSH top-k: same contract as [[bruteForceTopK]] but candidates are
     * restricted to the query's bucket (approximate; deterministic). */
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    // norms computed ONCE per vector (cosinePre) — recomputing both
+    // self-dots per candidate pair would triple the dot products
     val withBucket = emb.select(col("vec_id"),
-      asDouble(col("embedding")).as("v"),
-      lshBucket(asDouble(col("embedding"))).as("bucket"))
+        asDouble(col("embedding")).as("v"),
+        lshBucket(asDouble(col("embedding"))).as("bucket"))
+      .withColumn("n", sqrt(array_dot(col("v"), col("v"))))
     val q = withBucket.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n").as("qn"), col("bucket"))
     val c = withBucket.select(col("vec_id").as("cid"), col("v").as("cv"),
-      col("bucket"))
+      col("n").as("cn"), col("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("sim",
+        round(cosinePre(array_dot(col("qv"), col("cv")), col("qn"), col("cn")), 4))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))

@@ -33,7 +33,11 @@ object Compaction {
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
 
-    val staging = new Path(path + "__compacting")
+    // siblings derived from the NORMALIZED path — raw string concat on a
+    // trailing-slash input would nest them INSIDE the table and the
+    // final rename would be a rename-into-own-child (fails, after
+    // doubling the data on disk)
+    val staging = new Path(hPath.getParent, hPath.getName + "__compacting")
     spark.read.parquet(path)
       .coalesce(nOut) // narrow: no shuffle, just fewer output tasks
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
@@ -45,7 +49,7 @@ object Compaction {
     // deleted once the new data is in place. (Readers racing the swap
     // can hit the gap between the two renames; single-writer tables
     // only, like every non-committed rename protocol.)
-    val backup = new Path(path + "__precompact")
+    val backup = new Path(hPath.getParent, hPath.getName + "__precompact")
     if (!fs.rename(hPath, backup))
       throw new java.io.IOException(s"compaction: cannot move $hPath aside")
     if (!fs.rename(staging, hPath)) {

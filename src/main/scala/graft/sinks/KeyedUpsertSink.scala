@@ -25,6 +25,10 @@ object KeyedUpsertSink {
 
   def upsert(batch: DataFrame, path: String, keyCol: String): Unit = {
     val spark = batch.sparkSession
+    // session-wide conf, so the previous value is restored on exit:
+    // leaking "dynamic" would silently change later partitioned
+    // Overwrite writes from replace-the-table to merge-partitions
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // put_item is last-wins per key, so a batch carrying the same key
     // twice must land exactly one row. dropDuplicates keeps an ARBITRARY
@@ -61,7 +65,15 @@ object KeyedUpsertSink {
         .mode(SaveMode.Overwrite)
         .partitionBy("__bucket")
         .parquet(path)
-    } finally incoming.unpersist()
+    } finally {
+      incoming.unpersist()
+      prevMode match {
+        case Some(m) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
   }
 
   def read(spark: SparkSession, path: String): DataFrame =

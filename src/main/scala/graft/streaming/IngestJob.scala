@@ -34,13 +34,21 @@ object IngestJob {
         import batch.sparkSession.implicits._
         val pages = batch.as[PageImage]
         val det1 = IngestPipeline.detectPages(pages, svc, "model1")
-        val crops = IngestPipeline.crops(det1)
-        val det2 = IngestPipeline.detectCrops(crops, svc)
-        val ocr = IngestPipeline.wholeImageOcr(crops, svc)
-        val detected = IngestPipeline.detectedData(det2, ocr)
-          .drop("model2_detections") // nested arrays stay queryable via EP1;
-                                     // the upsert store keeps the scalar row
-        KeyedUpsertSink.upsert(detected, outDir, "image_id")
+        // checkpoint-after-enrichment: crops feeds BOTH detectCrops and
+        // wholeImageOcr — without persisting, model-1 inference would
+        // re-execute per consumer (twice the service cost, and a
+        // nondeterministic service would hand the two branches different
+        // crop sets, silently corrupting the det2 x ocr join)
+        val crops = IngestPipeline.crops(det1).persist()
+        try {
+          val det2 = IngestPipeline.detectCrops(crops, svc)
+          val ocr = IngestPipeline.wholeImageOcr(crops, svc)
+          val detected = IngestPipeline.detectedData(det2, ocr)
+            .drop("model2_detections") // nested arrays stay queryable via
+                                       // EP1; the upsert store keeps the
+                                       // scalar row
+          KeyedUpsertSink.upsert(detected, outDir, "image_id")
+        } finally crops.unpersist(blocking = false)
       }
       .start()
     q.awaitTermination()

@@ -11,4 +11,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The persisted RDD id backing a `localCheckpoint()`ed DataFrame (its
+    * plan is a LogicalRDD leaf). Lets iterative operators free a
+    * superseded round's blocks EXACTLY — `Dataset.unpersist` does not
+    * touch checkpoint blocks, and diffing `getPersistentRDDs` around the
+    * checkpoint would misattribute concurrently persisted RDDs. */
+  def checkpointRddId(df: org.apache.spark.sql.DataFrame): Option[Int] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
 }

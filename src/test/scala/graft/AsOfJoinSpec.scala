@@ -84,6 +84,29 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("L-early").contains("R3"), "nearest NEXT row wins, not any later one")
   }
 
+  test("NULL timestamps never match, in either direction") {
+    val left = Seq(
+      (1L, Some(ts("12:00:00")), "L-real"),
+      (1L, None, "L-null"))
+      .map { case (k, t, tag) => (k, t.orNull, tag) }
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, Some(ts("10:00:00")), "R-real"),
+      (1L, None, "R-null"))
+      .map { case (k, t, v) => (k, t.orNull, v) }
+      .toDF("k", "ts", "v")
+    val back = AsOfJoin.backward(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    // a null-ts right row must never forward-fill; a null-ts left row
+    // must come out unmatched (ASOF inequalities are false on NULL)
+    assert(back("L-real").contains("R-real"))
+    assert(back("L-null").isEmpty, "null-ts left row must not match")
+    val fwd = AsOfJoin.forward(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(fwd("L-real").isEmpty, "only null-ts right rows lie ahead")
+    assert(fwd("L-null").isEmpty, "null-ts left row must not match")
+  }
+
   test("reserved helper column names are rejected") {
     val left = Seq((1L, ts("12:00:00"), "x")).toDF("k", "ts", "__side")
     val right = Seq((1L, ts("11:00:00"), "v")).toDF("k", "ts", "v")
