@@ -112,6 +112,74 @@ object StreamingQueries {
         |  ON e.user_id = c.user_id AND e.ts <= c.ts
         |ORDER BY e.event_id""".stripMargin)),
 
+    // ordered funnel: first view -> first click AFTER that view -> first
+    // purchase AFTER that click, per user; one summary row of stage
+    // conversion counts. Each stage is a min-aggregation joined forward —
+    // no per-user sequence scan, shuffles only on user_id.
+    Q("events_funnel", (s, dir) => {
+      val ev = events(s, dir)
+      def stage(tpe: String) = ev.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("ts"))
+      val v = stage("view").groupBy(col("user_id"))
+        .agg(min(col("ts")).as("v_ts"))
+      val c = stage("click").join(v, "user_id")
+        .filter(col("ts") >= col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = stage("purchase").join(c, "user_id")
+        .filter(col("ts") >= col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .agg(count(col("v_ts")).as("n_view"),
+          count(col("c_ts")).as("n_click_after_view"),
+          count(col("p_ts")).as("n_purchase_after_click"))
+    }, Some(
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
+        |SELECT count(v_ts) AS n_view,
+        |  count(c_ts) AS n_click_after_view,
+        |  count(p_ts) AS n_purchase_after_click
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
+        .stripMargin)),
+
+    // weekly cohort retention: users bucketed by first-seen week, counted
+    // per (cohort, week offset) — the standard retention triangle
+    Q("events_retention", (s, dir) => {
+      val ev = events(s, dir)
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      active.join(cohort, "user_id")
+        .select(col("cohort_week"),
+          (datediff(col("w"), col("cohort_week")) / 7)
+            .cast("int").as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }, Some(
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        |SELECT c.cohort_week,
+        |  CAST(datediff('day', c.cohort_week, a.w) / 7 AS INTEGER)
+        |    AS week_offset,
+        |  count(*) AS n_users
+        |FROM active a JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)),
+
     // time-series resample + forward fill: an hourly spine per user,
     // gap-filled with the most recent observation — the as-of join IS the
     // forward-fill operator (one shuffle, no per-gap recursion)
