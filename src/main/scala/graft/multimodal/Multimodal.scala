@@ -175,6 +175,39 @@ object Multimodal {
       .toDF("media_id", "ahash")
   }
 
+  /** Real-codec audio path: decode WAV bytes via javax.sound (JDK) and
+    * return (sampleRate, nFrames, rms of the first channel) — the audio
+    * analogue of the ImageIO PNG path: genuine container parsing, no
+    * external deps. Compressed codecs (mp3/aac) stay behind the
+    * documented STUB boundary. */
+  def wavFeatures(bytes: Array[Byte]): Option[(Float, Long, Double)] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16) return None
+      val frames = in.getFrameLength
+      val data = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(data).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val step = fmt.getFrameSize / 2 // 16-bit samples per frame
+      var i = 0
+      var sum = 0.0
+      var n = 0L
+      while (i * 2 < data.length) {
+        if (i % step == 0) { // first channel only
+          val s = bb.getShort(i * 2) / 32768.0
+          sum += s * s
+          n += 1
+        }
+        i += 1
+      }
+      Some((fmt.getSampleRate, frames,
+        if (n == 0) 0.0 else math.sqrt(sum / n)))
+    } finally in.close()
+  }
+
   /** Real-codec path: decode PNG bytes via JDK ImageIO and return dims.
     * Used by tests with genuinely encoded PNGs — proves the plumbing
     * carries real image formats, not only the synthetic one. */

@@ -177,6 +177,50 @@ object AdvancedQueries {
         |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_days
         |FROM g GROUP BY custkey ORDER BY custkey""".stripMargin)),
 
+    // higher-order array functions over grouped data: per-order price
+    // arrays processed with filter/transform/aggregate/sort — the lambda
+    // surface, oracle-checked via DuckDB's list_* twins. The aggregate
+    // lambda folds in index order over a sorted array, so the float sum
+    // is deterministic cross-engine.
+    Q("q_array_funcs", (s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .filter(col("l_orderkey") <= 2000)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(round(col("l_extendedprice"), 2)))
+          .as("prices"))
+        .select(col("l_orderkey"),
+          size(col("prices")).as("n"),
+          expr("size(filter(prices, p -> p > 20000.0))").as("n_over_20k"),
+          // integer-exact fold AND integer-exact final rounding: double
+          // folds ULP-diverge across engines, and even a final
+          // round(x/1000, 2) splits on .225-style halves (Spark rounds
+          // the shortest decimal repr, DuckDB the binary value). Staying
+          // in tenths-of-cents until one exact half-up integer division
+          // makes the result engine-identical.
+          expr("((aggregate(transform(prices, " +
+            "p -> cast(round(p * 100) as bigint) * 9), " +
+            "cast(0 as bigint), (acc, p) -> acc + p) + 5) div 10) / 100.0")
+            .as("discounted_total"),
+          element_at(col("prices"), 1).as("cheapest"),
+          element_at(col("prices"), -1).as("dearest"))
+        .orderBy(col("l_orderkey"))
+    }, Some(
+      """SELECT l_orderkey,
+        |  CAST(len(prices) AS INTEGER) AS n,
+        |  CAST(len(list_filter(prices, p -> p > 20000.0)) AS INTEGER)
+        |    AS n_over_20k,
+        |  ((list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT), list_transform(prices,
+        |      p -> CAST(round(p * 100) AS BIGINT) * 9)),
+        |    (acc, p) -> acc + p) + 5) // 10) / 100.0 AS discounted_total,
+        |  prices[1] AS cheapest,
+        |  prices[-1] AS dearest
+        |FROM (
+        |  SELECT l_orderkey,
+        |    list_sort(list(round(l_extendedprice, 2))) AS prices
+        |  FROM lineitem WHERE l_orderkey <= 2000 GROUP BY 1)
+        |ORDER BY l_orderkey""".stripMargin)),
+
     // lateral correlated subquery: top-2 suppliers per nation through the
     // SQL front-end (LATERAL), planned by Catalyst as a ranked window
     Q("q_lateral_topk", (s, dir) => {

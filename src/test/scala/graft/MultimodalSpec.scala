@@ -72,6 +72,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham(a, c) > 16, s"different scene too close: ${ham(a, c)}")
   }
 
+  test("real WAV decode via javax.sound inside the pipeline") {
+    import spark.implicits._
+    // encode a genuine 16-bit mono WAV: 1000 samples of a known square wave
+    def wav(amplitude: Short, n: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val pcm = java.nio.ByteBuffer.allocate(n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i =>
+        pcm.putShort(if (i % 2 == 0) amplitude else (-amplitude).toShort))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm.array()), fmt, n),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val blobs = Seq(
+      MediaBlob(0L, "audio", wav(16384, 1000)),  // half-scale square wave
+      MediaBlob(1L, "audio", wav(0, 500))).toDS() // silence
+    val got = blobs.mapPartitions(_.map { b =>
+      val Some((rate, frames, rms)) = Multimodal.wavFeatures(b.content)
+      (b.media_id, rate, frames, math.rint(rms * 1000) / 1000)
+    }).collect().sortBy(_._1)
+    assert(got(0) == (0L, 8000f, 1000L, 0.5), s"square wave: ${got(0)}")
+    assert(got(1) == (1L, 8000f, 500L, 0.0), s"silence: ${got(1)}")
+  }
+
   test("video frame sampling fans out deterministically") {
     val frames = Multimodal.sampledFrames(
       Multimodal.syntheticMedia(spark, 30), new SyntheticCodec, everyN = 2)
