@@ -1,0 +1,135 @@
+package graft.dedup
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental near-duplicate filtering — the production shape of corpus
+  * construction: documents arrive in batches and each batch must dedup
+  * against everything ALREADY ACCEPTED without rescanning the corpus.
+  *
+  * The accepted corpus keeps two stores:
+  *   - `docs`:  (doc_id, text) — accepted documents
+  *   - `bands`: (bk, doc_id)  — MinHash-LSH band index over them
+  *
+  * Per batch, candidate generation touches only band-key matches (an
+  * equi-join of the batch's band keys against the index — at 100 TB this
+  * is the difference between probing an index and re-shingling the
+  * corpus), and the exact-Jaccard rescore re-shingles just the matched
+  * accepted docs. In-batch near-dups resolve lower-id-wins through the
+  * same banding. Re-delivered doc_ids are recognized and skipped, so
+  * replaying a batch is a no-op (the same idempotence discipline as
+  * KeyedUpsertSink).
+  */
+object IncrementalDedup {
+
+  final case class BatchResult(accepted: Long, rejectedNearDup: Long,
+      skippedRedelivered: Long)
+
+  private def docsPath(store: String) = s"$store/docs"
+  private def bandsPath(store: String) = s"$store/bands"
+
+  private def exists(spark: SparkSession, p: String): Boolean = {
+    val hp = new Path(p)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+  }
+
+  /** (doc_id, bk) band keys via the module's MinHash signatures. */
+  private def bandKeys(docs: DataFrame): DataFrame = {
+    val sh = Dedup.docShingleSets(docs, "doc_id", "text")
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+    Dedup.minhashSignatures(sh)
+      .select(col("doc_id"),
+        explode(array((0 until Dedup.Bands).map { b =>
+          val hs = (0 until Dedup.RowsPerBand)
+            .map(r => col(s"h${Dedup.RowsPerBand * b + r}"))
+          concat_ws("_", lit(b) +: hs: _*)
+        }: _*)).as("bk"))
+  }
+
+  /** Exact-Jaccard rescore of candidate (da, db) pairs given a combined
+    * (doc_id, text) relation covering both sides. */
+  private def rescore(cand: DataFrame, texts: DataFrame,
+      threshold: Double): DataFrame = {
+    val sets = Dedup.docShingleSets(texts, "doc_id", "text")
+      .select(col("doc_id"), col("ss"), size(col("ss")).cast("long").as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("ss").as("ssa"),
+        col("n").as("na")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("ss").as("ssb"),
+        col("n").as("nb")), "db")
+      .withColumn("i",
+        size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i"))
+        >= threshold)
+      .select(col("da"), col("db"))
+  }
+
+  /** Process one batch of (doc_id, text): rejects near-dups of accepted
+    * docs and in-batch near-dups (lower id wins), appends survivors to
+    * the store, and returns the decision counts. */
+  def processBatch(
+      batch: DataFrame,
+      storeDir: String,
+      threshold: Double = Dedup.JaccardThreshold): BatchResult = {
+    val spark = batch.sparkSession
+    val incoming = batch.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id").localCheckpoint()
+
+    val (fresh, nRedelivered) =
+      if (!exists(spark, docsPath(storeDir))) (incoming, 0L)
+      else {
+        val known = spark.read.parquet(docsPath(storeDir)).select("doc_id")
+        val f = incoming.join(known, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        (f, incoming.count() - f.count())
+      }
+
+    val newBands = bandKeys(fresh).localCheckpoint()
+
+    // candidates vs the ACCEPTED corpus: equi-join on the band index
+    val vsStore =
+      if (!exists(spark, bandsPath(storeDir)))
+        spark.emptyDataFrame.withColumn("da", lit(0L))
+          .withColumn("db", lit(0L)).select("da", "db").limit(0)
+      else {
+        val index = spark.read.parquet(bandsPath(storeDir))
+        newBands.join(index.withColumnRenamed("doc_id", "da"), "bk")
+          .select(col("da"), col("doc_id").as("db"))
+          .distinct()
+      }
+
+    // in-batch candidates: band self-join, lower id survives
+    val inBatch = newBands.as("a")
+      .join(newBands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") > col("b.doc_id"))
+      .select(col("b.doc_id").as("da"), col("a.doc_id").as("db"))
+      .distinct()
+
+    // only the MATCHED accepted docs get re-shingled for the rescore —
+    // never the whole corpus
+    val storeTexts =
+      if (!exists(spark, docsPath(storeDir)))
+        fresh.limit(0)
+      else spark.read.parquet(docsPath(storeDir)).select("doc_id", "text")
+        .join(vsStore.select(col("da").as("doc_id")).distinct(), "doc_id")
+    val texts = fresh.select("doc_id", "text").unionByName(storeTexts)
+
+    // a doc is rejected if ANY candidate pairing rescores above
+    // threshold; the rejected side is always `db` (vs store: db = the
+    // incoming doc; in-batch: db = the higher id)
+    val rejected = rescore(vsStore.unionByName(inBatch), texts, threshold)
+      .select(col("db").as("doc_id")).distinct().localCheckpoint()
+
+    val accepted = fresh.join(rejected, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+
+    val nAccepted = accepted.count()
+    if (nAccepted > 0) {
+      accepted.write.mode(SaveMode.Append).parquet(docsPath(storeDir))
+      bandKeys(accepted).write.mode(SaveMode.Append)
+        .parquet(bandsPath(storeDir))
+    }
+    BatchResult(nAccepted, rejected.count(), nRedelivered)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.dedup.IncrementalDedup
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental corpus dedup: batches dedup against the ACCEPTED corpus
+  * via the persisted band index — never by rescanning it. */
+class IncrementalDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the riverbank " +
+      "while birds sing in the morning light across the quiet valley"
+  private val other =
+    "completely different content about distributed query engines and " +
+      "columnar execution with vectorized readers and shuffle services"
+  private val third =
+    "yet another unrelated document discussing perceptual hashing of " +
+      "images audio fingerprints and training corpus quality filters"
+
+  test("near-dups of accepted docs are rejected; re-delivery is a no-op") {
+    val store = Files.createTempDirectory("incdedup").toString + "/corpus"
+
+    val r1 = IncrementalDedup.processBatch(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"), store)
+    assert(r1 == IncrementalDedup.BatchResult(2, 0, 0))
+
+    // batch 2: near-dup of doc 1 (one word changed; jaccard 0.909, above
+    // the 0.8 threshold — "morning"->"evening" would land at 0.75 and
+    // correctly SURVIVE the rescore), one novel doc, and doc 2
+    // re-delivered verbatim
+    val nearDup = base.replace("valley", "meadow")
+    val r2 = IncrementalDedup.processBatch(
+      Seq((10L, nearDup), (11L, third), (2L, other)).toDF("doc_id", "text"),
+      store)
+    assert(r2.skippedRedelivered == 1, s"$r2")
+    assert(r2.rejectedNearDup == 1, s"$r2")
+    assert(r2.accepted == 1, s"$r2")
+
+    val ids = spark.read.parquet(s"$store/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 11L))
+
+    // replaying batch 2 changes nothing
+    val r3 = IncrementalDedup.processBatch(
+      Seq((10L, nearDup), (11L, third), (2L, other)).toDF("doc_id", "text"),
+      store)
+    assert(r3.accepted == 0 && r3.skippedRedelivered == 2, s"$r3")
+    assert(spark.read.parquet(s"$store/docs").count() == 3)
+  }
+
+  test("in-batch near-dups resolve lower-id-wins") {
+    val store = Files.createTempDirectory("incdedup2").toString + "/corpus"
+    val nearDup = base.replace("quick", "swift")
+    val r = IncrementalDedup.processBatch(
+      Seq((7L, base), (3L, nearDup), (9L, other)).toDF("doc_id", "text"),
+      store)
+    assert(r.accepted == 2 && r.rejectedNearDup == 1, s"$r")
+    val ids = spark.read.parquet(s"$store/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(3L, 9L), "the LOWER id of the near-dup pair survives")
+  }
+}
