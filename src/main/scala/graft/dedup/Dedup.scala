@@ -222,44 +222,64 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxDist: Int = HammingMax): DataFrame = {
-    // the signature table is tiny (one row per doc) but feeds both sides
-    // of the band self-join: materialize once instead of recomputing the
-    // whole word-hash aggregation per side
-    val sig = simhash(docs, idCol, textCol).localCheckpoint()
-    val nDocs = sig.count() // cheap: counts the checkpointed blocks
+    // Band-join over DISTINCT SIGNATURE VALUES, not documents: a
+    // clustered corpus collapses many docs onto one signature, so
+    // (1) hamming-0 pairs fall out of the identical-signature groups
+    //     with no join at all, and
+    // (2) the pigeonhole band join probes |distinct values| rows per
+    //     bucket instead of |docs| — candidate volume shrinks by the
+    //     square of the clustering factor (4x here) — and qualifying
+    //     value pairs expand back to doc pairs afterwards. Exactness is
+    //     unchanged: equal-sig pairs are case (1); distinct-sig pairs
+    //     within maxDist still agree on >= 1 of the maxDist+1 bands.
+    val groups = simhash(docs, idCol, textCol)
+      .groupBy(col("simhash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .localCheckpoint()
+    val nValues = groups.count() // cheap: counts the checkpointed blocks
     val nBands = maxDist + 1
     val bandBits = SimhashBits / nBands
-    val bandMod = math.pow(2, bandBits).toLong
-    // integer band math (shift + mod), and one fused long join key
-    // (band index in the high bits): a single-long equi-key gets the
-    // specialized long-keyed hash relation instead of a composite-key
-    // row comparison in the 10M-iteration probe loop
-    val bands = sig.select(col("doc_id"), col("simhash"),
+    val bandMod = 1L << bandBits
+
+    // (1) all ordered pairs inside each identical-signature group
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(slice(ids, i + 1, size(ids) - i),
+          |       j -> struct(element_at(ids, i) as da, j as db))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"),
+        lit(0).cast("int").as("hamming"))
+
+    // (2) distinct-value band join; integer band math fused into one
+    // long key (band index in the high bits) for the long-keyed hash
+    // relation. Build side broadcast while it fits; beyond that the
+    // join falls back to shuffle + AQE skew splitting.
+    val bands = groups.select(col("simhash"), col("ids"),
         explode(sequence(lit(0), lit(nBands - 1))).as("bi"))
       .withColumn("bk",
         col("bi").cast("long") * lit(1L << 32) +
           expr(s"shiftright(simhash, bi * $bandBits)") % bandMod)
-    // hamming filter BEFORE the dedup: the band join emits millions of
-    // candidate rows on a clustered corpus (hot buckets), and bit_count
-    // is one instruction — filtering first shrinks the distinct's shuffle
-    // from |candidates| to |qualifying pairs| (~100x here).
-    // Build side broadcast while it fits (a sort-merge join would pair
-    // each hot band bucket on a single task — straggler — while a
-    // broadcast hash join spreads the hot bucket's fan-out across every
-    // streamed partition); beyond the broadcast limit the join falls
-    // back to shuffle + AQE skew splitting.
+      .select(col("simhash"), col("ids"), col("bk"))
     val build =
-      if (nDocs <= SimhashBroadcastMaxDocs) broadcast(bands.as("b"))
+      if (nValues * nBands <= SimhashBroadcastMaxDocs) broadcast(bands.as("b"))
       else bands.as("b")
-    bands.as("a")
+    val valuePairs = bands.as("a")
       .join(build,
         col("a.bk") === col("b.bk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.ids").as("aids"), col("b.ids").as("bids"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .distinct()
+      .distinct() // the same value pair can collide in several bands
+    val cross = valuePairs
+      .select(col("hamming"), explode(col("aids")).as("x"), col("bids"))
+      .select(col("hamming"), col("x"), explode(col("bids")).as("y"))
+      .select(least(col("x"), col("y")).as("da"),
+        greatest(col("x"), col("y")).as("db"), col("hamming"))
+
+    intra.unionByName(cross)
   }
 
   // ---- DuckDB oracle builders (same constructions, SQL dialect) ------
