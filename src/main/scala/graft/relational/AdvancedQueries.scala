@@ -221,6 +221,26 @@ object AdvancedQueries {
         |  FROM lineitem WHERE l_orderkey <= 2000 GROUP BY 1)
         |ORDER BY l_orderkey""".stripMargin)),
 
+    // fuzzy self-match on edit distance — the OCR-adjacent string
+    // similarity surface (levenshtein is codegen'd in Spark and native
+    // in DuckDB, so the oracle is exact)
+    Q("q_fuzzy_names", (s, dir) => {
+      val sup = s.read.parquet(t(dir, "supplier"))
+        .select(col("s_suppkey"), col("s_name"))
+      sup.as("a").join(sup.as("b"),
+          col("a.s_suppkey") < col("b.s_suppkey") &&
+            levenshtein(col("a.s_name"), col("b.s_name")) <= 1)
+        .select(col("a.s_suppkey").as("ka"), col("b.s_suppkey").as("kb"),
+          levenshtein(col("a.s_name"), col("b.s_name")).as("dist"))
+        .orderBy(col("ka"), col("kb"))
+    }, Some(
+      """SELECT a.s_suppkey AS ka, b.s_suppkey AS kb,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey < b.s_suppkey
+        | AND levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY ka, kb""".stripMargin)),
+
     // lateral correlated subquery: top-2 suppliers per nation through the
     // SQL front-end (LATERAL), planned by Catalyst as a ranked window
     Q("q_lateral_topk", (s, dir) => {
