@@ -211,11 +211,11 @@ object Dedup {
     * any pair within distance maxDist agrees exactly on at least one
     * band — so an equi-join on (band index, band value) finds EVERY
     * qualifying pair with linear candidate cost. Result is exact. */
-  /** Above this many signature rows the band build side stops being
-    * broadcastable (4 band rows per doc; the 8 GB broadcast-relation
-    * limit and driver memory bound it) and the join falls back to a
+  /** Above this many band ROWS (distinct signature values x bands) the
+    * build side stops being broadcastable (the 8 GB broadcast-relation
+    * limit and driver memory bound it) and the band join falls back to a
     * shuffle join under AQE skew handling. */
-  val SimhashBroadcastMaxDocs: Long = 20L * 1000 * 1000
+  val SimhashBroadcastMaxBandRows: Long = 80L * 1000 * 1000
 
   def simhashPairs(
       docs: DataFrame,
@@ -262,7 +262,7 @@ object Dedup {
           expr(s"shiftright(simhash, bi * $bandBits)") % bandMod)
       .select(col("simhash"), col("ids"), col("bk"))
     val build =
-      if (nValues * nBands <= SimhashBroadcastMaxDocs) broadcast(bands.as("b"))
+      if (nValues * nBands <= SimhashBroadcastMaxBandRows) broadcast(bands.as("b"))
       else bands.as("b")
     val valuePairs = bands.as("a")
       .join(build,

@@ -35,17 +35,14 @@ object IncrementalDedup {
   }
 
   /** (doc_id, bk) band keys via the module's MinHash signatures. */
-  private def bandKeys(docs: DataFrame): DataFrame = {
-    val sh = Dedup.docShingleSets(docs, "doc_id", "text")
-      .select(col("doc_id"), explode(col("ss")).as("s"))
-    Dedup.minhashSignatures(sh)
+  private def bandKeys(docs: DataFrame): DataFrame =
+    Dedup.minhashSignatures(Dedup.docShingles(docs, "doc_id", "text"))
       .select(col("doc_id"),
         explode(array((0 until Dedup.Bands).map { b =>
           val hs = (0 until Dedup.RowsPerBand)
             .map(r => col(s"h${Dedup.RowsPerBand * b + r}"))
           concat_ws("_", lit(b) +: hs: _*)
         }: _*)).as("bk"))
-  }
 
   /** Exact-Jaccard rescore of candidate (da, db) pairs given a combined
     * (doc_id, text) relation covering both sides. */
@@ -60,8 +57,10 @@ object IncrementalDedup {
         col("n").as("nb")), "db")
       .withColumn("i",
         size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
-      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i"))
-        >= threshold)
+      // round(4) BEFORE thresholding, exactly like minhashLshPairs — the
+      // two Jaccard paths must classify boundary docs identically
+      .filter(round(col("i").cast("double")
+        / (col("na") + col("nb") - col("i")), 4) >= threshold)
       .select(col("da"), col("db"))
   }
 
@@ -75,9 +74,13 @@ object IncrementalDedup {
     val spark = batch.sparkSession
     val incoming = batch.select(col("doc_id"), col("text"))
       .dropDuplicates("doc_id").localCheckpoint()
+    // one existence probe per batch (each is a FileSystem RPC); the
+    // bands store may lag docs by half a crashed batch, but writes go
+    // bands-first so that lag direction never loses index entries
+    val storeExists = exists(spark, docsPath(storeDir))
 
     val (fresh, nRedelivered) =
-      if (!exists(spark, docsPath(storeDir))) (incoming, 0L)
+      if (!storeExists) (incoming, 0L)
       else {
         val known = spark.read.parquet(docsPath(storeDir)).select("doc_id")
         val f = incoming.join(known, Seq("doc_id"), "left_anti")
@@ -89,9 +92,8 @@ object IncrementalDedup {
 
     // candidates vs the ACCEPTED corpus: equi-join on the band index
     val vsStore =
-      if (!exists(spark, bandsPath(storeDir)))
-        spark.emptyDataFrame.withColumn("da", lit(0L))
-          .withColumn("db", lit(0L)).select("da", "db").limit(0)
+      if (!storeExists)
+        fresh.select(col("doc_id").as("da"), col("doc_id").as("db")).limit(0)
       else {
         val index = spark.read.parquet(bandsPath(storeDir))
         newBands.join(index.withColumnRenamed("doc_id", "da"), "bk")
@@ -109,7 +111,7 @@ object IncrementalDedup {
     // only the MATCHED accepted docs get re-shingled for the rescore —
     // never the whole corpus
     val storeTexts =
-      if (!exists(spark, docsPath(storeDir)))
+      if (!storeExists)
         fresh.limit(0)
       else spark.read.parquet(docsPath(storeDir)).select("doc_id", "text")
         .join(vsStore.select(col("da").as("doc_id")).distinct(), "doc_id")
@@ -126,9 +128,16 @@ object IncrementalDedup {
 
     val nAccepted = accepted.count()
     if (nAccepted > 0) {
+      // bands FIRST, docs second: a crash between the writes leaves
+      // extra band rows pointing at absent docs (harmless — candidates
+      // go through the rescore join against docs/), while the opposite
+      // order would leave accepted docs invisible to future dedup and
+      // the doc_id redelivery skip would never backfill them.
+      // Band rows come from the checkpointed newBands (a semi-join),
+      // not a second full shingle+MinHash pass over the text.
+      newBands.join(accepted.select("doc_id"), Seq("doc_id"), "left_semi")
+        .write.mode(SaveMode.Append).parquet(bandsPath(storeDir))
       accepted.write.mode(SaveMode.Append).parquet(docsPath(storeDir))
-      bandKeys(accepted).write.mode(SaveMode.Append)
-        .parquet(bandsPath(storeDir))
     }
     BatchResult(nAccepted, rejected.count(), nRedelivered)
   }

@@ -180,33 +180,43 @@ object Multimodal {
     * analogue of the ImageIO PNG path: genuine container parsing, no
     * external deps. Compressed codecs (mp3/aac) stay behind the
     * documented STUB boundary. */
-  def wavFeatures(bytes: Array[Byte]): Option[(Float, Long, Double)] = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+  def wavFeatures(bytes: Array[Byte]): Option[(Float, Long, Double)] =
+    // undecodable bytes yield None, matching decodePngDims/aHashPng — a
+    // bad blob must not kill the task (AudioSystem throws on non-WAV)
     try {
-      val fmt = in.getFormat
-      if (fmt.getSampleSizeInBits != 16) return None
-      val frames = in.getFrameLength
-      val data = in.readAllBytes()
-      val bb = java.nio.ByteBuffer.wrap(data).order(
-        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-        else java.nio.ByteOrder.LITTLE_ENDIAN)
-      val step = fmt.getFrameSize / 2 // 16-bit samples per frame
-      var i = 0
-      var sum = 0.0
-      var n = 0L
-      while (i * 2 < data.length) {
-        if (i % step == 0) { // first channel only
-          val s = bb.getShort(i * 2) / 32768.0
-          sum += s * s
-          n += 1
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val frames = in.getFrameLength
+          val data = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(data).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val step = fmt.getFrameSize / 2 // 16-bit samples per frame
+          var i = 0
+          var sum = 0.0
+          var n = 0L
+          // 2*i+1 < length: a truncated payload's trailing odd byte is
+          // ignored instead of reading past the buffer
+          while (i * 2 + 1 < data.length) {
+            if (i % step == 0) { // first channel only
+              val s = bb.getShort(i * 2) / 32768.0
+              sum += s * s
+              n += 1
+            }
+            i += 1
+          }
+          Some((fmt.getSampleRate, frames,
+            if (n == 0) 0.0 else math.sqrt(sum / n)))
         }
-        i += 1
-      }
-      Some((fmt.getSampleRate, frames,
-        if (n == 0) 0.0 else math.sqrt(sum / n)))
-    } finally in.close()
-  }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException => None
+    }
 
   /** Real-codec path: decode PNG bytes via JDK ImageIO and return dims.
     * Used by tests with genuinely encoded PNGs — proves the plumbing
