@@ -314,7 +314,10 @@ object Dedup {
        |SELECT da, db, jaccard FROM jac WHERE jaccard >= $threshold
        |ORDER BY da, db""".stripMargin
 
-  def minhashLshOracle(docsRel: String, threshold: Double): String = {
+  /** CTE chain ending in `lshpairs(da, db, jaccard)` — the LSH-candidate
+    * near-dup pairs, reusable by every oracle that consumes them
+    * (minhash_lsh_dups itself, corpus selection, component closure). */
+  def minhashLshCtes(docsRel: String, threshold: Double): String = {
     val hashes = (0 until MinhashK)
       .map(i => s"min((${md5Hash32Sql("s", "mh:")} * ${minhashA(i)} + " +
         s"${minhashB(i)}) % $MinhashP) AS h$i").mkString(", ")
@@ -325,7 +328,7 @@ object Dedup {
         s"SELECT doc_id, $b AS bi, $key AS bk FROM sig"
       }
       .mkString("\n  UNION ALL ")
-    s"""WITH ${shinglesCte(docsRel)},
+    s"""${shinglesCte(docsRel)},
        |sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
        |bands AS (
        |  $bandRows),
@@ -333,12 +336,17 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM bands a JOIN bands b
        |    ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
-       |$jaccardCte
-       |SELECT j.da, j.db, j.jaccard
-       |FROM jac j JOIN cand c ON j.da = c.da AND j.db = c.db
-       |WHERE j.jaccard >= $threshold
-       |ORDER BY j.da, j.db""".stripMargin
+       |$jaccardCte,
+       |lshpairs AS (
+       |  SELECT j.da, j.db, j.jaccard
+       |  FROM jac j JOIN cand c ON j.da = c.da AND j.db = c.db
+       |  WHERE j.jaccard >= $threshold)""".stripMargin
   }
+
+  def minhashLshOracle(docsRel: String, threshold: Double): String =
+    s"""WITH ${minhashLshCtes(docsRel, threshold)}
+       |SELECT da, db, jaccard FROM lshpairs
+       |ORDER BY da, db""".stripMargin
 
   def simhashPairsOracle(docsRel: String, maxDist: Int): String =
     s"""WITH words AS (

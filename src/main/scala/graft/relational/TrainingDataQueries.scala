@@ -71,11 +71,13 @@ object TrainingDataQueries {
 
     // the end-use composition: select the clean training subset — quality
     // threshold, language, token range, and near-dup removal (keep the
-    // lower doc_id of every >=0.8-Jaccard pair)
+    // lower doc_id of every >=0.8-Jaccard pair). Dup removal rides the
+    // LSH path — at corpus scale the full inverted-index join is not an
+    // option, and the oracle consumes the SAME LSH candidate pairs.
     Q("corpus_select", (s, dir) => {
       val c = col("text")
       val d = spread(docs(s, dir))
-      val dupLosers = Dedup.ngramJaccardPairs(d, "doc_id", "text")
+      val dupLosers = Dedup.minhashLshPairs(d, "doc_id", "text")
         .select(col("db").as("doc_id")).distinct()
       d.select(col("doc_id"),
           TextAnalysis.qualityScore(c).as("q"),
@@ -87,10 +89,9 @@ object TrainingDataQueries {
         .select(col("doc_id"), col("q"), col("n"))
         .orderBy(col("doc_id"))
     }, Some(
-      s"""WITH ${Dedup.shinglesCte("documents")},
-         |${Dedup.jaccardCte},
+      s"""WITH ${Dedup.minhashLshCtes("documents", Dedup.JaccardThreshold)},
          |losers AS (
-         |  SELECT DISTINCT db AS doc_id FROM jac WHERE jaccard >= 0.8)
+         |  SELECT DISTINCT db AS doc_id FROM lshpairs)
          |SELECT doc_id,
          |  ${TextAnalysis.qualityScoreSql("text")} AS q,
          |  ${TextAnalysis.tokenCountSql("text")} AS n
@@ -152,17 +153,15 @@ object TrainingDataQueries {
 
     // pairs -> GROUPS: connected components over the near-dup pair graph
     // (iterative min-label propagation; DuckDB walks the same closure
-    // with a recursive CTE)
+    // with a recursive CTE). Edges come from the LSH path on BOTH sides —
+    // the construction a 100 TB corpus actually runs.
     Q("dedup_components", (s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text")
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
       graft.operators.ConnectedComponents.run(pairs, "da", "db")
         .orderBy(col("node"))
     }, Some(
-      s"""WITH RECURSIVE ${Dedup.shinglesCte("documents")},
-         |${Dedup.jaccardCte},
-         |pairs AS (
-         |  SELECT da, db FROM jac WHERE jaccard >= ${Dedup.JaccardThreshold}),
-         |${graft.operators.ConnectedComponents.oracleSql("pairs")}
+      s"""WITH RECURSIVE ${Dedup.minhashLshCtes("documents", Dedup.JaccardThreshold)},
+         |${graft.operators.ConnectedComponents.oracleSql("lshpairs")}
          |SELECT node, component FROM components ORDER BY node""".stripMargin)),
 
     // classic TF-IDF: top-3 terms per document, scores rounded BEFORE
