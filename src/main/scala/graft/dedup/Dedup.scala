@@ -123,6 +123,47 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** [[ngramJaccardPairs]] with a document-frequency cap on the inverted
+    * index: shingles appearing in more than `maxDf` documents are
+    * excluded from CANDIDATE GENERATION (a stopword-phrase shingle fans
+    * the join quadratically — the skew hazard in this file's header),
+    * but the Jaccard rescore still uses the FULL shingle sets, so scores
+    * are exact. Approximation is one-sided and precise: only a pair
+    * sharing NO shingle below the cap can be missed. With maxDf at the
+    * corpus size, output is identical to the uncapped operator. */
+  def ngramJaccardPairsCapped(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDf: Long,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val sets = docShingleSets(docs, idCol, textCol).localCheckpoint()
+    val sh = sets.select(col("doc_id"), explode(col("ss")).as("s"))
+    val rare = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("s"))
+    val shCapped = sh.join(rare, "s")
+    val cand = shCapped.as("a")
+      .join(shCapped.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val shSets = sets.select(col("doc_id"), col("ss"),
+      size(col("ss")).cast("long").as("n"))
+    cand
+      .join(shSets.select(col("doc_id").as("da"), col("ss").as("ssa"),
+        col("n").as("na")), "da")
+      .join(shSets.select(col("doc_id").as("db"), col("ss").as("ssb"),
+        col("n").as("nb")), "db")
+      .withColumn("i",
+        size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
   /** Universal-hash family over one md5 base hash: h_i(s) =
     * (A_i * H(s) + B_i) mod P with P prime — one md5 per shingle instead
     * of k, same LSH guarantees. Constants are fixed so the DuckDB oracle

@@ -1,0 +1,61 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The df-capped inverted-index join: exact scores, one-sided candidate
+  * approximation, identical to the uncapped operator when the cap is
+  * loose. */
+class DedupCappedSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val hot = "the common header phrase appears everywhere here"
+  private lazy val docs = Seq(
+    (1L, s"$hot unique alpha body one two three four five six"),
+    (2L, s"$hot unique alpha body one two three four five seven"),
+    (3L, s"$hot totally different tail about columnar engines"),
+    (4L, s"$hot another unrelated ending with vectorized readers"))
+    .toDF("doc_id", "text")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("loose cap reproduces the uncapped operator exactly") {
+    val uncapped = pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5))
+    val capped = pairs(
+      Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text", maxDf = 100, 0.5))
+    assert(uncapped == capped && uncapped.contains((1L, 2L)))
+  }
+
+  test("tight cap drops hot shingles from candidate generation only") {
+    // cap 2: the shared-header shingles (df=4) stop generating
+    // candidates; docs 1-2 still meet through their unique-body shingles
+    // and their RESCORED jaccard is unchanged (full sets)
+    val capped = Dedup.ngramJaccardPairsCapped(
+      docs, "doc_id", "text", maxDf = 2, 0.5)
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+    val c = capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val u = uncapped.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(c.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
+    assert(c.toSet.subsetOf(u.toSet), "scores must be exact, not capped")
+  }
+
+  test("a pair sharing ONLY hot shingles is the documented one-sided miss") {
+    // at a low threshold docs 3-4 qualify through the shared header
+    // alone; with the header capped out they never become candidates
+    val uncapped = pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.15))
+    val capped = pairs(
+      Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text", maxDf = 2, 0.15))
+    assert(uncapped.contains((3L, 4L)), "precondition: header alone qualifies")
+    assert(!capped.contains((3L, 4L)), "hot-only pair must be the miss")
+    assert(capped.contains((1L, 2L)), "rare-shingle pairs survive")
+  }
+}
