@@ -221,6 +221,56 @@ object AdvancedQueries {
         |  FROM lineitem WHERE l_orderkey <= 2000 GROUP BY 1)
         |ORDER BY l_orderkey""".stripMargin)),
 
+    // multiset set-ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // multiplicity (distinct physical operators from the plain variants)
+    Q("q_setops_all", (s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val a = o.filter(col("o_custkey") <= 400).select(col("o_orderpriority"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_orderpriority"))
+      a.intersectAll(b).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_intersect"))
+        .join(
+          a.exceptAll(b).groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_except")),
+          Seq("o_orderpriority"), "full_outer")
+        .na.fill(0L, Seq("n_intersect", "n_except"))
+        .orderBy(col("o_orderpriority"))
+    }, Some(
+      """WITH a AS (SELECT o_orderpriority FROM orders WHERE o_custkey <= 400),
+        |b AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+        |i AS (SELECT o_orderpriority, count(*) AS n_intersect
+        |      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) x
+        |      GROUP BY 1),
+        |e AS (SELECT o_orderpriority, count(*) AS n_except
+        |      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) y
+        |      GROUP BY 1)
+        |SELECT coalesce(i.o_orderpriority, e.o_orderpriority)
+        |    AS o_orderpriority,
+        |  coalesce(n_intersect, 0) AS n_intersect,
+        |  coalesce(n_except, 0) AS n_except
+        |FROM i FULL OUTER JOIN e ON i.o_orderpriority = e.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+
+    // explode_outer: rows whose array is EMPTY survive with a NULL
+    // element (plain explode silently drops them — the classic data-loss
+    // footgun in fan-out pipelines)
+    Q("q_explode_outer", (s, dir) => {
+      val words = split(col("p_name"), " ")
+      s.read.parquet(t(dir, "part"))
+        .filter(col("p_partkey") <= 300)
+        .select(col("p_partkey"),
+          explode_outer(filter(words, w => length(w) > 7)).as("long_word"))
+        .orderBy(col("p_partkey"), col("long_word"))
+    }, Some(
+      """SELECT p_partkey, unnest(
+        |    CASE WHEN len(lw) = 0 THEN [NULL] ELSE lw END) AS long_word
+        |FROM (
+        |  SELECT p_partkey,
+        |    list_filter(string_split(p_name, ' '),
+        |                w -> length(w) > 7) AS lw
+        |  FROM part WHERE p_partkey <= 300) x
+        |ORDER BY p_partkey, long_word""".stripMargin)),
+
     // fuzzy self-match on edit distance — the OCR-adjacent string
     // similarity surface (levenshtein is codegen'd in Spark and native
     // in DuckDB, so the oracle is exact)
