@@ -55,12 +55,16 @@ object AsOfJoin {
         s"input carries ${clashes.distinct.mkString(", ")}")
     val otherLeft = leftCols.filterNot(c => c == key || c == ts)
 
-    // ASOF comparisons never match a NULL timestamp (DuckDB/kdb: the
-    // inequality is simply false): a null-ts right row must not exist in
-    // the union (it would sort nulls-first and forward-fill a spurious
-    // payload), and a null-ts left row must come out unmatched.
-    val rp = right.filter(col(ts).isNotNull).select(col(key), col(ts),
-      struct(rightVals.map(col): _*).as("__rv"))
+    // ASOF comparisons never match a NULL timestamp, and the key equality
+    // never matches a NULL key (SQL equality semantics): null-ts/null-key
+    // right rows must not exist in the union (a null-ts row would sort
+    // nulls-first and forward-fill a spurious payload; a null-key row
+    // would land in the null-key window partition and match null-key
+    // left rows). Null-key left rows then sit in a partition with no
+    // right rows and come out unmatched; null-ts left rows are forced
+    // unmatched below.
+    val rp = right.filter(col(ts).isNotNull && col(key).isNotNull)
+      .select(col(key), col(ts), struct(rightVals.map(col): _*).as("__rv"))
     val payloadType = rp.schema("__rv").dataType
 
     val l = left.select(

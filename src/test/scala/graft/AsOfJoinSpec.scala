@@ -107,6 +107,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(fwd("L-null").isEmpty, "null-ts left row must not match")
   }
 
+  test("NULL keys never match (SQL equality semantics)") {
+    val left = Seq(
+      (Some(1L), Some(ts("12:00:00")), "L-real"),
+      (None, Some(ts("12:00:00")), "L-nullkey"))
+      .map { case (k, t, tag) => (k.map(Long.box).orNull, t.orNull, tag) }
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (Some(1L), Some(ts("10:00:00")), "R-real"),
+      (None, Some(ts("11:00:00")), "R-nullkey"))
+      .map { case (k, t, v) => (k.map(Long.box).orNull, t.orNull, v) }
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.backward(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(out("L-real").contains("R-real"))
+    assert(out("L-nullkey").isEmpty,
+      "null keys must not pair, even with each other")
+  }
+
   test("reserved helper column names are rejected") {
     val left = Seq((1L, ts("12:00:00"), "x")).toDF("k", "ts", "__side")
     val right = Seq((1L, ts("11:00:00"), "v")).toDF("k", "ts", "v")
