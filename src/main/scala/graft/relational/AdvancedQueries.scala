@@ -277,11 +277,14 @@ object AdvancedQueries {
     Q("q_fuzzy_names", (s, dir) => {
       val sup = s.read.parquet(t(dir, "supplier"))
         .select(col("s_suppkey"), col("s_name"))
+      // 3-arg levenshtein short-circuits the DP once the threshold is
+      // exceeded (returns -1) — on a quadratic self-join that bounds the
+      // per-pair cost to the band, not the full edit matrix
+      val d = levenshtein(col("a.s_name"), col("b.s_name"), 1)
       sup.as("a").join(sup.as("b"),
-          col("a.s_suppkey") < col("b.s_suppkey") &&
-            levenshtein(col("a.s_name"), col("b.s_name")) <= 1)
+          col("a.s_suppkey") < col("b.s_suppkey") && d >= 0)
         .select(col("a.s_suppkey").as("ka"), col("b.s_suppkey").as("kb"),
-          levenshtein(col("a.s_name"), col("b.s_name")).as("dist"))
+          d.as("dist"))
         .orderBy(col("ka"), col("kb"))
     }, Some(
       """SELECT a.s_suppkey AS ka, b.s_suppkey AS kb,
