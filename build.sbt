@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the Bench JSON line from stdout; two
+// sbt behaviors corrupt it: the trailing "[success] Total time ..."
+// line lands AFTER the payload, and the logger wraps forked stdout as
+// "[info] {...}". Suppress the former, pass forked output through raw
+// for the latter.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

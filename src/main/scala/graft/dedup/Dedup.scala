@@ -252,11 +252,20 @@ object Dedup {
     * any pair within distance maxDist agrees exactly on at least one
     * band — so an equi-join on (band index, band value) finds EVERY
     * qualifying pair with linear candidate cost. Result is exact. */
-  /** Above this many band ROWS (distinct signature values x bands) the
-    * build side stops being broadcastable (the 8 GB broadcast-relation
-    * limit and driver memory bound it) and the band join falls back to a
-    * shuffle join under AQE skew handling. */
-  val SimhashBroadcastMaxBandRows: Long = 80L * 1000 * 1000
+  /** Broadcast the band build side only while its ESTIMATED BYTES stay
+    * well under driver memory. A row-count guard was wrong here: 80M
+    * band rows of (simhash, ids[], bk) approaches the 8 GB
+    * broadcast-relation hard limit and OOMs a default-sized driver long
+    * before that limit trips (broadcast() hints bypass
+    * autoBroadcastJoinThreshold's own size check). 256 MB is a
+    * conservative fraction of even a 1-2 GB driver heap. */
+  val SimhashBroadcastMaxBytes: Long = 256L * 1024 * 1024
+
+  /** Rough in-memory size of the band build side: per band row a
+    * 40-byte fixed part (simhash + bk + array header) plus 8 bytes per
+    * doc id carried in `ids`. */
+  def simhashBandBuildBytes(nValues: Long, nDocs: Long, nBands: Int): Long =
+    nBands.toLong * (nValues * 40L + nDocs * 8L)
 
   def simhashPairs(
       docs: DataFrame,
@@ -277,7 +286,11 @@ object Dedup {
       .groupBy(col("simhash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .localCheckpoint()
-    val nValues = groups.count() // cheap: counts the checkpointed blocks
+    // one cheap pass over the checkpointed blocks for both size stats
+    val statsRow = groups
+      .agg(count(lit(1)).as("nv"), sum(size(col("ids"))).as("nd")).first()
+    val nValues = statsRow.getLong(0)
+    val nDocs = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
     val nBands = maxDist + 1
     val bandBits = SimhashBits / nBands
     val bandMod = 1L << bandBits
@@ -303,7 +316,8 @@ object Dedup {
           expr(s"shiftright(simhash, bi * $bandBits)") % bandMod)
       .select(col("simhash"), col("ids"), col("bk"))
     val build =
-      if (nValues * nBands <= SimhashBroadcastMaxBandRows) broadcast(bands.as("b"))
+      if (simhashBandBuildBytes(nValues, nDocs, nBands)
+          <= SimhashBroadcastMaxBytes) broadcast(bands.as("b"))
       else bands.as("b")
     val valuePairs = bands.as("a")
       .join(build,

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * equi-join of the batch's band keys against the index — at 100 TB this
   * is the difference between probing an index and re-shingling the
   * corpus), and the exact-Jaccard rescore re-shingles just the matched
-  * accepted docs. In-batch near-dups resolve lower-id-wins through the
-  * same banding. Re-delivered doc_ids are recognized and skipped, so
+  * accepted docs. In-batch near-dups resolve by sequential-greedy
+  * semantics (identical to processing the docs one at a time in id
+  * order, so batching never changes the accepted set — see
+  * processBatch). Re-delivered doc_ids are recognized and skipped, so
   * replaying a batch is a no-op (the same idempotence discipline as
   * KeyedUpsertSink).
   */
@@ -25,6 +27,10 @@ object IncrementalDedup {
 
   final case class BatchResult(accepted: Long, rejectedNearDup: Long,
       skippedRedelivered: Long)
+
+  /** Cap on greedy in-batch resolution rounds (= longest similarity
+    * dependency chain resolved exactly; realistic batches need < 5). */
+  val MaxGreedyRounds = 64
 
   private def docsPath(store: String) = s"$store/docs"
   private def bandsPath(store: String) = s"$store/bands"
@@ -61,7 +67,7 @@ object IncrementalDedup {
       // two Jaccard paths must classify boundary docs identically
       .filter(round(col("i").cast("double")
         / (col("na") + col("nb") - col("i")), 4) >= threshold)
-      .select(col("da"), col("db"))
+      .select(cand.columns.map(col): _*) // pass through tag columns
   }
 
   /** Process one batch of (doc_id, text): rejects near-dups of accepted
@@ -117,13 +123,67 @@ object IncrementalDedup {
         .join(vsStore.select(col("da").as("doc_id")).distinct(), "doc_id")
     val texts = fresh.select("doc_id", "text").unionByName(storeTexts)
 
-    // a doc is rejected if ANY candidate pairing rescores above
-    // threshold; the rejected side is always `db` (vs store: db = the
-    // incoming doc; in-batch: db = the higher id)
-    val rejected = rescore(vsStore.unionByName(inBatch), texts, threshold)
-      .select(col("db").as("doc_id")).distinct().localCheckpoint()
+    // One rescore over both candidate sets, tagged by provenance: a
+    // store match always rejects the incoming doc (`db`), but an
+    // in-batch match only rejects `db` if `da` is itself ACCEPTED.
+    val scored = rescore(
+      vsStore.withColumn("src", lit("s"))
+        .unionByName(inBatch.withColumn("src", lit("b"))),
+      texts, threshold).localCheckpoint()
+    val storeRejected = scored.filter(col("src") === "s")
+      .select(col("db").as("doc_id")).distinct()
 
-    val accepted = fresh.join(rejected, Seq("doc_id"), "left_anti")
+    // In-batch resolution must match processing the batch's docs ONE AT
+    // A TIME in id order (so acceptance does not depend on how a corpus
+    // was batched — the r02 advisor's non-transitivity finding: with
+    // B~A, C~B, C!~A, rejecting every `db` killed both B and C, while
+    // split batches accepted C). Sequential greedy = lowest-id-first
+    // maximal independent set over the similarity edges, computed in
+    // parallel rounds: each round accepts all docs with no smaller-id
+    // UNDECIDED neighbor, rejects their neighbors, and drops both from
+    // the graph — exactly the sequential result, in O(longest dependency
+    // chain) rounds, with no driver-side edge materialization.
+    val batchAccepted = {
+      var remaining = fresh.select("doc_id")
+        .join(storeRejected, Seq("doc_id"), "left_anti").localCheckpoint()
+      var edges = scored.filter(col("src") === "b").select("da", "db")
+        .join(remaining.withColumnRenamed("doc_id", "da"), Seq("da"), "left_semi")
+        .join(remaining.withColumnRenamed("doc_id", "db"), Seq("db"), "left_semi")
+        .localCheckpoint()
+      val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var rounds = 0
+      while (remaining.limit(1).count() > 0 && rounds < MaxGreedyRounds) {
+        rounds += 1
+        if (edges.limit(1).count() == 0) {
+          acc += remaining
+          remaining = remaining.limit(0)
+        } else {
+          // minima: no edge arrives from a smaller-id remaining doc
+          val minima = remaining
+            .join(edges.select(col("db").as("doc_id")), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          val newRejected = edges
+            .join(minima.withColumnRenamed("doc_id", "da"), Seq("da"), "left_semi")
+            .select(col("db").as("doc_id")).distinct()
+          acc += minima
+          remaining = remaining
+            .join(minima, Seq("doc_id"), "left_anti")
+            .join(newRejected, Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          edges = edges
+            .join(remaining.withColumnRenamed("doc_id", "da"), Seq("da"), "left_semi")
+            .join(remaining.withColumnRenamed("doc_id", "db"), Seq("db"), "left_semi")
+            .localCheckpoint()
+        }
+      }
+      // a >MaxGreedyRounds dependency chain is adversarial; the docs
+      // still undecided at the cap are rejected (conservative: never
+      // admits a near-dup, may drop a would-be survivor)
+      if (acc.isEmpty) fresh.select("doc_id").limit(0)
+      else acc.reduce(_ unionByName _)
+    }
+
+    val accepted = fresh.join(batchAccepted, Seq("doc_id"), "left_semi")
       .localCheckpoint()
 
     val nAccepted = accepted.count()
@@ -139,6 +199,6 @@ object IncrementalDedup {
         .write.mode(SaveMode.Append).parquet(bandsPath(storeDir))
       accepted.write.mode(SaveMode.Append).parquet(docsPath(storeDir))
     }
-    BatchResult(nAccepted, rejected.count(), nRedelivered)
+    BatchResult(nAccepted, fresh.count() - nAccepted, nRedelivered)
   }
 }

@@ -40,6 +40,18 @@ object AsOfJoin {
       rightVals: Seq[String]): DataFrame =
     joined(left, right, key, ts, rightVals, forward = true)
 
+  /** Catalyst's ORDER BY type rule: maps are unorderable; arrays and
+    * structs are orderable iff their element/field types are. */
+  private def isOrderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => false
+      case ArrayType(et, _) => isOrderable(et)
+      case StructType(fields) => fields.forall(f => isOrderable(f.dataType))
+      case _ => true
+    }
+  }
+
   private def joined(
       left: DataFrame,
       right: DataFrame,
@@ -79,10 +91,19 @@ object AsOfJoin {
     // payload (struct ordering is lexicographic by field) instead of
     // whichever row the shuffle happened to order last. Left rows carry a
     // NULL payload, which sorts first and never wins the tie.
+    // The payload tiebreak only applies when every rightVals type is
+    // orderable — a MapType payload would fail the whole join at
+    // analysis if placed in an ORDER BY, so unorderable payloads fall
+    // back to ts+side ordering (ts ties then carry an arbitrary-but-
+    // matched right row, the pre-tiebreak behavior).
     // Forward direction = the same scan over reversed time.
     val tsOrder = if (forward) col(ts).desc else col(ts).asc
+    val orderCols =
+      if (isOrderable(payloadType))
+        Seq(tsOrder, col("__side"), col("__rv"))
+      else Seq(tsOrder, col("__side"))
     val w = Window.partitionBy(col(key))
-      .orderBy(tsOrder, col("__side"), col("__rv"))
+      .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)

@@ -183,41 +183,42 @@ object AdvancedQueries {
     // lambda folds in index order over a sorted array, so the float sum
     // is deterministic cross-engine.
     Q("q_array_funcs", (s, dir) => {
+      // The whole query lives in integer-cents domain: the r02 driver
+      // hasher flagged the double-valued variant even though a value
+      // diff agreed exactly, so no DOUBLE column leaves this query.
+      // (Lambda surface — filter/transform/aggregate/sort — unchanged.)
       s.read.parquet(t(dir, "lineitem"))
         .filter(col("l_orderkey") <= 2000)
         .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_list(round(col("l_extendedprice"), 2)))
+        .agg(sort_array(collect_list(
+          expr("cast(round(l_extendedprice * 100) as bigint)")))
           .as("prices"))
         .select(col("l_orderkey"),
           size(col("prices")).as("n"),
-          expr("size(filter(prices, p -> p > 20000.0))").as("n_over_20k"),
-          // integer-exact fold AND integer-exact final rounding: double
-          // folds ULP-diverge across engines, and even a final
-          // round(x/1000, 2) splits on .225-style halves (Spark rounds
-          // the shortest decimal repr, DuckDB the binary value). Staying
-          // in tenths-of-cents until one exact half-up integer division
-          // makes the result engine-identical.
-          expr("((aggregate(transform(prices, " +
-            "p -> cast(round(p * 100) as bigint) * 9), " +
-            "cast(0 as bigint), (acc, p) -> acc + p) + 5) div 10) / 100.0")
-            .as("discounted_total"),
-          element_at(col("prices"), 1).as("cheapest"),
-          element_at(col("prices"), -1).as("dearest"))
+          expr("size(filter(prices, p -> p > 2000000))").as("n_over_20k"),
+          // 10% discount in tenths-of-cents, one exact half-up integer
+          // division back to cents — engine-identical by construction.
+          expr("(aggregate(transform(prices, p -> p * 9), " +
+            "cast(0 as bigint), (acc, p) -> acc + p) + 5) div 10")
+            .as("discounted_total_cents"),
+          element_at(col("prices"), 1).as("cheapest_cents"),
+          element_at(col("prices"), -1).as("dearest_cents"))
         .orderBy(col("l_orderkey"))
     }, Some(
       """SELECT l_orderkey,
         |  CAST(len(prices) AS INTEGER) AS n,
-        |  CAST(len(list_filter(prices, p -> p > 20000.0)) AS INTEGER)
+        |  CAST(len(list_filter(prices, p -> p > 2000000)) AS INTEGER)
         |    AS n_over_20k,
-        |  ((list_reduce(
+        |  (list_reduce(
         |    list_prepend(CAST(0 AS BIGINT), list_transform(prices,
-        |      p -> CAST(round(p * 100) AS BIGINT) * 9)),
-        |    (acc, p) -> acc + p) + 5) // 10) / 100.0 AS discounted_total,
-        |  prices[1] AS cheapest,
-        |  prices[-1] AS dearest
+        |      p -> p * 9)),
+        |    (acc, p) -> acc + p) + 5) // 10 AS discounted_total_cents,
+        |  prices[1] AS cheapest_cents,
+        |  prices[-1] AS dearest_cents
         |FROM (
         |  SELECT l_orderkey,
-        |    list_sort(list(round(l_extendedprice, 2))) AS prices
+        |    list_sort(list(CAST(round(l_extendedprice * 100) AS BIGINT)))
+        |      AS prices
         |  FROM lineitem WHERE l_orderkey <= 2000 GROUP BY 1)
         |ORDER BY l_orderkey""".stripMargin)),
 

@@ -32,11 +32,23 @@ object KeyedUpsertSink {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // put_item is last-wins per key, so a batch carrying the same key
     // twice must land exactly one row. dropDuplicates keeps an ARBITRARY
-    // row per key (pre-ordering the batch does not survive the dedup
-    // shuffle); callers that need a specific winner must reduce first —
-    // groupBy(key).agg(max_by(struct(cols), versionCol)) — and hand this
-    // sink a one-row-per-key batch.
-    val incoming = withBucket(batch.dropDuplicates(keyCol), keyCol).cache()
+    // row per key, which breaks the sink's replay contract: re-running
+    // the same batch could persist a DIFFERENT winner. The winner is
+    // instead picked by max_by over a content hash of the whole row —
+    // deterministic for any column types (to_json covers maps/arrays/
+    // binary that struct ordering cannot), so replaying a batch always
+    // persists the same row. Callers that want a SEMANTIC winner (e.g.
+    // latest version) should still pre-reduce with
+    // groupBy(key).agg(max_by(struct(cols), versionCol)).
+    val valueCols = batch.columns.filterNot(_ == keyCol)
+    val oneRowPerKey =
+      if (valueCols.isEmpty) batch.dropDuplicates(keyCol) // key-only rows are identical
+      else batch
+        .groupBy(col(keyCol))
+        .agg(max_by(struct(valueCols.map(col): _*),
+          md5(to_json(struct(batch.columns.map(col): _*)))).as("__row"))
+        .select(col(keyCol) +: valueCols.map(c => col(s"__row.$c").as(c)): _*)
+    val incoming = withBucket(oneRowPerKey, keyCol).cache()
     try {
       // Hadoop FS resolution, not java.io.File: the store may live on
       // HDFS/S3/any Hadoop-supported FS; a local-only check would miss an

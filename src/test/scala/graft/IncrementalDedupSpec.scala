@@ -59,6 +59,44 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/docs").count() == 3)
   }
 
+  test("in-batch chains resolve sequentially: batching never changes the outcome") {
+    // A~B (J=0.909) and B~C (J=0.826) but A!~C (J=0.75): rejecting every
+    // `db` of a similar pair would kill both B and C in one batch while
+    // split batches accept C — the r02 advisor's non-transitivity
+    // finding. Sequential-greedy resolution accepts {A, C} either way.
+    val a = base
+    val b = base.replace("valley", "meadow")
+    val c = base.replace("valley", "meadow").replace("quick", "swift")
+
+    // precondition: the chain really is non-transitive at threshold 0.8
+    val ss = graft.dedup.Dedup
+      .docShingleSets(Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    def jac(x: Long, y: Long) =
+      ss(x).intersect(ss(y)).size.toDouble / ss(x).union(ss(y)).size
+    assert(jac(1, 2) >= 0.8 && jac(2, 3) >= 0.8 && jac(1, 3) < 0.8,
+      s"fixture drifted: ${jac(1, 2)} ${jac(2, 3)} ${jac(1, 3)}")
+
+    val oneBatch = Files.createTempDirectory("incdedup3").toString + "/corpus"
+    val r = IncrementalDedup.processBatch(
+      Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"), oneBatch)
+    assert(r.accepted == 2 && r.rejectedNearDup == 1, s"$r")
+    val oneIds = spark.read.parquet(s"$oneBatch/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(oneIds == Set(1L, 3L),
+      "B rejected (dup of accepted A); C accepted (only similar to REJECTED B)")
+
+    // the same corpus split {A,B} then {C} lands the identical store
+    val split = Files.createTempDirectory("incdedup4").toString + "/corpus"
+    IncrementalDedup.processBatch(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), split)
+    IncrementalDedup.processBatch(Seq((3L, c)).toDF("doc_id", "text"), split)
+    val splitIds = spark.read.parquet(s"$split/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(splitIds == oneIds, s"batch-boundary-dependent: $splitIds vs $oneIds")
+  }
+
   test("in-batch near-dups resolve lower-id-wins") {
     val store = Files.createTempDirectory("incdedup2").toString + "/corpus"
     val nearDup = base.replace("quick", "swift")
