@@ -1,0 +1,201 @@
+package graft.relational
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.relational.RelationalQueries.Q
+
+/** Third-wave relational surface: exact distribution statistics, integer-
+  * domain histograms, deterministic stratified sampling, gaps-and-islands,
+  * semi-structured parsing, market-basket co-occurrence, and cumulative
+  * distinct counting. Every entry carries a DuckDB oracle; float parity
+  * follows the integer-domain and input-passthrough rules that kept the
+  * first two waves hash-clean (see COVERAGE.md).
+  */
+object WaveThreeQueries {
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  val all: Seq[Q] = Seq(
+
+    // exact (interpolated) per-group percentiles — percentile() is the
+    // EXACT sort-based aggregate, not percentile_approx; quantities are
+    // small integers so the interpolated values carry one decimal and
+    // round(2) can never sit on a half boundary
+    Q("q_percentiles_exact", (s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 2).as("p90_qty"))
+        .orderBy(col("l_returnflag"))
+    }, Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 2) AS p90_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // NTILE decile bands: equal-height buckets over a fully-deterministic
+    // order (acctbal then custkey so duplicate balances cannot reshuffle
+    // bucket edges across engines); min/max pass input doubles through
+    // untouched (bit-identical on both sides — no arithmetic)
+    Q("q_ntile_deciles", (s, dir) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      s.read.parquet(t(dir, "customer"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("lo"),
+          max(col("c_acctbal")).as("hi"))
+        .orderBy(col("decile"))
+    }, Some(
+      """SELECT decile, count(*) AS n,
+        |  min(c_acctbal) AS lo, max(c_acctbal) AS hi
+        |FROM (SELECT c_acctbal,
+        |        CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey)
+        |             AS INTEGER) AS decile
+        |      FROM customer)
+        |GROUP BY decile ORDER BY decile""".stripMargin)),
+
+    // equi-width histogram in pure integer domain: bucket edges computed
+    // on exact cents via integer division (25000.00-wide buckets), so no
+    // float division can flip a boundary row on either engine
+    Q("q_price_histogram", (s, dir) => {
+      s.read.parquet(t(dir, "orders"))
+        .withColumn("bucket",
+          expr("cast(round(o_totalprice * 100) as bigint) div 2500000"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("first_key"),
+          max(col("o_orderkey")).as("last_key"))
+        .orderBy(col("bucket"))
+    }, Some(
+      """SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 2500000
+        |    AS bucket,
+        |  count(*) AS n,
+        |  min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // deterministic stratified sampling: per-stratum rates applied via a
+    // content hash of the key (reproducible across engines, retries, and
+    // cluster sizes — same discipline as q_hash_sample, per-group rates);
+    // sampled rows carry input doubles through untouched
+    Q("q_stratified_sample", (s, dir) => {
+      s.read.parquet(t(dir, "customer"))
+        .withColumn("h",
+          expr("conv(substring(md5(cast(c_custkey as string)), 1, 8), " +
+            "16, 10) % 100"))
+        .filter(
+          when(col("c_mktsegment") === "BUILDING", col("h") < 20)
+            .otherwise(col("h") < 5))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }, Some(
+      """SELECT c_custkey, c_mktsegment, c_acctbal
+        |FROM (SELECT *,
+        |        ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+        |          ::BIGINT % 100 AS h
+        |      FROM customer)
+        |WHERE CASE WHEN c_mktsegment = 'BUILDING' THEN h < 20
+        |           ELSE h < 5 END
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // gaps-and-islands over the orderkey sequence: runs of consecutive
+    // keys collapse via the classic key - row_number() group label; pure
+    // integer arithmetic end to end
+    Q("q_key_islands", (s, dir) => {
+      val w = Window.orderBy(col("o_orderkey"))
+      s.read.parquet(t(dir, "orders"))
+        .filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"))
+        .withColumn("grp", col("o_orderkey") - row_number().over(w))
+        .groupBy(col("grp"))
+        .agg(min(col("o_orderkey")).as("island_start"),
+          max(col("o_orderkey")).as("island_end"),
+          count(lit(1)).as("island_len"))
+        .drop("grp")
+        .orderBy(col("island_start"))
+    }, Some(
+      """SELECT min(o_orderkey) AS island_start,
+        |  max(o_orderkey) AS island_end, count(*) AS island_len
+        |FROM (SELECT o_orderkey,
+        |        o_orderkey - row_number() OVER (ORDER BY o_orderkey) AS grp
+        |      FROM orders WHERE o_orderkey <= 20000)
+        |GROUP BY grp ORDER BY island_start""".stripMargin)),
+
+    // semi-structured payload parsing: JSON props field extracted and
+    // aggregated in integer domain (the declared-schema from_json path is
+    // exercised by json_boundary; this is the ad-hoc extraction path)
+    Q("q_props_parse", (s, dir) => {
+      StreamingQueries.events(s, dir)
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("bigint").as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }, Some(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(json_extract_string(props, '$.k')::INTEGER) AS BIGINT)
+        |    AS sum_k,
+        |  min(json_extract_string(props, '$.k')::INTEGER) AS min_k,
+        |  max(json_extract_string(props, '$.k')::INTEGER) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // market-basket pair co-occurrence. The Spark plan deliberately does
+    // NOT self-join: one groupBy(orderkey) collects each order's distinct
+    // parts and the pair fan-out happens map-side from the sorted array —
+    // one shuffle total, versus a self-join's two shuffle-scans of
+    // lineitem plus a potentially skewed join. Order sizes are bounded
+    // (TPC-H ~7 lines), so the quadratic fan-out is per-row constant.
+    // Full (n desc, pa, pb) tiebreak keeps the top-20 engine-neutral.
+    Q("q_pair_cooccur", (s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .filter(size(col("ps")) > 1)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ps) - 1),
+            |  i -> transform(slice(ps, i + 1, size(ps) - i),
+            |       j -> struct(element_at(ps, i) as pa, j as pb))))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pa"), col("pb"))
+        .limit(20)
+    }, Some(
+      """SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+        |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY n DESC, pa, pb LIMIT 20""".stripMargin)),
+
+    // cumulative distinct users by day: first-seen reduction then a
+    // running sum — the scalable form of COUNT(DISTINCT) OVER (ORDER BY
+    // day), which Spark rejects and which would hold the full user set
+    // per frame anyway; integers and dates only
+    Q("q_cumulative_users", (s, dir) => {
+      val firstSeen = StreamingQueries.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("day"))
+      firstSeen
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users",
+          sum(col("new_users")).over(
+            Window.orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("day"))
+    }, Some(
+      """WITH fs AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY 1)
+        |SELECT day, count(*) AS new_users,
+        |  CAST(sum(count(*)) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM fs GROUP BY day ORDER BY day""".stripMargin)))
+}
