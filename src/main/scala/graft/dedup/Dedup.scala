@@ -68,19 +68,22 @@ object Dedup {
   def md5Hash32(c: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt), c)), 1, 8), 16, 10).cast("long")
 
-  /** Per-document distinct shingle SETS — one shuffle (groupBy +
-    * collect_set); every downstream consumer (signatures, counts, the
-    * inverted index) derives narrowly from this, instead of re-shuffling
-    * a (doc, shingle) distinct per consumer. */
+  /** Per-document distinct shingle SETS — ZERO shuffle: shingling is
+    * row-local, so the distinct set is array_distinct over the row's own
+    * shingle array (the r01-r02 explode + groupBy/collect_set shape paid
+    * a |corpus|x|shingles|-row shuffle for a per-row computation). Every
+    * downstream consumer (signatures, counts, the inverted index)
+    * derives narrowly from this. */
   def docShingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    // spread narrow inputs first: shingling runs BEFORE the groupBy
-    // shuffle, i.e. on the input splits — a single-split test file
-    // would shingle on one core (no-op on well-split inputs)
+    // spread narrow inputs first: a single-split test file would
+    // otherwise shingle on one core (no-op on well-split inputs)
     graft.relational.Scale.spreadIfNarrow(docs)
       .select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol))).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("ss"))
+        array_distinct(shingles(col(textCol))).as("ss"))
+      // docs under ShingleSize words had no rows in the explode shape;
+      // keep that contract (an empty-set row would otherwise flow into
+      // signatures as all-NULL and band-join with other empty docs)
+      .filter(size(col("ss")) > 0)
 
   /** (doc_id, shingle) pairs, distinct (narrow explode of the sets). */
   def docShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -180,6 +183,23 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(hs.head, hs.tail: _*)
   }
 
+  /** MinHash signatures computed ROW-LOCALLY from per-doc shingle sets —
+    * zero shuffle, identical values to [[minhashSignatures]] (min over
+    * the same hash multiset). The md5 base hashes land in their own
+    * projection so each is computed once; the K per-permutation minima
+    * are then cheap integer array folds. The explode + 64-way-agg shape
+    * this replaces shuffled |corpus|x|shingles| rows to compute a
+    * per-row value. */
+  def minhashSignaturesFromSets(sets: DataFrame): DataFrame = {
+    val hashed = sets.select(col("doc_id"),
+      transform(col("ss"), s => md5Hash32(s, "mh:")).as("hb"))
+    hashed.select(
+      col("doc_id") +:
+        (0 until MinhashK).map(i =>
+          array_min(transform(col("hb"), x =>
+            (x * minhashA(i) + minhashB(i)) % MinhashP)).as(s"h$i")): _*)
+  }
+
   /** LSH candidate pairs (shared band) -> exact Jaccard rescore.
     *
     * Unlike [[ngramJaccardPairs]] (whose inverted-index join IS the
@@ -193,8 +213,7 @@ object Dedup {
       textCol: String,
       threshold: Double = JaccardThreshold): DataFrame = {
     val sets = docShingleSets(docs, idCol, textCol).localCheckpoint()
-    val sh = sets.select(col("doc_id"), explode(col("ss")).as("s"))
-    val sig = minhashSignatures(sh)
+    val sig = minhashSignaturesFromSets(sets)
     val bands = sig.select(col("doc_id"),
       explode(array((0 until Bands).map { b =>
         val hs = (0 until RowsPerBand)

@@ -42,7 +42,8 @@ object IncrementalDedup {
 
   /** (doc_id, bk) band keys via the module's MinHash signatures. */
   private def bandKeys(docs: DataFrame): DataFrame =
-    Dedup.minhashSignatures(Dedup.docShingles(docs, "doc_id", "text"))
+    Dedup.minhashSignaturesFromSets(
+        Dedup.docShingleSets(docs, "doc_id", "text"))
       .select(col("doc_id"),
         explode(array((0 until Dedup.Bands).map { b =>
           val hs = (0 until Dedup.RowsPerBand)
