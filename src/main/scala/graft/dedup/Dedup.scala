@@ -248,20 +248,29 @@ object Dedup {
     * integer-exact, so results equal the explode formulation and the
     * DuckDB oracle. Document ids must be integral. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import docs.sparkSession.implicits._
-    val words = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode(split(col(textCol), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .distinct()
-      .withColumn("h", md5Hash32(col("w"), "sh:"))
-      .select(col("doc_id"), col("h"))
-      .as[(Long, Long)]
-    words.groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(new graft.functions.BitVoteAggregator(SimhashBits).toColumn
-        .name("simhash"))
-      .toDF("doc_id", "simhash")
+    // Fully ROW-LOCAL (zero shuffle): each document's signature folds
+    // over its own distinct-word hash array. The r02 shape exploded
+    // every word row through a corpus-wide distinct() shuffle and a
+    // typed groupByKey Aggregator; signatures are per-row values and
+    // need neither. Values are identical to BitVoteAggregator's: +1
+    // vote per set bit, -1 per clear bit, final bit = vote sum > 0.
+    // Column-valued shifts aren't expressible (shiftright takes literal
+    // amounts only), so bit b extracts via exact integer division by a
+    // literal 2^b array.
+    val pow2 = array((0 until SimhashBits).map(b => lit(1L << b)): _*)
+    val words = array_distinct(
+      filter(split(col(textCol), " "), w => length(w) > 0))
+    val hashes = transform(words, w => md5Hash32(w, "sh:"))
+    val zero = array((0 until SimhashBits).map(_ => lit(0L)): _*)
+    val votes = aggregate(hashes, zero, (acc, h) =>
+      zip_with(acc,
+        transform(pow2, p =>
+          when((floor(h / p) % 2) === 1, lit(1L)).otherwise(lit(-1L))),
+        (a, b) => a + b))
+    val sig = aggregate(
+      zip_with(votes, pow2, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+    docs.select(col(idCol).cast("long").as("doc_id"), sig.as("simhash"))
   }
 
   /** Near-dup pairs by SimHash Hamming distance <= maxDist.
