@@ -257,6 +257,12 @@ object TrainingDataQueries {
         .orderBy(col("qid"), col("rank"))
     }, Some(Similarity.bruteForceTopKOracle("embeddings", AnnQueries, AnnK))),
 
+    // int8-quantized variant: integer-exact scores, same window contract
+    Q("ann_topk_int8", (s, dir) => {
+      Similarity.int8TopK(emb(s, dir), AnnQueries, AnnK)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(Similarity.int8TopKOracle("embeddings", AnnQueries, AnnK))),
+
     Q("ann_topk_lsh", (s, dir) => {
       Similarity.lshTopK(emb(s, dir), AnnQueries, AnnK)
         .orderBy(col("qid"), col("rank"))

@@ -130,6 +130,59 @@ object Similarity {
 
   /** LSH top-k: same contract as [[bruteForceTopK]] but candidates are
     * restricted to the query's bucket (approximate; deterministic). */
+  /** Top-k over INT8-QUANTIZED embeddings — the standard compression
+    * path for billion-vector corpora (4x smaller than float32, integer
+    * dot products). Quantization is a fixed-point floor map with every
+    * step in positive-integer domain, so both engines produce identical
+    * codes (`div` on positives == DuckDB `//`; no float division whose
+    * 1-ulp error could flip a floor at a boundary):
+    *   x = round(e * 1e6);  q = ((x + 2e6) * 127) div 1e6 - 254
+    * (= floor(x * 127 / 1e6), codes in [-127, 127] for |e| <= 1).
+    * Ranking is by the raw integer dot product (magnitude ranking, the
+    * symmetric-quantization convention) with a cid tiebreak; scores are
+    * exact BIGINTs, so the oracle compare is hash-exact by construction. */
+  def int8Quantize(embCol: String): Column =
+    expr(s"transform(cast($embCol as array<double>), x -> " +
+      "((cast(round(x * 1000000) as bigint) + 2000000) * 127) " +
+      "div 1000000 - 254)")
+
+  def int8TopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val quant = emb.select(col("vec_id"),
+      int8Quantize("embedding").cast("array<double>").as("v"))
+    val q = quant.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = quant.select(col("vec_id").as("cid"), col("v").as("cv"))
+    // dot runs on doubles for the codegen'd ArrayDot kernel; values are
+    // exact (|code| <= 127, 64 dims -> |dot| < 2^21 << 2^53)
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .withColumn("qdot",
+        array_dot(col("qv"), col("cv")).cast("bigint"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("qdot").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("qdot"))
+  }
+
+  def int8TopKOracle(embRel: String, nQueries: Int, k: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x ->
+       |      ((CAST(round(x * 1000000) AS BIGINT) + 2000000) * 127)
+       |        // 1000000 - 254)::DOUBLE[] AS v
+       |  FROM $embRel),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    CAST(list_dot_product(q.v, c.v) AS BIGINT) AS qdot
+       |  FROM e q JOIN e c ON q.vec_id < $nQueries AND q.vec_id != c.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, qdot,
+       |    row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, cid)
+       |      AS rank
+       |  FROM scored)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, qdot
+       |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     // norms computed ONCE per vector (cosinePre) — recomputing both
     // self-dots per candidate pair would triple the dot products

@@ -105,4 +105,30 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     assert(late.contains((2L, -1L)),
       s"null-matched row for click 2 must flush after the watermark: $late")
   }
+
+  test("stream-static broadcast enrichment: dim rows join each micro-batch") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // static dim (the catalog-lookup shape of S2/J1, under streaming):
+    // broadcast so each micro-batch enriches map-side with no shuffle
+    val dim = Seq((1L, "cz"), (2L, "de")).toDF("user_id", "country")
+    val events = MemoryStream[(Long, Long, Timestamp, Double)]
+    val enriched = events.toDF().toDF("event_id", "user_id", "ts", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("country"), lit("unknown")).as("country"))
+    val q = enriched.writeStream.format("memory").queryName("ss_enrich")
+      .outputMode("append").start()
+
+    events.addData((10L, 1L, ts(0), 1.0), (11L, 3L, ts(1), 2.0))
+    q.processAllAvailable()
+    events.addData((12L, 2L, ts(2), 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ss_enrich").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == Set((10L, "cz"), (11L, "unknown"), (12L, "de")),
+      s"$got — dim misses must flag, not drop (P6 discipline)")
+  }
 }
