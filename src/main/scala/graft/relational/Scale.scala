@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Scale levers that change the PLAN, not the RESULT — salting for skewed
@@ -20,6 +20,45 @@ object Scale {
   def spreadIfNarrow(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
+  /** Global row_number WITHOUT the single-partition window.
+    *
+    * `row_number() OVER (ORDER BY ...)` with no PARTITION BY moves every
+    * row to one task (Spark even warns "No Partition Defined for Window
+    * operation") — the canonical 100 TB non-starter. The scalable
+    * formulation: range-repartition on the sort key (so partition i
+    * holds globally-smaller rows than partition i+1), rank WITHIN each
+    * partition, then add the partition's global offset (cumulative count
+    * of earlier partitions — a tiny driver-side array, one count per
+    * partition, broadcast back as a literal map).
+    *
+    * `sortCols` must be a TOTAL order (include a unique key): rows equal
+    * on the sort key may straddle a range boundary, and only a total
+    * order pins every row's rank to the same value the window form
+    * produces. Output = input columns + `rn` (1-based, dense ordering by
+    * sortCols). */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val nParts = math.max(2, spark.sparkContext.defaultParallelism)
+    val ranged = df.repartitionByRange(nParts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // pin the (sampled) range split: offsets and
+                         // ranks below must see the SAME partitioning
+    val counts = ranged.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2).init
+    val entries: Seq[Column] = // empty input still needs a valid map literal
+      if (counts.isEmpty) Seq(lit(-1), lit(0L))
+      else counts.map(_._1).zip(offsets).toSeq.flatMap { case (p, o) =>
+        Seq(lit(p), lit(o)) }
+    val offsetOf = map(entries: _*)
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    ranged
+      .withColumn("rn",
+        row_number().over(w).cast("long") + element_at(offsetOf, col("__pid")))
+      .drop("__pid")
   }
 
   /** Skew-safe equi-join: the fact side gets a deterministic (seeded)

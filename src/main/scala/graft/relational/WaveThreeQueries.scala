@@ -173,6 +173,26 @@ object WaveThreeQueries {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 ORDER BY n DESC, pa, pb LIMIT 20""".stripMargin)),
 
+    // global ranking WITHOUT the single-partition window: range
+    // repartition + within-partition rank + partition offsets
+    // (Scale.globalRowNumber). Result defined identical to plain
+    // row_number() OVER (ORDER BY ...), which is exactly what the oracle
+    // runs — the scale lever discipline of q_salted_join/q_salted_agg.
+    Q("q_global_rank", (s, dir) => {
+      Scale.globalRowNumber(
+          s.read.parquet(t(dir, "customer"))
+            .select(col("c_custkey"), col("c_acctbal")),
+          Seq(col("c_acctbal").desc, col("c_custkey")))
+        .filter(col("rn") <= 500)
+        .select(col("rn"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("rn"))
+    }, Some(
+      """SELECT CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey)
+        |       AS BIGINT) AS rn,
+        |  c_custkey, c_acctbal
+        |FROM customer
+        |QUALIFY rn <= 500 ORDER BY rn""".stripMargin)),
+
     // cumulative distinct users by day: first-seen reduction then a
     // running sum — the scalable form of COUNT(DISTINCT) OVER (ORDER BY
     // day), which Spark rejects and which would hold the full user set

@@ -1,0 +1,52 @@
+package graft
+
+import graft.relational.Scale
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale levers are defined to be RESULT-IDENTICAL to their naive
+  * formulations; globalRowNumber's contract is plain
+  * row_number() OVER (ORDER BY ...) without the single-partition
+  * window. */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("globalRowNumber equals the global window, ties included") {
+    // duplicate sort values force ranks across range-boundary ties; the
+    // unique id in the sort makes the order total
+    val df = (1 to 5000).map(i => (i.toLong, (i % 37).toDouble))
+      .toDF("id", "v")
+      .repartition(8)
+    val scalable = Scale.globalRowNumber(df, Seq(col("v").desc, col("id")))
+      .select(col("id"), col("rn"))
+    val window = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("v").desc, col("id")))
+          .cast("long"))
+      .select(col("id"), col("rn"))
+    assert(scalable.except(window).isEmpty && window.except(scalable).isEmpty)
+    assert(scalable.count() == 5000)
+  }
+
+  test("globalRowNumber ranks within partitions, not one global window") {
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      .repartition(8)
+    val plan = Scale.globalRowNumber(df, Seq(col("v"), col("id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"),
+      "the window must be partitioned by the range-split id")
+  }
+
+  test("globalRowNumber on empty input yields empty output") {
+    val df = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(Scale.globalRowNumber(df, Seq(col("v"))).count() == 0)
+  }
+}
