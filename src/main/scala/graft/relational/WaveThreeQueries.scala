@@ -41,9 +41,23 @@ object WaveThreeQueries {
     // bucket edges across engines); min/max pass input doubles through
     // untouched (bit-identical on both sides — no arithmetic)
     Q("q_ntile_deciles", (s, dir) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      s.read.parquet(t(dir, "customer"))
-        .withColumn("decile", ntile(10).over(w))
+      // NTILE without the single-partition window: global rank via the
+      // scalable range+offset formulation, then NTILE's bucket rule as
+      // pure arithmetic — with c rows and n buckets (q = c div n,
+      // r = c mod n), the first r buckets hold q+1 rows. Result is
+      // defined identical to ntile(10) OVER (ORDER BY ...), which is
+      // what the oracle runs.
+      val cust = s.read.parquet(t(dir, "customer"))
+      val c = cust.count()
+      val n = 10L
+      val q = c / n
+      val r = c % n
+      Scale.globalRowNumber(cust, Seq(col("c_acctbal"), col("c_custkey")))
+        .withColumn("decile",
+          when(lit(q) === 0 || col("rn") <= lit(r * (q + 1)),
+            (col("rn") - 1) / lit(q + 1) + 1)
+            .otherwise(lit(r) + (col("rn") - lit(r * (q + 1)) - 1) / lit(q) + 1)
+            .cast("int"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"),
           min(col("c_acctbal")).as("lo"),
@@ -105,11 +119,13 @@ object WaveThreeQueries {
     // keys collapse via the classic key - row_number() group label; pure
     // integer arithmetic end to end
     Q("q_key_islands", (s, dir) => {
-      val w = Window.orderBy(col("o_orderkey"))
-      s.read.parquet(t(dir, "orders"))
-        .filter(col("o_orderkey") <= 20000)
-        .select(col("o_orderkey"))
-        .withColumn("grp", col("o_orderkey") - row_number().over(w))
+      Scale.globalRowNumber(
+          s.read.parquet(t(dir, "orders"))
+            .filter(col("o_orderkey") <= 20000)
+            .select(col("o_orderkey")),
+          Seq(col("o_orderkey")))
+        .withColumn("grp", col("o_orderkey") - col("rn"))
+        .drop("rn")
         .groupBy(col("grp"))
         .agg(min(col("o_orderkey")).as("island_start"),
           max(col("o_orderkey")).as("island_end"),
