@@ -54,13 +54,21 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Quadratic/scoring joins parallelize over the STREAM side's input
+    * splits; a small single-file embeddings table would otherwise run
+    * every dot product on one core (BroadcastNestedLoopJoin inherits the
+    * probe side's partitioning). No-op on well-split inputs. */
+  private def spread(df: DataFrame): DataFrame =
+    graft.relational.Scale.spreadIfNarrow(df)
+
   /** Brute-force top-k: for each query vector (vec_id < nQueries), the k
     * nearest corpus vectors by cosine (self excluded). */
   def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val q = emb.filter(col("vec_id") < nQueries)
+    val emb0 = spread(emb)
+    val q = emb0.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
       .withColumn("qn", sqrt(array_dot(col("qv"), col("qv"))))
-    val c = emb.select(col("vec_id").as("cid"),
+    val c = emb0.select(col("vec_id").as("cid"),
         asDouble(col("embedding")).as("cv"))
       .withColumn("cn", sqrt(array_dot(col("cv"), col("cv"))))
     val scored = q.join(c, col("qid") =!= col("cid"))
@@ -77,10 +85,11 @@ object Similarity {
     * embedding-space near-duplicate detector. Quadratic: reserved for
     * small corpora / within-bucket rescoring at scale. */
   def similarPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("va"),
+    val emb0 = spread(emb)
+    val a = emb0.select(col("vec_id").as("va"),
         asDouble(col("embedding")).as("ea"))
       .withColumn("na", sqrt(array_dot(col("ea"), col("ea"))))
-    val b = emb.select(col("vec_id").as("vb"),
+    val b = emb0.select(col("vec_id").as("vb"),
         asDouble(col("embedding")).as("eb"))
       .withColumn("nb", sqrt(array_dot(col("eb"), col("eb"))))
     // the threshold lives IN the join condition, explicitly AFTER the
@@ -99,11 +108,12 @@ object Similarity {
     * per query before the shuffle — the scale path for global/grouped
     * top-k. Output contract identical to [[bruteForceTopK]]. */
   def bruteForceTopKAgg(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val emb0 = spread(emb)
     import emb.sparkSession.implicits._
-    val q = emb.filter(col("vec_id") < nQueries)
+    val q = emb0.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
       .withColumn("qn", sqrt(array_dot(col("qv"), col("qv"))))
-    val c = emb.select(col("vec_id").as("cid"),
+    val c = emb0.select(col("vec_id").as("cid"),
         asDouble(col("embedding")).as("cv"))
       .withColumn("cn", sqrt(array_dot(col("cv"), col("cv"))))
     val scored = q.join(c, col("qid") =!= col("cid"))
@@ -147,7 +157,8 @@ object Similarity {
       "div 1000000 - 254)")
 
   def int8TopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val quant = emb.select(col("vec_id"),
+    val emb0 = spread(emb)
+    val quant = emb0.select(col("vec_id"),
       int8Quantize("embedding").cast("array<double>").as("v"))
     val q = quant.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -184,9 +195,10 @@ object Similarity {
        |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val emb0 = spread(emb)
     // norms computed ONCE per vector (cosinePre) — recomputing both
     // self-dots per candidate pair would triple the dot products
-    val withBucket = emb.select(col("vec_id"),
+    val withBucket = emb0.select(col("vec_id"),
         asDouble(col("embedding")).as("v"),
         lshBucket(asDouble(col("embedding"))).as("bucket"))
       .withColumn("n", sqrt(array_dot(col("v"), col("v"))))
@@ -219,7 +231,8 @@ object Similarity {
     * Similarities are rounded before every argmax/rank with id tiebreaks.
     */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val emb0 = spread(emb)
+    val v = emb0.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cents = v.filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val simToCent = v.crossJoin(broadcast(cents))
