@@ -38,10 +38,21 @@ class TopKAggregator(k: Int)
   private def trim(xs: List[(Double, Long)]): List[(Double, Long)] =
     xs.sorted(ord).take(k)
 
+  // The buffer is kept SORTED (best first) as an invariant, so the hot
+  // path — a row no better than the current k-th best — is one compare
+  // and zero allocation. Re-sorting the whole buffer per row (the r01
+  // shape) paid O(k log k) + list churn on every input.
   override def reduce(
       buf: List[(Double, Long)],
-      row: (Double, Long)): List[(Double, Long)] =
-    trim(row :: buf)
+      row: (Double, Long)): List[(Double, Long)] = {
+    val full = buf.lengthCompare(k) >= 0
+    if (full && ord.compare(row, buf.last) >= 0) buf
+    else {
+      val (before, after) = buf.span(x => ord.compare(x, row) <= 0)
+      val inserted = before ::: (row :: after)
+      if (full) inserted.init else inserted
+    }
+  }
 
   override def merge(
       a: List[(Double, Long)],
