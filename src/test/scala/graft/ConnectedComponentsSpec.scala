@@ -14,9 +14,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
 
   import spark.implicits._
 
-  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
+  // every case runs BOTH paths: the bounded driver union-find (default
+  // cap) and the distributed label rounds (cap forced to 0) must agree
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val fast = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents
+      .run(edges.toDF("a", "b"), "a", "b", driverEdgeCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist, s"driver union-find vs label rounds: $fast != $dist")
+    fast
+  }
 
   test("two disjoint components resolve to their min ids") {
     val got = components(Seq((5L, 3L), (3L, 9L), (20L, 21L)))
