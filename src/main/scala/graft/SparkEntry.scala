@@ -58,7 +58,10 @@ object SparkEntry {
     }),
     // P1/T1: Czech normalization as pure built-ins (SURVEY §2.6)
     "czech_normalize" -> ((s, dir) => {
-      s.read.parquet(t(dir, "documents"))
+      // spread: regex-heavy narrow projection over a single-file input
+      // would otherwise run on one core
+      graft.relational.Scale.spreadIfNarrow(
+          s.read.parquet(t(dir, "documents")))
         .select(col("doc_id"),
           CzechText.normalizeCzech(concat(col("text"), lit(CzechProbe)))
             .as("norm_text"))

@@ -276,8 +276,12 @@ object AdvancedQueries {
     // similarity surface (levenshtein is codegen'd in Spark and native
     // in DuckDB, so the oracle is exact)
     Q("q_fuzzy_names", (s, dir) => {
-      val sup = s.read.parquet(t(dir, "supplier"))
-        .select(col("s_suppkey"), col("s_name"))
+      // spread: the quadratic BNLJ parallelizes over the probe side's
+      // input splits, and a single-file supplier table would run every
+      // banded-levenshtein pair on one core
+      val sup = graft.relational.Scale.spreadIfNarrow(
+        s.read.parquet(t(dir, "supplier"))
+          .select(col("s_suppkey"), col("s_name")))
       // 3-arg levenshtein short-circuits the DP once the threshold is
       // exceeded (returns -1) — on a quadratic self-join that bounds the
       // per-pair cost to the band, not the full edit matrix
