@@ -141,7 +141,10 @@ object RelationalQueries {
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
     Q("q_stats_aggs", (s, dir) => {
-      s.read.parquet(t(dir, "lineitem"))
+      // spread: exact median/percentile partials build value buffers on
+      // the scan side, and a single-split file would build them on one
+      // core
+      Scale.spreadIfNarrow(s.read.parquet(t(dir, "lineitem")))
         .groupBy(col("l_returnflag"))
         .agg(
           round(expr("median(l_quantity)"), 4).as("med_qty"),

@@ -23,7 +23,7 @@ object WaveThreeQueries {
     // small integers so the interpolated values carry one decimal and
     // round(2) can never sit on a half boundary
     Q("q_percentiles_exact", (s, dir) => {
-      s.read.parquet(t(dir, "lineitem"))
+      Scale.spreadIfNarrow(s.read.parquet(t(dir, "lineitem")))
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
