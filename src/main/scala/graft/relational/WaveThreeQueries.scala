@@ -189,6 +189,36 @@ object WaveThreeQueries {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 ORDER BY n DESC, pa, pb LIMIT 20""".stripMargin)),
 
+    // Bloom-filter semi-join reduction: the dim side builds a compact
+    // bloom filter that pre-filters the fact scan BEFORE the shuffle —
+    // at scale this is the difference between shuffling every fact row
+    // and shuffling ~|matching| + fpp. False positives pass the filter
+    // and are dropped by the exact join that follows, so the result is
+    // DEFINED identical to the plain join (which is what the oracle
+    // runs). Same discipline as Spark's own runtime row-level filtering,
+    // made explicit and testable.
+    Q("q_bloom_join", (s, dir) => {
+      val dim = s.read.parquet(t(dir, "customer"))
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val bf = dim.stat.bloomFilter("c_custkey", 100000, 0.01)
+      val mightContain = udf((k: Long) => bf.mightContain(k))
+      s.read.parquet(t(dir, "orders"))
+        .filter(mightContain(col("o_custkey")))
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+            .as("total_cents"))
+        .orderBy(col("o_orderpriority"))
+    }, Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // global ranking WITHOUT the single-partition window: range
     // repartition + within-partition rank + partition offsets
     // (Scale.globalRowNumber). Result defined identical to plain
