@@ -108,4 +108,29 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(3L, 9L), "the LOWER id of the near-dup pair survives")
   }
+
+  test("streaming corpus construction: processBatch as a foreachBatch sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val store = Files.createTempDirectory("incdedup5").toString + "/corpus"
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        IncrementalDedup.processBatch(df, store); ()
+      }
+      .start()
+
+    input.addData((1L, base), (2L, other))
+    q.processAllAvailable()
+    // second micro-batch: near-dup of accepted doc 1 + a re-delivery
+    input.addData((10L, base.replace("valley", "meadow")), (2L, other),
+      (11L, third))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.read.parquet(s"$store/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 11L),
+      "the streaming path must apply the same dedup/redelivery semantics")
+  }
 }
