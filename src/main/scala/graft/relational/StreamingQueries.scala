@@ -86,6 +86,53 @@ object StreamingQueries {
         |  ON c.user_id = e.user_id AND c.ts >= e.ts
         |ORDER BY c.event_id""".stripMargin)),
 
+    // marketing attribution: each purchase gets the user's most recent
+    // prior click (last touch, via the as-of operator) and earliest-ever
+    // click at-or-before it (first touch, via a per-user min reduction —
+    // no window). Clicks pre-reduce to one row per (user, ts) with a
+    // max-id tiebreak so the ASOF match is unambiguous on both engines.
+    Q("attribution_touch", (s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts"), col("ts").as("clk_ts"),
+          col("click_id"))
+      val lastTouch = graft.operators.AsOfJoin
+        .backward(purchases, clicks, "user_id", "ts",
+          Seq("clk_ts", "click_id"))
+      val firstClick = clicks
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("fc_ts"),
+          min_by(col("click_id"), struct(col("ts"), col("click_id")))
+            .as("fc_id"))
+      lastTouch.join(firstClick, Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          col("asof_click_id").as("last_click_id"),
+          (expr("unix_micros(ts)") - expr("unix_micros(asof_clk_ts)"))
+            .as("us_since_click"),
+          when(col("fc_ts") <= col("ts"), col("fc_id"))
+            .as("first_click_id"))
+        .orderBy(col("event_id"))
+    }, Some(
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts),
+        |fc AS (SELECT user_id, min(ts) AS fc_ts,
+        |         first(click_id ORDER BY ts, click_id) AS fc_id
+        |       FROM c GROUP BY user_id)
+        |SELECT p.event_id, p.user_id,
+        |  c.click_id AS last_click_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS us_since_click,
+        |  CASE WHEN fc.fc_ts <= p.ts THEN fc.fc_id END AS first_click_id
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |LEFT JOIN fc ON p.user_id = fc.user_id
+        |ORDER BY p.event_id""".stripMargin)),
+
     // forward as-of: each error gets the user's NEXT click at-or-after it
     Q("asof_forward", (s, dir) => {
       val ev = events(s, dir)
