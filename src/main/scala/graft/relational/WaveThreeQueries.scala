@@ -115,6 +115,33 @@ object WaveThreeQueries {
         |           ELSE h < 5 END
         |ORDER BY c_custkey""".stripMargin)),
 
+    // deterministic FIXED-SIZE sample per group: md5-priority ranking
+    // inside each stratum (window is PARTITIONED — scales), exactly k
+    // rows per segment, reproducible across engines/retries/cluster
+    // sizes. Complements the fraction-based q_stratified_sample.
+    Q("q_fixed_sample", (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("h"), col("c_custkey"))
+      s.read.parquet(t(dir, "customer"))
+        .withColumn("h",
+          expr("cast(conv(substring(md5(concat('fs:', " +
+            "cast(c_custkey as string))), 1, 8), 16, 10) as bigint)"))
+        .withColumn("pick", row_number().over(w))
+        .filter(col("pick") <= 50)
+        .select(col("c_mktsegment"), col("pick").as("pick"),
+          col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("pick"))
+    }, Some(
+      """SELECT c_mktsegment, CAST(pick AS INTEGER) AS pick,
+        |  c_custkey, c_acctbal
+        |FROM (SELECT *,
+        |        row_number() OVER (PARTITION BY c_mktsegment
+        |          ORDER BY ('0x' || substr(md5('fs:' ||
+        |            CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT,
+        |          c_custkey) AS pick
+        |      FROM customer)
+        |WHERE pick <= 50 ORDER BY c_mktsegment, pick""".stripMargin)),
+
     // gaps-and-islands over the orderkey sequence: runs of consecutive
     // keys collapse via the classic key - row_number() group label; pure
     // integer arithmetic end to end
