@@ -1,5 +1,6 @@
 package graft.relational
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.relational.RelationalQueries.Q
@@ -132,6 +133,27 @@ object StreamingQueries {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |LEFT JOIN fc ON p.user_id = fc.user_id
         |ORDER BY p.event_id""".stripMargin)),
+
+    // event-sequence transition matrix: per-user lag over a total order
+    // (ts then event_id), then global (prev -> next) counts — the Markov
+    // view of user behavior; window is user-partitioned, counts integer
+    Q("event_transitions", (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prev"), col("next"))
+    }, Some(
+      """SELECT prev, event_type AS next, count(*) AS n
+        |FROM (SELECT event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS prev
+        |      FROM events)
+        |WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev, next""".stripMargin)),
 
     // forward as-of: each error gets the user's NEXT click at-or-after it
     Q("asof_forward", (s, dir) => {
