@@ -230,27 +230,34 @@ object RelationalQueries {
         |FROM orders WHERE o_custkey % 200 = 0
         |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // the whole ranking family WITHOUT `Window.orderBy(...)`'s
+    // single-partition funnel — rank/dense_rank/ntile/percent_rank all
+    // derive from the range-partitioned global row number
+    // (Scale.rankingFamily); output is defined identical to the window
+    // forms, which is exactly what the oracle runs
     Q("q_ranking_funcs", (s, dir) => {
       val o = s.read.parquet(t(dir, "orders"))
       val spend = o.groupBy(col("o_custkey"))
         .agg(round(sum(col("o_totalprice")), 2).as("spend"))
         .filter(col("o_custkey") % 50 === 0)
-      val w = Window.orderBy(col("spend").desc, col("o_custkey"))
-      spend
-        .withColumn("rnk", rank().over(w))
-        .withColumn("drnk", dense_rank().over(w))
-        .withColumn("quartile", ntile(4).over(w))
-        .withColumn("pct", round(percent_rank().over(w), 6))
+      Scale.rankingFamily(spend, "spend", tieDesc = true,
+          tiebreak = col("o_custkey"), nBuckets = 4)
+        .select(col("o_custkey"), col("spend"),
+          col("rnk").cast("int").as("rnk"),
+          col("drnk").cast("int").as("drnk"),
+          col("ntl").cast("int").as("quartile"),
+          round(col("pct"), 6).as("pct"))
         .orderBy(col("rnk"), col("o_custkey"))
     }, Some(
       """SELECT o_custkey, spend,
-        |  CAST(rank() OVER w AS INTEGER) AS rnk,
-        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
-        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-        |  round(percent_rank() OVER w, 6) AS pct
+        |  CAST(rank() OVER wt AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER wt AS INTEGER) AS drnk,
+        |  CAST(ntile(4) OVER wo AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER wt, 6) AS pct
         |FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
         |      FROM orders WHERE o_custkey % 50 = 0 GROUP BY o_custkey) x
-        |WINDOW w AS (ORDER BY spend DESC, o_custkey)
+        |WINDOW wt AS (ORDER BY spend DESC),
+        |       wo AS (ORDER BY spend DESC, o_custkey)
         |ORDER BY rnk, o_custkey""".stripMargin)),
 
     Q("q_grouping_sets", (s, dir) => {

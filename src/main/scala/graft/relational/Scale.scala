@@ -38,14 +38,30 @@ object Scale {
     * order pins every row's rank to the same value the window form
     * produces. Output = input columns + `rn` (1-based, dense ordering by
     * sortCols). */
-  def globalRowNumber(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column]): DataFrame =
+    globalRowNumberCounted(df, sortCols)._1
+
+  /** [[globalRowNumber]] plus the total row count — the count comes from
+    * the per-partition offsets already sitting on the driver, so callers
+    * that need N (ntile, percent_rank) don't pay a second job. */
+  def globalRowNumberCounted(
+      df: DataFrame, sortCols: Seq[Column]): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val nParts = math.max(2, spark.sparkContext.defaultParallelism)
-    val ranged = df.repartitionByRange(nParts, sortCols: _*)
+    // persist the INPUT (lazily) before range partitioning:
+    // repartitionByRange runs a sampling pass over its child, so an
+    // expensive upstream (a groupBy, a join) would otherwise execute
+    // twice — once to sample the bounds, once to shuffle. The sample
+    // stage populates the cache and the shuffle stage reads it — no
+    // extra job, upstream runs once; released right after the range
+    // split is pinned.
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = pinned.repartitionByRange(nParts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint() // pin the (sampled) range split: offsets and
                          // ranks below must see the SAME partitioning
+    pinned.unpersist(blocking = false)
     val counts = ranged.groupBy(col("__pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).init
@@ -55,10 +71,70 @@ object Scale {
         Seq(lit(p), lit(o)) }
     val offsetOf = map(entries: _*)
     val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    ranged
+    val out = ranged
       .withColumn("rn",
         row_number().over(w).cast("long") + element_at(offsetOf, col("__pid")))
       .drop("__pid")
+    (out, counts.map(_._2).sum)
+  }
+
+  /** The whole SQL ranking family — `rank`, `dense_rank`, `ntile(k)`,
+    * `percent_rank` over a GLOBAL order — without any single-partition
+    * window. `rank() OVER (ORDER BY v)` funnels every row through one
+    * task; here everything derives from [[globalRowNumber]]'s
+    * range-partitioned `rn`:
+    *   - `rnk`  = min(rn) within the tie group (a window partitioned by
+    *     the tie VALUE, so its width is the tie-group size, not N);
+    *   - `drnk` = rn over the DISTINCT tie values, broadcast-joined back;
+    *   - `ntl`  = SQL-standard ntile bucket arithmetic on rn (first
+    *     N mod k buckets get ceil(N/k) rows) — pure per-row math;
+    *   - `pct`  = (rnk - 1) / (N - 1), N from the driver-side offsets.
+    * Results are DEFINED identical to the window forms given
+    * (tie, tiebreak) is a total order — ntile consumes rows in exactly
+    * that order on both paths.
+    *
+    * `tie` names the ranking value column; `tiebreak` must make
+    * (tie, tiebreak) unique. Output = input columns + rn/rnk/drnk/ntl/pct.
+    */
+  def rankingFamily(
+      df: DataFrame,
+      tie: String,
+      tieDesc: Boolean,
+      tiebreak: Column,
+      nBuckets: Int): DataFrame = {
+    val tieCol = if (tieDesc) col(tie).desc else col(tie).asc
+    val (ranked, n) = globalRowNumberCounted(df, Seq(tieCol, tiebreak))
+    // everything group-level derives from ONE tie-level aggregate over
+    // the pinned ranked rows (map-side combine shrinks it to one row per
+    // distinct tie before the shuffle): rank = the group's min rn (ties
+    // are contiguous in rn order), dense rank = the group's position in
+    // the tie order — a second globalRowNumber over the tiny tie
+    // relation, not over the full N rows
+    val ties = ranked.groupBy(col(tie)).agg(min(col("rn")).as("rnk"))
+    val (tieInfo, _) = globalRowNumberCounted(ties, Seq(tieCol))
+    val dense = tieInfo.withColumnRenamed("rn", "drnk")
+    // ntile: q full buckets of size q+1 come first (r = N mod k of them),
+    // the rest hold q rows; the dead `otherwise` branch still evaluates
+    // under ANSI when q = 0, so the divisor is clamped
+    val q = n / nBuckets
+    val r = n % nBuckets
+    val ntl =
+      when(col("rn") <= lit(r * (q + 1)),
+        floor((col("rn") - 1) / lit((q + 1).toDouble)) + 1)
+        .otherwise(lit(r) +
+          floor((col("rn") - lit(r * (q + 1)) - 1) /
+            lit(math.max(q, 1L).toDouble)) + 1)
+    val pct =
+      if (n <= 1) lit(0.0)
+      else (col("rnk") - 1).cast("double") / lit((n - 1).toDouble)
+    ranked
+      // plain equi-join on the tie value: AQE broadcasts the tie
+      // relation when it is small and falls back to a shuffle join when
+      // the ranking value is near-unique (distinct ≈ N) — no size
+      // assumption baked in
+      .join(dense, Seq(tie))
+      .withColumn("ntl", ntl.cast("long"))
+      .withColumn("pct", pct)
   }
 
   /** Skew-safe equi-join: the fact side gets a deterministic (seeded)

@@ -278,6 +278,11 @@ object WaveThreeQueries {
         .groupBy(col("day"))
         .agg(count(lit(1)).as("new_users"))
         .withColumn("cum_users",
+          // a partitionless window is DELIBERATE here: its input is one
+          // row per DAY (bounded — decades fit in thousands of rows no
+          // matter the fact-table size), so the single task holds a
+          // trivially small series; the unbounded-cardinality work
+          // (distinct users) already collapsed in the groupBys above
           sum(col("new_users")).over(
             Window.orderBy(col("day"))
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

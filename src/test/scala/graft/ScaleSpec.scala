@@ -49,4 +49,35 @@ class ScaleSpec extends AnyFunSuite {
     val df = Seq.empty[(Long, Double)].toDF("id", "v")
     assert(Scale.globalRowNumber(df, Seq(col("v"))).count() == 0)
   }
+
+  test("rankingFamily equals the window forms, ties included") {
+    // v % 37 plants heavy ties, including tie groups that straddle range
+    // boundaries and an N (= 5000) not divisible by the bucket count
+    val df = (1 to 5000).map(i => (i.toLong, (i % 37).toDouble))
+      .toDF("id", "v").repartition(8)
+    val fam = Scale.rankingFamily(df, "v", tieDesc = true,
+        tiebreak = col("id"), nBuckets = 7)
+      .select(col("id"), col("rnk"), col("drnk"), col("ntl"), col("pct"))
+    val wt = Window.orderBy(col("v").desc)
+    val wo = Window.orderBy(col("v").desc, col("id"))
+    val win = df
+      .withColumn("rnk", rank().over(wt).cast("long"))
+      .withColumn("drnk", dense_rank().over(wt).cast("long"))
+      .withColumn("ntl", ntile(7).over(wo).cast("long"))
+      .withColumn("pct", percent_rank().over(wt))
+      .select(col("id"), col("rnk"), col("drnk"), col("ntl"), col("pct"))
+    assert(fam.except(win).isEmpty && win.except(fam).isEmpty)
+    assert(fam.count() == 5000)
+  }
+
+  test("rankingFamily with fewer rows than buckets matches ntile") {
+    val df = (1 to 3).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val fam = Scale.rankingFamily(df, "v", tieDesc = false,
+        tiebreak = col("id"), nBuckets = 10)
+      .select(col("id"), col("ntl"))
+    val win = df.withColumn("ntl",
+        ntile(10).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select(col("id"), col("ntl"))
+    assert(fam.except(win).isEmpty && win.except(fam).isEmpty)
+  }
 }
