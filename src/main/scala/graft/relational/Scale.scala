@@ -78,6 +78,49 @@ object Scale {
     (out, counts.map(_._2).sum)
   }
 
+  /** Global running (prefix) sum WITHOUT the single-partition window.
+    *
+    * `sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` moves every
+    * row through one task. Same offset discipline as
+    * [[globalRowNumber]]: range-partition on the sort key, run the
+    * running sum WITHIN each partition, and add the cumulative totals of
+    * earlier partitions (one long per partition, collected to the driver
+    * and broadcast back as a literal map).
+    *
+    * `sortCols` must be a total order; `valueCol` must be integral and
+    * non-null (prefix sums only hash-match engines when exact — keep
+    * values in integer domain). Output = input + `outName` (INCLUSIVE
+    * prefix sum, cast long). */
+  def globalRunningSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: Column,
+      outName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val nParts = math.max(2, spark.sparkContext.defaultParallelism)
+    val pinned = df.withColumn("__v", valueCol.cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = pinned.repartitionByRange(nParts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // pin the sampled range split (see globalRowNumber)
+    pinned.unpersist(blocking = false)
+    val sums = ranged.groupBy(col("__pid")).agg(sum(col("__v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sums.scanLeft(0L)(_ + _._2).init
+    val entries: Seq[Column] =
+      if (sums.isEmpty) Seq(lit(-1), lit(0L))
+      else sums.map(_._1).zip(offsets).toSeq.flatMap { case (p, o) =>
+        Seq(lit(p), lit(o)) }
+    val offsetOf = map(entries: _*)
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn(outName,
+        sum(col("__v")).over(w) + element_at(offsetOf, col("__pid")))
+      .drop("__pid", "__v")
+  }
+
   /** The whole SQL ranking family — `rank`, `dense_rank`, `ntile(k)`,
     * `percent_rank` over a GLOBAL order — without any single-partition
     * window. `rank() OVER (ORDER BY v)` funnels every row through one

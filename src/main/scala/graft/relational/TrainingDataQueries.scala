@@ -46,6 +46,20 @@ object TrainingDataQueries {
   val AnnQueries = 20
   val AnnK = 5
 
+  /** Token budget per training pack (corpus_pack). */
+  val PackBudget = 512L
+
+  /** PII probe appended to every document so the scrub patterns actually
+    * fire on the synthetic corpus; ASCII-only and quote-free so it
+    * embeds verbatim in the oracle SQL literal. */
+  val PiiProbe = " Contact: jan.novak@example.com or" +
+    " https://shop.example.cz/deal?id=5 tel 776-123-456 from 10.20.30.41."
+
+  val UrlPat = "https?://[^\\s,]+"
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePat = "\\b\\d{3}-\\d{3}-\\d{3,4}\\b"
+  val IpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
   val all: Seq[Q] = Seq(
     Q("text_stats", (s, dir) => {
       val c = col("text")
@@ -314,6 +328,112 @@ object TrainingDataQueries {
           col("byte_sum"))
         .orderBy(col("media_id"), col("frame_no"))
     }, Some(resourceSql("/graft/oracle_media_frames.sql"))),
+
+    // training-sequence packing: docs in id order fill fixed token-budget
+    // packs; a doc belongs to the pack its EXCLUSIVE prefix sum lands in
+    // (deterministic, boundary docs go with their start). The prefix sum
+    // is the scalable one — range partition + per-partition running sum
+    // + driver offsets (Scale.globalRunningSum), never a single-partition
+    // window over the corpus.
+    Q("corpus_pack", (s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("tokens"))
+      Scale.globalRunningSum(toks, Seq(col("doc_id")), col("tokens"), "cum")
+        .withColumn("pack_id", expr(s"(cum - tokens) div $PackBudget"))
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("pack_id"))
+    }, Some(
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${TextAnalysis.tokenCountSql("text")} AS tokens
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, tokens,
+         |    sum(tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM tok)
+         |SELECT CAST((cum - tokens) // $PackBudget AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS pack_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // PII scrub (C4/CCNet-style redaction): URL -> <URL> first (so
+    // addresses inside URLs are consumed whole), then email, phone,
+    // IPv4; whitespace collapsed last. Counts are raw-pattern counts on
+    // the unscrubbed text. The probe line makes the testdata actually
+    // exercise every pattern (same trick as czech_normalize).
+    Q("text_scrub", (s, dir) => {
+      val raw = concat(col("text"), lit(PiiProbe))
+      val scrubbed = trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(raw, UrlPat, "<URL>"),
+              EmailPat, "<EMAIL>"),
+            PhonePat, "<PHONE>"),
+          IpPat, "<IP>"),
+        "\\s+", " "))
+      spread(docs(s, dir)).select(col("doc_id"),
+        regexp_count(raw, lit(UrlPat)).cast("long").as("n_urls"),
+        regexp_count(raw, lit(EmailPat)).cast("long").as("n_emails"),
+        regexp_count(raw, lit(PhonePat)).cast("long").as("n_phones"),
+        regexp_count(raw, lit(IpPat)).cast("long").as("n_ips"),
+        scrubbed.as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH raw AS (
+         |  SELECT doc_id, text || '$PiiProbe' AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$UrlPat')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(t, '$EmailPat')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$PhonePat')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$IpPat')) AS BIGINT) AS n_ips,
+         |  trim(regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(t, '$UrlPat', '<URL>', 'g'),
+         |          '$EmailPat', '<EMAIL>', 'g'),
+         |        '$PhonePat', '<PHONE>', 'g'),
+         |      '$IpPat', '<IP>', 'g'),
+         |    '\\s+', ' ', 'g')) AS scrubbed
+         |FROM raw ORDER BY doc_id""".stripMargin)),
+
+    // APPLY the near-dup removal: cluster >=threshold pairs (LSH +
+    // connected components), keep ONE canonical doc per cluster — the
+    // longest text, ties to the lowest id — plus every singleton. This is
+    // the operator a corpus build actually ships: the deduped corpus.
+    Q("dedup_keep_best", (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
+      val comps = graft.operators.ConnectedComponents.run(pairs, "da", "db")
+      val labeled = d
+        .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+        .withColumn("len", length(col("text")).cast("long"))
+      labeled
+        .groupBy(col("cluster"))
+        // winner = lexicographic max of (len, -doc_id): longest text,
+        // then LOWEST id — deterministic in both engines
+        .agg(max(struct(col("len"), (-col("doc_id")).as("nid"))).as("b"),
+          count(lit(1)).as("cluster_size"))
+        .select(col("b.nid").unary_-.as("doc_id"), col("cluster"),
+          col("cluster_size"), col("b.len").as("text_len"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH RECURSIVE ${Dedup.minhashLshCtes("documents", Dedup.JaccardThreshold)},
+         |${graft.operators.ConnectedComponents.oracleSql("lshpairs")},
+         |labeled AS (
+         |  SELECT d.doc_id, length(d.text) AS len,
+         |    coalesce(c.component, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN components c ON d.doc_id = c.node)
+         |SELECT
+         |  arg_max(doc_id, len * 1000000000 - doc_id) AS doc_id, cluster,
+         |  count(*) AS cluster_size, max(len) AS text_len
+         |FROM labeled GROUP BY cluster ORDER BY doc_id""".stripMargin)),
   )
 
   private def resourceSql(path: String): String =

@@ -70,6 +70,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(fam.count() == 5000)
   }
 
+  test("globalRunningSum equals the global running-sum window") {
+    val df = (1 to 5000).map(i => (i.toLong, (i % 97).toLong)).toDF("id", "v")
+      .repartition(8)
+    val scalable = Scale.globalRunningSum(df, Seq(col("id")), col("v"), "cum")
+      .select(col("id"), col("cum"))
+    val win = df.withColumn("cum",
+        sum(col("v")).over(Window.orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), col("cum"))
+    assert(scalable.except(win).isEmpty && win.except(scalable).isEmpty)
+    assert(scalable.count() == 5000)
+  }
+
   test("rankingFamily with fewer rows than buckets matches ntile") {
     val df = (1 to 3).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     val fam = Scale.rankingFamily(df, "v", tieDesc = false,
