@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.TextAnalysis
@@ -401,6 +401,77 @@ object TrainingDataQueries {
          |      '$IpPat', '<IP>', 'g'),
          |    '\\s+', ' ', 'g')) AS scrubbed
          |FROM raw ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition quality metrics, all in integer/ppm domain
+    // (hash-safe): word repetition (1 - distinct/total) and the share of
+    // the most frequent word bigram. Everything is row-local array math —
+    // zero shuffle over the corpus; each stage is projected to an
+    // attribute before the next lambda uses it (lambda bodies re-evaluate
+    // non-attribute references per element).
+    Q("doc_repetition", (s, dir) => {
+      val ws = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+      val bg = when(size(col("ws")) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + 1))))
+      // mode count: max over distinct values of their occurrence count —
+      // O(distinct x n) per row, bounded by document length
+      val top = when(size(col("bg")) === 0, lit(0L))
+        .otherwise(array_max(transform(array_distinct(col("bg")),
+          x => size(filter(col("bg"), y => y === x)).cast("long"))))
+      // exact half-up ppm via integer arithmetic: (k*2e6 + n) div (2n).
+      // floor over double division is exact here: operands < 2^31 are
+      // exactly representable and a non-integer quotient sits >= 1/(2n)
+      // from the nearest integer — far beyond one ulp.
+      def ppm(k: Column, n: Column): Column =
+        when(n === 0, lit(0L))
+          .otherwise(floor((k * 2000000L + n).cast("double")
+            / (n * 2L).cast("double")).cast("long"))
+      spread(docs(s, dir))
+        .select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"), col("ws"), bg.as("bg"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"),
+          size(col("bg")).cast("long").as("n_bigrams"),
+          top.as("top_bigram_n"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+          ppm(col("n_words") - col("n_distinct_words"), col("n_words"))
+            .as("word_rep_ppm"),
+          col("n_bigrams"), col("top_bigram_n"),
+          ppm(col("top_bigram_n"), col("n_bigrams")).as("top_bigram_ppm"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, ws,
+        |    CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+        |      ELSE [ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]
+        |      END AS bg
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+        |    CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |    CASE WHEN len(bg) = 0 THEN 0
+        |      ELSE CAST(list_max([len(list_filter(bg, y -> y = x))
+        |                          for x in list_distinct(bg)]) AS BIGINT)
+        |      END AS top_bigram_n
+        |  FROM b)
+        |SELECT doc_id, n_words, n_distinct_words,
+        |  CASE WHEN n_words = 0 THEN 0 ELSE
+        |    CAST(((n_words - n_distinct_words) * 2000000 + n_words)
+        |         // (2 * n_words) AS BIGINT) END AS word_rep_ppm,
+        |  n_bigrams, top_bigram_n,
+        |  CASE WHEN n_bigrams = 0 THEN 0 ELSE
+        |    CAST((top_bigram_n * 2000000 + n_bigrams)
+        |         // (2 * n_bigrams) AS BIGINT) END AS top_bigram_ppm
+        |FROM c ORDER BY doc_id""".stripMargin)),
 
     // APPLY the near-dup removal: cluster >=threshold pairs (LSH +
     // connected components), keep ONE canonical doc per cluster — the

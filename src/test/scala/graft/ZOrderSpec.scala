@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.ZOrder
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout: a filter on the SECONDARY dimension must skip most
+  * row groups under the z-ordered layout while a single-key-sorted
+  * layout reads everything — the physical proof that the curve tightens
+  * min/max stats on both dimensions. */
+class ZOrderSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def scans(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+    p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+
+  private def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+    val n = df.collect().length // drives THIS queryExecution's metrics
+    assert(n > 0, "probe query must match rows")
+    scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("zValue interleaves bits (x even positions, y odd)") {
+    val row = Seq((3L, 1L)).toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y"), 4).as("z"))
+      .head
+    // x=0b11 -> bits 0,2 = 5; y=0b01 -> bit 1 = 2
+    assert(row.getLong(0) == 7L)
+    val big = Seq((0L, 15L)).toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y"), 4).as("z")).head
+    // y=0b1111 -> odd bits 1,3,5,7 = 2+8+32+128
+    assert(big.getLong(0) == 170L)
+  }
+
+  test("secondary-dimension filter skips row groups only under z-order") {
+    // deterministic uniform-ish 2D points, both dims in [0, 1024)
+    val n = 200000
+    val data = spark.range(n.toLong)
+      .select(
+        (col("id") * 7919 % 1024).as("x"),
+        (col("id") * 104729 % 1024).as("y"),
+        col("id").as("payload"))
+
+    val base = Files.createTempDirectory("zorder").toString
+    // layout A: globally sorted by x alone — y min/max spans the full
+    // range in every file, so a y filter can skip nothing
+    data.repartitionByRange(32, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(s"$base/by_x")
+    // layout B: z-ordered on (x, y); 128 files over a 10-bit curve give
+    // each file a y-extent of ~64, so a 32-wide y band touches ~1/16 of
+    // the files instead of all of them
+    ZOrder.writeZOrdered(data, s"$base/by_z", "x", "y", bits = 10, nFiles = 128)
+
+    val yLo = 64L
+    val yHi = 95L
+    def probe(dir: String) = spark.read.parquet(dir)
+      .filter(col("y") >= yLo && col("y") <= yHi)
+
+    // identical results either way
+    val a = probe(s"$base/by_x").agg(count(lit(1)), sum("payload")).head
+    val b = probe(s"$base/by_z").agg(count(lit(1)), sum("payload")).head
+    assert(a == b, s"layouts disagree: $a vs $b")
+
+    val rowsX = scanOutputRows(probe(s"$base/by_x"))
+    val rowsZ = scanOutputRows(probe(s"$base/by_z"))
+    // x-sorted layout must read essentially everything (no stats help);
+    // z-order must skip the large majority of row groups for a ~3% band
+    assert(rowsX > n * 9L / 10,
+      s"x-sorted layout unexpectedly skipped: read $rowsX of $n")
+    assert(rowsZ < rowsX / 4,
+      s"z-order should read <1/4 of the x-sorted scan: $rowsZ vs $rowsX")
+  }
+}
