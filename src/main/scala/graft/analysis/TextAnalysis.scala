@@ -119,6 +119,29 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  // ---- PII scrub (C4/CCNet-style redaction) --------------------------
+
+  /** Shared by the text_scrub query and the streaming corpus build;
+    * RE2/Java-regex common subset so DuckDB oracles replicate exactly. */
+  val UrlPat = "https?://[^\\s,]+"
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePat = "\\b\\d{3}-\\d{3}-\\d{3,4}\\b"
+  val IpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact URLs first (so addresses inside URLs are consumed whole),
+    * then emails, phones, IPv4; collapse whitespace, trim. Pure
+    * codegen'd regexp built-ins. */
+  def scrubPii(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, UrlPat, "<URL>"),
+            EmailPat, "<EMAIL>"),
+          PhonePat, "<PHONE>"),
+        IpPat, "<IP>"),
+      "\\s+", " "))
+
   /** Winnowing (rolling-hash) fingerprints, MOSS-style: hash every
     * character k-gram of the normalized text, slide a window of `w`
     * consecutive hashes, keep each window's minimum — the classic

@@ -55,10 +55,10 @@ object TrainingDataQueries {
   val PiiProbe = " Contact: jan.novak@example.com or" +
     " https://shop.example.cz/deal?id=5 tel 776-123-456 from 10.20.30.41."
 
-  val UrlPat = "https?://[^\\s,]+"
-  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhonePat = "\\b\\d{3}-\\d{3}-\\d{3,4}\\b"
-  val IpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val UrlPat = TextAnalysis.UrlPat
+  val EmailPat = TextAnalysis.EmailPat
+  val PhonePat = TextAnalysis.PhonePat
+  val IpPat = TextAnalysis.IpPat
 
   val all: Seq[Q] = Seq(
     Q("text_stats", (s, dir) => {
@@ -367,15 +367,7 @@ object TrainingDataQueries {
     // exercise every pattern (same trick as czech_normalize).
     Q("text_scrub", (s, dir) => {
       val raw = concat(col("text"), lit(PiiProbe))
-      val scrubbed = trim(regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(raw, UrlPat, "<URL>"),
-              EmailPat, "<EMAIL>"),
-            PhonePat, "<PHONE>"),
-          IpPat, "<IP>"),
-        "\\s+", " "))
+      val scrubbed = TextAnalysis.scrubPii(raw)
       spread(docs(s, dir)).select(col("doc_id"),
         regexp_count(raw, lit(UrlPat)).cast("long").as("n_urls"),
         regexp_count(raw, lit(EmailPat)).cast("long").as("n_emails"),
