@@ -145,6 +145,7 @@ object Scale {
       tieDesc: Boolean,
       tiebreak: Column,
       nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val tieCol = if (tieDesc) col(tie).desc else col(tie).asc
     val (ranked, n) = globalRowNumberCounted(df, Seq(tieCol, tiebreak))
     // everything group-level derives from ONE tie-level aggregate over

@@ -87,6 +87,42 @@ object StreamingQueries {
         |  ON c.user_id = e.user_id AND c.ts >= e.ts
         |ORDER BY c.event_id""".stripMargin)),
 
+    // tolerance-bounded as-of (pandas merge_asof(tolerance=...) / kdb wj
+    // semantics): a match older than the tolerance is masked to NULL,
+    // not dropped. Pure composition over the as-of operator — the
+    // matched timestamp already rides the payload, so the bound is one
+    // per-row mask after the join, no operator change.
+    Q("asof_tolerance", (s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("ts").as("err_ts"),
+          col("value").as("err_value"))
+      val tolUs = 300L * 1000000L // 5 minutes
+      graft.operators.AsOfJoin
+        .backward(clicks, errors, "user_id", "ts", Seq("err_ts", "err_value"))
+        .withColumn("gap_us",
+          expr("unix_micros(ts)") - expr("unix_micros(asof_err_ts)"))
+        .select(col("event_id"), col("user_id"),
+          when(col("gap_us") <= tolUs, col("asof_err_value"))
+            .as("recent_err_value"),
+          when(col("gap_us") <= tolUs, col("gap_us")).as("us_since_error"))
+        .orderBy(col("event_id"))
+    }, Some(
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events
+        |               WHERE event_type = 'click'),
+        |errors AS (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id,
+        |  CASE WHEN epoch_us(c.ts) - epoch_us(e.ts) <= 300000000
+        |    THEN e.value END AS recent_err_value,
+        |  CASE WHEN epoch_us(c.ts) - epoch_us(e.ts) <= 300000000
+        |    THEN epoch_us(c.ts) - epoch_us(e.ts) END AS us_since_error
+        |FROM clicks c ASOF LEFT JOIN errors e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.event_id""".stripMargin)),
+
     // marketing attribution: each purchase gets the user's most recent
     // prior click (last touch, via the as-of operator) and earliest-ever
     // click at-or-before it (first touch, via a per-user min reduction —

@@ -83,6 +83,14 @@ class ScaleSpec extends AnyFunSuite {
     assert(scalable.count() == 5000)
   }
 
+  test("rankingFamily and globalRunningSum survive empty input") {
+    val df = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(Scale.rankingFamily(df, "v", tieDesc = false,
+      tiebreak = col("id"), nBuckets = 4).count() == 0)
+    assert(Scale.globalRunningSum(df, Seq(col("id")), col("v"), "cum")
+      .count() == 0)
+  }
+
   test("rankingFamily with fewer rows than buckets matches ntile") {
     val df = (1 to 3).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     val fam = Scale.rankingFamily(df, "v", tieDesc = false,
