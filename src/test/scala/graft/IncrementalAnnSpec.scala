@@ -59,6 +59,36 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(stored.select("vec_id").distinct().count() == 150)
   }
 
+  test("streaming embedding batches append via foreachBatch") {
+    val base = Files.createTempDirectory("annstream").toString
+    val incoming = s"$base/incoming"
+    val store = s"$base/store"
+    val ckpt = s"$base/ckpt"
+    vecs(0 until 100).write.mode("append").parquet(incoming)
+    IncrementalAnnIndex.init(spark.read.parquet(incoming), store)
+
+    vecs(100 until 160).write.mode("append").parquet(incoming)
+    val q = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .parquet(incoming)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        IncrementalAnnIndex.appendBatch(b, store); ()
+      }
+      .start()
+    q.awaitTermination()
+    // the first drain re-delivers batch 1 (ledger skips it) and appends
+    // batch 2; the index then answers like a one-shot build over both
+    assert(spark.read.parquet(s"$store/lists").count() == 160)
+    val queries = vecs(0 until 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val got = IncrementalAnnIndex.topK(queries, store, 3)
+    val expected = Similarity.ivfTopK(vecs(0 until 160), 5, 3)
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
   private def scans(
       p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
     p match {
