@@ -12,6 +12,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eager Column -> Expression conversion. `expression` wraps the
+    * column LAZILY (`ColumnNodeExpression`, Unevaluable) and only
+    * Dataset API paths unwrap it — inside a FunctionRegistry builder it
+    * reaches codegen unconverted and crashes. This walks the column's
+    * node tree NOW; embedded function calls come out as
+    * `UnresolvedFunction`s, which the analyzer then resolves like any
+    * SQL-authored call. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** The persisted RDD id backing a `localCheckpoint()`ed DataFrame (its
     * plan is a LogicalRDD leaf). Lets iterative operators free a
     * superseded round's blocks EXACTLY — `Dataset.unpersist` does not

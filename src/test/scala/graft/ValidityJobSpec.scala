@@ -76,4 +76,22 @@ class ValidityJobSpec extends AnyFunSuite {
     assert(row.getDouble(3) == 19.90)
     assert(row.getDouble(4) == 24.90)
   }
+
+  test("text-pipeline operators are reachable from pure SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_scrub_pii('mail bob@x.example.com now') AS scrubbed,
+        |  graft_lang_id('the cat and the dog is with for') AS lang,
+        |  graft_token_count('  one two  three ') AS ntok,
+        |  graft_quality_score('') AS q_empty""".stripMargin).collect()(0)
+    assert(row.getString(0) == "mail <EMAIL> now")
+    assert(row.getString(1) == "en")
+    assert(row.getLong(2) == 3L)
+    assert(row.getDouble(3) == 0.3) // len 0: punct penalty 0 -> 0.3
+    // the SQL form expands to the same Catalyst tree as the Column form
+    import spark.implicits._
+    val viaColumn = Seq("mail bob@x.example.com now").toDF("t")
+      .select(graft.analysis.TextAnalysis.scrubPii($"t")).collect()(0)
+    assert(viaColumn.getString(0) == row.getString(0))
+  }
 }
