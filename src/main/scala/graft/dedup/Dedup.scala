@@ -242,21 +242,28 @@ object Dedup {
   }
 
   /** 32-bit SimHash per document from distinct whitespace tokens:
-    * per-bit majority vote over word hashes, folded by the
-    * [[graft.functions.BitVoteAggregator]] (map-side partials carry one
-    * 32-long vector per document — no per-bit row explosion). Votes are
-    * integer-exact, so results equal the explode formulation and the
-    * DuckDB oracle. Document ids must be integral. */
+    * per-bit majority vote over word hashes. Fully ROW-LOCAL (zero
+    * shuffle) and, since r04, one codegen'd JVM loop per row via the
+    * native [[graft.functions.SimhashSig]] expression — the lambda
+    * formulation below evaluated ~|words| x 32 interpreted closure steps
+    * per document plus an md5-hex→conv string round-trip per word.
+    * Document ids must be integral. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Fully ROW-LOCAL (zero shuffle): each document's signature folds
-    // over its own distinct-word hash array. The r02 shape exploded
-    // every word row through a corpus-wide distinct() shuffle and a
-    // typed groupByKey Aggregator; signatures are per-row values and
-    // need neither. Values are identical to BitVoteAggregator's: +1
-    // vote per set bit, -1 per clear bit, final bit = vote sum > 0.
-    // Column-valued shifts aren't expressible (shiftright takes literal
-    // amounts only), so bit b extracts via exact integer division by a
-    // literal 2^b array.
+    val words = array_distinct(
+      filter(split(col(textCol), " "), w => length(w) > 0))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      graft.functions.SimhashSig.simhash_sig(words).as("simhash"))
+  }
+
+  /** The pure-built-ins twin of [[simhash]] (interpreted higher-order
+    * lambdas). Kept as the semantic REFERENCE: DedupSpec pins the native
+    * expression to this formulation bit-for-bit, and this shape is the
+    * one the DuckDB oracle mirrors. Values equal BitVoteAggregator's:
+    * +1 vote per set bit, -1 per clear bit, final bit = vote sum > 0.
+    * Column-valued shifts aren't expressible (shiftright takes literal
+    * amounts only), so bit b extracts via exact integer division by a
+    * literal 2^b array. */
+  def simhashLambda(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val pow2 = array((0 until SimhashBits).map(b => lit(1L << b)): _*)
     val words = array_distinct(
       filter(split(col(textCol), " "), w => length(w) > 0))

@@ -20,6 +20,22 @@ class OperatorPropertySpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  test("native SimhashSig equals the lambda formulation, unicode included") {
+    val rnd = new Random(7)
+    val alphabet = Vector("mleko", "čerstvé", "sýr", "the", "a1-b", "x",
+      "žluťoučký", "item", "price", "29,90", "Kč", "®", "data")
+    val docs = (0L until 60L).map { id =>
+      val n = rnd.nextInt(30)
+      val words = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size)))
+      (id, words.mkString(" "))
+    } :+ (999L, "") :+ (1000L, "   ") // empty and blank docs
+    val df = docs.toDF("doc_id", "text")
+    val native = graft.dedup.Dedup.simhash(df, "doc_id", "text")
+    val lambda = graft.dedup.Dedup.simhashLambda(df, "doc_id", "text")
+    assert(native.except(lambda).isEmpty && lambda.except(native).isEmpty,
+      "codegen'd SimhashSig must be bit-identical to the built-ins fold")
+  }
+
   test("connected components match union-find on random graphs") {
     val rnd = new Random(42)
     (1 to 5).foreach { trial =>
