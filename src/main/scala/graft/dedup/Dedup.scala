@@ -185,12 +185,28 @@ object Dedup {
 
   /** MinHash signatures computed ROW-LOCALLY from per-doc shingle sets —
     * zero shuffle, identical values to [[minhashSignatures]] (min over
-    * the same hash multiset). The md5 base hashes land in their own
-    * projection so each is computed once; the K per-permutation minima
-    * are then cheap integer array folds. The explode + 64-way-agg shape
-    * this replaces shuffled |corpus|x|shingles| rows to compute a
-    * per-row value. */
+    * the same hash multiset). Since r04 the whole signature is ONE
+    * codegen'd pass via the native [[graft.functions.MinhashSig]]
+    * expression (one md5 per shingle, all K minima updated in a tight
+    * loop) — the lambda twin below walked the array K+1 times through
+    * interpreted closures. The explode + 64-way-agg shape both replace
+    * shuffled |corpus|x|shingles| rows to compute a per-row value. */
   def minhashSignaturesFromSets(sets: DataFrame): DataFrame = {
+    val coeffA = (0 until MinhashK).map(minhashA)
+    val coeffB = (0 until MinhashK).map(minhashB)
+    sets.select(col("doc_id"),
+        graft.functions.MinhashSig
+          .minhash_sig(col("ss"), coeffA, coeffB, MinhashP).as("__mh"))
+      .select(
+        col("doc_id") +:
+          (0 until MinhashK).map(i =>
+            element_at(col("__mh"), i + 1).as(s"h$i")): _*)
+  }
+
+  /** Pure-built-ins twin of [[minhashSignaturesFromSets]] — the semantic
+    * REFERENCE the native expression is property-spec-pinned against,
+    * and the shape the DuckDB oracle CTEs mirror. */
+  def minhashSignaturesFromSetsLambda(sets: DataFrame): DataFrame = {
     val hashed = sets.select(col("doc_id"),
       transform(col("ss"), s => md5Hash32(s, "mh:")).as("hb"))
     hashed.select(

@@ -36,6 +36,24 @@ class OperatorPropertySpec extends AnyFunSuite {
       "codegen'd SimhashSig must be bit-identical to the built-ins fold")
   }
 
+  test("native MinhashSig equals the lambda formulation, unicode included") {
+    val rnd = new Random(11)
+    val alphabet = Vector("mleko", "čerstvé", "sýr", "the", "a1-b", "x",
+      "žluťoučký", "item", "price", "29,90", "Kč", "®", "data", "one", "two")
+    val docs = (0L until 60L).map { id =>
+      val n = 3 + rnd.nextInt(40) // >= ShingleSize words -> non-empty sets
+      val words = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size)))
+      (id, words.mkString(" "))
+    }
+    val sets = graft.dedup.Dedup.docShingleSets(
+      docs.toDF("doc_id", "text"), "doc_id", "text").localCheckpoint()
+    val native = graft.dedup.Dedup.minhashSignaturesFromSets(sets)
+    val lambda = graft.dedup.Dedup.minhashSignaturesFromSetsLambda(sets)
+    assert(native.except(lambda).isEmpty && lambda.except(native).isEmpty,
+      "codegen'd MinhashSig must be value-identical to the built-ins fold")
+    assert(native.count() == 60)
+  }
+
   test("connected components match union-find on random graphs") {
     val rnd = new Random(42)
     (1 to 5).foreach { trial =>
