@@ -169,7 +169,28 @@ object TextAnalysis {
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
     // spread narrow inputs so the md5-heavy projection parallelizes even
-    // when the corpus is a single parquet split (no-op otherwise)
+    // when the corpus is a single parquet split (no-op otherwise).
+    // Since r04 the gram-hash / window-min / distinct pipeline is ONE
+    // codegen'd pass (graft.functions.WinnowSig); the lambda twin below
+    // is the property-spec reference.
+    graft.relational.Scale.spreadIfNarrow(docs)
+      .select(col(idCol).as("doc_id"), norm.as("t"))
+      .filter(length(col("t")) >= WinnowK + WinnowW - 1) // >= 1 full window
+      .select(col("doc_id"),
+        graft.functions.WinnowSig
+          .winnow_fps(col("t"), WinnowK, WinnowW).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"))
+  }
+
+  /** Pure-built-ins twin of [[winnowSummary]] (interpreted lambdas) —
+    * the semantic reference for the native expression, mirrored by the
+    * DuckDB oracle. */
+  def winnowSummaryLambda(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
     graft.relational.Scale.spreadIfNarrow(docs)
       .select(col(idCol).as("doc_id"), norm.as("t"))
       .filter(length(col("t")) >= WinnowK + WinnowW - 1) // >= 1 full window

@@ -54,6 +54,21 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(native.count() == 60)
   }
 
+  test("native WinnowSig equals the lambda formulation, unicode included") {
+    val rnd = new Random(13)
+    val chars = "abc čž .,-XY®"
+    val docs = (0L until 50L).map { id =>
+      val n = rnd.nextInt(60) // includes docs below the one-window minimum
+      (id, Seq.fill(n)(chars(rnd.nextInt(chars.length))).mkString)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val native = graft.analysis.TextAnalysis.winnowSummary(df, "doc_id", "text")
+    val lambda = graft.analysis.TextAnalysis
+      .winnowSummaryLambda(df, "doc_id", "text")
+    assert(native.except(lambda).isEmpty && lambda.except(native).isEmpty,
+      "codegen'd WinnowSig must be value-identical to the built-ins fold")
+  }
+
   test("connected components match union-find on random graphs") {
     val rnd = new Random(42)
     (1 to 5).foreach { trial =>
