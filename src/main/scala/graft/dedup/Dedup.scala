@@ -108,7 +108,16 @@ object Dedup {
       textCol: String,
       threshold: Double = JaccardThreshold): DataFrame = {
     val sets = docShingleSets(docs, idCol, textCol)
-    val sh = sets.select(col("doc_id"), explode(col("ss")).as("s"))
+    // join on a 64-bit hash of the shingle, not the string: the
+    // inverted-index exchange carries 8-byte keys instead of ~25-byte
+    // phrases. The shared count is then over distinct shingle HASHES —
+    // it differs from the string count only if two DIFFERENT shingles of
+    // the same doc pair collide in 64 bits (~2^-64 per shingle pair; the
+    // standard accepted trade at corpus scale, and the oracle gate
+    // verifies it holds on the test corpora).
+    val sh = sets.select(col("doc_id"),
+      explode(col("ss")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
     val counts = sets.select(col("doc_id"), size(col("ss")).cast("long").as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -230,17 +239,21 @@ object Dedup {
       threshold: Double = JaccardThreshold): DataFrame = {
     val sets = docShingleSets(docs, idCol, textCol).localCheckpoint()
     val sig = minhashSignaturesFromSets(sets)
+    // ONE fused 64-bit band key (band index hashed in) instead of a
+    // (bi, "h1_h2_…" string) pair: the self-join exchange carries 8
+    // bytes per band row. Equal bands always collide to the same key, so
+    // every true candidate survives; a cross-band collision only ADDS a
+    // candidate, and the exact-Jaccard rescore below drops it — the
+    // DEFINED output is unchanged.
     val bands = sig.select(col("doc_id"),
       explode(array((0 until Bands).map { b =>
         val hs = (0 until RowsPerBand)
           .map(r => col(s"h${RowsPerBand * b + r}"))
-        struct(lit(b).as("bi"), concat_ws("_", hs: _*).as("bk"))
-      }: _*)).as("band"))
-      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bk").as("bk"))
+        xxhash64(lit(b) +: hs: _*)
+      }: _*)).as("bk"))
     val cand = bands.as("a")
       .join(bands.as("b"),
-        col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     val shSets = sets.select(col("doc_id"), col("ss"),

@@ -40,7 +40,11 @@ object IncrementalDedup {
     hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
   }
 
-  /** (doc_id, bk) band keys via the module's MinHash signatures. */
+  /** (doc_id, bk) band keys via the module's MinHash signatures. Fused
+    * 64-bit keys (same scheme as Dedup.minhashLshPairs): the PERSISTED
+    * band index stores 8-byte keys instead of "b_h1_h2…" strings, and
+    * the per-batch probe join exchanges longs. Collisions only add
+    * candidates; the exact rescore drops them. */
   private def bandKeys(docs: DataFrame): DataFrame =
     Dedup.minhashSignaturesFromSets(
         Dedup.docShingleSets(docs, "doc_id", "text"))
@@ -48,7 +52,7 @@ object IncrementalDedup {
         explode(array((0 until Dedup.Bands).map { b =>
           val hs = (0 until Dedup.RowsPerBand)
             .map(r => col(s"h${Dedup.RowsPerBand * b + r}"))
-          concat_ws("_", lit(b) +: hs: _*)
+          xxhash64(lit(b) +: hs: _*)
         }: _*)).as("bk"))
 
   /** Exact-Jaccard rescore of candidate (da, db) pairs given a combined
