@@ -72,10 +72,12 @@ object Bench {
       .map { case (name, fn) => name -> runOne(name, fn) }
 
     // The harness capturing this line keeps only the last 2000 chars of
-    // stdout — the full 97-query map (~3 KB) overflows that and the line
-    // never parses (r01–r03 all recorded parsed:null). stdout carries a
-    // headline subset spanning every operator family; the complete
-    // per-query map goes to stderr for human inspection.
+    // output — the full 100+-query map (~3 KB) overflows that and the
+    // line never parses (r01–r03 all recorded parsed:null). stdout
+    // carries a headline subset spanning every operator family; the
+    // complete per-query map goes to a FILE (not stderr: if the harness
+    // merges streams, an unbuffered stderr write could interleave after
+    // the final stdout line and corrupt the tail again).
     val headline = Vector(
       "q1_agg", "q3_join_topk", "q5_broadcast_dims", "q6_selective",
       "q_global_rank", "q_window_topk_per_group", "events_sessions",
@@ -89,8 +91,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val byName = results.toMap
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
-    System.err.println(
-      s"""{"metric":"total_all","value":${fmt(total)},"queries":${jsonMap(results)}}""")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/tmp/graft_bench_full.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      s"""{"metric":"total_all","value":${fmt(total)},"queries":${jsonMap(results)}}
+         |""".stripMargin.getBytes("UTF-8"))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(head)},"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -180,16 +180,22 @@ object TrainingDataQueries {
 
     // classic TF-IDF: top-3 terms per document, scores rounded BEFORE
     // ranking so the rank-3 tiebreak (score desc, term asc) is
-    // engine-independent
+    // engine-independent. TERM FREQUENCIES are per-document values, so
+    // they compute ROW-LOCALLY (distinct words x in-array count) and
+    // explode already-aggregated (doc, w, tf) rows — the groupBy(doc, w)
+    // shuffle of every word occurrence and the separate distinct() pass
+    // this replaces are corpus-sized; only document frequency (a true
+    // corpus aggregate) and the per-doc top-3 window shuffle at all.
     Q("tfidf_top_terms", (s, dir) => {
       val d = spread(docs(s, dir))
-      val words = d
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-      val tf = words.groupBy(col("doc_id"), col("w"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = words.select(col("doc_id"), col("w")).distinct()
-        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val ws = filter(split(col("text"), " "), w => length(w) > 0)
+      val tfEntries = transform(array_distinct(col("__ws")),
+        w => struct(w.as("w"),
+          size(filter(col("__ws"), x => x === w)).cast("long").as("tf")))
+      val tf = d.select(col("doc_id"), ws.as("__ws"))
+        .select(col("doc_id"), explode(tfEntries).as("e"))
+        .select(col("doc_id"), col("e.w").as("w"), col("e.tf").as("tf"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val n = d.select(countDistinct(col("doc_id")).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
