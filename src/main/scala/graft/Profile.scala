@@ -48,6 +48,8 @@ object Profile {
       Dedup.minhashLshPairs(docs, "doc_id", "text")))
     time("full ngramJaccardPairs")(noop(
       Dedup.ngramJaccardPairs(docs, "doc_id", "text")))
+    time("ngramJaccardPairsAtScale")(noop(
+      Dedup.ngramJaccardPairsAtScale(docs, "doc_id", "text")))
     time("full simhashPairs")(noop(
       Dedup.simhashPairs(docs, "doc_id", "text")))
     time("simhash signatures")(noop(

@@ -121,16 +121,18 @@ object SparkEntry {
           col("px2").as("x2"), col("py2").as("y2"))
         .orderBy(col("image_id"), col("idx"))
     }),
-    // A2: per-image regroup into class -> [detections]. The nested
-    // map<string,array<struct>> itself is spec-checked (IngestPipelineSpec)
-    // and oracle-checked via the flattened twin below; here the map is
-    // serialized with to_json so the driver's row-hash compare gets a
-    // plain sortable string column (rows-only check — no SQL oracle).
+    // A2: per-image regroup into class -> [detections]. The map's
+    // INSERTION order is proven by the flattened twin below; here the
+    // map is serialized as CANONICAL JSON — entries sorted by class,
+    // nulls explicit — so the whole nested value (key set, box padding,
+    // confidence, shape) hash-matches a reference-derived golden.
     "item_detection_regroup" -> ((s, _) => {
       val svc = new graft.enrich.FixtureInferenceService
       val det1 = IngestPipeline.detectPages(PipelineFixtures.pages(s), svc, "model1")
       IngestPipeline.itemDetectionData(det1)
-        .select(col("image_id"), to_json(col("detections")).as("detections_json"))
+        .select(col("image_id"),
+          to_json(map_from_entries(array_sort(map_entries(col("detections")))),
+            Map("ignoreNullFields" -> "false")).as("detections_json"))
         .orderBy(col("image_id"))
     }),
     // A2 flattened: the nested class->detections map exploded back out,
@@ -294,6 +296,7 @@ object SparkEntry {
     },
     "pages_meta_join" -> resource("/graft/oracle_pages_meta.sql"),
     "regroup_flat" -> resource("/graft/oracle_regroup_flat.sql"),
+    "item_detection_regroup" -> resource("/graft/oracle_regroup_json.sql"),
     "validity_sweep" -> resource("/graft/oracle_validity_sweep.sql"),
     "validity_propagate" -> resource("/graft/oracle_validity_propagate.sql"),
     "users_by_shop" -> resource("/graft/oracle_users_by_shop.sql"),

@@ -107,7 +107,12 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double = JaccardThreshold): DataFrame = {
-    val sets = docShingleSets(docs, idCol, textCol)
+    // checkpoint: three consumers (both self-join sides + counts) read
+    // these sets. The r04 zero-shuffle rewrite removed the groupBy whose
+    // Exchange the self-join used to REUSE, so without a checkpoint the
+    // full split+shingle+distinct work re-ran once per consumer
+    // (measured 2.8x on the bench — the r04 regression).
+    val sets = docShingleSets(docs, idCol, textCol).localCheckpoint()
     // join on a 64-bit hash of the shingle, not the string: the
     // inverted-index exchange carries 8-byte keys instead of ~25-byte
     // phrases. The shared count is then over distinct shingle HASHES —
@@ -135,6 +140,22 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** Default document-frequency cap for at-scale candidate generation:
+    * 5% of the corpus, floored at 64 and CEILINGED at 1024.
+    *
+    * A shingle present in >5% of all documents is a stopword phrase — it
+    * contributes O(df^2) candidate pairs while carrying no near-dup
+    * signal (a >=0.8-Jaccard pair shares most of its shingles, which are
+    * overwhelmingly pair-specific). The floor keeps the cap from binding
+    * at test scale, where the oracle gate proves output identity with
+    * the uncapped operator. The ceiling is the actual 100 TB guard: a
+    * FRACTIONAL cap alone is no cap at corpus scale (5% of 10^10
+    * documents still admits 10^17 pairs from one shingle); 1024 bounds
+    * any single shingle's pair fan-out at ~500k — the standard absolute
+    * df cutoff for inverted-index dedup. */
+  def defaultDfCap(nDocs: Long): Long =
+    math.max(64L, math.min(1024L, nDocs / 20L))
+
   /** [[ngramJaccardPairs]] with a document-frequency cap on the inverted
     * index: shingles appearing in more than `maxDf` documents are
     * excluded from CANDIDATE GENERATION (a stopword-phrase shingle fans
@@ -142,34 +163,111 @@ object Dedup {
     * but the Jaccard rescore still uses the FULL shingle sets, so scores
     * are exact. Approximation is one-sided and precise: only a pair
     * sharing NO shingle below the cap can be missed. With maxDf at the
-    * corpus size, output is identical to the uncapped operator. */
+    * corpus size, output is identical to the uncapped operator.
+    *
+    * This is the AT-SCALE DEFAULT for n-gram dedup (the bench entry runs
+    * it with [[defaultDfCap]]): the uncapped operator is the one
+    * remaining quadratic hazard under a hot shingle.
+    *
+    * Plan shape — the SAME groupBy-count inverted-index join as the
+    * uncapped operator (a distinct-candidate-pairs + full-set
+    * array_intersect rescore was measured 4x slower at sf0.1: on a
+    * high-baseline-similarity corpus nearly every pair shares a
+    * shingle, so the candidate relation is join-sized and dragging each
+    * document's whole shingle array through it dwarfs the counting
+    * join). The exact intersection splits by the cap:
+    *
+    *   |A n B|  =  shared RARE shingles (the capped counting join)
+    *             + shared HOT shingles (array_intersect of per-doc HOT
+    *               sets — bounded by |hot| per doc, usually empty)
+    *
+    * Hot shingles (df > cap) are a SMALL relation by construction (at
+    * most |occurrences|/cap values), broadcast both to the anti-join
+    * that drops them from the index and to the per-doc hot-set
+    * collection. Scores are exact for every emitted pair; only a pair
+    * sharing NO rare shingle is missed (one-sided, as documented). */
   def ngramJaccardPairsCapped(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxDf: Long,
+      threshold: Double = JaccardThreshold): DataFrame =
+    ngramJaccardCappedFromSets(
+      docShingleSets(docs, idCol, textCol).localCheckpoint(),
+      maxDf, threshold)
+
+  /** [[ngramJaccardPairsCapped]] with the cap DERIVED from the corpus
+    * ([[defaultDfCap]]) — the at-scale default entry. Counting the
+    * checkpointed sets costs one cached-block scan, not a second pass
+    * over the raw corpus. */
+  def ngramJaccardPairsAtScale(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
       threshold: Double = JaccardThreshold): DataFrame = {
     val sets = docShingleSets(docs, idCol, textCol).localCheckpoint()
-    val sh = sets.select(col("doc_id"), explode(col("ss")).as("s"))
-    val rare = sh.groupBy(col("s"))
+    ngramJaccardCappedFromSets(sets, defaultDfCap(sets.count()), threshold)
+  }
+
+  private def ngramJaccardCappedFromSets(
+      sets: DataFrame,
+      maxDf: Long,
+      threshold: Double): DataFrame = {
+    // 8-byte hashed keys for every exchange the index takes part in,
+    // exactly as in the uncapped operator (same collision trade, same
+    // oracle-gate verification)
+    val sh = sets.select(col("doc_id"), explode(col("ss")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    // the df pass: ONE count-aggregate exchange of the 8-byte index —
+    // the whole price of skew protection when the cap is slack. (A
+    // fused posting-list variant — one groupBy producing df + bounded
+    // doc lists + in-row pair expansion — was measured 30% SLOWER at
+    // sf0.1: the typed-aggregator hop costs more than the exchange it
+    // saves, and Catalyst reuses the self-join's exchange anyway.)
+    val hot = sh.groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+      .filter(col("df") > maxDf)
       .select(col("s"))
-    val shCapped = sh.join(rare, "s")
-    val cand = shCapped.as("a")
-      .join(shCapped.as("b"),
+      .localCheckpoint() // tiny by construction: <= |occurrences|/cap keys
+    // DRIVER-side branch on the tiny hot relation: with no hot shingle
+    // (the oracle-gate regime, and most real corpora under a sane cap)
+    // the plan IS the uncapped plan — no anti-join, no hot-set joins,
+    // nothing to pay but the df pass above. The branch decides plan
+    // SHAPE only; emitted scores are exact either way.
+    val hotIsEmpty = hot.isEmpty
+    val shRare =
+      if (hotIsEmpty) sh else sh.join(broadcast(hot), Seq("s"), "left_anti")
+    val interRare = shRare.as("a")
+      .join(shRare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
-    val shSets = sets.select(col("doc_id"), col("ss"),
-      size(col("ss")).cast("long").as("n"))
-    cand
-      .join(shSets.select(col("doc_id").as("da"), col("ss").as("ssa"),
-        col("n").as("na")), "da")
-      .join(shSets.select(col("doc_id").as("db"), col("ss").as("ssb"),
-        col("n").as("nb")), "db")
-      .withColumn("i",
-        size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("ir"))
+    val counts = sets.select(col("doc_id"), size(col("ss")).cast("long").as("n"))
+    val base = interRare
+      .join(counts.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("n", "na"), "da")
+      .join(counts.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("n", "nb"), "db")
+    val withI =
+      if (hotIsEmpty) base.withColumn("i", col("ir"))
+      else {
+        // exact intersection = shared rare (counted above) + shared hot
+        // (array_intersect of per-doc HOT sets — bounded by the doc's
+        // own shingle count, usually empty)
+        val hotSets = sh.join(broadcast(hot), Seq("s"))
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("s"))).as("hs"))
+        val emptyHs = array().cast("array<bigint>")
+        base
+          .join(hotSets.select(col("doc_id").as("da"), col("hs").as("ha")),
+            Seq("da"), "left")
+          .join(hotSets.select(col("doc_id").as("db"), col("hs").as("hb")),
+            Seq("db"), "left")
+          .withColumn("i", col("ir") +
+            size(array_intersect(coalesce(col("ha"), emptyHs),
+              coalesce(col("hb"), emptyHs))).cast("long"))
+      }
+    withI
       .withColumn("jaccard",
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
       .filter(col("jaccard") >= threshold)

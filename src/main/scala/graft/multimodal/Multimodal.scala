@@ -147,9 +147,11 @@ object Multimodal {
     aHash64(Array.tabulate(64)(i => p(i % p.length) & 0xff))
   }
 
-  /** Real-codec aHash: decode PNG via ImageIO, resize to 8x8, luma
-    * grayscale, mean-threshold — the standard near-duplicate image
-    * fingerprint. */
+  /** Real-codec aHash: decode via ImageIO (PNG or JPEG — the container
+    * is sniffed), resize to 8x8, luma grayscale, mean-threshold — the
+    * standard near-duplicate image fingerprint. */
+  def aHashImage(bytes: Array[Byte]): Option[Long] = aHashPng(bytes)
+
   def aHashPng(bytes: Array[Byte]): Option[Long] = {
     val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     Option(src).map { img =>
@@ -218,12 +220,67 @@ object Multimodal {
            _: java.io.IOException => None
     }
 
-  /** Real-codec path: decode PNG bytes via JDK ImageIO and return dims.
-    * Used by tests with genuinely encoded PNGs — proves the plumbing
-    * carries real image formats, not only the synthetic one. */
-  def decodePngDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+  /** Real-codec path: decode image bytes via JDK ImageIO and return
+    * dims. ImageIO sniffs the container, so this decodes PNG *and* JPEG
+    * (both JDK-native) — proves the plumbing carries real image formats,
+    * not only the synthetic one. */
+  def decodeImageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     Option(img).map(i => (i.getWidth, i.getHeight))
+  }
+
+  /** Back-compat alias of [[decodeImageDims]]. */
+  def decodePngDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    decodeImageDims(bytes)
+
+  /** Encode a W x H grayscale pattern as REAL JPEG bytes via ImageIO:
+    * `shade(x, y)` gives the gray level. Used to build lossy-codec
+    * fixtures whose decoded aHash is ANALYTIC: with block-aligned
+    * high-contrast patterns (quadrants of 0 vs 255 on 8px multiples),
+    * JPEG quantization noise is a few gray levels around each extreme,
+    * nowhere near the ~127 threshold — so the fingerprint is exact by
+    * construction, independent of encoder tables. */
+  def encodeJpeg(w: Int, h: Int, shade: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = shade(x, y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Deterministic real-JPEG fixture corpus: three 64x64 two-tone
+    * patterns aligned to JPEG's 8x8 block grid. Decoded aHashes are the
+    * analytic bit masks of the white region (see [[encodeJpeg]]). */
+  def jpegFixtures(spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    val patterns: Seq[(Long, (Int, Int) => Int)] = Seq(
+      0L -> ((x: Int, _: Int) => if (x >= 32) 255 else 0), // left|right
+      1L -> ((_: Int, y: Int) => if (y >= 32) 255 else 0), // top/bottom
+      2L -> ((x: Int, y: Int) => // quadrant checkerboard
+        if ((x >= 32) != (y >= 32)) 255 else 0))
+    spark.createDataset(patterns.map { case (id, shade) =>
+      MediaBlob(id, "image", encodeJpeg(64, 64, shade))
+    })
+  }
+
+  /** Real-JPEG decode summary: dims + aHash per blob, partition-batched
+    * through the genuine ImageIO codec (sniffed JPEG), plus the JPEG SOI
+    * marker check proving the bytes really are JPEG containers. */
+  def jpegSummary(media: Dataset[MediaBlob]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { b =>
+      // JPEG SOI marker FF D8
+      val isJpeg = b.content.length >= 2 &&
+        (b.content(0) & 0xff) == 0xff && (b.content(1) & 0xff) == 0xd8
+      val dims = decodeImageDims(b.content)
+      (b.media_id, isJpeg,
+        dims.map(_._1).getOrElse(-1), dims.map(_._2).getOrElse(-1),
+        aHashImage(b.content).getOrElse(0L))
+    }).toDF("media_id", "is_jpeg", "width", "height", "ahash")
   }
 
   /** Real-codec resize via JDK imaging (bilinear). */

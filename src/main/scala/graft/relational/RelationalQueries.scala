@@ -140,18 +140,30 @@ object RelationalQueries {
         |  round(max(c_acctbal), 2) AS max_bal
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // exact median / p90 via the HISTOGRAM formulation
+    // (Scale.groupedExactPercentiles): the builtin exact percentile
+    // buffers every value of a group in one aggregation state — fine for
+    // the oracle, fatal at corpus scale. The histogram path is equally
+    // exact (same interpolation formula, pinned by StatsAtScaleSpec and
+    // by this query's own hash-checked oracle) with state bounded by
+    // DISTINCT values; stddev/corr keep constant-size algebraic partials
+    // in a plain agg, joined back on the 3-row group key (AQE broadcast).
     Q("q_stats_aggs", (s, dir) => {
-      // spread: exact median/percentile partials build value buffers on
-      // the scan side, and a single-split file would build them on one
-      // core
-      Scale.spreadIfNarrow(s.read.parquet(t(dir, "lineitem")))
-        .groupBy(col("l_returnflag"))
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val base = li.groupBy(col("l_returnflag"))
         .agg(
-          round(expr("median(l_quantity)"), 4).as("med_qty"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
           round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 6)
             .as("qty_price_corr"))
+      val med = Scale.groupedExactPercentiles(li, "l_returnflag",
+        col("l_quantity"), Seq("med_raw" -> 0.5))
+      val p90 = Scale.groupedExactPercentiles(li, "l_returnflag",
+        col("l_extendedprice"), Seq("p90_raw" -> 0.9))
+      base.join(med, "l_returnflag").join(p90, "l_returnflag")
+        .select(col("l_returnflag"),
+          round(col("med_raw"), 4).as("med_qty"),
+          round(col("p90_raw"), 2).as("p90_price"),
+          col("sd_disc"), col("qty_price_corr"))
         .orderBy(col("l_returnflag"))
     }, Some(
       """SELECT l_returnflag,

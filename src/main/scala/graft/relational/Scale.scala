@@ -181,6 +181,68 @@ object Scale {
       .withColumn("pct", pct)
   }
 
+  /** Exact interpolated percentiles (SQL `percentile(v, p)` semantics,
+    * Spark's own weighting formula replicated bit-for-bit) per group —
+    * WITHOUT the per-group value buffer the builtin builds.
+    *
+    * The builtin exact `percentile`/`median` is an ObjectHashAggregate
+    * whose state holds EVERY value of a group at once: correct, but the
+    * buffer grows with row count — the 100 TB killer. This formulation
+    * aggregates the (group, value) HISTOGRAM instead, so state is
+    * bounded by DISTINCT values (fixed for integer/cents/quantity
+    * domains no matter how many rows pass through), then brackets each
+    * percentile by its global index range in the cumulative histogram:
+    *
+    *   k  = p * (n - 1)                    (fractional index)
+    *   lo = the value whose [cumBefore, cumBefore+count) range holds
+    *        floor(k);  hi = same for ceil(k)
+    *   result = (ceil(k) - k) * lo + (k - floor(k)) * hi
+    *
+    * — the exact expression Percentile.getPercentile evaluates, so
+    * outputs are DEFINED identical to the builtin (StatsAtScaleSpec pins
+    * equality, the q_stats_aggs oracle hash-checks it against DuckDB's
+    * quantile_cont). The cumulative window partitions by GROUP but runs
+    * over the histogram — its width is the distinct-value count, never
+    * the row count. Nulls are excluded (builtin behavior); a group needs
+    * at least one non-null value to appear.
+    *
+    * Output: one row per group — `groupCol`, then one double column per
+    * (name, p) requested. */
+  def groupedExactPercentiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: Column,
+      ps: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.filter(valueCol.isNotNull)
+      .groupBy(col(groupCol), valueCol.cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val cum = hist.withColumn("__hi", sum(col("__c")).over(w))
+      .withColumn("__lo", col("__hi") - col("__c"))
+      .withColumn("__n",
+        sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+    val aggs = ps.flatMap { case (name, p) =>
+      val k = (col("__n") - 1).cast("double") * lit(p)
+      Seq(
+        max(when(col("__lo") <= floor(k) && floor(k) < col("__hi"),
+          col("__v"))).as(s"__lo_$name"),
+        max(when(col("__lo") <= ceil(k) && ceil(k) < col("__hi"),
+          col("__v"))).as(s"__hi_$name"),
+        max(k).as(s"__k_$name"))
+    }
+    val picked = cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    ps.foldLeft(picked) { case (acc, (name, _)) =>
+      val k = col(s"__k_$name")
+      val lo = col(s"__lo_$name")
+      val hi = col(s"__hi_$name")
+      acc.withColumn(name,
+          when(floor(k) === ceil(k), lo)
+            .otherwise((ceil(k) - k) * lo + (k - floor(k)) * hi))
+        .drop(s"__lo_$name", s"__hi_$name", s"__k_$name")
+    }
+  }
+
   /** Skew-safe equi-join: the fact side gets a deterministic (seeded)
     * random salt, the dim side is replicated once per salt value, and the
     * join key becomes (key, salt) — a hot key's rows spread over `nSalts`

@@ -155,8 +155,14 @@ object TrainingDataQueries {
          |GROUP BY 1 HAVING count(*) > 1
          |ORDER BY fp""".stripMargin)),
 
+    // runs the AT-SCALE plan: df-capped candidate generation (the
+    // uncapped inverted index is quadratic under a hot stopword
+    // shingle). The cap derives from the corpus size (parquet count-star
+    // — a metadata read) and does not bind on the test corpora, so the
+    // UNCAPPED oracle still hash-matches — which is the point: capped
+    // and uncapped are the same operator wherever the cap is slack.
     Q("ngram_jaccard_dups", (s, dir) => {
-      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text")
+      Dedup.ngramJaccardPairsAtScale(docs(s, dir), "doc_id", "text")
         .orderBy(col("da"), col("db"))
     }, Some(Dedup.ngramJaccardOracle("documents", Dedup.JaccardThreshold))),
 
@@ -325,6 +331,26 @@ object TrainingDataQueries {
         .filter(col("hamming") <= 8)
         .orderBy(col("ma"), col("mb"))
     }, Some(resourceSql("/graft/oracle_media_phash.sql"))),
+
+    // REAL lossy-codec coverage: genuine JPEG containers (ImageIO
+    // encode), decoded back through the genuine ImageIO codec. The
+    // oracle is ANALYTIC, not golden-from-execution: the fixtures are
+    // block-aligned two-tone patterns whose decoded aHash equals the
+    // white-region bit mask by construction (quantization noise of a
+    // few gray levels cannot cross the ~127 threshold), and dims are the
+    // encode-time choice. Proves the multimodal path carries real
+    // compressed image formats end to end.
+    Q("media_jpeg", (s, _) => {
+      import graft.multimodal.Multimodal
+      Multimodal.jpegSummary(Multimodal.jpegFixtures(s))
+        .orderBy(col("media_id"))
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), true, 64, 64, CAST(-1085102592571150096 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), true, 64, 64, CAST(-4294967296 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), true, 64, 64, CAST(1085102596360827120 AS BIGINT))
+        |) AS t(media_id, is_jpeg, width, height, ahash)
+        |ORDER BY media_id""".stripMargin)),
 
     Q("media_frames", (s, _) => {
       import graft.multimodal.{Multimodal, SyntheticCodec}

@@ -72,6 +72,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham(a, c) > 16, s"different scene too close: ${ham(a, c)}")
   }
 
+  test("real JPEG decode: containers, dims, analytic aHash masks") {
+    val rows = Multimodal.jpegSummary(Multimodal.jpegFixtures(spark))
+      .orderBy("media_id").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getBoolean(1), "fixture bytes must carry the JPEG SOI marker")
+      assert(r.getInt(2) == 64 && r.getInt(3) == 64)
+    }
+    // white-region bit masks, exact by construction (block-aligned
+    // two-tone patterns; lossy noise stays far from the threshold)
+    assert(rows(0).getLong(4) == 0xF0F0F0F0F0F0F0F0L) // left|right
+    assert(rows(1).getLong(4) == 0xFFFFFFFF00000000L) // top/bottom
+    assert(rows(2).getLong(4) == 0x0F0F0F0FF0F0F0F0L) // quadrants
+  }
+
+  test("JPEG survives resize + re-decode through the real codec") {
+    val jpeg = Multimodal.encodeJpeg(64, 48, (x, _) => if (x >= 32) 255 else 0)
+    assert(Multimodal.decodeImageDims(jpeg).contains((64, 48)))
+    val resized = Multimodal.resizePng(jpeg, 16, 12) // decode JPEG, emit PNG
+    assert(Multimodal.decodeImageDims(resized).contains((16, 12)))
+  }
+
   test("real WAV decode via javax.sound inside the pipeline") {
     import spark.implicits._
     // encode a genuine 16-bit mono WAV: 1000 samples of a known square wave

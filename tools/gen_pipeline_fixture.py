@@ -251,3 +251,26 @@ sql3 = ("SELECT * FROM (VALUES\n" + ",\n".join(rows2) +
         ") AS t(image_id, class_name, n_items, first_x1)\nORDER BY image_id, class_name")
 open(f"{OUT}/oracle_regroup_flat.sql", "w").write(sql3)
 print(f"regroup groups={len(rows2)}")
+
+# ---- canonical-JSON regroup oracle: the full map<class, [detection]>
+# value, entries sorted by class, serialized exactly as Spark's to_json
+# (ignoreNullFields=false) renders it — compact separators, struct field
+# order (bounding_box{x1,y1,x2,y2}, confidence, ocr_text), nulls
+# explicit. Doubles are 4-decimal fixture values, for which Python repr
+# and Java Double.toString agree on the shortest form.
+jgrp = {}
+for (page_id, i, cls, x1, y1, x2, y2, conf) in det1:
+    W, H = 1240, 1754
+    pw = int((x2 - x1) * 0.10); ph = int((y2 - y1) * 0.10)
+    d = {"bounding_box": {"x1": max(0, x1 - pw), "y1": max(0, y1 - ph),
+                          "x2": min(W, x2 + pw), "y2": min(H, y2 + ph)},
+         "confidence": conf, "ocr_text": None}
+    jgrp.setdefault(page_id, {}).setdefault(cls, []).append(d)
+rows4 = []
+for page_id, classes in jgrp.items():
+    js = json.dumps(dict(sorted(classes.items())), separators=(",", ":"))
+    rows4.append(f"({sqlq(page_id)}, {sqlq(js)})")
+sql4 = ("SELECT * FROM (VALUES\n" + ",\n".join(rows4) +
+        ") AS t(image_id, detections_json)\nORDER BY image_id")
+open(f"{OUT}/oracle_regroup_json.sql", "w").write(sql4)
+print(f"regroup json images={len(rows4)}")
