@@ -55,6 +55,42 @@ object Profile {
     time("simhash signatures")(noop(
       Dedup.simhash(docs, "doc_id", "text")))
 
+    // q_stats_aggs percentile formulations
+    locally {
+      import graft.relational.Scale
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      time("stats builtin buffered")(noop(
+        li.groupBy(col("l_returnflag")).agg(
+          round(expr("median(l_quantity)"), 4).as("med_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+          round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("qty_price_corr"))))
+      def base = li.groupBy(col("l_returnflag")).agg(
+        round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("qty_price_corr"))
+      time("stats hist two-scan")(noop {
+        val med = Scale.groupedExactPercentiles(li, "l_returnflag",
+          col("l_quantity"), Seq("med_raw" -> 0.5))
+        val p90 = Scale.groupedExactPercentiles(li, "l_returnflag",
+          col("l_extendedprice"), Seq("p90_raw" -> 0.9))
+        base.join(med, "l_returnflag").join(p90, "l_returnflag")
+      })
+      time("stats hist fused stack")(noop {
+        val stacked = li.select(col("l_returnflag"),
+          expr("stack(2, 'qty', CAST(l_quantity AS DOUBLE)," +
+            " 'price', l_extendedprice) AS (metric, v)"))
+        val pct = Scale.groupedExactPercentiles(stacked,
+            Seq("l_returnflag", "metric"), col("v"),
+            Seq("p50" -> 0.5, "p90" -> 0.9))
+          .groupBy(col("l_returnflag"))
+          .agg(max(when(col("metric") === "qty", col("p50"))).as("med_raw"),
+            max(when(col("metric") === "price", col("p90"))).as("p90_raw"))
+        base.join(pct, "l_returnflag")
+      })
+    }
+
     // embedding similar-pairs variants
     import graft.functions.ArrayOps.array_dot
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

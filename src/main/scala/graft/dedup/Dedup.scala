@@ -26,10 +26,12 @@ import graft.analysis.TextAnalysis
   * Spark and the DuckDB oracle — signatures are engine-independent, so
   * even the LSH path is hash-checked, not just "rows > 0".
   *
-  * Skew note: a pathologically hot shingle (stopword phrase) would fan the
-  * candidate join; production corpora should cap shingle document
-  * frequency before the join (drop shingles with df > limit) — a
-  * frequency-capped variant is one filter away from this plan.
+  * Skew note: a pathologically hot shingle (stopword phrase) fans the
+  * uncapped candidate join quadratically. The DEFAULT n-gram entry is
+  * therefore [[ngramJaccardPairsAtScale]] — df-capped candidate
+  * generation with exact scores and an absolute cap ceiling — and
+  * [[ngramJaccardPairs]] remains the uncapped reference formulation
+  * the oracle mirrors.
   */
 object Dedup {
 

@@ -212,16 +212,27 @@ object Scale {
       df: DataFrame,
       groupCol: String,
       valueCol: Column,
+      ps: Seq[(String, Double)]): DataFrame =
+    groupedExactPercentiles(df, Seq(groupCol), valueCol, ps)
+
+  /** Multi-column-group overload — e.g. (group, metric) after a `stack`
+    * unpivot, which lets ONE scan and ONE histogram shuffle serve
+    * percentiles over several source columns at once (q_stats_aggs). */
+  def groupedExactPercentiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
       ps: Seq[(String, Double)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val gcs = groupCols.map(col)
     val hist = df.filter(valueCol.isNotNull)
-      .groupBy(col(groupCol), valueCol.cast("double").as("__v"))
+      .groupBy(gcs :+ valueCol.cast("double").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val w = Window.partitionBy(gcs: _*).orderBy(col("__v"))
     val cum = hist.withColumn("__hi", sum(col("__c")).over(w))
       .withColumn("__lo", col("__hi") - col("__c"))
       .withColumn("__n",
-        sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+        sum(col("__c")).over(Window.partitionBy(gcs: _*)))
     val aggs = ps.flatMap { case (name, p) =>
       val k = (col("__n") - 1).cast("double") * lit(p)
       Seq(
@@ -231,7 +242,7 @@ object Scale {
           col("__v"))).as(s"__hi_$name"),
         max(k).as(s"__k_$name"))
     }
-    val picked = cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val picked = cum.groupBy(gcs: _*).agg(aggs.head, aggs.tail: _*)
     ps.foldLeft(picked) { case (acc, (name, _)) =>
       val k = col(s"__k_$name")
       val lo = col(s"__lo_$name")
