@@ -2,6 +2,7 @@ package graft
 
 import graft.dedup.Dedup
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The df-capped inverted-index join: exact scores, one-sided candidate
@@ -46,6 +47,41 @@ class DedupCappedSpec extends AnyFunSuite {
     val u = uncapped.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(c.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
     assert(c.toSet.subsetOf(u.toSet), "scores must be exact, not capped")
+  }
+
+  test("the cap bounds candidate volume quadratically on a hot corpus") {
+    // 120 docs all sharing one stopword phrase, each with a unique tail:
+    // the uncapped inverted index meets every pair through the hot
+    // shingles — C(120,2) = 7140 candidates — while the capped operator
+    // admits only pairs sharing a RARE shingle. threshold=0 surfaces the
+    // raw candidate sets through the public API.
+    val phrase = "super sale this week only in every store"
+    val corpus = (1L to 120L).map(i =>
+      (i, s"$phrase item number $i costs exactly $i crowns today"))
+      .toDF("doc_id", "text")
+    val uncapped =
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 0.0).count()
+    val capped = Dedup.ngramJaccardPairsCapped(
+      corpus, "doc_id", "text", maxDf = 10, 0.0).count()
+    assert(uncapped == 120L * 119 / 2, "hot shingles meet every pair")
+    // the unique per-doc tails share nothing below the cap, so the
+    // entire quadratic candidate set came from the hot phrase — capped
+    // candidate volume collapses to zero
+    assert(capped == 0,
+      s"capped candidates must collapse: $capped vs $uncapped")
+    // the DEFAULT cap (floor 64) BINDS on this corpus (phrase df = 120):
+    // the at-scale entry prunes the same quadratic blowup unaided
+    val atScale =
+      Dedup.ngramJaccardPairsAtScale(corpus, "doc_id", "text", 0.0).count()
+    assert(atScale == 0, s"default cap must engage: $atScale")
+    // ...and stays SLACK (output identical to uncapped) once the hot
+    // phrase's df (40) sits under the floor
+    val small = corpus.filter(col("doc_id") <= 40)
+    val smallUncapped =
+      Dedup.ngramJaccardPairs(small, "doc_id", "text", 0.0).count()
+    val smallAtScale =
+      Dedup.ngramJaccardPairsAtScale(small, "doc_id", "text", 0.0).count()
+    assert(smallUncapped == 40L * 39 / 2 && smallAtScale == smallUncapped)
   }
 
   test("a pair sharing ONLY hot shingles is the documented one-sided miss") {
