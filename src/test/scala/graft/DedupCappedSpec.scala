@@ -84,6 +84,28 @@ class DedupCappedSpec extends AnyFunSuite {
     assert(smallUncapped == 40L * 39 / 2 && smallAtScale == smallUncapped)
   }
 
+  test("LSH band-bucket cap prunes a giant homogeneous cluster") {
+    // 50 near-identical docs (one shared template, unique last word)
+    // collapse into the same band buckets, plus one genuinely distinct
+    // pair elsewhere. With the bucket cap forced under the cluster
+    // size, the O(cluster^2) fan-out is pruned while the distinct
+    // pair's bucket stays admitted.
+    val template = "identical template body repeated across the corpus"
+    val cluster = (1L to 50L).map(i => (i, s"$template tail"))
+    val others = Seq(
+      (900L, "a wholly different document about vectorized execution z"),
+      (901L, "a wholly different document about vectorized execution y"))
+    val corpus = (cluster ++ others).toDF("doc_id", "text")
+    val unlimited =
+      Dedup.minhashLshPairs(corpus, "doc_id", "text", 0.5).count()
+    val capped =
+      Dedup.minhashLshPairs(corpus, "doc_id", "text", 0.5, maxBucket = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unlimited >= 50L * 49 / 2, "cluster pairs dominate uncapped")
+    assert(capped == Set((900L, 901L)),
+      "hot buckets pruned; small buckets unaffected")
+  }
+
   test("a pair sharing ONLY hot shingles is the documented one-sided miss") {
     // at a low threshold docs 3-4 qualify through the shared header
     // alone; with the header capped out they never become candidates
