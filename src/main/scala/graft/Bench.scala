@@ -93,9 +93,15 @@ object Bench {
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "/tmp/graft_bench_full.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+    val fullLine =
       s"""{"metric":"total_all","value":${fmt(total)},"queries":${jsonMap(results)}}
-         |""".stripMargin.getBytes("UTF-8"))
+         |""".stripMargin.getBytes("UTF-8")
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath), fullLine)
+    // ALSO drop the full map in the repo working dir: /tmp dies with the
+    // host, and round-over-round per-query diffs (what caught the r4
+    // ngram regression) need the map to survive as a committed artifact
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL_latest.json"), fullLine)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(head)},"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
