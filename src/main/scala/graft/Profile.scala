@@ -55,6 +55,32 @@ object Profile {
     time("simhash signatures")(noop(
       Dedup.simhash(docs, "doc_id", "text")))
 
+    // q_pair_cooccur stages: order-set aggregate vs pair fan-out+count
+    locally {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      time("pc: orders sets only")(noop(
+        li.groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .filter(size(col("ps")) > 1)))
+      val sets = li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .filter(size(col("ps")) > 1)
+      time("pc: +pair explode")(noop(
+        sets.select(explode(expr(
+          """flatten(transform(sequence(1, size(ps) - 1),
+            |  i -> transform(slice(ps, i + 1, size(ps) - i),
+            |       j -> element_at(ps, i) * 4294967296 + j)))"""
+            .stripMargin)).as("pk"))))
+      time("pc: +count+top20 (full)")(noop(
+        sets.select(explode(expr(
+          """flatten(transform(sequence(1, size(ps) - 1),
+            |  i -> transform(slice(ps, i + 1, size(ps) - i),
+            |       j -> element_at(ps, i) * 4294967296 + j)))"""
+            .stripMargin)).as("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pk")).limit(20)))
+    }
+
     // q_stats_aggs percentile formulations
     locally {
       import graft.relational.Scale

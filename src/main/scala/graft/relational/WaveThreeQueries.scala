@@ -196,6 +196,13 @@ object WaveThreeQueries {
     // (TPC-H ~7 lines), so the quadratic fan-out is per-row constant.
     // Full (n desc, pa, pb) tiebreak keeps the top-20 engine-neutral.
     Q("q_pair_cooccur", (s, dir) => {
+      // the pair rides as ONE fused long (pa in the high 32 bits —
+      // partkeys are < 2^31), not a (pa, pb) struct: the pair relation
+      // is ~unique-keyed (map-side combine can't shrink it), so the
+      // fan-out exchange + hash aggregate carry 8-byte keys instead of
+      // 16 and hash/compare one word. Since pa is the high word,
+      // ORDER BY (n DESC, pk) == ORDER BY (n DESC, pa, pb); the pair
+      // decodes back AFTER the top-20.
       s.read.parquet(t(dir, "lineitem"))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -203,12 +210,14 @@ object WaveThreeQueries {
         .select(explode(expr(
           """flatten(transform(sequence(1, size(ps) - 1),
             |  i -> transform(slice(ps, i + 1, size(ps) - i),
-            |       j -> struct(element_at(ps, i) as pa, j as pb))))"""
-            .stripMargin)).as("p"))
-        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+            |       j -> element_at(ps, i) * 4294967296 + j)))"""
+            .stripMargin)).as("pk"))
+        .groupBy(col("pk"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pa"), col("pb"))
+        .orderBy(col("n").desc, col("pk"))
         .limit(20)
+        .select(shiftright(col("pk"), 32).as("pa"),
+          col("pk").bitwiseAND(lit(4294967295L)).as("pb"), col("n"))
     }, Some(
       """SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
         |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
@@ -229,9 +238,9 @@ object WaveThreeQueries {
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))
       val bf = dim.stat.bloomFilter("c_custkey", 100000, 0.01)
-      val mightContain = udf((k: Long) => bf.mightContain(k))
       s.read.parquet(t(dir, "orders"))
-        .filter(mightContain(col("o_custkey")))
+        .filter(graft.functions.BloomMightContain
+          .bloom_might_contain_long(col("o_custkey"), bf))
         .join(dim, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),

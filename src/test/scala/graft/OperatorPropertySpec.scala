@@ -134,4 +134,25 @@ class OperatorPropertySpec extends AnyFunSuite {
       assert(fwd(key) == refF(key), s"forward mismatch at $key")
     }
   }
+
+  test("native BloomMightContainLong equals direct mightContain probes") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(17)
+    val members = Seq.fill(500)(rnd.nextLong() % 100000L).distinct
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    members.foreach(bf.putLong)
+    // probe members (must all pass — no false negatives) and a disjoint
+    // range (false positives allowed; must MATCH the driver-side filter
+    // bit for bit, since the expression is the same filter shipped as
+    // bytes)
+    val probes = (members ++ (200000L until 201000L)).toDF("k")
+    val got = probes
+      .withColumn("m",
+        graft.functions.BloomMightContain.bloom_might_contain_long(col("k"), bf))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    probes.collect().map(_.getLong(0)).foreach { k =>
+      assert(got(k) == bf.mightContainLong(k), s"mismatch at $k")
+    }
+    members.foreach(k => assert(got(k), s"false negative at member $k"))
+  }
 }
