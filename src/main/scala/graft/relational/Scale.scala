@@ -203,8 +203,10 @@ object Scale {
     * equality, the q_stats_aggs oracle hash-checks it against DuckDB's
     * quantile_cont). The cumulative window partitions by GROUP but runs
     * over the histogram — its width is the distinct-value count, never
-    * the row count. Nulls are excluded (builtin behavior); a group needs
-    * at least one non-null value to appear.
+    * the row count. Null VALUES are ignored (builtin behavior), but a
+    * group whose values are ALL null is still emitted with a NULL
+    * percentile — exactly what `percentile`/`median` return for it, so
+    * the drop-in swap `base.join(pct, key)` loses no groups.
     *
     * Output: one row per group — `groupCol`, then one double column per
     * (name, p) requested. */
@@ -224,10 +226,19 @@ object Scale {
       valueCol: Column,
       ps: Seq[(String, Double)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty, "groupedExactPercentiles needs at least one (name, p)")
+    require(ps.map(_._1).distinct.size == ps.size,
+      s"percentile output names must be unique, got ${ps.map(_._1)}")
     val gcs = groupCols.map(col)
-    val hist = df.filter(valueCol.isNotNull)
+    // null VALUES stay in the histogram with ZERO weight (instead of a
+    // pre-filter): they can never satisfy a bracket, but they keep a
+    // group alive when ALL its values are null — such a group emits __n
+    // = 0, no bracket matches, and the percentile comes out NULL, which
+    // is exactly the builtin's answer for it. A filter would silently
+    // drop the group from the output instead.
+    val hist = df
       .groupBy(gcs :+ valueCol.cast("double").as("__v"): _*)
-      .agg(count(lit(1)).as("__c"))
+      .agg(sum(when(valueCol.isNotNull, 1L).otherwise(0L)).as("__c"))
     val w = Window.partitionBy(gcs: _*).orderBy(col("__v"))
     val cum = hist.withColumn("__hi", sum(col("__c")).over(w))
       .withColumn("__lo", col("__hi") - col("__c"))

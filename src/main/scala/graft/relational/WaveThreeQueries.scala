@@ -36,6 +36,31 @@ object WaveThreeQueries {
         |  round(quantile_cont(l_quantity, 0.9), 2) AS p90_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // the AT-SCALE exact-percentile path, oracle-checked in its own
+    // right: Scale.groupedExactPercentiles aggregates the (group, value)
+    // HISTOGRAM (state bounded by distinct values) instead of the
+    // builtin's per-group value buffer (state grows with row count — the
+    // 100 TB killer). Same interpolation formula, so the same
+    // quantile_cont oracle as q_stats_aggs hash-checks it. Quantities
+    // are integers and quartile weights are exact binary fractions, so
+    // round(2) cannot sit on a half boundary on either engine.
+    Q("q_stats_at_scale", (s, dir) => {
+      Scale.groupedExactPercentiles(
+          Scale.spreadIfNarrow(s.read.parquet(t(dir, "lineitem"))),
+          "l_returnflag", col("l_quantity"),
+          Seq("p25_qty" -> 0.25, "med_qty" -> 0.5, "p90_qty" -> 0.9))
+        .select(col("l_returnflag"),
+          round(col("p25_qty"), 2).as("p25_qty"),
+          round(col("med_qty"), 2).as("med_qty"),
+          round(col("p90_qty"), 2).as("p90_qty"))
+        .orderBy(col("l_returnflag"))
+    }, Some(
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 2) AS p25_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 2) AS med_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 2) AS p90_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // NTILE decile bands: equal-height buckets over a fully-deterministic
     // order (acctbal then custkey so duplicate balances cannot reshuffle
     // bucket edges across engines); min/max pass input doubles through

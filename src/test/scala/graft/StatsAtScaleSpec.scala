@@ -66,6 +66,35 @@ class StatsAtScaleSpec extends AnyFunSuite {
     compare(rows, 0.5) // builtin over {1,3} -> 2.0
   }
 
+  test("all-null groups are emitted with NULL, like the builtin") {
+    val rows: Seq[(String, java.lang.Double)] = Seq(
+      ("live", java.lang.Double.valueOf(1.0)),
+      ("live", java.lang.Double.valueOf(2.0)),
+      ("dead", null), ("dead", null))
+    val df = rows.toDF("g", "v")
+    for (p <- Seq(0.0, 0.5, 1.0)) {
+      val got = Scale.groupedExactPercentiles(df, "g", col("v"),
+        Seq("got" -> p)).collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val exp = builtin(df, p).collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(got == exp, s"p=$p: got $got, builtin $exp")
+      assert(got.contains("dead") && got("dead").isEmpty,
+        "a group whose values are all null must surface with NULL")
+    }
+  }
+
+  test("guards: empty percentile list and duplicate names are refused") {
+    val df = Seq(("g", 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Scale.groupedExactPercentiles(df, "g", col("v"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Scale.groupedExactPercentiles(df, "g", col("v"),
+        Seq("p" -> 0.5, "p" -> 0.9))
+    }
+  }
+
   test("aggregation state is the histogram, not a value buffer") {
     val df = (1 to 10000).map(i => ("g", (i % 5).toDouble)).toDF("g", "v")
     val plan = Scale.groupedExactPercentiles(df, "g", col("v"),
