@@ -230,15 +230,26 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("s"))
-      .localCheckpoint() // tiny by construction: <= |occurrences|/cap keys
-    // DRIVER-side branch on the tiny hot relation: with no hot shingle
+      .localCheckpoint() // small in sane regimes: <= |occurrences|/cap keys
+    // DRIVER-side branch on the hot relation: with no hot shingle
     // (the oracle-gate regime, and most real corpora under a sane cap)
     // the plan IS the uncapped plan — no anti-join, no hot-set joins,
     // nothing to pay but the df pass above. The branch decides plan
-    // SHAPE only; emitted scores are exact either way.
-    val hotIsEmpty = hot.isEmpty
+    // SHAPE only; emitted scores are exact either way. The count is one
+    // scan of the checkpointed blocks and ALSO sizes the broadcast
+    // decision below.
+    val nHot = hot.count()
+    val hotIsEmpty = nHot == 0L
+    // |occurrences|/maxDf is only "tiny" while the corpus is: at the
+    // 100 TB design point it can reach billions of keys, and a FORCED
+    // broadcast hint bypasses autoBroadcastJoinThreshold's size check —
+    // so gate the hint on estimated bytes (~40 B/key in the hashed
+    // relation, same budget as the simhash band build) and let the
+    // anti-/hot-set joins fall back to shuffle joins beyond it.
+    def hotHinted: DataFrame =
+      if (nHot * 40L <= SimhashBroadcastMaxBytes) broadcast(hot) else hot
     val shRare =
-      if (hotIsEmpty) sh else sh.join(broadcast(hot), Seq("s"), "left_anti")
+      if (hotIsEmpty) sh else sh.join(hotHinted, Seq("s"), "left_anti")
     val interRare = shRare.as("a")
       .join(shRare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -256,7 +267,7 @@ object Dedup {
         // exact intersection = shared rare (counted above) + shared hot
         // (array_intersect of per-doc HOT sets — bounded by the doc's
         // own shingle count, usually empty)
-        val hotSets = sh.join(broadcast(hot), Seq("s"))
+        val hotSets = sh.join(hotHinted, Seq("s"))
           .groupBy(col("doc_id"))
           .agg(sort_array(collect_list(col("s"))).as("hs"))
         val emptyHs = array().cast("array<bigint>")
@@ -341,7 +352,14 @@ object Dedup {
     * (a pair is lost only when EVERY band it shares is over the cap —
     * i.e. within a giant homogeneous cluster, which exact dedup or the
     * capped output's connected components already represent). 1024
-    * bounds any bucket's fan-out at ~500k pairs. */
+    * bounds any bucket's fan-out at ~500k pairs.
+    *
+    * This cap is the DEFAULT for [[minhashLshPairs]] (pass
+    * `Long.MaxValue` for the uncapped reference form). Its recall
+    * contract is pinned twice: DedupCappedSpec (cap semantics on
+    * synthetic clusters) and the hash-checked gate query
+    * `minhash_lsh_capped`, whose corpus makes the cap BIND against a
+    * DuckDB oracle replicating the per-bucket admission filter. */
   val MaxBandBucket = 1024L
 
   def minhashLshPairs(
@@ -364,13 +382,17 @@ object Dedup {
           .map(r => col(s"h${RowsPerBand * b + r}"))
         xxhash64(lit(b) +: hs: _*)
       }: _*)).as("bk"))
-    // bucket-size admission as a WINDOW count over the band key: it
-    // rides the bk exchange the self-join needs anyway (no census job,
-    // no checkpoint, no driver action — a separate count + anti-join
-    // guard measured +0.4s per query in extra jobs). A hot bucket's
-    // rows land on one window task, but the work is LINEAR in the
-    // bucket (16-byte rows) — the quadratic part is exactly what the
-    // filter prevents.
+    // bucket-size admission as a WINDOW count over the band key (no
+    // census job, no checkpoint, no driver action — a separate count +
+    // anti-join guard measured +0.4s per query in extra jobs). Regime
+    // note: in the AT-SCALE shuffle-join regime the window's bk
+    // exchange is the very exchange the self-join needs, so the guard
+    // rides it for free; at bench scale the self-join is a BROADCAST
+    // hash join (PLANS.md), so there the window adds the only exchange
+    // — the measured +0.26s is that, accepted as the guard's price. A
+    // hot bucket's rows land on one window task, but the work is
+    // LINEAR in the bucket (16-byte rows) — the quadratic part is
+    // exactly what the filter prevents.
     val admitted = bands
       .withColumn("__bn",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -561,8 +583,17 @@ object Dedup {
 
   /** CTE chain ending in `lshpairs(da, db, jaccard)` — the LSH-candidate
     * near-dup pairs, reusable by every oracle that consumes them
-    * (minhash_lsh_dups itself, corpus selection, component closure). */
-  def minhashLshCtes(docsRel: String, threshold: Double): String = {
+    * (minhash_lsh_dups itself, corpus selection, component closure).
+    *
+    * `maxBucket` mirrors [[minhashLshPairs]]'s band-bucket admission
+    * cap: when finite, band buckets holding more than `maxBucket`
+    * documents are excluded from candidate generation — the SQL twin of
+    * the Spark side's window-count filter, so a gate corpus where the
+    * cap BINDS is still hash-checkable. */
+  def minhashLshCtes(
+      docsRel: String,
+      threshold: Double,
+      maxBucket: Long = Long.MaxValue): String = {
     val hashes = (0 until MinhashK)
       .map(i => s"min((${md5Hash32Sql("s", "mh:")} * ${minhashA(i)} + " +
         s"${minhashB(i)}) % $MinhashP) AS h$i").mkString(", ")
@@ -573,13 +604,20 @@ object Dedup {
         s"SELECT doc_id, $b AS bi, $key AS bk FROM sig"
       }
       .mkString("\n  UNION ALL ")
+    val admitted =
+      if (maxBucket == Long.MaxValue) "bands"
+      else s"""(SELECT doc_id, bi, bk FROM (
+              |    SELECT doc_id, bi, bk,
+              |      count(*) OVER (PARTITION BY bi, bk) AS bn
+              |    FROM bands) __adm WHERE bn <= $maxBucket)"""
+        .stripMargin
     s"""${shinglesCte(docsRel)},
        |sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
        |bands AS (
        |  $bandRows),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |  FROM bands a JOIN bands b
+       |  FROM $admitted a JOIN $admitted b
        |    ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
        |$jaccardCte,
        |lshpairs AS (
@@ -590,6 +628,19 @@ object Dedup {
 
   def minhashLshOracle(docsRel: String, threshold: Double): String =
     s"""WITH ${minhashLshCtes(docsRel, threshold)}
+       |SELECT da, db, jaccard FROM lshpairs
+       |ORDER BY da, db""".stripMargin
+
+  /** Oracle for the CAPPED LSH path over an inline corpus subquery —
+    * used by the gate fixture where the band-bucket cap BINDS, so the
+    * documented one-sided miss is pinned by the hash-checked gate, not
+    * only by DedupCappedSpec. */
+  def minhashLshCappedOracle(
+      corpusSubquery: String,
+      threshold: Double,
+      maxBucket: Long): String =
+    s"""WITH corpus AS $corpusSubquery,
+       |${minhashLshCtes("corpus", threshold, maxBucket)}
        |SELECT da, db, jaccard FROM lshpairs
        |ORDER BY da, db""".stripMargin
 

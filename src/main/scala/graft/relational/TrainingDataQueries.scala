@@ -42,6 +42,25 @@ object TrainingDataQueries {
       | SELECT doc_id + 100000 AS doc_id, text FROM documents
       | WHERE doc_id < 5)""".stripMargin
 
+  /** [[docsWithDups]] plus a planted GIANT near-identical cluster: 8
+    * exact clones of doc 0 (ids 200000-200007). Together with doc 0 and
+    * its +100000 twin that is a 10-member identical-signature cluster —
+    * the regime where the LSH band-bucket admission cap binds. */
+  private def docsWithCluster(s: SparkSession, dir: String): DataFrame =
+    docsWithDups(s, dir).unionAll(
+      docs(s, dir).filter(col("doc_id") === 0)
+        .select(explode(sequence(lit(0L), lit(7L))).as("i"), col("text"))
+        .select((col("i") + 200000L).as("doc_id"), col("text")))
+
+  private val docsWithClusterSql =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text FROM documents
+      | WHERE doc_id < 5
+      | UNION ALL
+      | SELECT 200000 + r.i AS doc_id, d.text
+      | FROM documents d, range(0, 8) r(i) WHERE d.doc_id = 0)""".stripMargin
+
   val SimilarPairsThreshold = 0.45
   val AnnQueries = 20
   val AnnK = 5
@@ -157,8 +176,9 @@ object TrainingDataQueries {
 
     // runs the AT-SCALE plan: df-capped candidate generation (the
     // uncapped inverted index is quadratic under a hot stopword
-    // shingle). The cap derives from the corpus size (parquet count-star
-    // — a metadata read) and does not bind on the test corpora, so the
+    // shingle). The cap derives from counting the checkpointed shingle
+    // sets — one scan of blocks the operator materializes anyway, NOT a
+    // free metadata read — and does not bind on the test corpora, so the
     // UNCAPPED oracle still hash-matches — which is the point: capped
     // and uncapped are the same operator wherever the cap is slack.
     Q("ngram_jaccard_dups", (s, dir) => {
@@ -170,6 +190,21 @@ object TrainingDataQueries {
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
         .orderBy(col("da"), col("db"))
     }, Some(Dedup.minhashLshOracle("documents", Dedup.JaccardThreshold))),
+
+    // the band-bucket admission cap WHERE IT BINDS, hash-checked: the
+    // corpus plants a 10-member identical cluster (doc 0, its exact-dup
+    // twin, and 8 clones), whose band buckets hold 10 > maxBucket = 4 in
+    // EVERY band — so all 45 intra-cluster pairs are the documented
+    // one-sided miss — while the size-2 dup buckets for docs 1-4 stay
+    // admitted. The oracle replicates the per-(band, bucket) count
+    // filter in SQL, so the capped operator's recall contract is pinned
+    // by the gate, not only by DedupCappedSpec.
+    Q("minhash_lsh_capped", (s, dir) => {
+      Dedup.minhashLshPairs(docsWithCluster(s, dir), "doc_id", "text",
+          maxBucket = 4)
+        .orderBy(col("da"), col("db"))
+    }, Some(Dedup.minhashLshCappedOracle(docsWithClusterSql,
+      Dedup.JaccardThreshold, 4))),
 
     // pairs -> GROUPS: connected components over the near-dup pair graph
     // (iterative min-label propagation; DuckDB walks the same closure
