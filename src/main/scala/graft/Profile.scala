@@ -7,10 +7,17 @@ import graft.dedup.Dedup
 
 /** Stage-level profiler for the dedup pipelines: times each sub-stage of
   * a slow query in isolation so regressions can be attributed to a stage
-  * instead of guessed at. Usage: runMain graft.Profile [sfDir] */
+  * instead of guessed at. Usage: runMain graft.Profile [sfDir] [hot]
+  *
+  * `hot` mode runs ONLY the hot-corpus regime: corpora engineered so the
+  * dedup admission caps BIND (a stopword shingle in every document; a
+  * giant near-identical cluster), timing capped vs uncapped paths — the
+  * measured proof that the guards keep the operators linear exactly
+  * where the uncapped forms go quadratic. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val hotOnly = args.contains("hot")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -32,6 +39,45 @@ object Profile {
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     time("warmup count")(docs.count())
+
+    if (hotOnly) {
+      // ---- regime where the caps BIND ------------------------------
+      // (1) hot shingle: one 13-word stopword phrase appended to EVERY
+      // document -> 11 shingles with df = |corpus|. The uncapped
+      // inverted-index join fans 11 * C(n, 2) candidate rows from those
+      // alone; the df cap drops them from candidate generation.
+      val hotDocs = docs.select(col("doc_id"),
+        concat(col("text"), lit(" the very best price ever seen in" +
+          " this great shop today and forever")).as("text"))
+        .localCheckpoint()
+      val n = hotDocs.count()
+      println(s"[profile] hot corpus: $n docs, every one sharing 11 " +
+        "corpus-wide shingles")
+      time("ngram UNCAPPED on hot corpus")(noop(
+        Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text")))
+      time("ngram CAPPED (at-scale) on hot")(noop(
+        Dedup.ngramJaccardPairsAtScale(hotDocs, "doc_id", "text")))
+
+      // (2) giant near-identical cluster: 1500 clones of doc 0 (above
+      // the 1024 band-bucket cap) -> one LSH bucket of ~1500 per band;
+      // the uncapped band self-join materializes ~C(1500, 2) = 1.1M
+      // candidate pairs and drags full shingle sets through the
+      // rescore; the admission cap excludes the bucket.
+      val cluster = docs.select(col("doc_id"), col("text")).unionAll(
+        docs.filter(col("doc_id") === 0)
+          .select(explode(sequence(lit(1L), lit(1500L))).as("i"), col("text"))
+          .select((col("i") + 300000L).as("doc_id"), col("text")))
+        .localCheckpoint()
+      println(s"[profile] cluster corpus: ${cluster.count()} docs, one " +
+        "1501-member identical cluster")
+      time("LSH UNCAPPED on cluster")(noop(
+        Dedup.minhashLshPairs(cluster, "doc_id", "text",
+          maxBucket = Long.MaxValue)))
+      time("LSH CAPPED (1024) on cluster")(noop(
+        Dedup.minhashLshPairs(cluster, "doc_id", "text")))
+      spark.stop()
+      return
+    }
 
     time("split only")(noop(docs.select(split(col("text"), " ").as("ws"))))
     time("shingles only")(noop(

@@ -283,6 +283,101 @@ object Multimodal {
     }).toDF("media_id", "is_jpeg", "width", "height", "ahash")
   }
 
+  /** aHash of an already-decoded image: resize to 8x8, integer luma,
+    * mean-threshold. The shared core of [[aHashPng]] and the GIF frame
+    * path. */
+  def aHashOf(img: java.awt.image.BufferedImage): Long = {
+    val dst = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.drawImage(img, 0, 0, 8, 8, null)
+    g.dispose()
+    val px = Array.tabulate(64) { i =>
+      val rgb = dst.getRGB(i % 8, i / 8)
+      val (r, gr, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      (r * 299 + gr * 587 + b * 114) / 1000 // integer luma
+    }
+    aHash64(px)
+  }
+
+  /** Encode a REAL multi-frame animated GIF via ImageIO's sequence
+    * writer: each `shade(x, y)` function is one full frame. GIF's LZW
+    * compression is LOSSLESS and two-tone 0/255 gray survives palette
+    * quantization exactly, so — unlike JPEG — decoded pixels equal the
+    * encoded pattern bit for bit and per-frame aHashes are analytic
+    * with no noise argument needed. This is the honest JDK-native
+    * "video-like" container: a genuine multi-frame format for the
+    * frame-sampling path, no external codec. */
+  def encodeGif(w: Int, h: Int, frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { shade =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = shade(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null),
+        writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
+
+  /** Deterministic animated-GIF fixture corpus: blob k holds k+2 full
+    * 64x64 frames; frame f is white where x >= 8*(f+1) (8px-aligned
+    * two-tone columns, so each 8x8 aHash cell is uniform and the
+    * fingerprint is the white-region bit mask by construction). */
+  def gifFixtures(spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    spark.createDataset((0L until 3L).map { k =>
+      val frames = (0 until (k.toInt + 2)).map { f =>
+        (x: Int, _: Int) => if (x >= 8 * (f + 1)) 255 else 0
+      }
+      MediaBlob(k, "video", encodeGif(64, 64, frames))
+    })
+  }
+
+  /** Real multi-frame decode: one row per GIF frame — container magic,
+    * frame count from the container, per-frame dims + aHash through the
+    * genuine ImageIO GIF reader. The GIF analogue of [[sampledFrames]]
+    * with a REAL codec instead of the synthetic stub. */
+  def gifFrames(media: Dataset[MediaBlob]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { b =>
+      val isGif = b.content.length >= 4 &&
+        new String(b.content, 0, 4, "ASCII") == "GIF8"
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b.content))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); Seq.empty }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          (0 until n).map { f =>
+            val img = reader.read(f)
+            (b.media_id, isGif, n, f, img.getWidth, img.getHeight,
+              aHashOf(img))
+          }
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
+      }
+    }).toDF("media_id", "is_gif", "n_frames", "frame_no", "width",
+      "height", "ahash")
+  }
+
   /** Real-codec resize via JDK imaging (bilinear). */
   def resizePng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))

@@ -396,6 +396,33 @@ object TrainingDataQueries {
         .orderBy(col("media_id"), col("frame_no"))
     }, Some(resourceSql("/graft/oracle_media_frames.sql"))),
 
+    // REAL multi-frame container: animated GIF through the genuine
+    // ImageIO sequence writer/reader (JDK-native — the honest
+    // "video-like" step; compressed video codecs stay the documented
+    // stub). GIF's LZW is LOSSLESS and the 8px-aligned two-tone frames
+    // survive palette quantization exactly, so per-frame aHashes are
+    // ANALYTIC: frame f is white at grid cols >= f+1, hash =
+    // ((0xFF << (f+1)) & 0xFF) * 0x0101010101010101 as signed int64.
+    // Blob k holds k+2 frames, so the container's frame COUNT is also
+    // pinned per blob.
+    Q("media_gif", (s, _) => {
+      import graft.multimodal.Multimodal
+      Multimodal.gifFrames(Multimodal.gifFixtures(s))
+        .orderBy(col("media_id"), col("frame_no"))
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), true, 2, 0, 64, 64, CAST(-72340172838076674 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), true, 2, 1, 64, 64, CAST(-217020518514230020 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), true, 3, 0, 64, 64, CAST(-72340172838076674 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), true, 3, 1, 64, 64, CAST(-217020518514230020 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), true, 3, 2, 64, 64, CAST(-506381209866536712 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), true, 4, 0, 64, 64, CAST(-72340172838076674 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), true, 4, 1, 64, 64, CAST(-217020518514230020 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), true, 4, 2, 64, 64, CAST(-506381209866536712 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), true, 4, 3, 64, 64, CAST(-1085102592571150096 AS BIGINT))
+        |) AS t(media_id, is_gif, n_frames, frame_no, width, height, ahash)
+        |ORDER BY media_id, frame_no""".stripMargin)),
+
     // training-sequence packing: docs in id order fill fixed token-budget
     // packs; a doc belongs to the pack its EXCLUSIVE prefix sum lands in
     // (deterministic, boundary docs go with their start). The prefix sum

@@ -129,4 +129,34 @@ class MultimodalSpec extends AnyFunSuite {
     // only video-kind ids (id % 3 == 2)
     assert(frames.forall(_.getLong(0) % 3 == 2))
   }
+
+  test("animated GIF: real multi-frame container round-trips losslessly") {
+    val rows = Multimodal.gifFrames(Multimodal.gifFixtures(spark))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._4))
+    // blob k holds k+2 frames, all flagged as genuine GIF containers
+    assert(rows.map(_._1).distinct === Seq(0L, 1L, 2L))
+    (0L until 3L).foreach { k =>
+      val fs = rows.filter(_._1 == k)
+      assert(fs.length == k.toInt + 2, s"blob $k frame count")
+      assert(fs.forall(_._3 == k.toInt + 2), s"blob $k container n_frames")
+    }
+    assert(rows.forall(_._2), "GIF87a/89a magic must hold")
+    assert(rows.forall(t => t._5 == 64 && t._6 == 64))
+    // GIF is lossless: frame f's aHash is the analytic column mask
+    rows.foreach { case (k, _, _, f, _, _, h) =>
+      val expected = ((0xffL << (f + 1)) & 0xffL) * 0x0101010101010101L
+      assert(h == expected,
+        s"blob $k frame $f: got $h expected $expected")
+    }
+  }
+
+  test("a non-GIF blob yields no frame rows instead of failing the task") {
+    import spark.implicits._
+    val junk = spark.createDataset(Seq(
+      MediaBlob(9L, "video", Array[Byte](1, 2, 3, 4, 5))))
+    assert(Multimodal.gifFrames(junk).collect().isEmpty)
+  }
 }
