@@ -295,6 +295,19 @@ object TrainingDataQueries {
         |        / (count(*) * 1000000.0), 4) AS centroid
         |FROM el GROUP BY grp, dim0 ORDER BY grp, dim""".stripMargin)),
 
+    // distributed k-means in EXACT integer arithmetic (micro-unit
+    // quantization, positive-shifted so truncating and floor division
+    // agree): the WHOLE two-iteration Lloyd's loop — init, argmin
+    // assignment with deterministic tiebreak, centroid update — is
+    // hash-checked against the unrolled DuckDB twin. Assignment is
+    // row-local (centroids ride as plan literals), the update is one
+    // k x dims groupBy; the per-iteration driver collect is model-sized
+    // (k x dims), never corpus-sized. This is the quantizer TRAINING
+    // step the IVF ANN index family composes with.
+    Q("embedding_kmeans", (s, dir) => {
+      graft.sim.KMeans.fit(emb(s, dir), k = 4, iters = 2)
+    }, Some(graft.sim.KMeans.oracleSql("embeddings", k = 4, iters = 2))),
+
     Q("simhash_dups", (s, dir) => {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text")
         .orderBy(col("da"), col("db"))

@@ -1,0 +1,143 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column, in EXACT
+  * integer arithmetic — every assignment and every centroid update is
+  * bit-reproducible across engines, so the whole training loop is
+  * hash-checkable against a DuckDB oracle (`embedding_kmeans`), not just
+  * "rows > 0". This is the quantizer-training step an IVF ANN index
+  * needs (graft.sim.Similarity.ivfTopK samples its coarse quantizer;
+  * this trains one).
+  *
+  * Exactness discipline (the float trap, and how each step avoids it):
+  *  - vectors quantize ONCE to integer micro-units
+  *    (round(e * 10^6), the embedding_centroids convention) and are
+  *    SHIFTED positive — all later math is int64-exact;
+  *  - distances are integer sums of squares (64 dims x (2*10^6)^2
+  *    << 2^63, no overflow);
+  *  - argmin ties break on lowest centroid id via lexicographic
+  *    (dist, cid) struct ordering — deterministic on both engines;
+  *  - centroid update is integer division sum/count, and because
+  *    values are strictly positive, truncating division (Spark `div`)
+  *    and floor division (DuckDB `//`) agree. The +shift commutes with
+  *    the update exactly: (sum + n*shift) div n = shift + sum div n.
+  *
+  * Scale shape: assignment is ROW-LOCAL (centroids travel as plan
+  * literals — k x dims int64, zero shuffle, zero join); the update is
+  * one map-side-combined groupBy onto k x dims keys. The per-iteration
+  * driver collect is k x dims rows — bounded by the model size, the
+  * same class as Scale's partition offsets, NOT corpus-sized. Empty
+  * clusters are DROPPED (documented; both engines agree because both
+  * derive membership from the same exact assignment).
+  */
+object KMeans {
+
+  val Micro = 1000000L
+
+  /** Shift making every quantized coordinate strictly positive for
+    * |e| < 1 embeddings — the precondition for div/floor-div agreement
+    * (checked at quantization time via ANSI overflow on the cast). */
+  val Shift = 1000000L
+
+  /** (vec_id, q: array<long>) in shifted micro-units. */
+  def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        e => round(e * Micro).cast("long") + Shift).as("q"))
+
+  /** Row-local assignment of each vector to its nearest centroid:
+    * squared L2 against each centroid (a literal array), lexicographic
+    * (dist, cid) min — no join, no shuffle. */
+  private def assignCol(centroids: Seq[(Long, Seq[Long])]): Column =
+    array_min(array(centroids.map { case (cid, arr) =>
+      val carr = array(arr.map(lit): _*)
+      val d = aggregate(
+        zip_with(col("q"), carr, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      struct(d.as("dist"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Run `iters` Lloyd iterations with k centroids initialized from the
+    * k lowest vec_ids. Returns the final model as one row per
+    * (cid, dim): member count `n` and centroid coordinate `c` in
+    * shifted micro-units (exact integers; divide by 10^6 and subtract 1
+    * for the float view). */
+  def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    // every iteration reads q twice (assign + update): checkpoint so
+    // the quantization scan never re-runs per consumer
+    val q = quantized(emb).localCheckpoint()
+
+    def collectCentroids(df: DataFrame): Seq[(Long, Seq[Long])] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).toSeq
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_._2).map(_._3).toSeq
+        }
+        .sortBy(_._1)
+
+    val init = collectCentroids(
+      q.filter(col("vec_id") < k)
+        .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim"), col("v")))
+    require(init.size == k,
+      s"need vec_ids 0..${k - 1} present for init, found ${init.size}")
+
+    var centroids = init
+    var model: DataFrame = null
+    for (_ <- 0 until iters) {
+      model = q.withColumn("cid", assignCol(centroids))
+        .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .withColumn("c", expr("s div n"))
+        .select(col("cid"), col("dim"), col("n"), col("c"))
+      centroids = collectCentroids(
+        model.select(col("cid"), col("dim"), col("c")))
+    }
+    model.orderBy(col("cid"), col("dim"))
+  }
+
+  /** DuckDB oracle: the SAME unrolled loop in SQL (k lowest-vec_id
+    * init, per-iteration argmin with (dist, cid) tiebreak, floor-div
+    * centroid update — equal to Spark's truncating `div` because all
+    * values are shifted positive). */
+  def oracleSql(embRel: String, k: Int, iters: Int): String = {
+    val base =
+      s"""el0 AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         |    unnest(embedding::DOUBLE[]) AS e
+         |  FROM $embRel),
+         |el AS (
+         |  SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+         |    CAST(round(e * $Micro) AS BIGINT) + $Shift AS v
+         |  FROM el0),
+         |c0 AS (SELECT vec_id AS cid, dim, v AS c FROM el
+         |       WHERE vec_id < $k)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""d$i AS (
+         |  SELECT el.vec_id, c.cid,
+         |    sum((el.v - c.c) * (el.v - c.c)) AS dist
+         |  FROM el JOIN $prev c ON el.dim = c.dim GROUP BY 1, 2),
+         |a$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dist, cid) AS rn
+         |    FROM d$i) __r$i WHERE rn = 1),
+         |c$i AS (
+         |  SELECT a.cid, el.dim, count(*) AS n,
+         |    CAST(sum(el.v) // count(*) AS BIGINT) AS c
+         |  FROM el JOIN a$i a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+    }
+    s"""WITH $base,
+       |${steps.mkString(",\n")}
+       |SELECT cid, dim, n, c FROM c$iters
+       |ORDER BY cid, dim""".stripMargin
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.sim.KMeans
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** KMeans.fit vs a direct single-machine reference of the same exact
+  * integer algorithm (quantize -> argmin with (dist, cid) tiebreak ->
+  * truncating-division update), on seeded random data. */
+class KMeansSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def reference(
+      vecs: Seq[(Long, Seq[Double])],
+      k: Int,
+      iters: Int): Map[(Long, Int), (Long, Long)] = {
+    val q = vecs.map { case (id, e) =>
+      id -> e.map(v => math.round(v * KMeans.Micro) + KMeans.Shift)
+    }.toMap
+    var centroids: Map[Long, Seq[Long]] =
+      (0L until k.toLong).map(c => c -> q(c)).toMap
+    var model: Map[(Long, Int), (Long, Long)] = Map.empty
+    (0 until iters).foreach { _ =>
+      val assigned = q.toSeq.map { case (id, v) =>
+        val best = centroids.toSeq.map { case (cid, c) =>
+          (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+        }.min // (dist, cid) lexicographic
+        id -> best._2
+      }
+      model = assigned.groupBy(_._2).toSeq.flatMap { case (cid, members) =>
+        val vs = members.map(m => q(m._1))
+        val n = vs.size.toLong
+        vs.transpose.zipWithIndex.map { case (dimVals, dim) =>
+          (cid, dim) -> (n, dimVals.sum / n) // positive: / == div == floor
+        }
+      }.toMap
+      centroids = model.toSeq.groupBy(_._1._1).map { case (cid, rows) =>
+        cid -> rows.sortBy(_._1._2).map(_._2._2)
+      }
+    }
+    model
+  }
+
+  test("fit matches the exact-arithmetic reference on random data") {
+    val rnd = new Random(23)
+    val vecs = (0L until 40L).map { id =>
+      id -> Seq.fill(8)(rnd.nextDouble() - 0.5)
+    }
+    val emb = vecs.map { case (id, e) => (id, e.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val got = KMeans.fit(emb, k = 3, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val exp = reference(vecs, k = 3, iters = 3)
+    assert(got == exp)
+  }
+
+  test("empty clusters are dropped on both paths (duplicate-init ties)") {
+    // four identical vectors, k = 2: both init centroids coincide, the
+    // (dist, cid) tiebreak sends every vector to cid 0, cid 1 empties
+    val vecs = (0L until 4L).map(id => id -> Seq(0.25, -0.25))
+    val emb = vecs.map { case (id, e) => (id, e.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val got = KMeans.fit(emb, k = 2, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet.map(_._1) == Set(0L))
+    assert(got == reference(vecs, k = 2, iters = 2))
+  }
+
+  test("guards: invalid k/iters and missing init ids are refused") {
+    val emb = Seq((0L, Seq(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](KMeans.fit(emb, k = 0, iters = 1))
+    intercept[IllegalArgumentException](KMeans.fit(emb, k = 1, iters = 0))
+    intercept[IllegalArgumentException](KMeans.fit(emb, k = 5, iters = 1))
+  }
+}
