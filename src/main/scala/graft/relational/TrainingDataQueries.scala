@@ -347,6 +347,15 @@ object TrainingDataQueries {
         .orderBy(col("qid"), col("rank"))
     }, Some(Similarity.ivfTopKOracle("embeddings", AnnQueries, AnnK))),
 
+    // IVF with a TRAINED coarse quantizer: embedding_kmeans' exact
+    // Lloyd's loop feeds the centroids, then the same probe/top-k
+    // search. Training AND search hash-check end to end in one query —
+    // the composition a real ANN build pipeline runs.
+    Q("ann_topk_ivf_trained", (s, dir) => {
+      Similarity.ivfTrainedTopK(emb(s, dir), AnnQueries, AnnK)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(Similarity.ivfTrainedTopKOracle("embeddings", AnnQueries, AnnK))),
+
     // multimodal: binary-column decode + feature extraction as partition
     // batches; oracle VALUES from the independent python mirror of the
     // synthetic blob format (tools/gen_media_oracle.py)

@@ -106,7 +106,15 @@ object KMeans {
     * init, per-iteration argmin with (dist, cid) tiebreak, floor-div
     * centroid update — equal to Spark's truncating `div` because all
     * values are shifted positive). */
-  def oracleSql(embRel: String, k: Int, iters: Int): String = {
+  def oracleSql(embRel: String, k: Int, iters: Int): String =
+    s"""WITH ${oracleCtes(embRel, k, iters)}
+       |SELECT cid, dim, n, c FROM c$iters
+       |ORDER BY cid, dim""".stripMargin
+
+  /** The CTE chain alone (ending in `c$iters(cid, dim, n, c)`), so
+    * composing oracles (trained-quantizer IVF) can reuse the whole
+    * training loop inside their own WITH. */
+  def oracleCtes(embRel: String, k: Int, iters: Int): String = {
     val base =
       s"""el0 AS (
          |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
@@ -135,9 +143,7 @@ object KMeans {
          |    CAST(sum(el.v) // count(*) AS BIGINT) AS c
          |  FROM el JOIN a$i a USING (vec_id) GROUP BY 1, 2)""".stripMargin
     }
-    s"""WITH $base,
-       |${steps.mkString(",\n")}
-       |SELECT cid, dim, n, c FROM c$iters
-       |ORDER BY cid, dim""".stripMargin
+    s"""$base,
+       |${steps.mkString(",\n")}""".stripMargin
   }
 }

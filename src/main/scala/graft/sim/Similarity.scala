@@ -235,6 +235,37 @@ object Similarity {
     val v = emb0.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cents = v.filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    ivfSearch(v, cents, nQueries, k)
+  }
+
+  /** IVF search against a TRAINED coarse quantizer: the centroids come
+    * from [[KMeans.fit]] (exact-integer Lloyd's loop) instead of the
+    * first-`IvfCentroids` sample. Micro-unit centroid coordinates
+    * convert to doubles with the IDENTICAL arithmetic the oracle uses
+    * ((c - shift) / 10^6), so assignment/probe rankings stay
+    * engine-neutral under the round-to-4 discipline. Composition proof:
+    * the index TRAINING step and the index SEARCH step are both
+    * hash-checked, separately and together. */
+  def ivfTrainedTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val emb0 = spread(emb)
+    val v = emb0.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = KMeans.fit(emb, IvfCentroids, KMeansIters)
+      .groupBy(col("cid").as("cent_id"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("cent_id"),
+        transform(col("dc"), x =>
+          (x.getField("c").cast("double") - lit(KMeans.Shift.toDouble)) /
+            lit(KMeans.Micro.toDouble)).as("cv"))
+    ivfSearch(v, cents, nQueries, k)
+  }
+
+  val KMeansIters = 2
+
+  private def ivfSearch(
+      v: DataFrame,
+      cents: DataFrame,
+      nQueries: Int,
+      k: Int): DataFrame = {
     val simToCent = v.crossJoin(broadcast(cents))
       .withColumn("csim", round(cosine(col("v"), col("cv")), 4))
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -262,7 +293,23 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embRel),
        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
        |          WHERE vec_id < $IvfCentroids),
-       |sim2c AS (
+       |${ivfSearchSql(nQueries, k)}""".stripMargin
+
+  /** Oracle twin of [[ivfTrainedTopK]]: the unrolled k-means CTE chain
+    * feeds a `cents` CTE ((c - shift) / 10^6, list-ordered by dim),
+    * then the same search SQL as the sampled-quantizer oracle. */
+  def ivfTrainedTopKOracle(embRel: String, nQueries: Int, k: Int): String =
+    s"""WITH ${KMeans.oracleCtes(embRel, IvfCentroids, KMeansIters)},
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embRel),
+       |cents AS (
+       |  SELECT cid AS cent_id,
+       |    list((CAST(c AS DOUBLE) - ${KMeans.Shift}) / ${KMeans.Micro}.0
+       |         ORDER BY dim) AS cv
+       |  FROM c$KMeansIters GROUP BY cid),
+       |${ivfSearchSql(nQueries, k)}""".stripMargin
+
+  private def ivfSearchSql(nQueries: Int, k: Int): String =
+    s"""sim2c AS (
        |  SELECT e.vec_id, e.v, c.cent_id,
        |    round(list_cosine_similarity(e.v, c.cv), 4) AS csim
        |  FROM e CROSS JOIN cents c),
