@@ -287,6 +287,37 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** Benchmark DECONTAMINATION (C4/Dolma-style): flag corpus documents
+    * sharing at least `minShared` distinct shingles with ANY document of
+    * an evaluation set — the overlap check a training corpus runs
+    * against its benchmark suites before training.
+    *
+    * Plan shape: the eval set's distinct shingle hashes BROADCAST (an
+    * eval suite is bounded small by definition — documents, not a
+    * corpus; the hint is a hard assumption, documented, not size-gated
+    * like the hot-shingle relation), the corpus side stays a row-local
+    * shingle explode joined map-side, then ONE groupBy(doc_id) count.
+    * No corpus self-join, no shuffle of bodies — linear at 100 TB.
+    * Join keys are 64-bit shingle hashes (the file-header collision
+    * trade; the oracle joins the strings and the gate proves parity).
+    *
+    * Output: (doc_id, n_shared) for non-eval docs meeting the bar. */
+  def contamination(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Long): DataFrame = {
+    val cs = docShingles(corpus, idCol, textCol)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val es = docShingles(evalSet, idCol, textCol)
+      .select(xxhash64(col("s")).as("h")).distinct()
+    cs.join(broadcast(es), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Universal-hash family over one md5 base hash: h_i(s) =
     * (A_i * H(s) + B_i) mod P with P prime — one md5 per shingle instead
     * of k, same LSH guarantees. Constants are fixed so the DuckDB oracle

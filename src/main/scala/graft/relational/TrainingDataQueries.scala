@@ -295,6 +295,26 @@ object TrainingDataQueries {
         |        / (count(*) * 1000000.0), 4) AS centroid
         |FROM el GROUP BY grp, dim0 ORDER BY grp, dim""".stripMargin)),
 
+    // benchmark decontamination: the corpus checked for shingle overlap
+    // against an "eval suite" (every 50th doc). One broadcast of the
+    // eval set's distinct shingle hashes + one groupBy(doc_id) — no
+    // corpus self-join anywhere; the thing C4/Dolma run before training.
+    Q("corpus_decontaminate", (s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contamination(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", minShared = 3)
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH ${Dedup.shinglesCte("documents")},
+         |es AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM sh JOIN es USING (s)
+         |WHERE doc_id % 50 != 0
+         |GROUP BY doc_id HAVING count(*) >= 3
+         |ORDER BY doc_id""".stripMargin)),
+
     // distributed k-means in EXACT integer arithmetic (micro-unit
     // quantization, positive-shifted so truncating and floor division
     // agree): the WHOLE two-iteration Lloyd's loop — init, argmin

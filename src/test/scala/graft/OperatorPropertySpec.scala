@@ -135,6 +135,32 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("contamination matches a direct shingle-overlap reference") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(29)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val all = (0L until 50L).map { id =>
+      id -> Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val df = all.toDF("doc_id", "text")
+    val corpus = df.filter(col("doc_id") % 5 =!= 0)
+    val evalSet = df.filter(col("doc_id") % 5 === 0)
+    val got = graft.dedup.Dedup
+      .contamination(corpus, evalSet, "doc_id", "text", minShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: distinct word-3-shingles, set intersection sizes
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3)
+        .map(_.mkString("|")).toSet
+    val evalSh = all.filter(_._1 % 5 == 0).flatMap(t => sh(t._2)).toSet
+    val exp = all.filter(_._1 % 5 != 0)
+      .map { case (id, t) => id -> sh(t).count(evalSh.contains).toLong }
+      .filter(_._2 >= 2).toMap
+    assert(got == exp)
+  }
+
   test("native BloomMightContainLong equals direct mightContain probes") {
     import org.apache.spark.sql.functions.col
     val rnd = new Random(17)
