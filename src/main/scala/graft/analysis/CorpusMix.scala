@@ -1,0 +1,115 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Source-weighted corpus MIXING (Pile/Dolma-style domain mixture):
+  * given per-source mixture weights and an overall token budget, keep a
+  * deterministic hash-sample of each source at the rate that lands its
+  * token share on target. The rate, not a per-source top-N, is the
+  * at-scale mechanism: no per-source global ordering (which would need
+  * a corpus-wide prefix sum PER GROUP), no windows at all — one tiny
+  * per-source aggregate, a broadcast of |sources| rates, and a
+  * row-local md5 keep-filter. Reproducible across engines, retries, and
+  * cluster sizes, like every sampler in this engine.
+  *
+  * All rate arithmetic is INTEGER (ppm domain, positive operands), so
+  * Spark `div` and DuckDB `//` agree exactly and the whole operator is
+  * hash-checkable:
+  *
+  *   budget      = totalTokens * budgetPpm div 10^6
+  *   budget_s    = budget * w_s div 10^6
+  *   rate_s(ppm) = min(10^6, budget_s * 10^6 div tokens_s)
+  *   keep(doc)   = md5("mix:" + id) % 10^6 < rate_s
+  *
+  * Weights need not sum to 10^6 — each source's budget derives
+  * independently (a weight set summing under/over one simply under- or
+  * over-fills the total budget; rates clamp at 10^6, i.e. a source
+  * cannot be up-sampled).
+  */
+object CorpusMix {
+
+  val Ppm = 1000000L
+
+  /** Per-source weight column from a (source -> ppm) map + default. */
+  def weightCol(sourceCol: Column, weightsPpm: Map[String, Long],
+      defaultPpm: Long): Column =
+    weightsPpm.foldLeft(lit(defaultPpm)) { case (acc, (s, w)) =>
+      when(sourceCol === s, lit(w)).otherwise(acc)
+    }
+
+  /** Kept rows: (doc_id, source, tokens, w_ppm, rate_ppm). */
+  def sample(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      weightsPpm: Map[String, Long],
+      defaultPpm: Long,
+      budgetPpm: Long): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"),
+      TextAnalysis.tokenCount(col(textCol)).as("tokens"))
+    val tot = tok.groupBy(col("source"))
+      .agg(sum(col("tokens")).as("st"))
+    val grand = tot.agg(sum(col("st")).as("t"))
+    val rates = tot.crossJoin(broadcast(grand))
+      .withColumn("w", weightCol(col("source"), weightsPpm, defaultPpm))
+      .withColumn("rate",
+        least(lit(Ppm),
+          expr(s"((t * $budgetPpm div $Ppm) * w div $Ppm) * $Ppm div st")))
+      .select(col("source"), col("w"), col("rate"))
+    tok.join(broadcast(rates), Seq("source"))
+      .filter(Dedup.md5Hash32(col("doc_id").cast("string"), "mix:")
+        % Ppm < col("rate"))
+  }
+
+  /** Per-source mixture summary of the kept sample:
+    * (source, w_ppm, rate_ppm, n_docs, tokens_kept). */
+  def summary(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      weightsPpm: Map[String, Long],
+      defaultPpm: Long,
+      budgetPpm: Long): DataFrame =
+    sample(docs, idCol, textCol, sourceCol, weightsPpm, defaultPpm,
+        budgetPpm)
+      .groupBy(col("source"))
+      .agg(max(col("w")).as("w_ppm"),
+        max(col("rate")).as("rate_ppm"),
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("tokens_kept"))
+      .orderBy(col("source"))
+
+  /** DuckDB twin of [[summary]]. `weightCaseSql` must mirror the
+    * weights map (CASE source ... END, BIGINT). */
+  def summarySql(
+      docsRel: String,
+      weightCaseSql: String,
+      budgetPpm: Long): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |    ${TextAnalysis.tokenCountSql("text")} AS tokens
+       |  FROM $docsRel),
+       |tot AS (SELECT source, sum(tokens) AS st FROM tok GROUP BY 1),
+       |g AS (SELECT sum(st) AS t FROM tot),
+       |r AS (
+       |  SELECT source, st, $weightCaseSql AS w,
+       |    least($Ppm,
+       |      (((g.t * $budgetPpm) // $Ppm) * $weightCaseSql // $Ppm)
+       |        * $Ppm // st) AS rate
+       |  FROM tot, g),
+       |k AS (
+       |  SELECT tok.source, tok.tokens, r.w, r.rate
+       |  FROM tok JOIN r USING (source)
+       |  WHERE ${Dedup.md5Hash32Sql("CAST(doc_id AS VARCHAR)", "mix:")}
+       |    % $Ppm < r.rate)
+       |SELECT source, CAST(max(w) AS BIGINT) AS w_ppm,
+       |  CAST(max(rate) AS BIGINT) AS rate_ppm,
+       |  count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tokens_kept
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+}

@@ -295,6 +295,20 @@ object TrainingDataQueries {
         |        / (count(*) * 1000000.0), 4) AS centroid
         |FROM el GROUP BY grp, dim0 ORDER BY grp, dim""".stripMargin)),
 
+    // source-weighted domain mixture (Pile/Dolma-style): src0/src1
+    // over-weighted, the long tail down-weighted, 50% overall token
+    // budget — realized as per-source deterministic hash-RATES (no
+    // per-group global ordering, no windows; all rate math in integer
+    // ppm so both engines agree exactly)
+    Q("corpus_mix", (s, dir) => {
+      graft.analysis.CorpusMix.summary(docs(s, dir), "doc_id", "text",
+        "source", Map("src0" -> 300000L, "src1" -> 200000L),
+        defaultPpm = 27778L, budgetPpm = 500000L)
+    }, Some(graft.analysis.CorpusMix.summarySql("documents",
+      "CASE source WHEN 'src0' THEN 300000 WHEN 'src1' THEN 200000" +
+        " ELSE 27778 END",
+      budgetPpm = 500000L))),
+
     // benchmark decontamination: the corpus checked for shingle overlap
     // against an "eval suite" (every 50th doc). One broadcast of the
     // eval set's distinct shingle hashes + one groupBy(doc_id) — no

@@ -161,6 +161,33 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("corpus mix: weights drive rates, zero-weight sources vanish") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(31)
+    val docs = (0L until 300L).map { id =>
+      (id, Seq.fill(5 + rnd.nextInt(20))("w" + rnd.nextInt(50)).mkString(" "),
+        "s" + (id % 3))
+    }.toDF("doc_id", "text", "source")
+    val out = graft.analysis.CorpusMix.summary(docs, "doc_id", "text",
+        "source", Map("s0" -> 900000L, "s1" -> 100000L, "s2" -> 0L),
+        defaultPpm = 0L, budgetPpm = 500000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(!out.contains("s2"), "zero-weight source must be dropped")
+    // s0 gets 90% of half the corpus ~ 1.35x its own tokens -> clamped
+    assert(out("s0")._2 == 1000000L, s"s0 rate: ${out("s0")}")
+    // s1 gets 10% of half ~ 15% of its tokens -> a real partial rate
+    assert(out("s1")._2 > 0 && out("s1")._2 < 1000000L,
+      s"s1 rate: ${out("s1")}")
+    // determinism: a second run returns the identical summary
+    val again = graft.analysis.CorpusMix.summary(docs, "doc_id", "text",
+        "source", Map("s0" -> 900000L, "s1" -> 100000L, "s2" -> 0L),
+        defaultPpm = 0L, budgetPpm = 500000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(again == out)
+  }
+
   test("native BloomMightContainLong equals direct mightContain probes") {
     import org.apache.spark.sql.functions.col
     val rnd = new Random(17)
