@@ -121,6 +121,72 @@ object Scale {
       .drop("__pid", "__v")
   }
 
+  /** PER-GROUP global running sum WITHOUT per-group single-task windows.
+    *
+    * `sum(v) OVER (PARTITION BY g ORDER BY ...)` funnels each group
+    * through one task — fine when groups are many and small (the usual
+    * case, and the form most queries here use), FATAL when a few giant
+    * groups dominate (one user with a billion events). This is the
+    * huge-group regime's lever: range-partition on (group, sortKey) so
+    * each group occupies a contiguous partition span, run the running
+    * sum within (partition, group), and close the cross-partition gap
+    * with per-(partition, group) offsets — driver state is one row per
+    * (partition, group-in-partition) pair, which in the few-huge-groups
+    * regime is O(partitions), never O(rows).
+    *
+    * Regime guidance (both forms are result-identical): high-cardinality
+    * small groups -> plain partitioned window (driver offsets would
+    * scale with group count); low-cardinality huge groups -> this.
+    *
+    * `groupCol` values must not contain U+0001 (the offset-map key
+    * separator). `sortCols` must totally order rows WITHIN each group;
+    * `valueCol` must be integral and non-null. Output = input +
+    * `outName` (inclusive per-group prefix sum, long). */
+  def groupedRunningSum(
+      df: DataFrame,
+      groupCol: Column,
+      sortCols: Seq[Column],
+      valueCol: Column,
+      outName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val nParts = math.max(2, spark.sparkContext.defaultParallelism)
+    val pinned = df.withColumn("__g", groupCol.cast("string"))
+      .withColumn("__v", valueCol.cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = pinned
+      .repartitionByRange(nParts, col("__g") +: sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // pin the sampled range split (see globalRowNumber)
+    pinned.unpersist(blocking = false)
+    // per-(partition, group) totals -> per-group cumulative offsets in
+    // partition order; one row per group-span on the driver
+    val sums = ranged.groupBy(col("__pid"), col("__g"))
+      .agg(sum(col("__v")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets: Seq[(String, Long)] = sums
+      .groupBy(_._2).toSeq
+      .flatMap { case (g, rows) =>
+        val ordered = rows.sortBy(_._1)
+        val offs = ordered.map(_._3).scanLeft(0L)(_ + _).init
+        ordered.map(_._1).zip(offs).map { case (pid, off) =>
+          s"$pid\u0001$g" -> off
+        }
+      }
+    val entries: Seq[Column] =
+      if (offsets.isEmpty) Seq(lit("\u0001"), lit(0L))
+      else offsets.flatMap { case (k, o) => Seq(lit(k), lit(o)) }
+    val offsetOf = map(entries: _*)
+    val w = Window.partitionBy(col("__pid"), col("__g"))
+      .orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn(outName,
+        sum(col("__v")).over(w) + element_at(offsetOf,
+          concat(col("__pid").cast("string"), lit("\u0001"), col("__g"))))
+      .drop("__pid", "__g", "__v")
+  }
+
   /** The whole SQL ranking family — `rank`, `dense_rank`, `ntile(k)`,
     * `percent_rank` over a GLOBAL order — without any single-partition
     * window. `rank() OVER (ORDER BY v)` funnels every row through one

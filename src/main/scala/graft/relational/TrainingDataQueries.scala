@@ -295,6 +295,30 @@ object TrainingDataQueries {
         |        / (count(*) * 1000000.0), 4) AS centroid
         |FROM el GROUP BY grp, dim0 ORDER BY grp, dim""".stripMargin)),
 
+    // per-SOURCE cumulative token totals via the huge-group scale lever
+    // (Scale.groupedRunningSum): range split on (source, doc_id),
+    // within-span window, driver offsets close each group's
+    // cross-partition gap — result defined identical to the per-group
+    // window the oracle runs, with no group ever funneled through one
+    // task. (The plain partitioned window stays the right form for
+    // many-small-groups queries; this is the few-giant-groups regime.)
+    Q("q_grouped_running", (s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("tokens"))
+      Scale.groupedRunningSum(toks, col("source"), Seq(col("doc_id")),
+          col("tokens"), "cum")
+        .select(col("source"), col("doc_id"), col("tokens"), col("cum"))
+        .orderBy(col("source"), col("doc_id"))
+    }, Some(
+      s"""SELECT source, doc_id,
+         |  ${TextAnalysis.tokenCountSql("text")} AS tokens,
+         |  CAST(sum(${TextAnalysis.tokenCountSql("text")})
+         |    OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum
+         |FROM documents
+         |ORDER BY source, doc_id""".stripMargin)),
+
     // source-weighted domain mixture (Pile/Dolma-style): src0/src1
     // over-weighted, the long tail down-weighted, 50% overall token
     // budget — realized as per-source deterministic hash-RATES (no

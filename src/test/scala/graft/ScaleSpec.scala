@@ -83,6 +83,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(scalable.count() == 5000)
   }
 
+  test("groupedRunningSum equals the per-group running-sum window") {
+    // two giant groups + a tiny one, forced through 8 range partitions
+    // so groups SPAN partitions and the cross-partition offsets matter
+    val df = (1 to 6000).map { i =>
+      (if (i % 3 == 0) "big_a" else if (i % 3 == 1) "big_b" else "small",
+        i.toLong, (i % 89).toLong)
+    }.toDF("g", "id", "v").repartition(8)
+    val scalable = Scale.groupedRunningSum(df, col("g"), Seq(col("id")),
+        col("v"), "cum")
+      .select(col("g"), col("id"), col("cum"))
+    val win = df.withColumn("cum",
+        sum(col("v")).over(Window.partitionBy(col("g")).orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("g"), col("id"), col("cum"))
+    assert(scalable.except(win).isEmpty && win.except(scalable).isEmpty)
+    assert(scalable.count() == 6000)
+    // empty input
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "id", "v")
+    assert(Scale.groupedRunningSum(empty, col("g"), Seq(col("id")),
+      col("v"), "cum").count() == 0)
+  }
+
   test("rankingFamily and globalRunningSum survive empty input") {
     val df = Seq.empty[(Long, Double)].toDF("id", "v")
     assert(Scale.rankingFamily(df, "v", tieDesc = false,
