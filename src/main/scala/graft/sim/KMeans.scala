@@ -90,12 +90,17 @@ object KMeans {
     var centroids = init
     var model: DataFrame = null
     for (_ <- 0 until iters) {
+      // checkpoint each iteration's model: the collect below AND any
+      // downstream consumer (the trained-IVF search, the caller's own
+      // reads) hit the cached k x dims blocks instead of re-running the
+      // assignment pass per consumer
       model = q.withColumn("cid", assignCol(centroids))
         .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
         .groupBy(col("cid"), col("dim"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
         .withColumn("c", expr("s div n"))
         .select(col("cid"), col("dim"), col("n"), col("c"))
+        .localCheckpoint()
       centroids = collectCentroids(
         model.select(col("cid"), col("dim"), col("c")))
     }
