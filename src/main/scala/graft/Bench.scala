@@ -96,12 +96,19 @@ object Bench {
     val fullLine =
       s"""{"metric":"total_all","value":${fmt(total)},"queries":${jsonMap(results)}}
          |""".stripMargin.getBytes("UTF-8")
-    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath), fullLine)
+    // never let an artifact write kill the run AFTER the queries already
+    // executed — the stdout metric line below is the round's record and
+    // must print regardless
+    def writeQuietly(path: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path), fullLine)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+      }
+    writeQuietly(fullPath)
     // ALSO drop the full map in the repo working dir: /tmp dies with the
     // host, and round-over-round per-query diffs (what caught the r4
     // ngram regression) need the map to survive as a committed artifact
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL_latest.json"), fullLine)
+    writeQuietly("BENCH_FULL_latest.json")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(head)},"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
