@@ -187,6 +187,18 @@ object Scale {
       .drop("__pid", "__g", "__v")
   }
 
+  /** PER-GROUP row numbers for the same few-giant-groups regime: a
+    * per-group prefix count IS a per-group prefix sum of ones, so this
+    * inherits [[groupedRunningSum]]'s whole offset discipline (and its
+    * contracts: total order within group, U+0001-free group values).
+    * Output = input + `outName` (1-based rank within group, long). */
+  def groupedRowNumber(
+      df: DataFrame,
+      groupCol: Column,
+      sortCols: Seq[Column],
+      outName: String): DataFrame =
+    groupedRunningSum(df, groupCol, sortCols, lit(1L), outName)
+
   /** The whole SQL ranking family — `rank`, `dense_rank`, `ntile(k)`,
     * `percent_rank` over a GLOBAL order — without any single-partition
     * window. `rank() OVER (ORDER BY v)` funnels every row through one

@@ -103,6 +103,15 @@ class ScaleSpec extends AnyFunSuite {
     val empty = Seq.empty[(String, Long, Long)].toDF("g", "id", "v")
     assert(Scale.groupedRunningSum(empty, col("g"), Seq(col("id")),
       col("v"), "cum").count() == 0)
+    // groupedRowNumber = the same machinery over ones: must equal the
+    // per-group row_number window
+    val rn = Scale.groupedRowNumber(df, col("g"), Seq(col("id")), "rn")
+      .select(col("g"), col("id"), col("rn"))
+    val rnWin = df.withColumn("rn",
+        row_number().over(Window.partitionBy(col("g")).orderBy(col("id")))
+          .cast("long"))
+      .select(col("g"), col("id"), col("rn"))
+    assert(rn.except(rnWin).isEmpty && rnWin.except(rn).isEmpty)
   }
 
   test("rankingFamily and globalRunningSum survive empty input") {
