@@ -307,12 +307,28 @@ object Dedup {
       evalSet: DataFrame,
       idCol: String,
       textCol: String,
+      minShared: Long): DataFrame =
+    contaminationAgainstHashes(corpus,
+      evalShingleHashes(evalSet, idCol, textCol), idCol, textCol, minShared)
+
+  /** The eval suite's distinct shingle-hash relation — compute ONCE
+    * (and checkpoint, if probing repeatedly: the streaming corpus build
+    * reuses it across every micro-batch). Column: `h` (xxhash64). */
+  def evalShingleHashes(
+      evalSet: DataFrame, idCol: String, textCol: String): DataFrame =
+    docShingles(evalSet, idCol, textCol)
+      .select(xxhash64(col("s")).as("h")).distinct()
+
+  /** [[contamination]] against a PRECOMPUTED eval hash relation. */
+  def contaminationAgainstHashes(
+      corpus: DataFrame,
+      evalHashes: DataFrame,
+      idCol: String,
+      textCol: String,
       minShared: Long): DataFrame = {
     val cs = docShingles(corpus, idCol, textCol)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val es = docShingles(evalSet, idCol, textCol)
-      .select(xxhash64(col("s")).as("h")).distinct()
-    cs.join(broadcast(es), Seq("h"))
+    cs.join(broadcast(evalHashes), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

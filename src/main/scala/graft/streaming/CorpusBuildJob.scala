@@ -28,10 +28,14 @@ object CorpusBuildJob {
   val MinTokens = 50L
   val MaxTokens = 400L
 
+  /** Shared-shingle bar for the optional decontamination gate. */
+  val MinSharedShingles = 3L
+
   final case class BuildSummary(
       batches: Int,
       arrived: Long,
       filteredOut: Long,
+      rejectedContaminated: Long,
       accepted: Long,
       rejectedNearDup: Long,
       skippedRedelivered: Long)
@@ -52,14 +56,26 @@ object CorpusBuildJob {
   }
 
   /** One AvailableNow drain of `docsDir` into the corpus at `storeDir`.
-    * Returns the summed decision counts across this run's micro-batches. */
+    * Returns the summed decision counts across this run's micro-batches.
+    *
+    * `evalDocs`: optional benchmark suite for the DECONTAMINATION gate
+    * ([[graft.dedup.Dedup.contaminationAgainstHashes]]) — its distinct
+    * shingle hashes are computed ONCE per run (checkpointed) and every
+    * micro-batch probes them; a doc sharing >= [[MinSharedShingles]]
+    * shingles with any eval doc is rejected before dedup, counted in
+    * `rejectedContaminated`. Stateless per batch, so replay idempotence
+    * is untouched. */
   def runOnce(
       spark: SparkSession,
       docsDir: String,
       storeDir: String,
-      checkpointDir: String): BuildSummary = {
+      checkpointDir: String,
+      evalDocs: Option[DataFrame] = None): BuildSummary = {
     val schema = "doc_id BIGINT, text STRING"
-    var summary = BuildSummary(0, 0L, 0L, 0L, 0L, 0L)
+    val evalHashes = evalDocs.map(e =>
+      graft.dedup.Dedup.evalShingleHashes(e, "doc_id", "text")
+        .localCheckpoint())
+    var summary = BuildSummary(0, 0L, 0L, 0L, 0L, 0L, 0L)
     val q = spark.readStream.schema(schema).parquet(docsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -67,13 +83,24 @@ object CorpusBuildJob {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val pinned = batch.localCheckpoint()
         val arrived = pinned.count()
-        val clean = cleanAndFilter(pinned)
+        val clean0 = cleanAndFilter(pinned).localCheckpoint()
+        val (clean, contaminated) = evalHashes match {
+          case None => (clean0, 0L)
+          case Some(eh) =>
+            val bad = graft.dedup.Dedup.contaminationAgainstHashes(
+                clean0, eh, "doc_id", "text", MinSharedShingles)
+              .select(col("doc_id"))
+            val kept = clean0.join(broadcast(bad), Seq("doc_id"),
+              "left_anti")
+            (kept, bad.count())
+        }
         val r = IncrementalDedup.processBatch(clean, storeDir)
         val kept = r.accepted + r.rejectedNearDup + r.skippedRedelivered
         summary = BuildSummary(
           summary.batches + 1,
           summary.arrived + arrived,
-          summary.filteredOut + (arrived - kept),
+          summary.filteredOut + (arrived - kept - contaminated),
+          summary.rejectedContaminated + contaminated,
           summary.accepted + r.accepted,
           summary.rejectedNearDup + r.rejectedNearDup,
           summary.skippedRedelivered + r.skippedRedelivered)

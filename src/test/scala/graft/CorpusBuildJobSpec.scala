@@ -70,4 +70,32 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/docs")
       .as[(Long, String)].collect().toMap.keySet == Set(1L, 4L, 6L))
   }
+
+  test("the decontamination gate rejects eval-overlapping docs") {
+    val base = Files.createTempDirectory("corpusjob2").toString
+    val docsDir = s"$base/incoming"
+    val store = s"$base/corpus"
+    val ckpt = s"$base/ckpt"
+
+    val evalText = tokens("echo").mkString(" ")
+    val evalDocs = Seq(900L -> evalText).toDF("doc_id", "text")
+    // shares nearly every shingle with the eval doc; passes the quality
+    // gates on its own
+    val leaked = tokens("echo").updated(50, "tail").mkString(" ")
+    val fresh = tokens("foxtrot").mkString(" ")
+    writeBatch(docsDir, Seq(10L -> leaked, 11L -> fresh))
+
+    val r = CorpusBuildJob.runOnce(spark, docsDir, store, ckpt,
+      evalDocs = Some(evalDocs))
+    assert(r.arrived == 2 && r.rejectedContaminated == 1 &&
+      r.accepted == 1 && r.filteredOut == 0,
+      s"leaked doc must be decontaminated away: $r")
+    assert(spark.read.parquet(s"$store/docs")
+      .as[(Long, String)].collect().toMap.keySet == Set(11L))
+
+    // replay: checkpoint drains nothing, counts stay zero
+    val r2 = CorpusBuildJob.runOnce(spark, docsDir, store, ckpt,
+      evalDocs = Some(evalDocs))
+    assert(r2.arrived == 0 && r2.rejectedContaminated == 0)
+  }
 }
