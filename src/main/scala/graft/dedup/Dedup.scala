@@ -287,6 +287,56 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** CONTAINMENT near-dup pairs: overlap coefficient
+    * |A ∩ B| / min(|A|, |B|) over the same shingle sets as
+    * [[ngramJaccardPairs]]. The symmetric Jaccard misses a short
+    * document EMBEDDED in a long one (the intersection is the whole
+    * short set, but the union is dominated by the long one); the
+    * overlap coefficient is the standard containment test for exactly
+    * that case — quote extraction, boilerplate wrapping, excerpt pages.
+    * Same inverted-index plan, same skew caveat (the df-capped path of
+    * the Jaccard operator applies unchanged if needed at scale).
+    * Output: (da, db, containment). */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val sets = docShingleSets(docs, idCol, textCol).localCheckpoint()
+    val sh = sets.select(col("doc_id"), explode(col("ss")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val counts = sets.select(col("doc_id"), size(col("ss")).cast("long").as("n"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+      .join(counts.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("n", "na"), "da")
+      .join(counts.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("n", "nb"), "db")
+      .withColumn("containment",
+        round(col("i").cast("double") / least(col("na"), col("nb")), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("da"), col("db"), col("containment"))
+  }
+
+  def ngramContainmentOracle(docsRel: String, threshold: Double): String =
+    s"""WITH ${shinglesCte(docsRel)},
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da, db, containment FROM (
+       |  SELECT da, db,
+       |    round(i * 1.0 / least(ca.n, cb.n), 4) AS containment
+       |  FROM inter
+       |  JOIN cnt ca ON ca.doc_id = da
+       |  JOIN cnt cb ON cb.doc_id = db) __c
+       |WHERE containment >= $threshold
+       |ORDER BY da, db""".stripMargin
+
   /** Benchmark DECONTAMINATION (C4/Dolma-style): flag corpus documents
     * sharing at least `minShared` distinct shingles with ANY document of
     * an evaluation set — the overlap check a training corpus runs

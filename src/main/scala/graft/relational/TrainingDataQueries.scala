@@ -186,6 +186,28 @@ object TrainingDataQueries {
         .orderBy(col("da"), col("db"))
     }, Some(Dedup.ngramJaccardOracle("documents", Dedup.JaccardThreshold))),
 
+    // CONTAINMENT dedup (overlap coefficient): catches a short doc
+    // EMBEDDED in a long one — the corpus plants 25-word excerpts of
+    // docs 0-7 (ids +400000); each excerpt's shingles are a subset of
+    // its parent's, so containment = 1.0 while the symmetric Jaccard is
+    // far below any dedup threshold. The standard quote/boilerplate/
+    // excerpt detector alongside ngram_jaccard_dups.
+    Q("ngram_containment_dups", (s, dir) => {
+      val excerpts = docs(s, dir).filter(col("doc_id") < 8)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 25), " ").as("text"))
+      Dedup.ngramContainmentPairs(
+          docs(s, dir).select(col("doc_id"), col("text"))
+            .unionAll(excerpts),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy(col("da"), col("db"))
+    }, Some(Dedup.ngramContainmentOracle(
+      """(SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 400000 AS doc_id,
+        |   array_to_string(string_split(text, ' ')[1:25], ' ') AS text
+        | FROM documents WHERE doc_id < 8) __cc""".stripMargin, 0.8))),
+
     Q("minhash_lsh_dups", (s, dir) => {
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
         .orderBy(col("da"), col("db"))
