@@ -11,7 +11,8 @@ object Explain {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q6_selective", "q5_broadcast_dims", "q3_join_topk",
-        "ann_topk_brute", "minhash_lsh_dups")
+        "ann_topk_brute", "minhash_lsh_dups", "embedding_kmeans",
+        "corpus_decontaminate", "q_grouped_running", "q_bloom_join")
     val spark = GraftSession.local("graft-explain", 4)
     names.foreach { n =>
       println(s"\n========== $n ==========")

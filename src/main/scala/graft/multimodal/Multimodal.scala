@@ -154,19 +154,7 @@ object Multimodal {
 
   def aHashPng(bytes: Array[Byte]): Option[Long] = {
     val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    Option(src).map { img =>
-      val dst = new java.awt.image.BufferedImage(8, 8,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = dst.createGraphics()
-      g.drawImage(img, 0, 0, 8, 8, null)
-      g.dispose()
-      val px = Array.tabulate(64) { i =>
-        val rgb = dst.getRGB(i % 8, i / 8)
-        val (r, gr, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
-        (r * 299 + gr * 587 + b * 114) / 1000 // integer luma
-      }
-      aHash64(px)
-    }
+    Option(src).map(aHashOf)
   }
 
   /** (media_id, ahash) for image-kind blobs, partition-batched. */
