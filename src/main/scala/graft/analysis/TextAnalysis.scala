@@ -209,8 +209,11 @@ object TextAnalysis {
         array_max(col("fps")).as("fp_max"))
   }
 
-  def winnowSummarySql(docsRel: String): String =
-    s"""WITH g AS (
+  /** The winnowing CTE chain alone, ending in `fp(doc_id, wmin)` — the
+    * per-document DISTINCT fingerprint set — so pair-level consumers
+    * (winnow_span_dups) reuse the whole fingerprint derivation. */
+  def winnowFpCtes(docsRel: String): String =
+    s"""g AS (
        |  SELECT doc_id,
        |    unnest([{'pos': i, 'gram': substring(t, i, $WinnowK)}
        |            for i in range(1, length(t) - ${WinnowK - 2})]) AS pg,
@@ -231,10 +234,64 @@ object TextAnalysis {
        |  FROM h),
        |fp AS (
        |  SELECT DISTINCT doc_id, wmin
-       |  FROM wm WHERE pos <= ngrams - ${WinnowW - 1})
+       |  FROM wm WHERE pos <= ngrams - ${WinnowW - 1})""".stripMargin
+
+  def winnowSummarySql(docsRel: String): String =
+    s"""WITH ${winnowFpCtes(docsRel)}
        |SELECT doc_id, count(*) AS n_fp, min(wmin) AS fp_min,
        |  max(wmin) AS fp_max
        |FROM fp GROUP BY doc_id""".stripMargin
+
+  /** Cross-document SUBSTRING duplication, MOSS-style: pairs of
+    * documents sharing >= `minShared` winnowing fingerprints — the
+    * span-level detector that catches copied passages Jaccard-over-
+    * whole-doc misses (each fingerprint pins a concrete k-gram both
+    * docs contain, position-independent).
+    *
+    * Scale shape mirrors ngram dedup's df cap: fingerprints occurring
+    * in more than `maxDf` documents (boilerplate/common-phrase spans —
+    * each contributes O(df^2) candidate pairs) are dropped BEFORE the
+    * pair join, so posting lists stay bounded and misses are one-sided
+    * (a dropped fp only lowers `shared`; it never invents a pair). One
+    * shuffle on the 8-byte fp key, one on the (da, db) pair key. */
+  def winnowSharedSpans(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      minShared: Int, maxDf: Long): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 2, s"maxDf < 2 drops every shareable fingerprint ($maxDf)")
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    // checkpoint: the df-count pass AND both join sides read the
+    // exploded fingerprints (the ngram_jaccard 3x-recompute lesson)
+    val fps = graft.relational.Scale.spreadIfNarrow(docs)
+      .select(col(idCol).as("doc_id"), norm.as("t"))
+      .filter(length(col("t")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowSig
+          .winnow_fps(col("t"), WinnowK, WinnowW)).as("fp"))
+      .localCheckpoint()
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val admitted = fps.join(rare, Seq("fp"))
+    val a = admitted.select(col("fp"), col("doc_id").as("da"))
+    val b = admitted.select(col("fp"), col("doc_id").as("db"))
+    a.join(b, Seq("fp")).filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  def winnowSharedSpansSql(
+      docsRel: String, minShared: Int, maxDf: Long): String =
+    s"""WITH ${winnowFpCtes(docsRel)},
+       |rare AS (
+       |  SELECT wmin FROM fp GROUP BY wmin HAVING count(*) <= $maxDf),
+       |r AS (SELECT f.doc_id, f.wmin FROM fp f JOIN rare USING (wmin))
+       |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+       |FROM r a JOIN r b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY da, db""".stripMargin
 
   // ---- DuckDB oracle twins (same semantics, SQL dialect) -------------
 

@@ -741,23 +741,31 @@ object Dedup {
        |SELECT da, db, jaccard FROM lshpairs
        |ORDER BY da, db""".stripMargin
 
-  def simhashPairsOracle(docsRel: String, maxDist: Int): String =
-    s"""WITH words AS (
+  /** The simhash pair CTE chain alone, ending in `shpairs(da, db,
+    * hamming)` — CTE names prefixed `sh_` so the chain composes with
+    * [[minhashLshCtes]] inside one WITH (dedup_multisignal). */
+  def simhashPairsCtes(docsRel: String, maxDist: Int): String =
+    s"""sh_words AS (
        |  SELECT DISTINCT doc_id, w
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $docsRel) __u
        |  WHERE length(w) > 0),
-       |hashed AS (SELECT doc_id, ${md5Hash32Sql("w", "sh:")} AS h FROM words),
-       |bits AS (
+       |sh_hashed AS (SELECT doc_id, ${md5Hash32Sql("w", "sh:")} AS h FROM sh_words),
+       |sh_bits AS (
        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-       |  FROM hashed, (SELECT unnest(range(0, $SimhashBits)) AS b) __bits
+       |  FROM sh_hashed, (SELECT unnest(range(0, $SimhashBits)) AS b) __bits
        |  GROUP BY doc_id, b),
-       |sig AS (
+       |sh_sig AS (
        |  SELECT doc_id,
        |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-       |  FROM bits GROUP BY doc_id)
-       |SELECT a.doc_id AS da, b.doc_id AS db,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
+       |  FROM sh_bits GROUP BY doc_id),
+       |shpairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |  FROM sh_sig a JOIN sh_sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist)""".stripMargin
+
+  def simhashPairsOracle(docsRel: String, maxDist: Int): String =
+    s"""WITH ${simhashPairsCtes(docsRel, maxDist)}
+       |SELECT da, db, hamming FROM shpairs
        |ORDER BY da, db""".stripMargin
 }

@@ -61,9 +61,36 @@ object TrainingDataQueries {
       | SELECT 200000 + r.i AS doc_id, d.text
       | FROM documents d, range(0, 8) r(i) WHERE d.doc_id = 0)""".stripMargin
 
+  /** documents plus planted 25-word EXCERPTS of docs 0-7 (ids
+    * +400000) — the fixture for containment and span-level dedup, where
+    * a short doc is embedded verbatim inside a long one. */
+  private def docsWithExcerpts(s: SparkSession, dir: String): DataFrame = {
+    val excerpts = docs(s, dir).filter(col("doc_id") < 8)
+      .select((col("doc_id") + 400000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 25), " ").as("text"))
+    docs(s, dir).select(col("doc_id"), col("text")).unionAll(excerpts)
+  }
+
+  private val docsWithExcerptsSql =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 400000 AS doc_id,
+      |   array_to_string(string_split(text, ' ')[1:25], ' ') AS text
+      | FROM documents WHERE doc_id < 8) __cc""".stripMargin
+
   val SimilarPairsThreshold = 0.45
   val AnnQueries = 20
   val AnnK = 5
+
+  /** corpus_chunk window / stride (10-token overlap) — sized so the
+    * testdata docs (~30-70 tokens) genuinely fan out to several chunks.
+    * Declared BEFORE `all` — the oracle strings interpolate them at
+    * object init. */
+  val ChunkW = 40
+  val ChunkS = 30
+
+  /** corpus_vocab size (declared before `all`, same init-order rule). */
+  val VocabK = 200
 
   /** Token budget per training pack (corpus_pack). */
   val PackBudget = 512L
@@ -193,20 +220,10 @@ object TrainingDataQueries {
     // far below any dedup threshold. The standard quote/boilerplate/
     // excerpt detector alongside ngram_jaccard_dups.
     Q("ngram_containment_dups", (s, dir) => {
-      val excerpts = docs(s, dir).filter(col("doc_id") < 8)
-        .select((col("doc_id") + 400000L).as("doc_id"),
-          array_join(slice(split(col("text"), " "), 1, 25), " ").as("text"))
-      Dedup.ngramContainmentPairs(
-          docs(s, dir).select(col("doc_id"), col("text"))
-            .unionAll(excerpts),
+      Dedup.ngramContainmentPairs(docsWithExcerpts(s, dir),
           "doc_id", "text", threshold = 0.8)
         .orderBy(col("da"), col("db"))
-    }, Some(Dedup.ngramContainmentOracle(
-      """(SELECT doc_id, text FROM documents
-        | UNION ALL
-        | SELECT doc_id + 400000 AS doc_id,
-        |   array_to_string(string_split(text, ' ')[1:25], ' ') AS text
-        | FROM documents WHERE doc_id < 8) __cc""".stripMargin, 0.8))),
+    }, Some(Dedup.ngramContainmentOracle(docsWithExcerptsSql, 0.8))),
 
     Q("minhash_lsh_dups", (s, dir) => {
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
@@ -693,6 +710,167 @@ object TrainingDataQueries {
          |  arg_max(doc_id, len * 1000000000 - doc_id) AS doc_id, cluster,
          |  count(*) AS cluster_size, max(len) AS text_len
          |FROM labeled GROUP BY cluster ORDER BY doc_id""".stripMargin)),
+
+    // the AT-SCALE twin of embedding_similar_pairs: banded hyperplane
+    // LSH candidate generation (NBands equi-joins on a fused 8-byte
+    // (band, bucket) key) + exact rounded-cosine rescore, instead of the
+    // quadratic nested loop. Emitted pairs are exact; misses one-sided.
+    // The oracle replicates the plane families and the band union, so
+    // recall itself is hash-pinned, not just the rescore.
+    Q("embedding_lsh_neardup", (s, dir) => {
+      Similarity.lshNearDupPairs(emb(s, dir), SimilarPairsThreshold)
+        .orderBy(col("va"), col("vb"))
+    }, Some(Similarity.lshNearDupPairsOracle(
+      "embeddings", SimilarPairsThreshold))),
+
+    // SemDeDup (Abbas et al. 2023): k-means clusters bound the
+    // quadratic term of embedding-space dedup — pairs are compared only
+    // WITHIN a cluster. Training (exact-integer Lloyd's), the final
+    // row-local assignment, and the keep/drop rule all hash-check in
+    // one query.
+    Q("semantic_dedup", (s, dir) => {
+      graft.dedup.SemanticDedup.semanticDedup(emb(s, dir),
+          k = 4, iters = 2, threshold = SimilarPairsThreshold)
+        .orderBy(col("vec_id"))
+    }, Some(graft.dedup.SemanticDedup.semanticDedupOracle(
+      "embeddings", k = 4, iters = 2, threshold = SimilarPairsThreshold))),
+
+    // span-level (substring) duplication: doc pairs sharing >= 5
+    // winnowing fingerprints, with boilerplate fingerprints (df > 8)
+    // dropped before the pair join — MOSS's detector as a corpus
+    // operator. The planted excerpts share their parent's fingerprints
+    // verbatim, so the fixture exercises real hits.
+    Q("winnow_span_dups", (s, dir) => {
+      TextAnalysis.winnowSharedSpans(docsWithExcerpts(s, dir),
+          "doc_id", "text", minShared = 5, maxDf = 8)
+        .orderBy(col("da"), col("db"))
+    }, Some(TextAnalysis.winnowSharedSpansSql(
+      docsWithExcerptsSql, minShared = 5, maxDf = 8))),
+
+    // sliding-window chunking: fixed token windows with overlap — the
+    // long-document step before packing/embedding. Row-local fan-out
+    // (sequence + slice over the token array, no shuffle); chunk text
+    // is emitted as md5 so output stays narrow at any scale.
+    Q("corpus_chunk", (s, dir) => {
+      val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+      spread(docs(s, dir))
+        .select(col("doc_id"), split(norm, " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("n_extra",
+          expr(s"(greatest(n - $ChunkW, 0L) + ${ChunkS - 1}) div $ChunkS"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L), col("n_extra"))).as("chunk_no"))
+        .withColumn("chunk",
+          slice(col("toks"), (col("chunk_no") * ChunkS + 1).cast("int"),
+            lit(ChunkW)))
+        .select(col("doc_id"), col("chunk_no"),
+          (col("chunk_no") * ChunkS).as("start_tok"),
+          size(col("chunk")).cast("long").as("n_tok"),
+          md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_no"))
+    }, Some(
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+         |      ' ') AS toks
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, toks,
+         |    (greatest(len(toks) - $ChunkW, 0) + ${ChunkS - 1}) // $ChunkS
+         |      AS n_extra
+         |  FROM d),
+         |c AS (
+         |  SELECT doc_id, toks, unnest(range(0, n_extra + 1)) AS chunk_no
+         |  FROM n)
+         |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+         |  CAST(chunk_no * $ChunkS AS BIGINT) AS start_tok,
+         |  CAST(len(toks[chunk_no * $ChunkS + 1 : chunk_no * $ChunkS + $ChunkW])
+         |    AS BIGINT) AS n_tok,
+         |  md5(array_to_string(
+         |    toks[chunk_no * $ChunkS + 1 : chunk_no * $ChunkS + $ChunkW], ' '))
+         |    AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_no""".stripMargin)),
+
+    // MULTI-SIGNAL dedup: one pair table with a boolean per detector
+    // (MinHash-LSH Jaccard, SimHash Hamming, exact fingerprint) — the
+    // triage view a curation pipeline reviews before choosing what to
+    // drop. Full-outer composition over the three pair sets; each
+    // signal's machinery is the same hash-checked operator it is alone.
+    Q("dedup_multisignal", (s, dir) => {
+      val d = docsWithDups(s, dir).localCheckpoint() // 3 signal scans
+      val mh = Dedup.minhashLshPairs(d, "doc_id", "text")
+        .select(col("da"), col("db"), lit(true).as("by_minhash"))
+      val sh = Dedup.simhashPairs(d, "doc_id", "text")
+        .select(col("da"), col("db"), lit(true).as("by_simhash"))
+      val fp = d.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val ex = fp.as("a")
+        .join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          lit(true).as("by_exact"))
+      mh.join(sh, Seq("da", "db"), "full")
+        .join(ex, Seq("da", "db"), "full")
+        .select(col("da"), col("db"),
+          coalesce(col("by_minhash"), lit(false)).as("by_minhash"),
+          coalesce(col("by_simhash"), lit(false)).as("by_simhash"),
+          coalesce(col("by_exact"), lit(false)).as("by_exact"))
+        .orderBy(col("da"), col("db"))
+    }, Some(
+      s"""WITH corpus AS (SELECT * FROM $docsWithDupsSql __ms),
+         |${Dedup.minhashLshCtes("corpus", Dedup.JaccardThreshold)},
+         |${Dedup.simhashPairsCtes("corpus", Dedup.HammingMax)},
+         |ms_fp AS (
+         |  SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp
+         |  FROM corpus),
+         |expairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM ms_fp a JOIN ms_fp b
+         |    ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |allp AS (
+         |  SELECT da, db FROM lshpairs
+         |  UNION SELECT da, db FROM shpairs
+         |  UNION SELECT da, db FROM expairs)
+         |SELECT p.da, p.db,
+         |  (l.da IS NOT NULL) AS by_minhash,
+         |  (sp.da IS NOT NULL) AS by_simhash,
+         |  (e.da IS NOT NULL) AS by_exact
+         |FROM allp p
+         |LEFT JOIN (SELECT DISTINCT da, db FROM lshpairs) l
+         |  ON l.da = p.da AND l.db = p.db
+         |LEFT JOIN (SELECT DISTINCT da, db FROM shpairs) sp
+         |  ON sp.da = p.da AND sp.db = p.db
+         |LEFT JOIN expairs e ON e.da = p.da AND e.db = p.db
+         |ORDER BY p.da, p.db""".stripMargin)),
+
+    // tokenizer-prep vocabulary: corpus-wide token frequencies, top
+    // `VocabK` by (count desc, token) with exact half-up ppm share.
+    // One token-key groupBy (map-side combined) + a TakeOrdered top-k —
+    // never a corpus-wide window; the total rides a broadcast scalar.
+    Q("corpus_vocab", (s, dir) => {
+      val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+      val toks = spread(docs(s, dir))
+        .select(explode(split(norm, " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val total = toks.agg(count(lit(1)).as("tot"))
+      counts.crossJoin(broadcast(total))
+        .select(col("tok"), col("n"),
+          expr("(n * 2000000 + tot) div (2 * tot)").as("share_ppm"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(VocabK)
+    }, Some(
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(
+         |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+         |  FROM documents),
+         |nz AS (SELECT tok FROM toks WHERE length(tok) > 0),
+         |counts AS (SELECT tok, count(*) AS n FROM nz GROUP BY tok),
+         |total AS (SELECT count(*) AS tot FROM nz)
+         |SELECT tok, n,
+         |  CAST((n * 2000000 + tot) // (2 * tot) AS BIGINT) AS share_ppm
+         |FROM counts, total
+         |ORDER BY n DESC, tok LIMIT $VocabK""".stripMargin)),
   )
 
   private def resourceSql(path: String): String =

@@ -329,5 +329,44 @@ object WaveThreeQueries {
         |  CAST(sum(count(*)) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_users
-        |FROM fs GROUP BY day ORDER BY day""".stripMargin)))
+        |FROM fs GROUP BY day ORDER BY day""".stripMargin)),
+
+    // MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    // Spark built-ins) — the approximate-analytics workhorse at 100 TB,
+    // where partial sketches from every partition/day union into
+    // register-wise maxima (no re-scan). The sketch bytes are
+    // engine-specific, so the oracle pins what IS engine-neutral: the
+    // exact distinct count, a bounded-error CLAIM (HLL lgK=12 carries
+    // ~1.6% relative standard error; 5% is many sigma), and the
+    // PARTITION-INDEPENDENCE claim: unioning sub-sketches built under
+    // two DIFFERENT groupings yields bit-equal estimates, because union
+    // register state is the item-wise maximum regardless of how rows
+    // were split. (Union-vs-direct is deliberately NOT the claim:
+    // a direct sketch answers with the HIP estimator, which any union
+    // invalidates — the estimates differ by design.)
+    Q("q_hll_sketch", (s, dir) => {
+      val li = Scale.spreadIfNarrow(s.read.parquet(t(dir, "lineitem")))
+      val direct = li.groupBy(col("l_returnflag"))
+        .agg(
+          expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("est"),
+          countDistinct(col("l_orderkey")).as("exact_distinct"))
+      def unionEst(subKey: org.apache.spark.sql.Column, name: String) =
+        li.groupBy(col("l_returnflag"), subKey.as("__sub"))
+          .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
+          .groupBy(col("l_returnflag"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as(name))
+      val m1 = unionEst(col("l_linestatus"), "est_m1")
+      val m2 = unionEst(col("l_suppkey") % 7, "est_m2")
+      direct.join(m1, Seq("l_returnflag")).join(m2, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.05).as("within_5pct"),
+          (col("est_m1") === col("est_m2")).as("merge_consistent"))
+        .orderBy(col("l_returnflag"))
+    }, Some(
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_distinct,
+        |  true AS within_5pct,
+        |  true AS merge_consistent
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

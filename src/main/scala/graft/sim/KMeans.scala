@@ -47,6 +47,22 @@ object KMeans {
       transform(col("embedding").cast("array<double>"),
         e => round(e * Micro).cast("long") + Shift).as("q"))
 
+  /** Collect a (cid, dim, c) model DataFrame into the literal-centroid
+    * form [[assign]] consumes — model-sized (k x dims), never
+    * corpus-sized. */
+  def centroidsOf(model: DataFrame): Seq[(Long, Seq[Long])] =
+    model.select(col("cid"), col("dim"), col("c")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (cid, rows) => cid -> rows.sortBy(_._2).map(_._3).toSeq }
+      .sortBy(_._1)
+
+  /** Row-local cluster assignment of every vector under a trained model:
+    * centroids ride as plan literals, so this is one narrow projection —
+    * no join, no shuffle (the inference step after [[fit]]). */
+  def assign(emb: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame =
+    quantized(emb).select(col("vec_id"), assignCol(centroids).as("cid"))
+
   /** Row-local assignment of each vector to its nearest centroid:
     * squared L2 against each centroid (a literal array), lexicographic
     * (dist, cid) min — no join, no shuffle. */
@@ -151,4 +167,19 @@ object KMeans {
     s"""$base,
        |${steps.mkString(",\n")}""".stripMargin
   }
+
+  /** CTEs extending [[oracleCtes]] with the FINAL-model assignment of
+    * every vector: ends in `af(vec_id, cid)` — the same argmin/tiebreak
+    * as a training step, against `c\$iters`. */
+  def assignCtes(iters: Int): String =
+    s"""dfin AS (
+       |  SELECT el.vec_id, c.cid,
+       |    sum((el.v - c.c) * (el.v - c.c)) AS dist
+       |  FROM el JOIN c$iters c ON el.dim = c.dim GROUP BY 1, 2),
+       |af AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cid) AS rn
+       |    FROM dfin) __rf WHERE rn = 1)""".stripMargin
 }

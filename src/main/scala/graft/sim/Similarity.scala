@@ -138,6 +138,108 @@ object Similarity {
       when(array_dot(v, coefs) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Independent hyperplane families, one per LSH band (the md5 seed
+    * carries the band index, so band 0 != the single-table [[planes]]
+    * family). Banding trades precision for recall the same way minhash
+    * banding does: a pair collides if it agrees on ALL planes of ANY
+    * band — P(candidate) = 1 - (1 - p^planes)^bands for per-plane
+    * agreement p = 1 - angle/pi. */
+  val NBands = 3
+
+  lazy val bandPlanes: Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NBands) { b =>
+      Array.tabulate(NPlanes) { p =>
+        Array.tabulate(Dim) { d =>
+          val hex = md.digest(s"b$b:$p:$d".getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0
+        }
+      }
+    }
+  }
+
+  private def bandBucket(v: Column, b: Int): Column =
+    (0 until NPlanes).map { p =>
+      val coefs = array(bandPlanes(b)(p).toIndexedSeq.map(lit): _*)
+      when(array_dot(v, coefs) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** All corpus pairs with cosine >= threshold, generated through
+    * banded hyperplane LSH — the AT-SCALE form of [[similarPairs]].
+    * Candidates are bucket-mates in ANY of the [[NBands]] independent
+    * sign-pattern tables, so candidate generation is `NBands` equi-joins
+    * on an 8-byte fused (band, bucket) key instead of the quadratic
+    * nested loop; the exact rounded cosine then re-scores candidates, so
+    * every emitted pair is EXACT and misses are one-sided (a >= threshold
+    * pair whose vectors disagree on some plane of every band). Pairs
+    * found by several bands dedup through the final aggregation, which
+    * rides the same shuffle that brings a pair's band hits together. */
+  def lshNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val emb0 = spread(emb)
+    // checkpoint: BOTH self-join sides read the banded relation; without
+    // it the NBands x NPlanes x Dim signature dots run twice (the
+    // ngram-dedup 3x-recompute lesson, r4)
+    val v = emb0.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("n", sqrt(array_dot(col("v"), col("v"))))
+      .withColumn("bks", array((0 until NBands).map { b =>
+        // fused 8-byte key: band index in the high bits
+        lit(b.toLong << 32) + bandBucket(col("v"), b).cast("long")
+      }: _*))
+      .select(col("vec_id"), col("v"), col("n"),
+        explode(col("bks")).as("bk"))
+      .localCheckpoint()
+    val a = v.select(col("bk"), col("vec_id").as("va"),
+      col("v").as("ea"), col("n").as("na"))
+    val b = v.select(col("bk"), col("vec_id").as("vb"),
+      col("v").as("eb"), col("n").as("nb"))
+    val sim =
+      round(cosinePre(array_dot(col("ea"), col("eb")), col("na"), col("nb")), 4)
+    a.join(b, Seq("bk"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"), sim.as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("va"), col("vb"))
+      // every band hit of a pair carries the same exact sim; min is the
+      // deterministic way to say "any of them"
+      .agg(min(col("sim")).as("sim"))
+  }
+
+  def lshNearDupPairsOracle(embRel: String, threshold: Double): String = {
+    val planeRows = (0 until NBands).flatMap { b =>
+      (0 until NPlanes).map { p =>
+        s"($b, $p, [${bandPlanes(b)(p).mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(",\n")
+    val bucketExprs = (0 until NBands).map { b =>
+      val expr = (0 until NPlanes).map { p =>
+        s"(CASE WHEN list_dot_product(e.v, pl${b}_$p.coefs) >= 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"(${b.toLong << 32} + ($expr)) AS bk$b"
+    }.mkString(",\n    ")
+    val planeJoins = (0 until NBands).flatMap { b =>
+      (0 until NPlanes).map(p =>
+        s"JOIN planes pl${b}_$p ON pl${b}_$p.b = $b AND pl${b}_$p.p = $p")
+    }.mkString(" ")
+    val bkList = (0 until NBands).map(b => s"bk$b").mkString(", ")
+    s"""WITH planes(b, p, coefs) AS (VALUES
+       |$planeRows),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embRel),
+       |wb AS (
+       |  SELECT e.vec_id, e.v,
+       |    $bucketExprs
+       |  FROM e $planeJoins),
+       |cand AS (
+       |  SELECT vec_id, v, unnest([$bkList]) AS bk FROM wb),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+       |    round(list_cosine_similarity(a.v, b.v), 4) AS sim
+       |  FROM cand a JOIN cand b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+       |SELECT va, vb, sim FROM pairs
+       |WHERE sim >= $threshold
+       |ORDER BY va, vb""".stripMargin
+  }
+
   /** LSH top-k: same contract as [[bruteForceTopK]] but candidates are
     * restricted to the query's bucket (approximate; deterministic). */
   /** Top-k over INT8-QUANTIZED embeddings — the standard compression

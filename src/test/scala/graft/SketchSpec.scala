@@ -56,6 +56,27 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL datasketches union is partition-independent (mergeability)") {
+    // the algebraic property that lets sketches work as partial
+    // aggregates at 100 TB: union register state is the item-wise max,
+    // independent of how rows were split — two different groupings must
+    // union to BIT-EQUAL estimates. (Union-vs-direct is NOT the claim:
+    // the direct sketch answers with HIP, which a union invalidates.)
+    def unionEst(subKey: org.apache.spark.sql.Column) =
+      li.groupBy(col("l_returnflag"), subKey.as("__sub"))
+        .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("e"))
+    val a = unionEst(col("l_linestatus"))
+    val b = unionEst(col("l_suppkey") % 7)
+    val joined = a.join(b.withColumnRenamed("e", "e2"),
+      Seq("l_returnflag")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"partitioning changed the union estimate for ${r.getString(0)}"))
+  }
+
   test("bloom filter: no false negatives, bounded false positives") {
     val bf = li.stat.bloomFilter(col("l_orderkey"), expectedNumItems = 20000,
       fpp = 0.01)
