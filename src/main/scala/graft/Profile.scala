@@ -75,6 +75,22 @@ object Profile {
           maxBucket = Long.MaxValue)))
       time("LSH CAPPED (1024) on cluster")(noop(
         Dedup.minhashLshPairs(cluster, "doc_id", "text")))
+
+      // (3) boilerplate span: the hot-shingle corpus from (1) doubles as
+      // the winnow hot regime — the appended phrase's ~60 normalized
+      // chars contribute identical winnow fingerprints to EVERY doc, so
+      // each carries df = |corpus| and the uncapped pair join fans
+      // C(n, 2) pairs from boilerplate alone; the df cap drops those
+      // fingerprints before candidate generation (one-sided).
+      // capped runs FIRST: the uncapped job leaves GBs of shuffle state
+      // behind and taxes whatever follows it (order effect measured 3x
+      // on the capped run when it went second)
+      time("winnow spans CAPPED (df<=8)")(noop(
+        graft.analysis.TextAnalysis.winnowSharedSpans(
+          hotDocs, "doc_id", "text", minShared = 5, maxDf = 8)))
+      time("winnow spans UNCAPPED on hot")(noop(
+        graft.analysis.TextAnalysis.winnowSharedSpans(
+          hotDocs, "doc_id", "text", minShared = 5, maxDf = Long.MaxValue)))
       spark.stop()
       return
     }
