@@ -366,6 +366,49 @@ object Multimodal {
       "height", "ahash")
   }
 
+  /** Deterministic MJPEG-AVI fixture corpus: blob k holds k+2 real
+    * JPEG frames in a RIFF/AVI container ([[MjpegAvi.encode]]); frame
+    * patterns match [[gifFixtures]] (white where x >= 8*(f+1)), so the
+    * decoded per-frame aHashes are the same analytic bit masks — JPEG
+    * quantization noise cannot cross the ~127 threshold on these
+    * block-aligned two-tone frames (the [[encodeJpeg]] argument). */
+  def aviFixtures(spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    spark.createDataset((0L until 3L).map { k =>
+      val frames = (0 until (k.toInt + 2)).map { f =>
+        encodeJpeg(64, 64, (x, _) => if (x >= 8 * (f + 1)) 255 else 0)
+      }
+      MediaBlob(k, "video", MjpegAvi.encode(frames, 64, 64))
+    })
+  }
+
+  /** Compressed-video decode: demux the RIFF/AVI container
+    * ([[MjpegAvi.decode]] — general chunk walk, not an offset reader),
+    * then decode each MJPEG frame through the genuine ImageIO JPEG
+    * codec. One row per frame; `n_frames_hdr` comes from the avih
+    * header (proving the header parse) while rows themselves come from
+    * the demuxed movi chunks; width/height are DECODED frame dims
+    * (proving the codec ran), and the RIFF magic check proves the
+    * container really is AVI. */
+  def aviFrames(media: Dataset[MediaBlob]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { b =>
+      val isAvi = b.content.length >= 12 &&
+        new String(b.content, 0, 4, "ASCII") == "RIFF" &&
+        new String(b.content, 8, 4, "ASCII") == "AVI "
+      MjpegAvi.decode(b.content).toSeq.flatMap { avi =>
+        avi.frames.zipWithIndex.flatMap { case (jpeg, f) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(jpeg))
+          if (img == null) Seq.empty
+          else Seq((b.media_id, isAvi, avi.totalFrames, f,
+            img.getWidth, img.getHeight, aHashOf(img)))
+        }
+      }
+    }).toDF("media_id", "is_avi", "n_frames_hdr", "frame_no", "width",
+      "height", "ahash")
+  }
+
   /** Real-codec resize via JDK imaging (bilinear). */
   def resizePng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))

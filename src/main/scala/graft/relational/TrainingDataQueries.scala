@@ -542,6 +542,31 @@ object TrainingDataQueries {
         |) AS t(media_id, is_gif, n_frames, frame_no, width, height, ahash)
         |ORDER BY media_id, frame_no""".stripMargin)),
 
+    // REAL compressed-video container: MJPEG frames inside a RIFF/AVI
+    // written and demuxed by graft.multimodal.MjpegAvi (general chunk
+    // walk), frame payloads decoded through the genuine ImageIO JPEG
+    // codec. Same analytic aHash masks as media_gif (identical patterns;
+    // the media_jpeg two-tone noise argument covers JPEG loss). The
+    // inter-frame-codec boundary (h264 etc.) stays documented —
+    // the JDK ships no such decoder.
+    Q("media_avi", (s, _) => {
+      import graft.multimodal.Multimodal
+      Multimodal.aviFrames(Multimodal.aviFixtures(s))
+        .orderBy(col("media_id"), col("frame_no"))
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), true, 2, 0, 64, 64, CAST(-72340172838076674 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), true, 2, 1, 64, 64, CAST(-217020518514230020 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), true, 3, 0, 64, 64, CAST(-72340172838076674 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), true, 3, 1, 64, 64, CAST(-217020518514230020 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), true, 3, 2, 64, 64, CAST(-506381209866536712 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), true, 4, 0, 64, 64, CAST(-72340172838076674 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), true, 4, 1, 64, 64, CAST(-217020518514230020 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), true, 4, 2, 64, 64, CAST(-506381209866536712 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), true, 4, 3, 64, 64, CAST(-1085102592571150096 AS BIGINT))
+        |) AS t(media_id, is_avi, n_frames_hdr, frame_no, width, height, ahash)
+        |ORDER BY media_id, frame_no""".stripMargin)),
+
     // training-sequence packing: docs in id order fill fixed token-budget
     // packs; a doc belongs to the pack its EXCLUSIVE prefix sum lands in
     // (deterministic, boundary docs go with their start). The prefix sum

@@ -159,4 +159,57 @@ class MultimodalSpec extends AnyFunSuite {
       MediaBlob(9L, "video", Array[Byte](1, 2, 3, 4, 5))))
     assert(Multimodal.gifFrames(junk).collect().isEmpty)
   }
+
+  test("MJPEG-AVI: container round-trips through the RIFF demuxer") {
+    import graft.multimodal.MjpegAvi
+    val frames = (0 until 3).map(f =>
+      Multimodal.encodeJpeg(48, 32, (x, _) => if (x >= 16 * f) 255 else 0))
+    val avi = MjpegAvi.encode(frames, 48, 32, fps = 5)
+    val dec = MjpegAvi.decode(avi)
+    assert(dec.isDefined, "well-formed AVI must parse")
+    val a = dec.get
+    assert(a.totalFrames == 3 && a.width == 48 && a.height == 32)
+    assert(a.frames.length == 3)
+    // demuxed payloads are byte-identical to the encoded JPEGs
+    a.frames.zip(frames).foreach { case (got, exp) =>
+      assert(java.util.Arrays.equals(got, exp), "frame payload changed")
+    }
+    // and each decodes through the real codec at the declared dims
+    a.frames.foreach { jpeg =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpeg))
+      assert(img != null && img.getWidth == 48 && img.getHeight == 32)
+    }
+  }
+
+  test("MJPEG-AVI: malformed bytes decode to None, never throw") {
+    import graft.multimodal.MjpegAvi
+    assert(MjpegAvi.decode(Array.emptyByteArray).isEmpty)
+    assert(MjpegAvi.decode("RIFFxxxxWAVE".getBytes("ASCII")).isEmpty)
+    assert(MjpegAvi.decode(Array.fill[Byte](64)(0x41)).isEmpty)
+    // truncated mid-chunk: parse stops cleanly, header never found
+    val good = MjpegAvi.encode(
+      Seq(Multimodal.encodeJpeg(16, 16, (_, _) => 0)), 16, 16)
+    assert(MjpegAvi.decode(good.take(20)).isEmpty)
+  }
+
+  test("MJPEG-AVI fixture corpus: per-frame analytic masks hold") {
+    val rows = Multimodal.aviFrames(Multimodal.aviFixtures(spark))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._4))
+    assert(rows.map(_._1).distinct === Seq(0L, 1L, 2L))
+    (0L until 3L).foreach { k =>
+      val fs = rows.filter(_._1 == k)
+      assert(fs.length == k.toInt + 2, s"blob $k demuxed frame count")
+      assert(fs.forall(_._3 == k.toInt + 2), s"blob $k header n_frames")
+    }
+    assert(rows.forall(_._2), "RIFF/AVI magic must hold")
+    assert(rows.forall(t => t._5 == 64 && t._6 == 64))
+    rows.foreach { case (k, _, _, f, _, _, h) =>
+      val expected = ((0xffL << (f + 1)) & 0xffL) * 0x0101010101010101L
+      assert(h == expected, s"blob $k frame $f: got $h expected $expected")
+    }
+  }
 }
