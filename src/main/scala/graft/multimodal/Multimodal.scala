@@ -409,6 +409,95 @@ object Multimodal {
       "height", "ahash")
   }
 
+  /** Encode 16-bit mono PCM as a G.711 u-law WAV — a REAL lossy,
+    * COMPRESSED audio codec (8-bit logarithmic companding, ITU-T
+    * G.711) that the JDK ships natively in javax.sound. This narrows
+    * the compressed-audio stub the same way MJPEG-AVI narrowed video:
+    * the remaining boundary is perceptual codecs (mp3/aac), for which
+    * the JDK has no decoder. */
+  def encodeWavUlaw(samples: Array[Short], rate: Float): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      rate, 16, 1, 2, rate, false)
+    val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val pcm = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bb.array()), pcmFmt, samples.length)
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      rate, 8, 1, 1, rate, false)
+    val ulaw = AudioSystem.getAudioInputStream(ulawFmt, pcm)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulaw, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode a u-law WAV back to 16-bit PCM samples; None for
+    * undecodable bytes or a non-ULAW container. */
+  def decodeWavUlaw(bytes: Array[Byte]): Option[(Float, Array[Short])] = {
+    import javax.sound.sampled._
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.ULAW) None
+        else {
+          val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels,
+            2 * fmt.getChannels, fmt.getSampleRate, false)
+          val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+          val data = pcm.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(data)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          Some((fmt.getSampleRate,
+            Array.tabulate(data.length / 2)(i => bb.getShort(i * 2))))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException => None
+    }
+  }
+
+  /** Deterministic u-law fixture samples for blob k: a full-scale-ish
+    * integer ramp exercising both companding polarities. */
+  def ulawSamples(k: Long): Array[Short] =
+    Array.tabulate(800 + 100 * k.toInt) { i =>
+      (((i * 37 + k * 11) % 4000 - 2000) * 8).toShort
+    }
+
+  def ulawFixtures(spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    spark.createDataset((0L until 3L).map(k =>
+      MediaBlob(k, "audio", encodeWavUlaw(ulawSamples(k), 8000f))))
+  }
+
+  /** Compressed-audio decode summary: container encoding check, rate,
+    * frame count, and the companding round-trip error bound against the
+    * regenerated reference samples. G.711 quantizes a 14-bit magnitude
+    * with per-segment steps up to 256, i.e. up to 1024 at 16-bit scale;
+    * half-step reconstruction keeps |err| <= 512 + rounding, so
+    * max|err| <= 1024 is the REAL codec-accuracy claim — engine-neutral
+    * because G.711 is an ITU-T table, not a JDK choice. (MultimodalSpec
+    * pins the exact table behavior with an independent decoder.) */
+  def ulawSummary(media: Dataset[MediaBlob]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { b =>
+      decodeWavUlaw(b.content) match {
+        case None => (b.media_id, false, -1, -1L, false)
+        case Some((rate, decoded)) =>
+          val ref = ulawSamples(b.media_id)
+          val maxErr =
+            if (decoded.length != ref.length) Int.MaxValue
+            else (0 until ref.length)
+              .map(i => math.abs(decoded(i) - ref(i))).foldLeft(0)(math.max)
+          (b.media_id, true, rate.toInt, decoded.length.toLong,
+            maxErr <= 1024)
+      }
+    }).toDF("media_id", "is_ulaw", "sample_rate", "n_frames", "within_g711_tol")
+  }
+
   /** Real-codec resize via JDK imaging (bilinear). */
   def resizePng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))

@@ -567,6 +567,25 @@ object TrainingDataQueries {
         |) AS t(media_id, is_avi, n_frames_hdr, frame_no, width, height, ahash)
         |ORDER BY media_id, frame_no""".stripMargin)),
 
+    // REAL compressed-audio codec: G.711 u-law (8-bit logarithmic
+    // companding) through javax.sound — encode 16-bit PCM to a u-law
+    // WAV, decode back, pin the container encoding, rate, frame count
+    // and the ITU-T companding error bound. MultimodalSpec additionally
+    // matches the JDK's raw u-law bytes against an independent G.711
+    // encoder table. Remaining audio boundary: perceptual codecs
+    // (mp3/aac) — no JDK decoder.
+    Q("media_ulaw", (s, _) => {
+      import graft.multimodal.Multimodal
+      Multimodal.ulawSummary(Multimodal.ulawFixtures(s))
+        .orderBy(col("media_id"))
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), true, 8000, CAST(800 AS BIGINT), true),
+        |  (CAST(1 AS BIGINT), true, 8000, CAST(900 AS BIGINT), true),
+        |  (CAST(2 AS BIGINT), true, 8000, CAST(1000 AS BIGINT), true)
+        |) AS t(media_id, is_ulaw, sample_rate, n_frames, within_g711_tol)
+        |ORDER BY media_id""".stripMargin)),
+
     // training-sequence packing: docs in id order fill fixed token-budget
     // packs; a doc belongs to the pack its EXCLUSIVE prefix sum lands in
     // (deterministic, boundary docs go with their start). The prefix sum

@@ -193,6 +193,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MjpegAvi.decode(good.take(20)).isEmpty)
   }
 
+  /** Independent ITU-T G.711 u-law encoder (CCITT table, bias 0x84) —
+    * written from the standard, NOT from the JDK source, so matching
+    * the JDK codec's raw bytes pins both against the spec. */
+  private def g711Encode(sIn: Short): Byte = {
+    val Bias = 0x84; val Clip = 32635
+    var s = sIn.toInt
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > Clip) s = Clip
+    s += Bias
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (s >> (exp + 3)) & 0x0f
+    (~(sign | (exp << 4) | mant)).toByte
+  }
+
+  test("u-law WAV: JDK codec bytes match an independent G.711 encoder") {
+    val samples = Multimodal.ulawSamples(1L)
+    val wav = Multimodal.encodeWavUlaw(samples, 8000f)
+    // compression is real: 8-bit companded payload, half the PCM size
+    assert(wav.length < samples.length * 2)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(in.getFormat.getEncoding ==
+      javax.sound.sampled.AudioFormat.Encoding.ULAW)
+    val raw = in.readAllBytes(); in.close()
+    assert(raw.length == samples.length)
+    raw.zip(samples).zipWithIndex.foreach { case ((b, s), i) =>
+      assert(b == g711Encode(s),
+        s"sample $i ($s): jdk=${b & 0xff} ref=${g711Encode(s) & 0xff}")
+    }
+  }
+
+  test("u-law round trip stays within the ITU-T companding bound") {
+    val samples = Multimodal.ulawSamples(2L)
+    val dec = Multimodal.decodeWavUlaw(
+      Multimodal.encodeWavUlaw(samples, 8000f))
+    assert(dec.isDefined)
+    val (rate, decoded) = dec.get
+    assert(rate == 8000f && decoded.length == samples.length)
+    val maxErr = decoded.zip(samples).map { case (d, s) =>
+      math.abs(d - s) }.max
+    assert(maxErr <= 1024, s"G.711 bound violated: $maxErr")
+    assert(maxErr > 0, "a lossy codec with zero error means no codec ran")
+    // a plain PCM wav is NOT a u-law container
+    assert(Multimodal.decodeWavUlaw(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("MJPEG-AVI fixture corpus: per-frame analytic masks hold") {
     val rows = Multimodal.aviFrames(Multimodal.aviFixtures(spark))
       .collect()
