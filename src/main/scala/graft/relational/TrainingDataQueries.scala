@@ -453,6 +453,18 @@ object TrainingDataQueries {
         .orderBy(col("qid"), col("rank"))
     }, Some(Similarity.ivfTrainedTopKOracle("embeddings", AnnQueries, AnnK))),
 
+    // PRODUCT QUANTIZATION (Jegou et al. 2011) completes the ANN
+    // compression triad (IVF lists / int8 scalar / PQ codes):
+    // per-subspace exact-integer k-means codebooks, one-projection
+    // row-local encoding, ADC search via broadcast query distance
+    // tables. Training + encoding + search hash-check in one query —
+    // four unrolled Lloyd chains live inside the oracle's WITH.
+    Q("ann_topk_pq", (s, dir) => {
+      graft.sim.ProductQuantizer.adcTopK(emb(s, dir), AnnQueries, AnnK)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(graft.sim.ProductQuantizer.adcTopKOracle(
+      "embeddings", AnnQueries, AnnK))),
+
     // multimodal: binary-column decode + feature extraction as partition
     // batches; oracle VALUES from the independent python mirror of the
     // synthetic blob format (tools/gen_media_oracle.py)

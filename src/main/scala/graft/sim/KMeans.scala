@@ -63,17 +63,22 @@ object KMeans {
   def assign(emb: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame =
     quantized(emb).select(col("vec_id"), assignCol(centroids).as("cid"))
 
-  /** Row-local assignment of each vector to its nearest centroid:
-    * squared L2 against each centroid (a literal array), lexicographic
-    * (dist, cid) min — no join, no shuffle. */
-  private def assignCol(centroids: Seq[(Long, Seq[Long])]): Column =
+  /** Row-local argmin centroid id for an arbitrary quantized-vector
+    * column: squared L2 against each centroid (a literal array),
+    * lexicographic (dist, cid) min — no join, no shuffle. Public so
+    * composite quantizers (PQ's per-subspace encode) reuse the exact
+    * assignment semantics. */
+  def assignExpr(centroids: Seq[(Long, Seq[Long])], qCol: Column): Column =
     array_min(array(centroids.map { case (cid, arr) =>
       val carr = array(arr.map(lit): _*)
       val d = aggregate(
-        zip_with(col("q"), carr, (a, b) => (a - b) * (a - b)),
+        zip_with(qCol, carr, (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, x) => acc + x)
       struct(d.as("dist"), lit(cid).as("cid"))
     }: _*)).getField("cid")
+
+  private def assignCol(centroids: Seq[(Long, Seq[Long])]): Column =
+    assignExpr(centroids, col("q"))
 
   /** Run `iters` Lloyd iterations with k centroids initialized from the
     * k lowest vec_ids. Returns the final model as one row per
@@ -132,54 +137,60 @@ object KMeans {
        |SELECT cid, dim, n, c FROM c$iters
        |ORDER BY cid, dim""".stripMargin
 
-  /** The CTE chain alone (ending in `c$iters(cid, dim, n, c)`), so
-    * composing oracles (trained-quantizer IVF) can reuse the whole
-    * training loop inside their own WITH. */
-  def oracleCtes(embRel: String, k: Int, iters: Int): String = {
+  /** The CTE chain alone (ending in `{p}c$iters(cid, dim, n, c)`), so
+    * composing oracles (trained-quantizer IVF, PQ's per-subspace
+    * codebooks) can reuse the whole training loop inside their own
+    * WITH. `prefix` namespaces every CTE so several chains coexist. */
+  def oracleCtes(
+      embRel: String, k: Int, iters: Int, prefix: String = ""): String = {
+    val p = prefix
     val base =
-      s"""el0 AS (
+      s"""${p}el0 AS (
          |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
          |    unnest(embedding::DOUBLE[]) AS e
          |  FROM $embRel),
-         |el AS (
+         |${p}el AS (
          |  SELECT vec_id, CAST(dim AS INTEGER) AS dim,
          |    CAST(round(e * $Micro) AS BIGINT) + $Shift AS v
-         |  FROM el0),
-         |c0 AS (SELECT vec_id AS cid, dim, v AS c FROM el
+         |  FROM ${p}el0),
+         |${p}c0 AS (SELECT vec_id AS cid, dim, v AS c FROM ${p}el
          |       WHERE vec_id < $k)""".stripMargin
     val steps = (1 to iters).map { i =>
-      val prev = s"c${i - 1}"
-      s"""d$i AS (
+      val prev = s"${p}c${i - 1}"
+      s"""${p}d$i AS (
          |  SELECT el.vec_id, c.cid,
          |    sum((el.v - c.c) * (el.v - c.c)) AS dist
-         |  FROM el JOIN $prev c ON el.dim = c.dim GROUP BY 1, 2),
-         |a$i AS (
+         |  FROM ${p}el el JOIN $prev c ON el.dim = c.dim GROUP BY 1, 2),
+         |${p}a$i AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
          |      row_number() OVER (PARTITION BY vec_id
          |        ORDER BY dist, cid) AS rn
-         |    FROM d$i) __r$i WHERE rn = 1),
-         |c$i AS (
+         |    FROM ${p}d$i) __r$p$i WHERE rn = 1),
+         |${p}c$i AS (
          |  SELECT a.cid, el.dim, count(*) AS n,
          |    CAST(sum(el.v) // count(*) AS BIGINT) AS c
-         |  FROM el JOIN a$i a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+         |  FROM ${p}el el JOIN ${p}a$i a USING (vec_id) GROUP BY 1, 2)"""
+        .stripMargin
     }
     s"""$base,
        |${steps.mkString(",\n")}""".stripMargin
   }
 
   /** CTEs extending [[oracleCtes]] with the FINAL-model assignment of
-    * every vector: ends in `af(vec_id, cid)` — the same argmin/tiebreak
-    * as a training step, against `c\$iters`. */
-  def assignCtes(iters: Int): String =
-    s"""dfin AS (
+    * every vector: ends in `{p}af(vec_id, cid)` — the same
+    * argmin/tiebreak as a training step, against `{p}c\$iters`. */
+  def assignCtes(iters: Int, prefix: String = ""): String = {
+    val p = prefix
+    s"""${p}dfin AS (
        |  SELECT el.vec_id, c.cid,
        |    sum((el.v - c.c) * (el.v - c.c)) AS dist
-       |  FROM el JOIN c$iters c ON el.dim = c.dim GROUP BY 1, 2),
-       |af AS (
+       |  FROM ${p}el el JOIN ${p}c$iters c ON el.dim = c.dim GROUP BY 1, 2),
+       |${p}af AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id
        |        ORDER BY dist, cid) AS rn
-       |    FROM dfin) __rf WHERE rn = 1)""".stripMargin
+       |    FROM ${p}dfin) __rf$p WHERE rn = 1)""".stripMargin
+  }
 }

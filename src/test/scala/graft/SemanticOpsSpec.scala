@@ -136,6 +136,45 @@ class SemanticOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- product quantization -----------------------------------------
+
+  test("PQ: ADC scores re-derive from codebooks + codes, ranks respect ties") {
+    import graft.sim.{KMeans, ProductQuantizer => PQ}
+    val out = PQ.adcTopK(emb, nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 5 * 3)
+
+    // independent re-derivation: quantize, train, encode in scala space
+    val books = PQ.train(emb)
+    val codes = PQ.encode(emb, books).collect()
+      .map(r => r.getLong(0) -> (0 until PQ.Segments).map(s =>
+        r.getLong(1 + s))).toMap
+    val qvecs = KMeans.quantized(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def adc(qid: Long, cid: Long): Long =
+      (0 until PQ.Segments).map { s =>
+        val qseg = qvecs(qid).slice(s * PQ.SegDim, (s + 1) * PQ.SegDim)
+        val cent = books(s).find(_._1 == codes(cid)(s)).get._2
+        qseg.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+    out.foreach { case (qid, _, cid, got) =>
+      assert(got == adc(qid, cid), s"ADC mismatch for ($qid, $cid)")
+    }
+    // ranks sort by (adc, cid) within each query
+    out.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 < b._4 || (a._4 == b._4 && a._3 < b._3))
+        case _ =>
+      }
+    }
+    // every vector encodes to a codebook member per segment
+    codes.values.foreach(cs => cs.zipWithIndex.foreach { case (c, s) =>
+      assert(books(s).exists(_._1 == c), s"code $c not in book $s")
+    })
+  }
+
   // ---- sliding-window chunking --------------------------------------
 
   test("corpus_chunk covers every token with the declared stride") {
