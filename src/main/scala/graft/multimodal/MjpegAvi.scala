@@ -115,8 +115,12 @@ object MjpegAvi {
     var avih: Option[(Int, Int, Int)] = None
     val frames = Seq.newBuilder[Array[Byte]]
 
-    // walk [from, until) as a chunk sequence; recurse into LISTs
-    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+    // walk [from, until) as a chunk sequence; recurse into LISTs.
+    // depth-bounded: real AVI nests 2-3 deep; a crafted byte string of
+    // back-to-back LIST headers could otherwise nest len/12 deep and
+    // overflow the stack
+    def walk(from: Int, until: Int, inMovi: Boolean, depth: Int): Unit = {
+      if (depth > 16) return
       var p = from
       while (p + 8 <= until) {
         val id = new String(bytes, p, 4, "ASCII")
@@ -125,7 +129,7 @@ object MjpegAvi {
         if (size < 0 || p + 8 + size > until) return // malformed: stop
         if (id == "LIST" && size >= 4) {
           val listType = new String(bytes, p + 8, 4, "ASCII")
-          walk(p + 12, p + 8 + size, inMovi || listType == "movi")
+          walk(p + 12, p + 8 + size, inMovi || listType == "movi", depth + 1)
         } else if (id == "avih" && size >= 40) {
           def leAt(off: Int): Int = ByteBuffer.wrap(bytes, off, 4)
             .order(ByteOrder.LITTLE_ENDIAN).getInt
@@ -136,7 +140,7 @@ object MjpegAvi {
         p += 8 + size + (size % 2) // even padding
       }
     }
-    walk(12, 8 + riffSize, inMovi = false)
+    walk(12, 8 + riffSize, inMovi = false, depth = 0)
     avih.map { case (n, w, h) => Avi(n, w, h, frames.result()) }
   }
 }

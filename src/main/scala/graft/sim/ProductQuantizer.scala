@@ -61,6 +61,13 @@ object ProductQuantizer {
     * distance to the query's subvectors via their codebook entries
     * (self excluded; (adc, cid) tiebreak). */
   def adcTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    require(nQueries >= 1 && k >= 1,
+      s"nQueries and k must be positive, got ($nQueries, $k)")
+    // the query side broadcasts: nQueries x Segments x Codes longs —
+    // fine for query SETS; for corpus x corpus use the LSH/IVF pair
+    // paths instead of an all-queries broadcast
+    require(nQueries <= 1000000,
+      s"nQueries = $nQueries would broadcast a corpus-scale query side")
     val books = train(emb)
     val q = KMeans.quantized(emb)
 

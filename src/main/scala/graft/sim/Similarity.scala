@@ -175,12 +175,23 @@ object Similarity {
     * pair whose vectors disagree on some plane of every band). Pairs
     * found by several bands dedup through the final aggregation, which
     * rides the same shuffle that brings a pair's band hits together. */
-  def lshNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  /** `maxBucket` is the band-bucket admission cap — the embedding twin
+    * of minhashLshPairs' guard: a giant cluster of near-identical
+    * vectors lands whole in one (band, bucket) and fans C(cluster, 2)
+    * pairs through EVERY band. Opt-in (default unlimited) so default
+    * recall never changes silently; when set, pairs inside an
+    * over-full bucket are a one-sided miss exactly as documented for
+    * the text path. The count rides a window on the bk key the
+    * self-join shuffles on anyway in the at-scale regime. */
+  def lshNearDupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
     val emb0 = spread(emb)
     // checkpoint: BOTH self-join sides read the banded relation; without
     // it the NBands x NPlanes x Dim signature dots run twice (the
     // ngram-dedup 3x-recompute lesson, r4)
-    val v = emb0.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val banded = emb0.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("n", sqrt(array_dot(col("v"), col("v"))))
       .withColumn("bks", array((0 until NBands).map { b =>
         // fused 8-byte key: band index in the high bits
@@ -189,6 +200,13 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("n"),
         explode(col("bks")).as("bk"))
       .localCheckpoint()
+    val v =
+      if (maxBucket == Long.MaxValue) banded
+      else banded
+        .withColumn("__bn", count(lit(1)).over(
+          Window.partitionBy(col("bk"))))
+        .filter(col("__bn") <= maxBucket)
+        .drop("__bn")
     val a = v.select(col("bk"), col("vec_id").as("va"),
       col("v").as("ea"), col("n").as("na"))
     val b = v.select(col("bk"), col("vec_id").as("vb"),

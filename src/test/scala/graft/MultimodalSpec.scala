@@ -191,6 +191,23 @@ class MultimodalSpec extends AnyFunSuite {
     val good = MjpegAvi.encode(
       Seq(Multimodal.encodeJpeg(16, 16, (_, _) => 0)), 16, 16)
     assert(MjpegAvi.decode(good.take(20)).isEmpty)
+    // crafted deep LIST nesting must hit the depth bound, not the stack
+    val bomb = new java.io.ByteArrayOutputStream()
+    bomb.write("RIFF".getBytes("ASCII"))
+    val n = 5000
+    val inner = 4 // innermost empty list body
+    def sizeAt(level: Int): Int = inner + 12 * (n - 1 - level)
+    bomb.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4 + 12 * n).array())
+    bomb.write("AVI ".getBytes("ASCII"))
+    (0 until n).foreach { i =>
+      bomb.write("LIST".getBytes("ASCII"))
+      bomb.write(java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(sizeAt(i) + 4).array())
+      bomb.write("hdrl".getBytes("ASCII"))
+    }
+    assert(MjpegAvi.decode(bomb.toByteArray).isEmpty) // and no overflow
   }
 
   /** Independent ITU-T G.711 u-law encoder (CCITT table, bias 0x84) —

@@ -65,6 +65,32 @@ class SemanticOpsSpec extends AnyFunSuite {
     assert(rows.length == rows.distinct.length)
   }
 
+  test("lshNearDupPairs bucket cap is opt-in and one-sided") {
+    // 12 identical vectors (ids 200-211) land whole in one bucket per
+    // band; with maxBucket = 8 every intra-cluster pair is the
+    // documented one-sided miss, while the planted twins (size-2
+    // buckets) stay admitted
+    def vec(seed: Long): Seq[Float] = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      Seq.tabulate(Similarity.Dim) { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toDouble / (1L << 24).toDouble - 0.5).toFloat
+      }
+    }
+    val cluster = (200L until 212L).map(i => (i, vec(55L)))
+    val df = emb.unionAll(cluster.toDF("vec_id", "embedding"))
+    val loose = Similarity.lshNearDupPairs(df, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Similarity.lshNearDupPairs(df, 0.99, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(loose), "cap invented pairs")
+    assert(loose.contains((200L, 201L)), "uncapped must see the cluster")
+    assert(!capped.exists { case (a, b) => a >= 200L && b >= 200L },
+      "over-full bucket must be excluded when the cap binds")
+    assert(capped.contains((100L, 101L)) && capped.contains((102L, 103L)),
+      "small buckets stay admitted under the cap")
+  }
+
   // ---- semantic dedup -----------------------------------------------
 
   test("semanticDedup drop rule matches a brute-force within-cluster check") {
