@@ -779,6 +779,40 @@ object TrainingDataQueries {
     }, Some(Similarity.lshNearDupPairsOracle(
       "embeddings", SimilarPairsThreshold))),
 
+    // the embedding-LSH bucket cap WHERE IT BINDS, hash-checked (the
+    // minhash_lsh_capped pattern). Fixture geometry matters: sign-LSH
+    // has only 2^NPlanes = 16 buckets per band, so the base corpus is
+    // the first 100 vectors (~6 per bucket per band) — at full-corpus
+    // density every bucket would exceed any useful cap and the gate
+    // would be vacuously empty (checked: maxBucket = 8 over all 2000
+    // vectors emits ZERO rows). Planted: 3 copies of vec 3 (bucket
+    // grows to ~10 — admitted at maxBucket = 16, its identical pairs
+    // EMITTED) and 12 copies of vec 7 (bucket ~19 > 16 in EVERY band —
+    // all its pairs are the documented one-sided miss). The oracle
+    // replicates the per-bucket count filter.
+    Q("embedding_lsh_capped", (s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < 100)
+      def planted(src: Long, n: Long, base: Long) =
+        emb(s, dir).filter(col("vec_id") === src)
+          .select(explode(sequence(lit(0L), lit(n - 1))).as("i"),
+            col("embedding"))
+          .select((col("i") + base).as("vec_id"), col("embedding"))
+      Similarity.lshNearDupPairs(
+          e.select(col("vec_id"), col("embedding"))
+            .unionAll(planted(3L, 3L, 800000L))
+            .unionAll(planted(7L, 12L, 900000L)),
+          SimilarPairsThreshold, maxBucket = 16)
+        .orderBy(col("va"), col("vb"))
+    }, Some(Similarity.lshNearDupPairsOracle(
+      """(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+        | UNION ALL
+        | SELECT 800000 + r.i AS vec_id, e.embedding
+        | FROM embeddings e, range(0, 3) r(i) WHERE e.vec_id = 3
+        | UNION ALL
+        | SELECT 900000 + r.i AS vec_id, e.embedding
+        | FROM embeddings e, range(0, 12) r(i) WHERE e.vec_id = 7) __ec"""
+        .stripMargin, SimilarPairsThreshold, maxBucket = 16))),
+
     // SemDeDup (Abbas et al. 2023): k-means clusters bound the
     // quadratic term of embedding-space dedup — pairs are compared only
     // WITHIN a cluster. Training (exact-integer Lloyd's), the final

@@ -223,7 +223,10 @@ object Similarity {
       .agg(min(col("sim")).as("sim"))
   }
 
-  def lshNearDupPairsOracle(embRel: String, threshold: Double): String = {
+  def lshNearDupPairsOracle(
+      embRel: String,
+      threshold: Double,
+      maxBucket: Long = Long.MaxValue): String = {
     val planeRows = (0 until NBands).flatMap { b =>
       (0 until NPlanes).map { p =>
         s"($b, $p, [${bandPlanes(b)(p).mkString(", ")}]::DOUBLE[])"
@@ -240,6 +243,12 @@ object Similarity {
         s"JOIN planes pl${b}_$p ON pl${b}_$p.b = $b AND pl${b}_$p.p = $p")
     }.mkString(" ")
     val bkList = (0 until NBands).map(b => s"bk$b").mkString(", ")
+    val admitted =
+      if (maxBucket == Long.MaxValue) "cand"
+      else s"""(SELECT vec_id, v, bk FROM (
+              |    SELECT vec_id, v, bk,
+              |      count(*) OVER (PARTITION BY bk) AS bn
+              |    FROM cand) __adm WHERE bn <= $maxBucket)""".stripMargin
     s"""WITH planes(b, p, coefs) AS (VALUES
        |$planeRows),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embRel),
@@ -252,7 +261,8 @@ object Similarity {
        |pairs AS (
        |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
        |    round(list_cosine_similarity(a.v, b.v), 4) AS sim
-       |  FROM cand a JOIN cand b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+       |  FROM $admitted a JOIN $admitted b
+       |    ON a.bk = b.bk AND a.vec_id < b.vec_id)
        |SELECT va, vb, sim FROM pairs
        |WHERE sim >= $threshold
        |ORDER BY va, vb""".stripMargin
