@@ -33,6 +33,30 @@ object PlanLint {
   val allowedUdf: Set[String] = Set(
     "name_correct", "price_parse", "detected_items", "item_alerts")
 
+  /** Queries deliberately NOT captured in PLANS.md. Since r7 the
+    * capture section is generated over the WHOLE surface
+    * (`runMain graft.Explain <sfDir> all`, spliced by
+    * tools/regen_plans.sh), so nothing is exempt — the set exists so
+    * any future exemption must be named here, visibly, instead of
+    * becoming silent capture drift (the r4-r6 staleness class). */
+  val captureExempt: Set[String] = Set.empty
+
+  /** Capture-header names present in a PLANS.md body. */
+  def capturedIn(plansMd: String): Set[String] =
+    "(?m)^========== (\\S+) ==========$".r
+      .findAllMatchIn(plansMd).map(_.group(1)).toSet
+
+  /** Keys of SparkEntry.queries with no PLANS.md capture (minus the
+    * explicit exemptions) plus captures for queries that no longer
+    * exist — either direction fails PlanLintSpec. */
+  def captureDiff(plansMd: String): (Seq[String], Seq[String]) = {
+    val captured = capturedIn(plansMd)
+    val keys = SparkEntry.queries.keySet
+    val missing = (keys -- captured -- captureExempt).toSeq.sorted
+    val stale = (captured -- keys).toSeq.sorted
+    (missing, stale)
+  }
+
   final case class Finding(query: String, kind: String, detail: String)
 
   def lint(spark: SparkSession, sfDir: String): Seq[Finding] =

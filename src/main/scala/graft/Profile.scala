@@ -8,6 +8,7 @@ import graft.dedup.Dedup
 /** Stage-level profiler for the dedup pipelines: times each sub-stage of
   * a slow query in isolation so regressions can be attributed to a stage
   * instead of guessed at. Usage: runMain graft.Profile [sfDir] [hot]
+  * (`hotsem` = the semantic-cluster section of hot mode alone)
   *
   * `hot` mode runs ONLY the hot-corpus regime: corpora engineered so the
   * dedup admission caps BIND (a stopword shingle in every document; a
@@ -17,7 +18,8 @@ import graft.dedup.Dedup
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val hotOnly = args.contains("hot")
+    val hotSemOnly = args.contains("hotsem") // section (4) alone
+    val hotOnly = args.contains("hot") || hotSemOnly
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -41,6 +43,7 @@ object Profile {
     time("warmup count")(docs.count())
 
     if (hotOnly) {
+      if (!hotSemOnly) {
       // ---- regime where the caps BIND ------------------------------
       // (1) hot shingle: one 13-word stopword phrase appended to EVERY
       // document -> 11 shingles with df = |corpus|. The uncapped
@@ -91,6 +94,31 @@ object Profile {
       time("winnow spans UNCAPPED on hot")(noop(
         graft.analysis.TextAnalysis.winnowSharedSpans(
           hotDocs, "doc_id", "text", minShared = 5, maxDf = Long.MaxValue)))
+      }
+
+      // (4) giant semantic cluster: 24000 near-identical embeddings on
+      // top of the 2000-vector corpus -> one k-means cluster of ~24000;
+      // the uncapped within-cluster pair join materializes
+      // ~C(24000, 2) = 288M pairs each paying a 64-dim dot product —
+      // the C(n, 2) term in the flesh; the capped path pays only the
+      // (linear) k-means training and window count, since the cluster
+      // admission cap excludes the hot cluster (one-sided).
+      // capped FIRST for the same shuffle-state order effect as (3).
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val hotEmb = emb.select(col("vec_id"), col("embedding")).unionAll(
+        emb.filter(col("vec_id") === 7)
+          .select(explode(sequence(lit(1L), lit(24000L))).as("i"),
+            col("embedding"))
+          .select((col("i") + 400000L).as("vec_id"), col("embedding")))
+        .localCheckpoint()
+      println(s"[profile] semantic corpus: ${hotEmb.count()} vectors, " +
+        "one ~24000-member identical cluster")
+      time("semdedup CAPPED (1024) on hot")(noop(
+        graft.dedup.SemanticDedup.semanticDedup(hotEmb,
+          k = 4, iters = 2, threshold = 0.45, maxCluster = 1024)))
+      time("semdedup UNCAPPED on hot")(noop(
+        graft.dedup.SemanticDedup.semanticDedup(hotEmb,
+          k = 4, iters = 2, threshold = 0.45)))
       spark.stop()
       return
     }

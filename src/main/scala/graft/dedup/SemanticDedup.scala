@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.ArrayOps.array_dot
@@ -16,23 +17,36 @@ import graft.sim.KMeans
   * (deterministic, engine-neutral under the round-to-4 discipline).
   *
   * Scale shape: training is [[KMeans.fit]] (row-local assignment,
-  * model-sized collects); the final assignment is again row-local
-  * (centroids as plan literals); the pair stage shuffles once on cid
-  * and is quadratic only within a cluster — at 100 TB, k grows with the
-  * corpus so clusters stay bounded, and a hot cluster is visible in the
-  * assignment histogram before the pair join runs.
+  * model-sized collects); the final assignment is again row-local; the
+  * pair stage shuffles once on cid and is quadratic only within a
+  * cluster. k growing with the corpus keeps TYPICAL clusters bounded,
+  * but a skewed corpus (one giant near-duplicate mass — exactly what
+  * dedup corpora contain) still concentrates O(n^2) pairs in one hot
+  * cluster. `maxCluster` is the admission cap for that regime, the
+  * same guard the band-bucket cap gives MinHash-LSH
+  * ([[Dedup.minhashLshPairs]]) and the bucket cap gives embedding-LSH:
+  * clusters larger than the cap are EXCLUDED from the pair join, so
+  * their members emit no losers and stay kept. Misses are strictly
+  * ONE-SIDED (never a false drop); the `semantic_dedup_capped` gate
+  * query hash-pins these semantics on a planted-giant-cluster fixture,
+  * and Profile hot mode measures the capped path staying linear where
+  * the uncapped form goes quadratic.
   */
 object SemanticDedup {
 
   /** (vec_id, cid, kept) for every vector; kept=false iff a lower-id
-    * >= threshold neighbor shares the cluster. */
+    * >= threshold neighbor shares the cluster AND the cluster is no
+    * larger than `maxCluster` (opt-in admission cap; default
+    * unbounded = exact SemDeDup). */
   def semanticDedup(
       emb: DataFrame,
       k: Int,
       iters: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxCluster: Long = Long.MaxValue): DataFrame = {
     require(threshold >= -1.0 && threshold <= 1.0,
       s"cosine threshold must be in [-1, 1], got $threshold")
+    require(maxCluster >= 1, s"maxCluster must be >= 1, got $maxCluster")
     val model = KMeans.fit(emb, k, iters)
     val centroids = KMeans.centroidsOf(model)
     val assigned = KMeans.assign(emb, centroids)
@@ -40,9 +54,20 @@ object SemanticDedup {
         col("embedding").cast("array<double>").as("v")), Seq("vec_id"))
       .withColumn("n", sqrt(array_dot(col("v"), col("v"))))
       .localCheckpoint() // both pair sides + the output read it
-    val a = assigned.select(col("cid"), col("vec_id").as("va"),
+    // admission: only clusters within the cap enter the pair join —
+    // one window count over the SAME cid partitioning the join shuffles
+    // on (no extra exchange), pairs from over-cap clusters are the
+    // documented one-sided miss
+    val admitted =
+      if (maxCluster == Long.MaxValue) assigned
+      else assigned
+        .withColumn("__csz",
+          count(lit(1)).over(Window.partitionBy(col("cid"))))
+        .filter(col("__csz") <= maxCluster)
+        .drop("__csz")
+    val a = admitted.select(col("cid"), col("vec_id").as("va"),
       col("v").as("ea"), col("n").as("na"))
-    val b = assigned.select(col("cid"), col("vec_id").as("vb"),
+    val b = admitted.select(col("cid"), col("vec_id").as("vb"),
       col("v").as("eb"), col("n").as("nb"))
     val sim = round(
       array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
@@ -55,18 +80,29 @@ object SemanticDedup {
   }
 
   /** DuckDB twin: the unrolled k-means CTE chain + final assignment,
-    * then the same within-cluster pair rule. */
+    * then the same within-cluster pair rule (with the same per-cluster
+    * admission filter when `maxCluster` is finite). */
   def semanticDedupOracle(
       embRel: String,
       k: Int,
       iters: Int,
-      threshold: Double): String =
+      threshold: Double,
+      maxCluster: Long = Long.MaxValue): String = {
+    val admCte =
+      if (maxCluster == Long.MaxValue) "adm AS (SELECT vec_id, cid FROM af)"
+      else
+        s"""adm AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      count(*) OVER (PARTITION BY cid) AS csz
+           |    FROM af) __sz WHERE csz <= $maxCluster)""".stripMargin
     s"""WITH ${KMeans.oracleCtes(embRel, k, iters)},
        |${KMeans.assignCtes(iters)},
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embRel),
+       |$admCte,
        |losers AS (
        |  SELECT DISTINCT b.vec_id
-       |  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  FROM adm a JOIN adm b ON a.cid = b.cid AND a.vec_id < b.vec_id
        |  JOIN e ea ON ea.vec_id = a.vec_id
        |  JOIN e eb ON eb.vec_id = b.vec_id
        |  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= $threshold)
@@ -74,4 +110,5 @@ object SemanticDedup {
        |  (af.vec_id NOT IN (SELECT vec_id FROM losers)) AS kept
        |FROM af
        |ORDER BY vec_id""".stripMargin
+  }
 }

@@ -126,7 +126,9 @@ object MjpegAvi {
         val id = new String(bytes, p, 4, "ASCII")
         val size = ByteBuffer.wrap(bytes, p + 4, 4)
           .order(ByteOrder.LITTLE_ENDIAN).getInt
-        if (size < 0 || p + 8 + size > until) return // malformed: stop
+        // Long arithmetic: a crafted size near Int.MaxValue would wrap
+        // `p + 8 + size` negative and slip past an Int comparison
+        if (size < 0 || p.toLong + 8L + size > until) return // malformed: stop
         if (id == "LIST" && size >= 4) {
           val listType = new String(bytes, p + 8, 4, "ASCII")
           walk(p + 12, p + 8 + size, inMovi || listType == "movi", depth + 1)

@@ -415,7 +415,22 @@ object Multimodal {
     * the compressed-audio stub the same way MJPEG-AVI narrowed video:
     * the remaining boundary is perceptual codecs (mp3/aac), for which
     * the JDK has no decoder. */
-  def encodeWavUlaw(samples: Array[Short], rate: Float): Array[Byte] = {
+  def encodeWavUlaw(samples: Array[Short], rate: Float): Array[Byte] =
+    encodeWavG711(samples, rate,
+      javax.sound.sampled.AudioFormat.Encoding.ULAW)
+
+  /** Encode 16-bit mono PCM as a G.711 A-law WAV — the companion
+    * companding law (ITU-T G.711 A-law, the European PSTN variant);
+    * also a JDK-native javax.sound codec. With u-law and A-law both
+    * byte-matched against independent ITU-T encoders, the JDK-native
+    * compressed-audio surface is CLOSED — what remains (mp3/aac) has
+    * no JDK decoder. */
+  def encodeWavAlaw(samples: Array[Short], rate: Float): Array[Byte] =
+    encodeWavG711(samples, rate,
+      javax.sound.sampled.AudioFormat.Encoding.ALAW)
+
+  private def encodeWavG711(samples: Array[Short], rate: Float,
+      enc: javax.sound.sampled.AudioFormat.Encoding): Array[Byte] = {
     import javax.sound.sampled._
     val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
       rate, 16, 1, 2, rate, false)
@@ -424,24 +439,33 @@ object Multimodal {
     samples.foreach(bb.putShort)
     val pcm = new AudioInputStream(
       new java.io.ByteArrayInputStream(bb.array()), pcmFmt, samples.length)
-    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
-      rate, 8, 1, 1, rate, false)
-    val ulaw = AudioSystem.getAudioInputStream(ulawFmt, pcm)
+    val g711Fmt = new AudioFormat(enc, rate, 8, 1, 1, rate, false)
+    val g711 = AudioSystem.getAudioInputStream(g711Fmt, pcm)
     val out = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ulaw, AudioFileFormat.Type.WAVE, out)
+    AudioSystem.write(g711, AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
 
   /** Decode a u-law WAV back to 16-bit PCM samples; None for
     * undecodable bytes or a non-ULAW container. */
-  def decodeWavUlaw(bytes: Array[Byte]): Option[(Float, Array[Short])] = {
+  def decodeWavUlaw(bytes: Array[Byte]): Option[(Float, Array[Short])] =
+    decodeWavG711(bytes, javax.sound.sampled.AudioFormat.Encoding.ULAW)
+
+  /** Decode an A-law WAV back to 16-bit PCM samples; None for
+    * undecodable bytes or a non-ALAW container. */
+  def decodeWavAlaw(bytes: Array[Byte]): Option[(Float, Array[Short])] =
+    decodeWavG711(bytes, javax.sound.sampled.AudioFormat.Encoding.ALAW)
+
+  private def decodeWavG711(bytes: Array[Byte],
+      enc: javax.sound.sampled.AudioFormat.Encoding)
+      : Option[(Float, Array[Short])] = {
     import javax.sound.sampled._
     try {
       val in = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
-        if (fmt.getEncoding != AudioFormat.Encoding.ULAW) None
+        if (fmt.getEncoding != enc) None
         else {
           val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
             fmt.getSampleRate, 16, fmt.getChannels,
@@ -471,6 +495,47 @@ object Multimodal {
     import spark.implicits._
     spark.createDataset((0L until 3L).map(k =>
       MediaBlob(k, "audio", encodeWavUlaw(ulawSamples(k), 8000f))))
+  }
+
+  /** Deterministic A-law fixture samples for blob k: a distinct ramp
+    * (different stride/phase than [[ulawSamples]]) exercising both
+    * polarities across the A-law segments. Samples are 13-bit-ALIGNED
+    * (x8) because G.711 defines the A-law table on 13-bit PCM — how an
+    * encoder rounds 16->13 bits for unaligned input is implementation
+    * convention, so byte-pinning happens on the defined domain. */
+  def alawSamples(k: Long): Array[Short] =
+    Array.tabulate(700 + 150 * k.toInt) { i =>
+      (((i * 53 + k * 29) % 4400 - 2200) * 8).toShort
+    }
+
+  def alawFixtures(spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    spark.createDataset((0L until 3L).map(k =>
+      MediaBlob(k, "audio", encodeWavAlaw(alawSamples(k), 8000f))))
+  }
+
+  /** A-law decode summary, the [[ulawSummary]] twin: container
+    * encoding check, rate, frame count, companding round-trip error
+    * bound. A-law quantizes a 13-bit magnitude (16-bit input >> 3)
+    * with per-segment steps up to 128 at that scale, i.e. 1024 at
+    * 16-bit scale; half-step reconstruction plus the >>3 truncation
+    * keeps |err| <= 1024 — the same ITU-T bound as u-law, for the
+    * same engine-neutral reason. */
+  def alawSummary(media: Dataset[MediaBlob]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { b =>
+      decodeWavAlaw(b.content) match {
+        case None => (b.media_id, false, -1, -1L, false)
+        case Some((rate, decoded)) =>
+          val ref = alawSamples(b.media_id)
+          val maxErr =
+            if (decoded.length != ref.length) Int.MaxValue
+            else (0 until ref.length)
+              .map(i => math.abs(decoded(i) - ref(i))).foldLeft(0)(math.max)
+          (b.media_id, true, rate.toInt, decoded.length.toLong,
+            maxErr <= 1024)
+      }
+    }).toDF("media_id", "is_alaw", "sample_rate", "n_frames", "within_g711_tol")
   }
 
   /** Compressed-audio decode summary: container encoding check, rate,

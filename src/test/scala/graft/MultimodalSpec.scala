@@ -208,6 +208,18 @@ class MultimodalSpec extends AnyFunSuite {
       bomb.write("hdrl".getBytes("ASCII"))
     }
     assert(MjpegAvi.decode(bomb.toByteArray).isEmpty) // and no overflow
+    // chunk size near Int.MaxValue: `p + 8 + size` wraps negative in Int
+    // arithmetic, bypassing the bound check and reading past the buffer —
+    // the guard must compare in Long and return None, not throw
+    val wrap = new java.io.ByteArrayOutputStream()
+    wrap.write("RIFF".getBytes("ASCII"))
+    wrap.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(12).array())
+    wrap.write("AVI ".getBytes("ASCII"))
+    wrap.write("avih".getBytes("ASCII"))
+    wrap.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(0x7FFFFFF0).array())
+    assert(MjpegAvi.decode(wrap.toByteArray).isEmpty)
   }
 
   /** Independent ITU-T G.711 u-law encoder (CCITT table, bias 0x84) —
@@ -241,6 +253,61 @@ class MultimodalSpec extends AnyFunSuite {
       assert(b == g711Encode(s),
         s"sample $i ($s): jdk=${b & 0xff} ref=${g711Encode(s) & 0xff}")
     }
+  }
+
+  /** Independent ITU-T G.711 A-law encoder (CCITT segment table,
+    * 13-bit magnitude, 0x55 toggle mask) — written from the standard,
+    * NOT from the JDK source, so matching the JDK codec's raw bytes
+    * pins both against the spec. */
+  private def g711AlawEncode(sIn: Short): Byte = {
+    var pcm = sIn.toInt >> 3 // 16 -> 13 bit
+    val mask = if (pcm >= 0) 0xD5 else { pcm = -pcm - 1; 0x55 }
+    val segEnds = Array(0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+    val seg = segEnds.indexWhere(pcm <= _) match {
+      case -1 => 8
+      case s => s
+    }
+    if (seg >= 8) (0x7F ^ mask).toByte
+    else {
+      val mant =
+        if (seg < 2) (pcm >> 1) & 0x0F else (pcm >> seg) & 0x0F
+      (((seg << 4) | mant) ^ mask).toByte
+    }
+  }
+
+  test("A-law WAV: JDK codec bytes match an independent G.711 encoder") {
+    val samples = Multimodal.alawSamples(1L)
+    val wav = Multimodal.encodeWavAlaw(samples, 8000f)
+    // compression is real: 8-bit companded payload, half the PCM size
+    assert(wav.length < samples.length * 2)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(in.getFormat.getEncoding ==
+      javax.sound.sampled.AudioFormat.Encoding.ALAW)
+    val raw = in.readAllBytes(); in.close()
+    assert(raw.length == samples.length)
+    raw.zip(samples).zipWithIndex.foreach { case ((b, s), i) =>
+      assert(b == g711AlawEncode(s),
+        s"sample $i ($s): jdk=${b & 0xff} ref=${g711AlawEncode(s) & 0xff}")
+    }
+  }
+
+  test("A-law round trip stays within the ITU-T companding bound") {
+    val samples = Multimodal.alawSamples(2L)
+    val dec = Multimodal.decodeWavAlaw(
+      Multimodal.encodeWavAlaw(samples, 8000f))
+    assert(dec.isDefined)
+    val (rate, decoded) = dec.get
+    assert(rate == 8000f && decoded.length == samples.length)
+    val maxErr = decoded.zip(samples).map { case (d, s) =>
+      math.abs(d - s) }.max
+    assert(maxErr <= 1024, s"G.711 A-law bound violated: $maxErr")
+    assert(maxErr > 0, "a lossy codec with zero error means no codec ran")
+    // a u-law container is NOT an A-law container (and vice versa)
+    assert(Multimodal.decodeWavAlaw(
+      Multimodal.encodeWavUlaw(Multimodal.ulawSamples(0L), 8000f)).isEmpty)
+    assert(Multimodal.decodeWavUlaw(
+      Multimodal.encodeWavAlaw(samples, 8000f)).isEmpty)
   }
 
   test("u-law round trip stays within the ITU-T companding bound") {
