@@ -563,6 +563,52 @@ object Multimodal {
     }).toDF("media_id", "is_ulaw", "sample_rate", "n_frames", "within_g711_tol")
   }
 
+  /** Deterministic IMA-ADPCM fixture samples for blob k: a triangle
+    * wave (bounded slope — the signal class a tracking quantizer is
+    * specified for) with per-blob amplitude/period, long enough to
+    * span multiple 512-byte blocks. */
+  def adpcmSamples(k: Long): Array[Short] = {
+    val period = 400 + 80 * k.toInt
+    val amp = 6000 + 1500 * k.toInt
+    Array.tabulate(2500 + 300 * k.toInt) { i =>
+      val ph = i % period
+      val tri = if (ph < period / 2) ph else period - ph
+      (tri * 4 * amp / period - amp).toShort
+    }
+  }
+
+  def adpcmFixtures(spark: SparkSession): Dataset[MediaBlob] = {
+    import spark.implicits._
+    spark.createDataset((0L until 3L).map(k =>
+      MediaBlob(k, "audio", ImaAdpcm.encodeWav(adpcmSamples(k), 8000))))
+  }
+
+  /** IMA-ADPCM decode summary: container format check, rate, true
+    * (fact-chunk) sample count, and the tracking-quantizer error bound
+    * against the regenerated reference samples. For a bounded-slope
+    * signal the adapted step sits near 8x the per-sample slope and the
+    * reconstruction error near step/8; direction reversals transiently
+    * overshoot, so the pinned claim is |err| <= 1024 at 16-bit scale —
+    * validated over the whole fixture family in MultimodalSpec, which
+    * also pins the quantizer itself against hand-derived vectors from
+    * the published IMA algorithm. */
+  def adpcmSummary(media: Dataset[MediaBlob]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { b =>
+      ImaAdpcm.decodeWav(b.content) match {
+        case None => (b.media_id, false, -1, -1L, false)
+        case Some((rate, decoded)) =>
+          val ref = adpcmSamples(b.media_id)
+          val maxErr =
+            if (decoded.length != ref.length) Int.MaxValue
+            else (0 until ref.length)
+              .map(i => math.abs(decoded(i) - ref(i))).foldLeft(0)(math.max)
+          (b.media_id, true, rate, decoded.length.toLong, maxErr <= 1024)
+      }
+    }).toDF("media_id", "is_adpcm", "sample_rate", "n_samples",
+      "within_adpcm_tol")
+  }
+
   /** Real-codec resize via JDK imaging (bilinear). */
   def resizePng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))

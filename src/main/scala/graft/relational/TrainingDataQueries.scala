@@ -636,6 +636,26 @@ object TrainingDataQueries {
         |) AS t(media_id, is_alaw, sample_rate, n_frames, within_g711_tol)
         |ORDER BY media_id""".stripMargin)),
 
+    // IMA/DVI ADPCM — a real 4:1 compressed-audio codec with NO JDK
+    // implementation: encoder + decoder written from the published IMA
+    // algorithm (graft.multimodal.ImaAdpcm), container = WAVE tag
+    // 0x0011 with fact chunk and independently-decodable (splittable)
+    // blocks. MultimodalSpec pins the quantizer against hand-derived
+    // spec vectors; this query pins container round-trip, the fact
+    // count, and the tracking error bound. Remaining boundary:
+    // perceptual codecs (mp3/aac) only.
+    Q("media_adpcm", (s, _) => {
+      import graft.multimodal.Multimodal
+      Multimodal.adpcmSummary(Multimodal.adpcmFixtures(s))
+        .orderBy(col("media_id"))
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), true, 8000, CAST(2500 AS BIGINT), true),
+        |  (CAST(1 AS BIGINT), true, 8000, CAST(2800 AS BIGINT), true),
+        |  (CAST(2 AS BIGINT), true, 8000, CAST(3100 AS BIGINT), true)
+        |) AS t(media_id, is_adpcm, sample_rate, n_samples, within_adpcm_tol)
+        |ORDER BY media_id""".stripMargin)),
+
     // training-sequence packing: docs in id order fill fixed token-budget
     // packs; a doc belongs to the pack its EXCLUSIVE prefix sum lands in
     // (deterministic, boundary docs go with their start). The prefix sum

@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   *    and floor division (DuckDB `//`) agree. The +shift commutes with
   *    the update exactly: (sum + n*shift) div n = shift + sum div n.
   *
-  * Scale shape: assignment is ROW-LOCAL (centroids travel as plan
-  * literals — k x dims int64, zero shuffle, zero join); the update is
+  * Scale shape: assignment is ROW-LOCAL and regime-split on model size
+  * (k x dims <= [[LiteralBudget]]: centroids as plan literals, zero
+  * join; above: the model as ONE broadcast row — plan O(1) in k; the
+  * split covers [[fit]]'s per-iteration assignment too, so TRAINING at
+  * corpus-scale k never builds an over-budget plan); the update is
   * one map-side-combined groupBy onto k x dims keys. The per-iteration
   * driver collect is k x dims rows — bounded by the model size, the
   * same class as Scale's partition offsets, NOT corpus-sized. Empty
@@ -82,31 +85,37 @@ object KMeans {
     * rides plan literals (one narrow projection, no join, no shuffle);
     * larger models ride a one-row broadcast relation
     * ([[assignBroadcast]]) with identical exact-integer semantics. */
-  def assign(emb: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame = {
-    val literals =
-      centroids.size.toLong *
-        centroids.headOption.map(_._2.size.toLong).getOrElse(0L)
-    if (literals <= LiteralBudget)
-      quantized(emb).select(col("vec_id"), assignCol(centroids).as("cid"))
-    else assignBroadcast(emb, centroids)
-  }
+  def assign(emb: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame =
+    withCid(quantized(emb), centroids).select(col("vec_id"), col("cid"))
 
-  /** The scale-regime twin of the literal assignment: centroids travel
-    * as ONE broadcast row holding array<struct<cid, c>>, the argmin is
-    * the same exact-integer (dist, cid) lexicographic min evaluated
-    * over that array — still row-local (BroadcastNestedLoopJoin against
-    * a single row, never a shuffle), but the PLAN is O(1) in k, so a
-    * corpus-scale model (k ~ 1e5+) plans instantly. Semantics are
-    * bit-equal to [[assignExpr]] by construction: same quantization,
-    * same integer squared-L2, same tiebreak. */
-  def assignBroadcast(
-      emb: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame = {
-    val spark = emb.sparkSession
+  private def literalCount(centroids: Seq[(Long, Seq[Long])]): Long =
+    centroids.size.toLong *
+      centroids.headOption.map(_._2.size.toLong).getOrElse(0L)
+
+  /** (vec_id, q, cid) under the regime split — the shared routing for
+    * [[assign]] AND [[fit]]'s per-iteration assignment (training at
+    * large k would otherwise rebuild the over-budget literal plan every
+    * iteration). Keeps `q` so the update step can explode it without a
+    * second scan or join. */
+  private def withCid(
+      q: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame =
+    if (literalCount(centroids) <= LiteralBudget)
+      q.select(col("vec_id"), col("q"), assignCol(centroids).as("cid"))
+    else broadcastCid(q, centroids)
+
+  /** The broadcast-argmin body: the model as ONE broadcast row of
+    * array<struct<cid, c>>, the same exact-integer (dist, cid)
+    * lexicographic min evaluated over that array. Row-local
+    * (BroadcastNestedLoopJoin against a single row, never a shuffle)
+    * with a plan O(1) in k. */
+  private def broadcastCid(
+      q: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame = {
+    val spark = q.sparkSession
     import spark.implicits._
     val cdf = Seq(Tuple1(centroids.map { case (cid, arr) => (cid, arr) }))
       .toDF("cents")
-    quantized(emb).crossJoin(broadcast(cdf))
-      .select(col("vec_id"),
+    q.crossJoin(broadcast(cdf))
+      .select(col("vec_id"), col("q"),
         array_min(transform(col("cents"), c =>
           struct(
             aggregate(
@@ -116,6 +125,15 @@ object KMeans {
             c.getField("_1").as("cid"))))
           .getField("cid").as("cid"))
   }
+
+  /** The scale-regime twin of the literal assignment (see
+    * [[LiteralBudget]]): semantics bit-equal to [[assignExpr]] by
+    * construction — same quantization, same integer squared-L2, same
+    * tiebreak — with the model riding as broadcast DATA. */
+  def assignBroadcast(
+      emb: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame =
+    broadcastCid(quantized(emb), centroids)
+      .select(col("vec_id"), col("cid"))
 
   /** Row-local argmin centroid id for an arbitrary quantized-vector
     * column: squared L2 against each centroid (a literal array),
@@ -169,7 +187,7 @@ object KMeans {
       // downstream consumer (the trained-IVF search, the caller's own
       // reads) hit the cached k x dims blocks instead of re-running the
       // assignment pass per consumer
-      model = q.withColumn("cid", assignCol(centroids))
+      model = withCid(q, centroids)
         .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
         .groupBy(col("cid"), col("dim"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))

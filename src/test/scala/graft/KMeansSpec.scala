@@ -107,6 +107,25 @@ class KMeansSpec extends AnyFunSuite {
       rows(KMeans.assignBroadcast(dup, dupModel)))
   }
 
+  test("fit in the over-budget regime matches the reference") {
+    // k x dims = 1040 x 64 = 66560 > LiteralBudget: every training
+    // iteration must ride the broadcast assignment and still reproduce
+    // the exact-arithmetic reference bit for bit
+    val rnd = new Random(47)
+    // float-exact coordinates: the embedding column is float, so the
+    // reference must quantize the SAME values the engine sees (at 70k
+    // coordinates a double-vs-float rounding difference is guaranteed)
+    val vecs = (0L until 1100L).map { id =>
+      id -> Seq.fill(64)((rnd.nextDouble() - 0.5).toFloat.toDouble)
+    }
+    val emb = vecs.map { case (id, e) => (id, e.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val got = KMeans.fit(emb, k = 1040, iters = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == reference(vecs, k = 1040, iters = 1))
+  }
+
   test("assign regime-splits on the literal budget") {
     val emb = Seq((0L, Seq.fill(64)(0.1f))).toDF("vec_id", "embedding")
     def planOf(cents: Seq[(Long, Seq[Long])]) =

@@ -310,6 +310,76 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.encodeWavAlaw(samples, 8000f)).isEmpty)
   }
 
+  test("IMA ADPCM: quantizer matches hand-derived vectors from the spec") {
+    import graft.multimodal.ImaAdpcm
+    // samples [0, 100, -100, 5000] from header state (pred=0, idx=0),
+    // stepped BY HAND through the published IMA algorithm:
+    //  s1=100:  step=7,  diff=100  -> code 0b0111=7;
+    //           diffq=0+7+3+1=11,  pred=11,  idx=0+8=8
+    //  s2=-100: step=16, diff=-111 -> code 0b1111=15;
+    //           diffq=2+16+8+4=30, pred=-19, idx=8+8=16
+    //  s3=5000: step=34, diff=5019 -> code 0b0111=7;
+    //           diffq=4+34+17+8=63, pred=44, idx=16+8=24
+    val wav = ImaAdpcm.encodeWav(Array[Short](0, 100, -100, 5000), 8000)
+    val dec = ImaAdpcm.decodeWav(wav)
+    assert(dec.isDefined)
+    val (rate, decoded) = dec.get
+    assert(rate == 8000 && decoded.length == 4)
+    assert(decoded.toSeq == Seq[Short](0, 11, -19, 44))
+    // the raw nibble stream too: data chunk is the LAST 512 bytes
+    // (4-byte block header 00 00 00 00, then low-nibble-first codes)
+    val block = wav.takeRight(512)
+    assert(block.take(4).toSeq == Seq[Byte](0, 0, 0, 0))
+    assert((block(4) & 0xff) == (7 | (15 << 4))) // codes 7, 15
+    assert((block(5) & 0x0f) == 7) // code 7
+  }
+
+  test("IMA ADPCM: round trip, 4:1 ratio, splittable blocks") {
+    import graft.multimodal.ImaAdpcm
+    (0L until 3L).foreach { k =>
+      val samples = Multimodal.adpcmSamples(k)
+      val wav = ImaAdpcm.encodeWav(samples, 8000)
+      // compression is real: 4-bit codes, ~4x under 16-bit PCM
+      assert(wav.length < samples.length / 2 + 600)
+      val Some((rate, decoded)) = ImaAdpcm.decodeWav(wav)
+      assert(rate == 8000 && decoded.length == samples.length)
+      val maxErr = decoded.zip(samples).map { case (d, s) =>
+        math.abs(d - s) }.max
+      assert(maxErr <= 1024, s"blob $k tracking bound violated: $maxErr")
+      assert(maxErr > 0, "a lossy codec with zero error means no codec ran")
+      // block boundaries carry the sample VERBATIM in the header —
+      // the property that makes the stream splittable for distributed
+      // readers (any block decodes with zero upstream state)
+      val spb = ImaAdpcm.samplesPerBlock(ImaAdpcm.BlockAlign)
+      (1 to (samples.length - 1) / spb).foreach { blk =>
+        assert(decoded(blk * spb) == samples(blk * spb),
+          s"block $blk header sample not verbatim")
+      }
+    }
+  }
+
+  test("IMA ADPCM: malformed bytes decode to None, never throw") {
+    import graft.multimodal.ImaAdpcm
+    assert(ImaAdpcm.decodeWav(Array.emptyByteArray).isEmpty)
+    assert(ImaAdpcm.decodeWav(Array.fill[Byte](64)(0x41)).isEmpty)
+    // a PCM-family (u-law) WAV is NOT an ADPCM container
+    assert(ImaAdpcm.decodeWav(
+      Multimodal.encodeWavUlaw(Multimodal.ulawSamples(0L), 8000f)).isEmpty)
+    // truncated mid-chunk
+    val good = ImaAdpcm.encodeWav(Array[Short](0, 1, 2, 3), 8000)
+    assert(ImaAdpcm.decodeWav(good.take(30)).isEmpty)
+    // chunk size near Int.MaxValue must fail the Long bound check
+    val wrap = new java.io.ByteArrayOutputStream()
+    wrap.write("RIFF".getBytes("ASCII"))
+    wrap.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(12).array())
+    wrap.write("WAVE".getBytes("ASCII"))
+    wrap.write("fmt ".getBytes("ASCII"))
+    wrap.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(0x7FFFFFF0).array())
+    assert(ImaAdpcm.decodeWav(wrap.toByteArray).isEmpty)
+  }
+
   test("u-law round trip stays within the ITU-T companding bound") {
     val samples = Multimodal.ulawSamples(2L)
     val dec = Multimodal.decodeWavUlaw(

@@ -126,6 +126,41 @@ class SemanticOpsSpec extends AnyFunSuite {
     assert(out(7L)._2 && out(13L)._2)
   }
 
+  test("semanticDedup cluster cap is opt-in and one-sided") {
+    val k = 3; val iters = 2; val thr = 0.99
+    // a cap no cluster exceeds must be a no-op (the opt-in contract)
+    val uncapped = SemanticDedup.semanticDedup(emb, k, iters, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    val slack = SemanticDedup
+      .semanticDedup(emb, k, iters, thr, maxCluster = emb.count())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(uncapped == slack)
+
+    // a binding cap between the smallest and largest cluster: clusters
+    // over it emit NO losers (their members all kept — one-sided miss),
+    // admitted clusters keep their exact drops
+    val sizes = uncapped.groupBy(_._2).map { case (c, m) => c -> m.size }
+    assert(sizes.values.min < sizes.values.max, "fixture needs skew")
+    val cap = sizes.values.min.toLong
+    val capped = SemanticDedup
+      .semanticDedup(emb, k, iters, thr, maxCluster = cap)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    capped.foreach { case (id, (cid, kept)) =>
+      if (sizes(cid) > cap)
+        assert(kept, s"false drop in over-cap cluster: $id")
+      else {
+        val u = uncapped.find(_._1 == id).get
+        assert(kept == u._3, s"admitted cluster changed keep for $id")
+      }
+    }
+
+    intercept[IllegalArgumentException](
+      SemanticDedup.semanticDedup(emb, k, iters, thr, maxCluster = 0))
+  }
+
   // ---- winnow span dedup --------------------------------------------
 
   private lazy val spanDocs = {
