@@ -258,6 +258,40 @@ object TrainingDataQueries {
          |${graft.operators.ConnectedComponents.oracleSql("lshpairs")}
          |SELECT node, component FROM components ORDER BY node""".stripMargin)),
 
+    // TRAINING the quality classifier (not just scoring with one): a
+    // full-batch integer perceptron distills the rule gate's labels
+    // into hashed-n-gram weights — learning rate 1 keeps every update
+    // an integer sum of labels, so THREE training rounds hash-check
+    // end-to-end against the unrolled-CTE oracle (the KMeans discipline
+    // applied to a learned text model; weak supervision per the
+    // CCNet/GPT-3 filter recipe). QualityTrainSpec pins the loop
+    // against a driver-side reference and its distillation accuracy.
+    Q("quality_train", (s, dir) => {
+      graft.analysis.QualityTrain.fit(spread(docs(s, dir)), iters = 3)
+        .orderBy(col("b"))
+    }, Some(
+      s"""WITH ${graft.analysis.QualityTrain.oracleCtes("documents", 3)}
+         |SELECT b, w FROM qtw3 WHERE w <> 0 ORDER BY b""".stripMargin)),
+
+    // graph centrality as a curation prior (Common Crawl publishes
+    // harmonic/PageRank centrality over the host graph; curation
+    // recipes rank fetches by it): exact-integer PageRank (the KMeans
+    // hash-exactness discipline — positive int64 multiply/truncate-div,
+    // fixed iterations, no dangling redistribution) over the SAME LSH
+    // near-dup edges dedup_components clusters. Every doc is ranked;
+    // isolated docs score the teleport base.
+    Q("doc_pagerank", (s, dir) => {
+      val d = docsWithDups(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text")
+      graft.operators.PageRank.run(
+          d.select(col("doc_id").as("node")), pairs, "da", "db", iters = 3)
+        .orderBy(col("node"))
+    }, Some(
+      s"""WITH ${Dedup.minhashLshCtes(docsWithDupsSql, Dedup.JaccardThreshold)},
+         |${graft.operators.PageRank.oracleCtes(
+          s"(SELECT doc_id AS node FROM $docsWithDupsSql __nn)", "lshpairs", 3)}
+         |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin)),
+
     // classic TF-IDF: top-3 terms per document, scores rounded BEFORE
     // ranking so the rank-3 tiebreak (score desc, term asc) is
     // engine-independent. TERM FREQUENCIES are per-document values, so
