@@ -670,6 +670,44 @@ object TrainingDataQueries {
         |) AS t(media_id, is_alaw, sample_rate, n_frames, within_g711_tol)
         |ORDER BY media_id""".stripMargin)),
 
+    // WARC (ISO 28500) — the container training pipelines actually
+    // ingest (Common Crawl ships as WARC): record fan-out from archive
+    // blobs, HTTP payload cracked for response records, per-record
+    // gzip members (the Common Crawl layout) handled transparently.
+    // Fixture: three archives — plain, gzip-member, and one with a
+    // truncated tail (the malformed-stop contract on the oracle path).
+    Q("warc_records", (s, _) => {
+      import graft.sources.WarcSource
+      import s.implicits._
+      def recs(k: Long) = Seq(
+        ("warcinfo", "", s"2024-01-0${k + 1}T00:00:00Z",
+          "software: graft\r\n".getBytes("ISO-8859-1")),
+        ("response", s"https://example.org/doc$k",
+          s"2024-01-0${k + 1}T00:00:01Z",
+          WarcSource.httpTextPayload(s"warc body $k")),
+        ("request", s"https://example.org/doc$k",
+          s"2024-01-0${k + 1}T00:00:01Z",
+          s"GET /doc$k HTTP/1.1\r\n\r\n".getBytes("ISO-8859-1")))
+      val archives = s.createDataset(Seq(
+        0L -> WarcSource.encodeWarc(recs(0)),
+        1L -> WarcSource.gzipMembers(recs(1)),
+        2L -> WarcSource.encodeWarc(recs(2)).dropRight(45)))
+      WarcSource.records(archives)
+        .orderBy(col("archive_id"), col("record_no"))
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 0, 'warcinfo', '', '2024-01-01T00:00:00Z', CAST(17 AS BIGINT), -1, '', ''),
+        |  (CAST(0 AS BIGINT), 1, 'response', 'https://example.org/doc0', '2024-01-01T00:00:01Z', CAST(76 AS BIGINT), 200, 'text/plain', 'warc body 0'),
+        |  (CAST(0 AS BIGINT), 2, 'request', 'https://example.org/doc0', '2024-01-01T00:00:01Z', CAST(22 AS BIGINT), -1, '', ''),
+        |  (CAST(1 AS BIGINT), 0, 'warcinfo', '', '2024-01-02T00:00:00Z', CAST(17 AS BIGINT), -1, '', ''),
+        |  (CAST(1 AS BIGINT), 1, 'response', 'https://example.org/doc1', '2024-01-02T00:00:01Z', CAST(76 AS BIGINT), 200, 'text/plain', 'warc body 1'),
+        |  (CAST(1 AS BIGINT), 2, 'request', 'https://example.org/doc1', '2024-01-02T00:00:01Z', CAST(22 AS BIGINT), -1, '', ''),
+        |  (CAST(2 AS BIGINT), 0, 'warcinfo', '', '2024-01-03T00:00:00Z', CAST(17 AS BIGINT), -1, '', ''),
+        |  (CAST(2 AS BIGINT), 1, 'response', 'https://example.org/doc2', '2024-01-03T00:00:01Z', CAST(76 AS BIGINT), 200, 'text/plain', 'warc body 2')
+        |) AS t(archive_id, record_no, warc_type, target_uri, warc_date,
+        |       content_length, http_status, mime, body_text)
+        |ORDER BY archive_id, record_no""".stripMargin)),
+
     // IMA/DVI ADPCM — a real 4:1 compressed-audio codec with NO JDK
     // implementation: encoder + decoder written from the published IMA
     // algorithm (graft.multimodal.ImaAdpcm), container = WAVE tag
