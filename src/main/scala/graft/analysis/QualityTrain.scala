@@ -83,6 +83,18 @@ object QualityTrain {
     w.filter(col("w") =!= 0L)
   }
 
+  /** Score docs under a trained model (the margin is the exact integer
+    * feature-weight sum — the inference half of [[fit]]): one
+    * features⋈weights join (model-sized right side) + one groupBy(doc).
+    * pred = sign(margin), zero margins abstain to the junk side. */
+  def score(docs: DataFrame, weights: DataFrame): DataFrame =
+    featurePairs(docs)
+      .join(weights, Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("margin"))
+      .select(col("doc_id"), col("margin"),
+        when(col("margin") > 0, 1L).otherwise(-1L).as("pred"))
+
   /** DuckDB twin: the same unrolled rounds over `rel(doc_id, text)`.
     * Ends in `qtw$iters(b, w)` (zero weights filtered like [[fit]]). */
   def oracleCtes(rel: String, iters: Int): String = {

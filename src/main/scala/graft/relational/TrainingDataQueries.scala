@@ -273,6 +273,34 @@ object TrainingDataQueries {
       s"""WITH ${graft.analysis.QualityTrain.oracleCtes("documents", 3)}
          |SELECT b, w FROM qtw3 WHERE w <> 0 ORDER BY b""".stripMargin)),
 
+    // ...and the loop CLOSED: score the corpus with the weights
+    // quality_train just learned and compare against the rule labels it
+    // distilled — per-doc margin (exact integer), prediction, and
+    // agreement, all in one hash-checked query (train + inference +
+    // evaluation end-to-end). The scoring join's right side is the
+    // model-sized weight relation.
+    Q("quality_train_score", (s, dir) => {
+      import graft.analysis.QualityTrain
+      val d = spread(docs(s, dir)).localCheckpoint() // train + score + label
+      QualityTrain.score(d, QualityTrain.fit(d, iters = 3))
+        .join(d.select(col("doc_id"),
+          QualityTrain.label(col("text")).as("rule_label")), Seq("doc_id"))
+        .select(col("doc_id"), col("margin"), col("pred"), col("rule_label"),
+          (col("pred") === col("rule_label")).as("agree"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH ${graft.analysis.QualityTrain.oracleCtes("documents", 3)},
+         |qsc AS (
+         |  SELECT f.doc_id, sum(coalesce(w.w, 0)) AS margin
+         |  FROM qtf f LEFT JOIN qtw3 w ON f.b = w.b
+         |  GROUP BY f.doc_id)
+         |SELECT s.doc_id, CAST(s.margin AS BIGINT) AS margin,
+         |  CAST(CASE WHEN s.margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+         |  y.y AS rule_label,
+         |  (CASE WHEN s.margin > 0 THEN 1 ELSE -1 END) = y.y AS agree
+         |FROM qsc s JOIN qty y ON s.doc_id = y.doc_id
+         |ORDER BY s.doc_id""".stripMargin)),
+
     // graph centrality as a curation prior (Common Crawl publishes
     // harmonic/PageRank centrality over the host graph; curation
     // recipes rank fetches by it): exact-integer PageRank (the KMeans
