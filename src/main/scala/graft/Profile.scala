@@ -39,6 +39,49 @@ object Profile {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    if (args.contains("warc")) {
+      // ONE consolidated gzip-member archive — the regime where the
+      // per-file reader serializes onto a single task; the measured
+      // proof that recordsSplit fans the same archive across tasks.
+      import graft.sources.WarcSource
+      import spark.implicits._
+      val nRecs = 100000
+      val recs = (0 until nRecs).map { k =>
+        ("response", s"https://example.org/p$k", "2024-03-01T00:00:00Z",
+          WarcSource.httpTextPayload(s"doc $k " + Seq.tabulate(60)(i =>
+            s"w${(k * 31 + i * 7) % 997}").mkString(" ")))
+      }
+      val bytes = time("build archive (driver)")(WarcSource.gzipMembers(recs))
+      println(f"[profile] one archive: $nRecs records, " +
+        f"${bytes.length / 1e6}%.1f MB compressed")
+      val archives = spark.createDataset(Seq(0L -> bytes))
+        .repartition(1).localCheckpoint()
+      time("records (per-file: 1 task)")(noop(WarcSource.records(archives)))
+      val target = 256L * 1024
+      // stage attribution for the split path
+      val slices = WarcSource.splitSlices(archives, target)
+      time("  slices scan+copy (serial)")(noop(slices.toDF()))
+      val spread = slices.repartition(col("_1"), col("_2"))
+      time("  +repartition (shuffle)")(noop(spread.toDF()))
+      time("  +parse, no numbering")(noop(spread.flatMap { case (id, sp, b) =>
+        WarcSource.parseWarc(b).map(r => (id, sp, r.record_no, r.warc_type,
+          r.target_uri, r.warc_date, r.content_length, r.http_status,
+          r.mime, r.body_text))
+      }.toDF()))
+      time("recordsSplit (256KB slices)")(noop(
+        WarcSource.recordsSplit(archives, target)))
+      // re-measure both WARM (first timings carry cold-JIT cost)
+      time("records warm (1 task)")(noop(WarcSource.records(archives)))
+      time("recordsSplit warm")(noop(
+        WarcSource.recordsSplit(archives, target)))
+      val tasks = WarcSource.recordsSplit(archives, target)
+        .select(expr("spark_partition_id()").as("pid")).distinct().count()
+      println(s"[profile] recordsSplit parse tasks on ONE archive: $tasks" +
+        s" (slices: ${WarcSource.splitRanges(bytes, target).length})")
+      spark.stop()
+      return
+    }
+
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     time("warmup count")(docs.count())
 

@@ -106,6 +106,41 @@ object TrainingDataQueries {
   val PhonePat = TextAnalysis.PhonePat
   val IpPat = TextAnalysis.IpPat
 
+  /** warc_records_split fixture: nine records — one per gzip member —
+    * mixing record types, charsets (latin-1 / windows-1250 / unknown
+    * falling back to UTF-8 / explicit UTF-8), and a non-text mime. */
+  private def warcSplitFixture
+      : Seq[(String, String, String, Array[Byte])] = {
+    import graft.sources.WarcSource
+    import java.nio.charset.Charset
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    Seq(
+      ("warcinfo", "", "2024-03-01T00:00:00Z",
+        "software: graft\r\n".getBytes("ISO-8859-1")),
+      ("response", "https://example.org/en", "2024-03-01T00:00:01Z",
+        WarcSource.httpTextPayload("plain utf8 body en")),
+      ("request", "https://example.org/en", "2024-03-01T00:00:01Z",
+        "GET /en HTTP/1.1\r\n\r\n".getBytes("ISO-8859-1")),
+      ("response", "https://example.org/fr", "2024-03-01T00:00:02Z",
+        WarcSource.httpPayload("café au lait à la carte",
+          "text/html; charset=ISO-8859-1", ISO_8859_1)),
+      ("response", "https://example.org/cz", "2024-03-01T00:00:03Z",
+        WarcSource.httpPayload(
+          "žluťoučký kůň",
+          "text/plain; charset=windows-1250",
+          Charset.forName("windows-1250"))),
+      ("response", "https://example.org/xx", "2024-03-01T00:00:04Z",
+        WarcSource.httpPayload("fallback utf8 é",
+          "text/plain; charset=no-such-cs", UTF_8)),
+      ("response", "https://example.org/js", "2024-03-01T00:00:05Z",
+        WarcSource.httpPayload("{\"k\": 1}", "application/json", UTF_8)),
+      ("response", "https://example.org/cu", "2024-03-01T00:00:06Z",
+        WarcSource.httpPayload("explicit utf8 č",
+          "text/plain; charset=UTF-8", UTF_8)),
+      ("metadata", "https://example.org/en", "2024-03-01T00:00:07Z",
+        "via: graft\r\n".getBytes("ISO-8859-1")))
+  }
+
   val all: Seq[Q] = Seq(
     Q("text_stats", (s, dir) => {
       val c = col("text")
@@ -732,6 +767,42 @@ object TrainingDataQueries {
         |  (CAST(1 AS BIGINT), 2, 'request', 'https://example.org/doc1', '2024-01-02T00:00:01Z', CAST(22 AS BIGINT), -1, '', ''),
         |  (CAST(2 AS BIGINT), 0, 'warcinfo', '', '2024-01-03T00:00:00Z', CAST(17 AS BIGINT), -1, '', ''),
         |  (CAST(2 AS BIGINT), 1, 'response', 'https://example.org/doc2', '2024-01-03T00:00:01Z', CAST(76 AS BIGINT), 200, 'text/plain', 'warc body 2')
+        |) AS t(archive_id, record_no, warc_type, target_uri, warc_date,
+        |       content_length, http_status, mime, body_text)
+        |ORDER BY archive_id, record_no""".stripMargin)),
+
+    // sub-file WARC splitting (the r7 headliner): ONE gzip-member
+    // archive fans out across tasks in slices aligned to VALIDATED
+    // member boundaries (0x1f8b scan + inflate probe), record_no
+    // reconstructed exactly via per-slice counts + a broadcast prefix
+    // sum — so the result is byte-identical to the per-file path at any
+    // split size (WarcSourceSpec proves invariance for arbitrary N).
+    // The fixture also pins CHARSET-AWARE body decode: latin-1,
+    // windows-1250, an unknown charset falling back to UTF-8, and a
+    // non-text mime left undecoded. Archive 1 is PLAIN (unsplittable)
+    // and degrades to one slice inside the same query.
+    Q("warc_records_split", (s, _) => {
+      import graft.sources.WarcSource
+      import s.implicits._
+      val archives = s.createDataset(Seq(
+        0L -> WarcSource.gzipMembers(warcSplitFixture),
+        1L -> WarcSource.encodeWarc(warcSplitFixture.take(3))))
+      WarcSource.recordsSplit(archives, targetSplitBytes = 300L)
+        .orderBy(col("archive_id"), col("record_no"))
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 0, 'warcinfo', '', '2024-03-01T00:00:00Z', CAST(17 AS BIGINT), -1, '', ''),
+        |  (CAST(0 AS BIGINT), 1, 'response', 'https://example.org/en', '2024-03-01T00:00:01Z', CAST(83 AS BIGINT), 200, 'text/plain', 'plain utf8 body en'),
+        |  (CAST(0 AS BIGINT), 2, 'request', 'https://example.org/en', '2024-03-01T00:00:01Z', CAST(20 AS BIGINT), -1, '', ''),
+        |  (CAST(0 AS BIGINT), 3, 'response', 'https://example.org/fr', '2024-03-01T00:00:02Z', CAST(107 AS BIGINT), 200, 'text/html; charset=ISO-8859-1', 'café au lait à la carte'),
+        |  (CAST(0 AS BIGINT), 4, 'response', 'https://example.org/cz', '2024-03-01T00:00:03Z', CAST(100 AS BIGINT), 200, 'text/plain; charset=windows-1250', 'žluťoučký kůň'),
+        |  (CAST(0 AS BIGINT), 5, 'response', 'https://example.org/xx', '2024-03-01T00:00:04Z', CAST(101 AS BIGINT), 200, 'text/plain; charset=no-such-cs', 'fallback utf8 é'),
+        |  (CAST(0 AS BIGINT), 6, 'response', 'https://example.org/js', '2024-03-01T00:00:05Z', CAST(78 AS BIGINT), 200, 'application/json', ''),
+        |  (CAST(0 AS BIGINT), 7, 'response', 'https://example.org/cu', '2024-03-01T00:00:06Z', CAST(96 AS BIGINT), 200, 'text/plain; charset=UTF-8', 'explicit utf8 č'),
+        |  (CAST(0 AS BIGINT), 8, 'metadata', 'https://example.org/en', '2024-03-01T00:00:07Z', CAST(12 AS BIGINT), -1, '', ''),
+        |  (CAST(1 AS BIGINT), 0, 'warcinfo', '', '2024-03-01T00:00:00Z', CAST(17 AS BIGINT), -1, '', ''),
+        |  (CAST(1 AS BIGINT), 1, 'response', 'https://example.org/en', '2024-03-01T00:00:01Z', CAST(83 AS BIGINT), 200, 'text/plain', 'plain utf8 body en'),
+        |  (CAST(1 AS BIGINT), 2, 'request', 'https://example.org/en', '2024-03-01T00:00:01Z', CAST(20 AS BIGINT), -1, '', '')
         |) AS t(archive_id, record_no, warc_type, target_uri, warc_date,
         |       content_length, http_status, mime, body_text)
         |ORDER BY archive_id, record_no""".stripMargin)),
