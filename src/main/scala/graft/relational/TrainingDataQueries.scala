@@ -807,6 +807,71 @@ object TrainingDataQueries {
         |       content_length, http_status, mime, body_text)
         |ORDER BY archive_id, record_no""".stripMargin)),
 
+    // WARC -> curated corpus END-TO-END: the first query a real
+    // pipeline user runs. The fixture wraps doc_id < 200 (plus exact
+    // dups of docs 0-4 at +100000) as HTTP responses inside four
+    // gzip-member archives — built DISTRIBUTED (group per archive,
+    // encode executor-side, no driver collect) — then the SPLIT reader
+    // fans records back out, response bodies pass the CorpusBuildJob
+    // quality/language/token gates, and exact-dedup admission keeps the
+    // lowest doc_id per fingerprint. The oracle never sees WARC bytes:
+    // it applies the same gates to the documents table directly, so a
+    // hash match ALSO proves the HTTP+gzip round-trip is byte-perfect.
+    Q("warc_corpus", (s, dir) => {
+      import graft.sources.WarcSource
+      import s.implicits._
+      val c = col("text")
+      val wdocs = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), c)
+      val withDups = wdocs.unionAll(wdocs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000L).as("doc_id"), c))
+      val archives = withDups
+        .groupBy((col("doc_id") % 4).as("archive_id"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), c))).as("ds"))
+        .as[(Long, Seq[(Long, String)])]
+        .map { case (aid, ds) =>
+          (aid, WarcSource.gzipMembers(ds.map { case (id, t) =>
+            ("response", s"https://corpus.example/doc/$id",
+              "2024-04-01T00:00:00Z", WarcSource.httpTextPayload(t))
+          }))
+        }
+      val gated = WarcSource.recordsSplit(archives, targetSplitBytes = 8192L)
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200)
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("body_text").as("text"))
+        .filter(TextAnalysis.qualityScore(c) >= 0.5 &&
+          TextAnalysis.langId(c) === "en" &&
+          TextAnalysis.tokenCount(c).between(50, 400))
+      val winners = gated
+        .groupBy(TextAnalysis.fingerprint(c).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      gated.join(winners, Seq("doc_id"))
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(c).as("q"),
+          TextAnalysis.tokenCount(c).as("n_tokens"), c)
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH wdocs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+         |  WHERE doc_id < 5),
+         |gated AS (
+         |  SELECT doc_id, text FROM wdocs
+         |  WHERE ${TextAnalysis.qualityScoreSql("text")} >= 0.5
+         |    AND ${TextAnalysis.langIdSql("text")} = 'en'
+         |    AND ${TextAnalysis.tokenCountSql("text")} BETWEEN 50 AND 400),
+         |winners AS (
+         |  SELECT min(doc_id) AS doc_id FROM gated
+         |  GROUP BY ${TextAnalysis.fingerprintSql("text")})
+         |SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS q,
+         |  ${TextAnalysis.tokenCountSql("text")} AS n_tokens, text
+         |FROM gated WHERE doc_id IN (SELECT doc_id FROM winners)
+         |ORDER BY doc_id""".stripMargin)),
+
     // IMA/DVI ADPCM — a real 4:1 compressed-audio codec with NO JDK
     // implementation: encoder + decoder written from the published IMA
     // algorithm (graft.multimodal.ImaAdpcm), container = WAVE tag

@@ -38,7 +38,16 @@ object CorpusBuildJob {
       rejectedContaminated: Long,
       accepted: Long,
       rejectedNearDup: Long,
-      skippedRedelivered: Long)
+      skippedRedelivered: Long) {
+    def +(o: BuildSummary): BuildSummary = BuildSummary(
+      batches + o.batches, arrived + o.arrived,
+      filteredOut + o.filteredOut,
+      rejectedContaminated + o.rejectedContaminated,
+      accepted + o.accepted, rejectedNearDup + o.rejectedNearDup,
+      skippedRedelivered + o.skippedRedelivered)
+  }
+
+  private val EmptySummary = BuildSummary(0, 0L, 0L, 0L, 0L, 0L, 0L)
 
   /** Scrub + gate one raw (doc_id, text, ...) batch. Gates evaluate on
     * the RAW text (redaction placeholders would perturb the quality
@@ -72,41 +81,100 @@ object CorpusBuildJob {
       checkpointDir: String,
       evalDocs: Option[DataFrame] = None): BuildSummary = {
     val schema = "doc_id BIGINT, text STRING"
-    val evalHashes = evalDocs.map(e =>
-      graft.dedup.Dedup.evalShingleHashes(e, "doc_id", "text")
-        .localCheckpoint())
-    var summary = BuildSummary(0, 0L, 0L, 0L, 0L, 0L, 0L)
+    val evalHashes = evalShingles(evalDocs)
+    var summary = EmptySummary
     val q = spark.readStream.schema(schema).parquet(docsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pinned = batch.localCheckpoint()
-        val arrived = pinned.count()
-        val clean0 = cleanAndFilter(pinned).localCheckpoint()
-        val (clean, contaminated) = evalHashes match {
-          case None => (clean0, 0L)
-          case Some(eh) =>
-            val bad = graft.dedup.Dedup.contaminationAgainstHashes(
-                clean0, eh, "doc_id", "text", MinSharedShingles)
-              .select(col("doc_id"))
-            val kept = clean0.join(broadcast(bad), Seq("doc_id"),
-              "left_anti")
-            (kept, bad.count())
-        }
-        val r = IncrementalDedup.processBatch(clean, storeDir)
-        val kept = r.accepted + r.rejectedNearDup + r.skippedRedelivered
-        summary = BuildSummary(
-          summary.batches + 1,
-          summary.arrived + arrived,
-          summary.filteredOut + (arrived - kept - contaminated),
-          summary.rejectedContaminated + contaminated,
-          summary.accepted + r.accepted,
-          summary.rejectedNearDup + r.rejectedNearDup,
-          summary.skippedRedelivered + r.skippedRedelivered)
+        summary = summary +
+          drainBatch(batch.localCheckpoint(), storeDir, evalHashes)
       }
       .start()
     q.awaitTermination()
     summary
+  }
+
+  /** One AvailableNow drain of a directory of WARC ARCHIVES into the
+    * corpus store — the streaming twin of the batch `warc_corpus`
+    * composition. Each micro-batch fans records out of newly-landed
+    * archives via the SPLIT reader
+    * ([[graft.sources.WarcSource.recordsSplit]], so one multi-GB
+    * archive still spreads across tasks), keeps 200-status response
+    * bodies, derives doc ids from `docIdPattern`'s capture group on
+    * the target URI (rows without a match are dropped), then applies
+    * the SAME scrub/gate/dedup drain as [[runOnce]] — WARC in,
+    * curated corpus out, checkpoint-idempotent. */
+  def runOnceFromWarc(
+      spark: SparkSession,
+      warcDir: String,
+      storeDir: String,
+      checkpointDir: String,
+      docIdPattern: String = "/doc/(\\d+)$",
+      splitBytes: Long = graft.sources.WarcSource.DefaultSplitBytes,
+      evalDocs: Option[DataFrame] = None): BuildSummary = {
+    import graft.sources.WarcSource
+    val evalHashes = evalShingles(evalDocs)
+    var summary = EmptySummary
+    // binaryFile's own (fixed) schema — streaming file sources demand
+    // it spelled out
+    val q = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+        "length BIGINT, content BINARY")
+      .load(warcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val archives = batch
+          .select(xxhash64(col("path")), col("content"))
+          .as[(Long, Array[Byte])]
+        val docsDf = WarcSource.recordsSplit(archives, splitBytes)
+          .filter(col("warc_type") === "response" &&
+            col("http_status") === 200)
+          .select(
+            regexp_extract(col("target_uri"), docIdPattern, 1)
+              .cast("long").as("doc_id"),
+            col("body_text").as("text"))
+          .filter(col("doc_id").isNotNull)
+          .localCheckpoint() // pins the fan-out; the slice cache behind
+        // recordsSplit is LRU-evictable between micro-batches
+        summary = summary + drainBatch(docsDf, storeDir, evalHashes)
+      }
+      .start()
+    q.awaitTermination()
+    summary
+  }
+
+  private def evalShingles(evalDocs: Option[DataFrame]): Option[DataFrame] =
+    evalDocs.map(e =>
+      graft.dedup.Dedup.evalShingleHashes(e, "doc_id", "text")
+        .localCheckpoint())
+
+  /** Gate + (optional) decontaminate + dedup one PINNED (doc_id, text)
+    * batch into the store — the shared drain body of [[runOnce]] and
+    * [[runOnceFromWarc]]. */
+  private def drainBatch(
+      pinned: DataFrame,
+      storeDir: String,
+      evalHashes: Option[DataFrame]): BuildSummary = {
+    val arrived = pinned.count()
+    val clean0 = cleanAndFilter(pinned).localCheckpoint()
+    val (clean, contaminated) = evalHashes match {
+      case None => (clean0, 0L)
+      case Some(eh) =>
+        val bad = graft.dedup.Dedup.contaminationAgainstHashes(
+            clean0, eh, "doc_id", "text", MinSharedShingles)
+          .select(col("doc_id"))
+        val kept = clean0.join(broadcast(bad), Seq("doc_id"), "left_anti")
+        (kept, bad.count())
+    }
+    val r = IncrementalDedup.processBatch(clean, storeDir)
+    val kept = r.accepted + r.rejectedNearDup + r.skippedRedelivered
+    BuildSummary(1, arrived, arrived - kept - contaminated, contaminated,
+      r.accepted, r.rejectedNearDup, r.skippedRedelivered)
   }
 }

@@ -98,4 +98,59 @@ class CorpusBuildJobSpec extends AnyFunSuite {
       evalDocs = Some(evalDocs))
     assert(r2.arrived == 0 && r2.rejectedContaminated == 0)
   }
+
+  test("WARC archives drain into the curated corpus (streaming twin)") {
+    import graft.sources.WarcSource
+    val base = Files.createTempDirectory("corpusjob3").toString
+    val warcDir = s"$base/warc"
+    new java.io.File(warcDir).mkdirs()
+    val store = s"$base/corpus"
+    val ckpt = s"$base/ckpt"
+
+    val a = tokens("alpha").mkString(" ")
+    val nearDup = tokens("alpha").updated(30, "changed").mkString(" ")
+    val junk = "tiny text"
+    val d = tokens("delta").mkString(" ")
+    def resp(id: Long, text: String) =
+      ("response", s"https://corpus.example/doc/$id",
+        "2024-04-01T00:00:00Z", WarcSource.httpTextPayload(text))
+    def writeArchive(name: String,
+        recs: Seq[(String, String, String, Array[Byte])]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$warcDir/$name"),
+        WarcSource.gzipMembers(recs))
+
+    // archive 1 carries a warcinfo record the drain must ignore;
+    // splitBytes=256 exercises the SPLIT reader inside the stream
+    writeArchive("a1.warc.gz", Seq(
+      ("warcinfo", "", "2024-04-01T00:00:00Z",
+        "software: graft\r\n".getBytes("ISO-8859-1")),
+      resp(1, a), resp(3, junk)))
+    writeArchive("a2.warc.gz", Seq(resp(2, nearDup), resp(6, d)))
+
+    val r1 = CorpusBuildJob.runOnceFromWarc(spark, warcDir, store, ckpt,
+      splitBytes = 256L)
+    assert(r1.arrived == 4 && r1.filteredOut == 1,
+      s"junk body must fail the gates: $r1")
+    assert(r1.accepted == 2 && r1.rejectedNearDup == 1,
+      s"in-batch near-dup of doc 1 must be rejected: $r1")
+    assert(spark.read.parquet(s"$store/docs")
+      .as[(Long, String)].collect().toMap.keySet == Set(1L, 6L))
+
+    // replay: the checkpoint drains nothing
+    val r2 = CorpusBuildJob.runOnceFromWarc(spark, warcDir, store, ckpt,
+      splitBytes = 256L)
+    assert(r2.arrived == 0 && r2.accepted == 0, s"replay must no-op: $r2")
+
+    // a LATE archive: near-dup of the accepted corpus rejected via the
+    // band-index probe, a fresh doc accepted
+    writeArchive("a3.warc.gz", Seq(
+      resp(7, tokens("alpha").updated(40, "other").mkString(" ")),
+      resp(8, tokens("zeta").mkString(" "))))
+    val r3 = CorpusBuildJob.runOnceFromWarc(spark, warcDir, store, ckpt,
+      splitBytes = 256L)
+    assert(r3.arrived == 2 && r3.accepted == 1 && r3.rejectedNearDup == 1,
+      s"store probe must reject the near-dup: $r3")
+    assert(spark.read.parquet(s"$store/docs")
+      .as[(Long, String)].collect().toMap.keySet == Set(1L, 6L, 8L))
+  }
 }
