@@ -1,0 +1,135 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TRAINING for byte-pair-encoding merges — the published tokenizer-
+  * training algorithm (Sennrich et al. 2016, arXiv:1508.07909): start
+  * from characters, repeatedly count adjacent symbol pairs across the
+  * word-frequency table and merge the most frequent pair, with the
+  * deterministic tie-break count DESC, pair ASC. The third hash-checked
+  * iterative loop in the engine after k-means and the perceptron
+  * ([[QualityTrain]]): integer counts throughout, a fixed number of
+  * rounds, every round bit-reproducible against an unrolled-CTE DuckDB
+  * oracle (`corpus_bpe`).
+  *
+  * Representation: a word is its symbols joined by DOUBLE spaces and
+  * wrapped in double spaces (`"  l  o  w  </w>  "`). Merging pair
+  * (a, b) is then one `replace(w, " a  b ", " ab ")`: the pattern
+  * keeps half of each boundary separator, so consecutive occurrences
+  * re-form valid boundaries and ONE standard leftmost non-overlapping
+  * replace-all pass implements exactly the greedy left-to-right BPE
+  * merge — in Spark and DuckDB alike, with no regex and no lookaround
+  * (`[a,a,a]` -> `[aa,a]`, `[a,b,a,b]` -> `[ab,ab]`). Symbols are
+  * space-free by construction, which also makes the space-joined pair
+  * string's ordering coincide with (s1, s2) tuple ordering (space
+  * sorts below every symbol character).
+  *
+  * Scale shape: one corpus-wide word count up front, then every round
+  * runs on the VOCAB-sized word-frequency table (the published trainer
+  * operates on the frequency dict, never the corpus): one pair explode
+  * + integer aggregate, a 1-row best-pair limit, and a broadcast 1-row
+  * cross join to apply the merge; words and the best row are
+  * localCheckpointed per round so lineage never replays earlier
+  * rounds. Driver state: zero collects.
+  */
+object BpeTrain {
+
+  /** End-of-word marker (the paper's `</w>`); space-free like every
+    * symbol, so it can never collide with a separator. */
+  val EndOfWord = "</w>"
+
+  /** Character symbols + [[EndOfWord]], double-space joined and
+    * wrapped — the initial working form of one word. */
+  def initWord(word: Column): Column =
+    concat(lit("  "),
+      array_join(concat(
+        regexp_extract_all(word, lit("."), lit(0)),
+        array(lit(EndOfWord))), "  "),
+      lit("  "))
+
+  /** Adjacent-pair fan-out of one working form: `"s1 s2"` strings
+    * (space-joined; ordering = tuple ordering since symbols are
+    * space-free). Fully-merged single-symbol words yield no pairs. */
+  private def pairs(w: Column): Column = {
+    val syms = split(trim(w), "  ")
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Learn `rounds` BPE merges from `words(word, cnt)`; returns the
+    * merge table (round, pair, merged, n) — the trained tokenizer
+    * artifact, rounds rows. Precondition: the corpus supports at least
+    * `rounds` merges (a round with no pairs left would go empty). */
+  def fit(words: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var w = words
+      .select(initWord(col("word")).as("w"), col("cnt"))
+      .localCheckpoint()
+    var merges: Seq[DataFrame] = Nil
+    for (r <- 1 to rounds) {
+      val best = w
+        .select(col("cnt"), explode(pairs(col("w"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1)
+        .localCheckpoint() // 1 row: the round-r merge decision
+      merges :+= best.select(lit(r).as("round"), col("pair"),
+        regexp_replace(col("pair"), " ", "").as("merged"), col("n"))
+      w = w.crossJoin(broadcast(best.select(col("pair").as("__p"))))
+        .select(expr(
+          """replace(w, ' ' || split(__p, ' ')[0] || '  ' ||
+            |            split(__p, ' ')[1] || ' ',
+            |        ' ' || replace(__p, ' ', '') || ' ')""".stripMargin)
+          .as("w"), col("cnt"))
+        .localCheckpoint() // vocab-sized snapshot per round
+    }
+    merges.reduce(_ unionAll _)
+  }
+
+  /** DuckDB twin: the same unrolled rounds over `rel(word, cnt)`.
+    * Emits CTEs `bw0..bw$rounds` (working forms) and `mb1..mb$rounds`
+    * (per-round best pair); consume the merges as
+    * `SELECT i AS round, pair, replace(pair, ' ', '') AS merged, n
+    * FROM mb$i`. */
+  def oracleCtes(rel: String, rounds: Int): String = {
+    val base =
+      s"""bw0 AS (
+         |  SELECT '  ' || array_to_string(
+         |      list_append(regexp_extract_all(word, '.'), '$EndOfWord'),
+         |      '  ') || '  ' AS w,
+         |    cnt
+         |  FROM $rel)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val prev = s"bw${i - 1}"
+      s"""pc$i AS (
+         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT cnt,
+         |      unnest([s[j] || ' ' || s[j + 1] for j in range(1, len(s))])
+         |        AS pair
+         |    FROM (SELECT cnt, string_split(trim(w), '  ') AS s
+         |      FROM $prev) __sy) __pr
+         |  GROUP BY pair),
+         |mb$i AS (
+         |  SELECT pair, n FROM pc$i ORDER BY n DESC, pair LIMIT 1),
+         |bw$i AS (
+         |  SELECT replace(w,
+         |      ' ' || string_split(pair, ' ')[1] || '  ' ||
+         |            string_split(pair, ' ')[2] || ' ',
+         |      ' ' || replace(pair, ' ', '') || ' ') AS w,
+         |    cnt
+         |  FROM $prev, mb$i)""".stripMargin
+    }
+    s"""$base,
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  /** Merge-table SELECT over [[oracleCtes]]'s mb CTEs. */
+  def oracleSelect(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""SELECT $i AS round, pair, replace(pair, ' ', '') AS merged, n
+         |FROM mb$i""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY round"
+}

@@ -95,6 +95,10 @@ object TrainingDataQueries {
   /** Token budget per training pack (corpus_pack). */
   val PackBudget = 512L
 
+  /** BPE merge rounds learned by corpus_bpe (declared before `all`,
+    * same init-order rule). */
+  val BpeRounds = 8
+
   /** PII probe appended to every document so the scrub patterns actually
     * fire on the synthetic corpus; ASCII-only and quote-free so it
     * embeds verbatim in the oracle SQL literal. */
@@ -871,6 +875,32 @@ object TrainingDataQueries {
          |  ${TextAnalysis.tokenCountSql("text")} AS n_tokens, text
          |FROM gated WHERE doc_id IN (SELECT doc_id FROM winners)
          |ORDER BY doc_id""".stripMargin)),
+
+    // BPE merge LEARNING (Sennrich et al. 2016) — the third
+    // hash-checked training loop after k-means and the perceptron:
+    // 8 rounds of pair-count + best-merge (tie-break count DESC, pair
+    // ASC) over the word-frequency table of docs 0-39, each round
+    // pinned against the unrolled-CTE oracle. The loop runs on the
+    // VOCAB, never the corpus (one corpus word-count up front), so it
+    // scales like the published trainer. BpeTrainSpec additionally
+    // matches fit against an independent in-memory reference BPE.
+    Q("corpus_bpe", (s, dir) => {
+      import graft.analysis.BpeTrain
+      val words = docs(s, dir).filter(col("doc_id") < 40)
+        .select(explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      BpeTrain.fit(words, BpeRounds).orderBy(col("round"))
+    }, Some(
+      s"""WITH bpewords AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+         |      AS word
+         |    FROM documents WHERE doc_id < 40) __bw
+         |  GROUP BY word),
+         |${graft.analysis.BpeTrain.oracleCtes("bpewords", BpeRounds)}
+         |${graft.analysis.BpeTrain.oracleSelect(BpeRounds)}""".stripMargin)),
 
     // IMA/DVI ADPCM — a real 4:1 compressed-audio codec with NO JDK
     // implementation: encoder + decoder written from the published IMA

@@ -1,0 +1,80 @@
+package graft
+
+import graft.analysis.BpeTrain
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE merge learning vs an INDEPENDENT in-memory reference
+  * implementation (direct maps over symbol vectors — no shared code
+  * with the Spark path), plus the Sennrich et al. paper corpus whose
+  * first merges are known. The hash gate against DuckDB is
+  * `corpus_bpe`. */
+class BpeTrainSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** Reference BPE trainer: greedy left-to-right merge application,
+    * tie-break count DESC then (s1, s2) ASC. */
+  private def refBpe(
+      words: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
+    var forms: Map[Vector[String], Long] = words.map { case (w, c) =>
+      (w.map(_.toString).toVector :+ BpeTrain.EndOfWord) -> c
+    }
+    (1 to rounds).map { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      forms.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      val ((a, b), n) = counts.toSeq.minBy { case ((x, y), m) => (-m, x, y) }
+      forms = forms.groupMapReduce { case (syms, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }(_._2)(_ + _)
+      (a, b, n)
+    }
+  }
+
+  private def fitPairs(words: Map[String, Long], rounds: Int) =
+    BpeTrain.fit(
+        words.toSeq.toDF("word", "cnt"), rounds)
+      .orderBy("round")
+      .collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged"),
+        r.getAs[Long]("n")))
+      .toSeq
+
+  test("paper corpus: known first merges (es, est, est</w>)") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val got = fitPairs(words, 3)
+    assert(got == Seq(
+      ("e s", "es", 9L), ("es t", "est", 9L),
+      (s"est ${BpeTrain.EndOfWord}", s"est${BpeTrain.EndOfWord}", 9L)))
+  }
+
+  test("matches the independent reference on varied corpora") {
+    val corpora = Seq(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L),
+      // consecutive-run regime: greedy leftmost merge order matters
+      Map("aaaa" -> 3L, "aaab" -> 2L, "abab" -> 4L, "banana" -> 7L),
+      Map("a" -> 10L, "ab" -> 5L, "abc" -> 2L, "cabbage" -> 1L))
+    corpora.foreach { words =>
+      val exp = refBpe(words, 6).map { case (a, b, n) => (s"$a $b", a + b, n) }
+      assert(fitPairs(words, 6) == exp, s"corpus: $words")
+    }
+  }
+}
