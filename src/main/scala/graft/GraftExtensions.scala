@@ -73,10 +73,13 @@ object GraftExtensions {
       (s: String) => graft.text.NameCorrection.correctDefault(s))
     spark.udf.register("graft_normalize_czech",
       (s: String) => graft.text.CzechText.normalize(s))
-    spark.udf.register("graft_parse_price",
-      (s: String) => graft.price.PriceParsers.parsePrice(s))
-    spark.udf.register("graft_process_price",
-      (shop: String, text: String, classId: String) =>
-        graft.price.PriceParsers.processPriceByClassId(shop, text, classId))
+    // native expressions since r8 (SURVEY §2.7 promotion)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_parse_price",
+      exprs => graft.functions.ParsePrice(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_process_price",
+      exprs => graft.functions.ProcessPrice(exprs(0), exprs(1), exprs(2)),
+      "scala_udf")
   }
 }

@@ -29,9 +29,12 @@ object PlanLint {
     // one row per DAY reaches the window (documented at the call site)
     "q_cumulative_users")
 
-  /** Queries allowed to carry the SURVEY-prescribed domain UDFs. */
+  /** Queries allowed to carry the ONE sanctioned domain UDF
+    * (correctName — trie+DP state is genuinely UDF-shaped; SURVEY
+    * §2.6). The price family left this list in r8: ParsePrice /
+    * ProcessPrice are native expressions now. */
   val allowedUdf: Set[String] = Set(
-    "name_correct", "price_parse", "detected_items", "item_alerts")
+    "name_correct", "detected_items", "item_alerts")
 
   /** Queries deliberately NOT captured in PLANS.md. Since r7 the
     * capture section is generated over the WHOLE surface

@@ -1,30 +1,31 @@
 package graft.price
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.UserDefinedFunction
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.functions.{ParsePrice, ProcessPrice}
 
 /** Column-level surface for price parsing.
   *
-  * A deterministic ScalaUDF returning the unified [[PriceResult]] struct.
-  * The parsers are pure string->struct functions, so Catalyst can constant-
-  * fold literal inputs and the UDF stays a narrow row-local map — no
-  * shuffle, no state, safe at any scale.
+  * Since r8 these are native Catalyst expressions
+  * ([[graft.functions.ParsePrice]] / [[graft.functions.ProcessPrice]] —
+  * the SURVEY §2.7 promotion): pure row-local string->value functions
+  * that codegen as static calls inside the enclosing whole-stage span
+  * instead of riding interpreted ScalaUDF closures. No shuffle, no
+  * state, safe at any scale; result shapes (nullable double / nullable
+  * [[PriceResult]] struct) are unchanged from the UDF era.
   */
 object PriceFunctions {
 
-  /** parse_price core as a UDF (reference: price_processing.py:5-20). */
-  val parsePriceUdf: UserDefinedFunction =
-    udf((s: String) => PriceParsers.parsePrice(s))
-
-  def parsePrice(c: Column): Column = parsePriceUdf(c)
+  /** parse_price core (reference: price_processing.py:5-20). */
+  def parsePrice(c: Column): Column =
+    ColumnBridge.column(ParsePrice(ColumnBridge.eagerExpression(c)))
 
   /** Full shop dispatcher (reference: price_processing.py:338-389).
     * Returns NULL for unknown shops / class ids / unparseable text. */
-  val processPriceUdf: UserDefinedFunction =
-    udf((shop: String, text: String, classId: String) =>
-      PriceParsers.processPriceByClassId(shop, text, classId))
-
   def processPrice(shop: Column, text: Column, classId: Column): Column =
-    processPriceUdf(shop, text, classId)
+    ColumnBridge.column(ProcessPrice(
+      ColumnBridge.eagerExpression(shop),
+      ColumnBridge.eagerExpression(text),
+      ColumnBridge.eagerExpression(classId)))
 }
