@@ -96,7 +96,9 @@ object QualityTrain {
         when(col("margin") > 0, 1L).otherwise(-1L).as("pred"))
 
   /** DuckDB twin: the same unrolled rounds over `rel(doc_id, text)`.
-    * Ends in `qtw$iters(b, w)` (zero weights filtered like [[fit]]). */
+    * Ends in `qtw$iters(b, w)` — NOTE: zero weights are NOT filtered
+    * there (unlike [[fit]]'s return); a consumer matching fit's output
+    * must add `WHERE w <> 0` itself, as quality_train's oracle does. */
   def oracleCtes(rel: String, iters: Int): String = {
     val base =
       s"""qty AS (

@@ -130,9 +130,13 @@ object ImaAdpcm {
   }
 
   /** Decode block-aligned IMA ADPCM payload back to `nSamples` 16-bit
-    * mono PCM samples. */
+    * mono PCM samples; None when a block header is malformed (step
+    * index past the table end), so [[decodeWav]]'s "None unless
+    * well-formed" contract holds instead of silently emitting
+    * zero-padded wrong samples. */
   private def decodeBlocks(
-      data: Array[Byte], blockAlign: Int, nSamples: Int): Array[Short] = {
+      data: Array[Byte], blockAlign: Int,
+      nSamples: Int): Option[Array[Short]] = {
     val spb = samplesPerBlock(blockAlign)
     val out = new Array[Short](nSamples)
     var s = 0
@@ -142,7 +146,7 @@ object ImaAdpcm {
         .order(ByteOrder.LITTLE_ENDIAN)
       val st = new State(bb.getShort.toInt, bb.get & 0xff)
       bb.get // reserved
-      if (st.index > 88) return out // malformed caller guards earlier
+      if (st.index > 88) return None // malformed block header
       out(s) = st.predictor.toShort
       var i = 1
       while (i < spb && s + i < nSamples) {
@@ -154,7 +158,7 @@ object ImaAdpcm {
       s += spb
       b += blockAlign
     }
-    out
+    Some(out)
   }
 
   /** Encode 16-bit mono PCM as a canonical IMA-ADPCM WAV (format tag
@@ -226,9 +230,9 @@ object ImaAdpcm {
       (off, len) <- data
       if fact >= 0 && len % blockAlign == 0 &&
         fact <= (len / blockAlign).toLong * spb
-    } yield {
-      val payload = java.util.Arrays.copyOfRange(bytes, off, off + len)
-      (rate, decodeBlocks(payload, blockAlign, fact))
-    }
+      pcm <- decodeBlocks(
+        java.util.Arrays.copyOfRange(bytes, off, off + len),
+        blockAlign, fact)
+    } yield (rate, pcm)
   }
 }

@@ -378,6 +378,18 @@ class MultimodalSpec extends AnyFunSuite {
     wrap.write(java.nio.ByteBuffer.allocate(4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(0x7FFFFFF0).array())
     assert(ImaAdpcm.decodeWav(wrap.toByteArray).isEmpty)
+    // block header carrying step index > 88: malformed, must be None
+    // (not zero-padded wrong samples) — poison block 0's index byte,
+    // which sits at data-chunk offset + 2
+    val wav = ImaAdpcm.encodeWav(
+      Array.tabulate(600)(i => (i * 37 % 4001 - 2000).toShort), 8000)
+    assert(ImaAdpcm.decodeWav(wav).isDefined)
+    val dataAt = (0 until wav.length - 4).find(i =>
+      wav(i) == 'd' && wav(i + 1) == 'a' && wav(i + 2) == 't' &&
+        wav(i + 3) == 'a').get
+    wav(dataAt + 8 + 2) = 99.toByte
+    assert(ImaAdpcm.decodeWav(wav).isEmpty,
+      "step index 99 must fail the None contract")
   }
 
   test("u-law round trip stays within the ITU-T companding bound") {
