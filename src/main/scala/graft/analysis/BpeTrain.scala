@@ -63,7 +63,23 @@ object BpeTrain {
     * merge table (round, pair, merged, n) — the trained tokenizer
     * artifact, rounds rows. Precondition: the corpus supports at least
     * `rounds` merges (a round with no pairs left would go empty). */
-  def fit(words: DataFrame, rounds: Int): DataFrame = {
+  def fit(words: DataFrame, rounds: Int): DataFrame =
+    train(words, rounds)._2.reduce(_ unionAll _)
+
+  /** Inference path of the trained tokenizer: apply the `rounds`
+    * learned merges to the same vocab and emit the token frequency
+    * table (token, n) — what the segmented corpus tokenizes to
+    * (`corpus_bpe_encode`). Same vocab-sized loop as [[fit]]; the
+    * encode step itself is one symbol explode + integer aggregate. */
+  def encodeTokens(words: DataFrame, rounds: Int): DataFrame =
+    train(words, rounds)._1
+      .select(col("cnt"), explode(split(trim(col("w")), "  ")).as("token"))
+      .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
+
+  /** The merge loop shared by [[fit]] / [[encodeTokens]]: final
+    * working forms + the per-round best-pair rows. */
+  private def train(
+      words: DataFrame, rounds: Int): (DataFrame, Seq[DataFrame]) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var w = words
       .select(initWord(col("word")).as("w"), col("cnt"))
@@ -86,7 +102,7 @@ object BpeTrain {
           .as("w"), col("cnt"))
         .localCheckpoint() // vocab-sized snapshot per round
     }
-    merges.reduce(_ unionAll _)
+    (w, merges)
   }
 
   /** DuckDB twin: the same unrolled rounds over `rel(word, cnt)`.
@@ -132,4 +148,13 @@ object BpeTrain {
       s"""SELECT $i AS round, pair, replace(pair, ' ', '') AS merged, n
          |FROM mb$i""".stripMargin
     }.mkString("\nUNION ALL\n") + "\nORDER BY round"
+
+  /** Token-frequency SELECT over [[oracleCtes]]'s final bw CTE — the
+    * DuckDB twin of [[encodeTokens]]. */
+  def oracleEncodeSelect(rounds: Int): String =
+    s"""SELECT token, CAST(sum(cnt) AS BIGINT) AS n
+       |FROM (SELECT cnt, unnest(string_split(trim(w), '  ')) AS token
+       |  FROM bw$rounds) __tok
+       |GROUP BY token
+       |ORDER BY token""".stripMargin
 }

@@ -297,6 +297,22 @@ object TrainingDataQueries {
          |${graft.operators.ConnectedComponents.oracleSql("lshpairs")}
          |SELECT node, component FROM components ORDER BY node""".stripMargin)),
 
+    // the SAME components via alternating large-star/small-star
+    // (Kiveris et al. 2014) — the deep-graph path whose round count is
+    // O(log^2 n) instead of O(diameter), hash-checked against the SAME
+    // recursive-CTE oracle as dedup_components (exact min-id semantics
+    // are algorithm-independent; ConnectedComponentsSpec additionally
+    // proves the log-rounds claim on a diameter-300 chain where
+    // min-label's budget refuses)
+    Q("dedup_components_logstar", (s, dir) => {
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
+      graft.operators.ConnectedComponents.runLogStar(pairs, "da", "db")
+        .orderBy(col("node"))
+    }, Some(
+      s"""WITH RECURSIVE ${Dedup.minhashLshCtes("documents", Dedup.JaccardThreshold)},
+         |${graft.operators.ConnectedComponents.oracleSql("lshpairs")}
+         |SELECT node, component FROM components ORDER BY node""".stripMargin)),
+
     // TRAINING the quality classifier (not just scoring with one): a
     // full-batch integer perceptron distills the rule gate's labels
     // into hashed-n-gram weights — learning rate 1 keeps every update
@@ -901,6 +917,29 @@ object TrainingDataQueries {
          |  GROUP BY word),
          |${graft.analysis.BpeTrain.oracleCtes("bpewords", BpeRounds)}
          |${graft.analysis.BpeTrain.oracleSelect(BpeRounds)}""".stripMargin)),
+
+    // Trained-tokenizer INFERENCE: apply corpus_bpe's 8 learned merges
+    // back to the vocab and hash-check the resulting token frequency
+    // table — train + encode composed in one query, like
+    // quality_train_score composes the perceptron. The oracle reuses
+    // the same unrolled CTE chain and reads its FINAL working forms.
+    Q("corpus_bpe_encode", (s, dir) => {
+      import graft.analysis.BpeTrain
+      val words = docs(s, dir).filter(col("doc_id") < 40)
+        .select(explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      BpeTrain.encodeTokens(words, BpeRounds).orderBy(col("token"))
+    }, Some(
+      s"""WITH bpewords AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+         |      AS word
+         |    FROM documents WHERE doc_id < 40) __bw
+         |  GROUP BY word),
+         |${graft.analysis.BpeTrain.oracleCtes("bpewords", BpeRounds)}
+         |${graft.analysis.BpeTrain.oracleEncodeSelect(BpeRounds)}""".stripMargin)),
 
     // IMA/DVI ADPCM — a real 4:1 compressed-audio codec with NO JDK
     // implementation: encoder + decoder written from the published IMA

@@ -77,4 +77,43 @@ class BpeTrainSpec extends AnyFunSuite {
       assert(fitPairs(words, 6) == exp, s"corpus: $words")
     }
   }
+
+  /** Reference ENCODE: apply [[refBpe]]'s merges greedily in round
+    * order, then count tokens over the final forms. */
+  private def refEncode(
+      words: Map[String, Long], rounds: Int): Map[String, Long] = {
+    val merges = refBpe(words, rounds)
+    var forms: Map[Vector[String], Long] = words.map { case (w, c) =>
+      (w.map(_.toString).toVector :+ BpeTrain.EndOfWord) -> c
+    }
+    merges.foreach { case (a, b, _) =>
+      forms = forms.groupMapReduce { case (syms, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }(_._2)(_ + _)
+    }
+    forms.toSeq
+      .flatMap { case (syms, c) => syms.map(_ -> c) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+  }
+
+  test("encodeTokens matches the reference token frequencies") {
+    val corpora = Seq(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L),
+      Map("aaaa" -> 3L, "aaab" -> 2L, "abab" -> 4L, "banana" -> 7L))
+    corpora.foreach { words =>
+      val got = BpeTrain
+        .encodeTokens(words.toSeq.toDF("word", "cnt"), 6)
+        .collect()
+        .map(r => r.getAs[String]("token") -> r.getAs[Long]("n"))
+        .toMap
+      assert(got == refEncode(words, 6), s"corpus: $words")
+    }
+  }
 }

@@ -14,8 +14,9 @@ class ConnectedComponentsSpec extends AnyFunSuite {
 
   import spark.implicits._
 
-  // every case runs BOTH paths: the bounded driver union-find (default
-  // cap) and the distributed label rounds (cap forced to 0) must agree
+  // every case runs ALL THREE paths: the bounded driver union-find
+  // (default cap), the distributed label rounds (cap forced to 0), and
+  // the large-star/small-star alternation — all must agree
   private def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val fast = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -23,6 +24,10 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .run(edges.toDF("a", "b"), "a", "b", driverEdgeCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fast == dist, s"driver union-find vs label rounds: $fast != $dist")
+    val star = ConnectedComponents
+      .runLogStar(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == star, s"driver union-find vs log-star: $fast != $star")
     fast
   }
 
@@ -41,5 +46,32 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("a cycle plus a pendant edge is one component") {
     val got = components(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 7L)))
     assert(got.values.toSet == Set(1L))
+  }
+
+  test("log-star converges on a deep chain where min-label's budget fails") {
+    // diameter 300: min-label needs ~300 rounds, so a 20-round budget
+    // must REFUSE (the documented no-silent-partial-results contract)...
+    val chain = (0L until 300L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(
+        chain.toDF("a", "b"), "a", "b", maxIter = 20, driverEdgeCap = 0L)
+    }
+    // ...while the same 20-round budget is ample for the log-rounds
+    // alternation (Kiveris et al.: O(log^2 n) regardless of diameter)
+    val star = ConnectedComponents
+      .runLogStar(chain.toDF("a", "b"), "a", "b", maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == 301 && star.values.forall(_ == 0L))
+  }
+
+  test("log-star handles scattered ids and unordered input") {
+    val got = ConnectedComponents
+      .runLogStar(Seq((900L, 5L), (5L, 70L), (70L, 900L), (3L, 901L),
+          (42L, 42L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the pure self-loop node 42 keeps a row (its own component),
+    // matching run() and the recursive-CTE oracle
+    assert(got == Map(5L -> 5L, 70L -> 5L, 900L -> 5L, 3L -> 3L,
+      901L -> 3L, 42L -> 42L))
   }
 }
