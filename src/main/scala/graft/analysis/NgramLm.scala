@@ -1,0 +1,113 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based bigram language model with add-one smoothing, trained on
+  * a corpus split and scoring every document by cross-entropy — the
+  * published LM-quality-filter recipe (CCNet, Wenzek et al. 2020, uses
+  * a KenLM n-gram model's perplexity exactly this way; GPT-3 and Gopher
+  * both describe LM-based quality scores). Training is two integer
+  * aggregations over the train split's bigrams; scoring is one
+  * vocab-sized join per n-gram order against the corpus bigrams.
+  *
+  * Hash-exactness discipline (the KMeans/perceptron pattern applied to
+  * a float formula): each bigram's log-probability is rounded ONCE onto
+  * a fixed 1e-6 grid and cast to int64 ("micro-nats"), so the per-doc
+  * aggregation is an INTEGER sum — exact and order-independent, immune
+  * to float-summation-order divergence between engines. The only float
+  * step shared with the oracle is one `ln` + `round` per distinct
+  * (bigram, context) pair, the same per-row rounding contract
+  * `tfidf_top_terms` already relies on.
+  *
+  * Model shape at scale: bigram/context/vocab tables are vocab-sized,
+  * not corpus-sized; the corpus relation they join carries (doc_id,
+  * pair) only. No driver state, no collect.
+  */
+object NgramLm {
+
+  /** Sentence-start marker: space-free, cannot collide with `[a-z]+`
+    * tokens. */
+  val Start = "<s>"
+
+  /** Adjacent-token pair strings ("w1 w2", [[Start]] prepended) of one
+    * document. Token-less documents yield no pairs (and so no score
+    * row) — matching the oracle's `range` semantics. */
+  def pairs(text: Column): Column = {
+    val a = concat(array(lit(Start)),
+      regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)))
+    when(size(a) >= 2,
+      transform(sequence(lit(1), size(a) - 1),
+        i => concat(element_at(a, i), lit(" "), element_at(a, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Train on `docs(doc_id, text)` rows with even doc_id, score ALL
+    * documents: (doc_id, n_bigrams, xent) where xent is the add-one
+    * smoothed bigram cross-entropy in nats, 4 decimals. */
+  def fitScore(docs: DataFrame): DataFrame = {
+    // the tokenized corpus materializes ONCE (narrow: two columns) —
+    // its four consumers (c2, c1, v, scoring) would otherwise each
+    // re-scan and re-tokenize the raw corpus
+    val big = docs
+      .select(col("doc_id"), explode(pairs(col("text"))).as("pair"))
+      .localCheckpoint()
+    val train = big.filter(col("doc_id") % 2 === 0)
+    val c2 = train.groupBy(col("pair")).agg(count(lit(1)).as("c2"))
+    val c1 = train
+      .groupBy(substring_index(col("pair"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    // vocab = distinct predicted tokens + 1 OOV bucket (every non-start
+    // token appears as some pair's second word, so distinct-w2 IS the
+    // non-start vocabulary)
+    val v = train
+      .agg((countDistinct(element_at(split(col("pair"), " "), 2)) + 1)
+        .as("v"))
+    val scored = big
+      .join(c2, Seq("pair"), "left")
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        // micro-nats: ONE float round per row, integer thereafter
+        round(log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)) + col("v"))) * 1e6)
+          .cast("long").as("lp"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("lp")) / (count(lit(1)) * 1e6), 4).as("xent"))
+  }
+
+  /** DuckDB twin over `rel(doc_id, text)`: CTEs ending in
+    * `lmscore(doc_id, n_bigrams, xent)`. */
+  def oracleCtes(rel: String): String =
+    s"""lmbig AS (
+       |  SELECT doc_id,
+       |    unnest([a[j] || ' ' || a[j + 1] for j in range(1, len(a))])
+       |      AS pair
+       |  FROM (SELECT doc_id,
+       |      list_prepend('$Start',
+       |        regexp_extract_all(lower(text), '[a-z]+')) AS a
+       |    FROM $rel) __lmt),
+       |lmtrain AS (SELECT pair FROM lmbig WHERE doc_id % 2 = 0),
+       |lmc2 AS (
+       |  SELECT pair, count(*) AS c2 FROM lmtrain GROUP BY pair),
+       |lmc1 AS (
+       |  SELECT split_part(pair, ' ', 1) AS w1, count(*) AS c1
+       |  FROM lmtrain GROUP BY 1),
+       |lmv AS (
+       |  SELECT count(DISTINCT split_part(pair, ' ', 2)) + 1 AS v
+       |  FROM lmtrain),
+       |lmlp AS (
+       |  SELECT b.doc_id,
+       |    CAST(round(ln((coalesce(c2.c2, 0) + 1.0) /
+       |        (coalesce(c1.c1, 0) + lmv.v)) * 1e6) AS BIGINT) AS lp
+       |  FROM lmbig b
+       |  LEFT JOIN lmc2 c2 USING (pair)
+       |  LEFT JOIN lmc1 c1 ON split_part(b.pair, ' ', 1) = c1.w1
+       |  CROSS JOIN lmv),
+       |lmscore AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    round(-sum(lp) / (count(*) * 1e6), 4) AS xent
+       |  FROM lmlp GROUP BY doc_id)""".stripMargin
+}

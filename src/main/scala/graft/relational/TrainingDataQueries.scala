@@ -99,6 +99,35 @@ object TrainingDataQueries {
     * same init-order rule). */
   val BpeRounds = 8
 
+  /** bm25_search query terms (varied document frequency in the
+    * synthetic corpus). */
+  val Bm25Terms: Seq[String] = Seq("spark", "vector", "hash")
+
+  /** Duplicated-substring window length in tokens (substring_dup_spans;
+    * Lee et al. use 50 BPE tokens — scaled to the fixture corpus). */
+  val SubstrL = 8
+
+  /** url_normalize fixture: messy-URL clusters exercising every rule
+    * (case, default ports, fragments, tracking params, param order,
+    * trailing slashes, non-URL passthrough). ASCII and quote-free so
+    * each embeds verbatim in the oracle's VALUES list. */
+  val UrlFixture: Seq[String] = Seq(
+    "HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+    "http://example.com/a/b?a=1&b=2",
+    "https://Example.com:443/",
+    "https://example.com",
+    "https://example.com/path/",
+    "https://example.com/path",
+    "http://example.com:8080/x",
+    "https://shop.example.com/item?id=5&gclid=XYZ",
+    "https://shop.example.com/item?id=5",
+    "ftp://Files.example.org/pub/",
+    "https://example.com/search?q=a+b&fbclid=123&lang=en",
+    "https://example.com/search?lang=en&q=a+b",
+    "http://example.com//double//slash/",
+    "not a url at all",
+    "relative/path/only")
+
   /** PII probe appended to every document so the scrub patterns actually
     * fire on the synthetic corpus; ASCII-only and quote-free so it
     * embeds verbatim in the oracle SQL literal. */
@@ -1259,6 +1288,192 @@ object TrainingDataQueries {
     }, Some(
       s"""WITH ${graft.analysis.QualityModel.oracleCte("documents")}
          |SELECT doc_id, q_score, q_prob, q_keep FROM qs
+         |ORDER BY doc_id""".stripMargin)),
+
+    // EXACT substring dedup (Lee et al. 2021, arXiv:2107.06499 — the
+    // suffix-array method's semantics re-expressed relationally): a
+    // position is duplicated iff some corpus-duplicated L-token window
+    // covers it, and the output spans are the per-doc merge of those
+    // windows — exactly the set of duplicated substrings of length >= L
+    // the paper removes. Dataflow: one L-gram fingerprint explode, one
+    // global duplicate filter (count > 1 on the gram hash), one
+    // PER-DOC window for the islands merge (partitioned, never global).
+    Q("substring_dup_spans", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val L = SubstrL
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z]+"),
+        lit(0))
+      val grams = when(size(toks) >= L,
+        transform(sequence(lit(1), size(toks) - (L - 1)),
+          i => md5(array_join(slice(toks, i, lit(L)), " "))))
+        .otherwise(array().cast("array<string>"))
+      val occ = docsWithDups(s, dir)
+        .select(col("doc_id"), posexplode(grams).as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+          col("h"))
+      val dupH = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      occ.join(dupH, Seq("h"), "left_semi")
+        .withColumn("ns",
+          when(col("p") - lag(col("p"), 1).over(w) > L, 1).otherwise(0))
+        .withColumn("span_id", sum(col("ns")).over(w))
+        .groupBy(col("doc_id"), col("span_id"))
+        .agg(min(col("p")).as("start_tok"),
+          (max(col("p")) + (L - 1)).as("end_tok"))
+        .withColumn("n_tok", col("end_tok") - col("start_tok") + 1)
+        .orderBy(col("doc_id"), col("start_tok"))
+    }, Some(
+      s"""WITH sdtok AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS a
+         |  FROM $docsWithDupsSql __sd),
+         |sdg AS (
+         |  SELECT doc_id, i AS p,
+         |    md5(array_to_string(a[i:i+${SubstrL - 1}], ' ')) AS h
+         |  FROM (SELECT doc_id, a,
+         |      unnest(range(1, len(a) - ${SubstrL - 2})) AS i
+         |    FROM sdtok) __sdi),
+         |sdd AS (SELECT h FROM sdg GROUP BY h HAVING count(*) > 1),
+         |sdo AS (SELECT g.doc_id, g.p FROM sdg g JOIN sdd USING (h)),
+         |sds AS (
+         |  SELECT doc_id, p,
+         |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+         |        > $SubstrL THEN 1 ELSE 0 END AS ns
+         |  FROM sdo),
+         |sdi AS (
+         |  SELECT doc_id, p,
+         |    CAST(sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
+         |  FROM sds)
+         |SELECT doc_id, span_id, min(p) AS start_tok,
+         |  max(p) + ${SubstrL - 1} AS end_tok,
+         |  max(p) + ${SubstrL - 1} - min(p) + 1 AS n_tok
+         |FROM sdi GROUP BY doc_id, span_id
+         |ORDER BY doc_id, start_tok""".stripMargin)),
+
+    // URL canonicalization (RFC 3986 section 6 + tracking-param strip):
+    // the first dedup key a crawl pipeline computes. Row-local regexp +
+    // array built-ins, shared regexes with the oracle
+    // (graft.text.UrlNormalize); n_dupes proves the clusters collapse.
+    Q("url_normalize", (s, _) => {
+      import s.implicits._
+      val mapped = UrlFixture.toDF("url")
+        .select(col("url"),
+          graft.text.UrlNormalize.norm(col("url")).as("norm_url"))
+      mapped
+        .withColumn("n_dupes",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("norm_url"))))
+        .orderBy(col("url"))
+    }, Some {
+      val values = UrlFixture.map(u => s"('$u')").mkString(",\n  ")
+      s"""WITH urls(url) AS (VALUES
+         |  $values),
+         |mapped AS (
+         |  SELECT url, ${graft.text.UrlNormalize.normSql("url")} AS norm_url
+         |  FROM urls)
+         |SELECT url, norm_url,
+         |  count(*) OVER (PARTITION BY norm_url) AS n_dupes
+         |FROM mapped ORDER BY url""".stripMargin
+    }),
+
+    // n-gram diversity (distinct-n, Li et al. 2016): corpus-level
+    // uniqueness of 1/2/3-grams — the standard post-dedup diversity
+    // report. All three orders stack into ONE explode over one corpus
+    // scan; counts are exact integers, the ratio rides round-to-4.
+    Q("ngram_diversity", (s, dir) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z]+"),
+        lit(0))
+      val grams = flatten(array((1 to 3).map { n =>
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => struct(lit(n).as("n"),
+              array_join(slice(toks, i, lit(n)), " ").as("gram"))))
+          .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+      }: _*))
+      spread(docs(s, dir))
+        .select(explode(grams).as("g"))
+        .groupBy(col("g.n").as("n"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("g.gram")).as("distinct_ngrams"))
+        .withColumn("distinct_ratio",
+          round(col("distinct_ngrams") / col("total_ngrams"), 4))
+        .orderBy(col("n"))
+    }, Some(
+      """WITH ngtok AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS a
+        |  FROM documents),
+        |ngall AS (
+        |  SELECT 1 AS n, unnest([array_to_string(a[i:i], ' ')
+        |    for i in range(1, len(a) + 1)]) AS gram FROM ngtok
+        |  UNION ALL
+        |  SELECT 2, unnest([array_to_string(a[i:i+1], ' ')
+        |    for i in range(1, len(a))]) FROM ngtok
+        |  UNION ALL
+        |  SELECT 3, unnest([array_to_string(a[i:i+2], ' ')
+        |    for i in range(1, len(a) - 1)]) FROM ngtok)
+        |SELECT n, CAST(count(*) AS BIGINT) AS total_ngrams,
+        |  CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+        |  round(count(DISTINCT gram) * 1.0 / count(*), 4)
+        |    AS distinct_ratio
+        |FROM ngall GROUP BY n ORDER BY n""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023): log w(x) per doc
+    // against a target/source split of the corpus — the published
+    // select-data-like-the-target recipe. Bucket lambdas land on the
+    // micro-grid once; per-doc scores are exact integer count*lambda
+    // sums (graft.analysis.Dsir).
+    Q("dsir_weights", (s, dir) => {
+      graft.analysis.Dsir.weights(spread(docs(s, dir)))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH ${graft.analysis.Dsir.oracleCtes("documents")}
+         |SELECT doc_id, n_feats, logw_micro, logw FROM dsw
+         |ORDER BY doc_id""".stripMargin)),
+
+    // Okapi BM25 keyword retrieval — the lexical ranking twin of the
+    // ann_topk_* dense family (production retrieval runs both). Scores
+    // land on the integer micro-grid before the per-doc sum, so the
+    // float formula hash-checks (graft.analysis.Bm25).
+    Q("bm25_search", (s, dir) => {
+      graft.analysis.Bm25.search(spread(docs(s, dir)), Bm25Terms)
+    }, Some(
+      s"""WITH ${graft.analysis.Bm25.oracleCtes("documents", Bm25Terms)}
+         |SELECT doc_id, bm25 FROM bmscore
+         |ORDER BY bm25 DESC, doc_id""".stripMargin)),
+
+    // the Gopher rule battery (Rae et al. 2021 Appendix A): the
+    // published heuristic pre-filter, seven row-local rules per doc.
+    // Ratios are integer quotients — bit-identical doubles in both
+    // engines, so the flags hash-check with no rounding step.
+    Q("gopher_rules", (s, dir) => {
+      import graft.analysis.GopherRules
+      val fs = GopherRules.flags(col("text"))
+      spread(docs(s, dir))
+        .select(col("doc_id") +: fs.map { case (n, c) => c.as(n) } :+
+          GopherRules.pass(col("text")).as("pass"): _*)
+        .orderBy(col("doc_id"))
+    }, Some {
+      val fs = graft.analysis.GopherRules.oracleFlagsSql
+      s"""SELECT doc_id,
+         |  ${fs.map { case (n, sql) => s"$sql AS $n" }.mkString(",\n  ")},
+         |  ${fs.map(_._2).mkString("(", " AND ", ")")} AS pass
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    }),
+
+    // LM-based quality scoring (the CCNet recipe: score every document
+    // by a trained n-gram LM's perplexity): add-one smoothed bigram LM
+    // trained on the even-doc_id split, cross-entropy over ALL docs.
+    // Per-bigram log-probs land on an integer micro-nat grid before the
+    // per-doc sum, so aggregation is exact integer arithmetic — float
+    // summation order can never split the hash (graft.analysis.NgramLm).
+    Q("lm_perplexity", (s, dir) => {
+      graft.analysis.NgramLm.fitScore(spread(docs(s, dir)))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH ${graft.analysis.NgramLm.oracleCtes("documents")}
+         |SELECT doc_id, n_bigrams, xent FROM lmscore
          |ORDER BY doc_id""".stripMargin)),
 
     Q("corpus_chunk", (s, dir) => {

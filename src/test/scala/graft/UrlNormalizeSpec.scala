@@ -1,0 +1,57 @@
+package graft
+
+import graft.text.UrlNormalize
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Each normalization rule pinned on a crafted URL. The hash gate
+  * against DuckDB is `url_normalize`. */
+class UrlNormalizeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def norm(u: String): String =
+    Seq(u).toDF("url")
+      .select(UrlNormalize.norm(org.apache.spark.sql.functions.col("url")))
+      .head().getString(0)
+
+  test("scheme and host lowercase, default port removed, fragment dropped") {
+    assert(norm("HTTP://Example.COM:80/a#frag") == "http://example.com/a")
+    assert(norm("https://Example.com:443/") == "https://example.com/")
+  }
+
+  test("non-default port survives") {
+    assert(norm("http://example.com:8080/x") == "http://example.com:8080/x")
+  }
+
+  test("tracking params dropped, survivors sorted, bare ? dropped") {
+    assert(norm("http://e.com/p?utm_source=x&b=2&a=1") ==
+      "http://e.com/p?a=1&b=2")
+    assert(norm("http://e.com/p?gclid=1&fbclid=2&utm_campaign=z") ==
+      "http://e.com/p")
+  }
+
+  test("trailing slashes stripped, empty path becomes root") {
+    assert(norm("https://example.com") == "https://example.com/")
+    assert(norm("https://example.com/path///") == "https://example.com/path")
+  }
+
+  test("equivalent messy URLs collapse to one key") {
+    val cluster = Seq(
+      "HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+      "http://example.com/a/b?a=1&b=2",
+      "http://example.com/a/b/?b=2&a=1")
+    assert(cluster.map(norm).distinct.size == 1)
+  }
+
+  test("non-URLs pass through unchanged") {
+    assert(norm("not a url at all") == "not a url at all")
+    assert(norm("relative/path/only") == "relative/path/only")
+  }
+}
