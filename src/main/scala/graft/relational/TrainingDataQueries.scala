@@ -107,6 +107,31 @@ object TrainingDataQueries {
     * Lee et al. use 50 BPE tokens — scaled to the fixture corpus). */
   val SubstrL = 8
 
+  /** langid_train fixtures: per-language training sentences and test
+    * docs (cs/de diacritics pre-folded to ASCII so every string embeds
+    * verbatim in the oracle's VALUES lists). */
+  val LangTrainFixture: Seq[(String, String)] = Seq(
+    "en" -> "the quick brown fox jumps over the lazy dog and it is happy",
+    "en" -> "there will be plenty of time for everything that matters today",
+    "en" -> "we should think about what the right answer is before we speak",
+    "en" -> "this is the house that jack built with his own two hands",
+    "cs" -> "dobry den prosim vas kde je nejblizsi nadrazi",
+    "cs" -> "to je velmi dobra zprava pro vsechny nase pratele",
+    "cs" -> "dekuji vam za pomoc a preji hezky den",
+    "cs" -> "cestina je krasny jazyk ktery se rad ucim kazdy den",
+    "de" -> "der schnelle braune fuchs springt uber den faulen hund",
+    "de" -> "das ist ein sehr guter tag zum lernen und arbeiten",
+    "de" -> "wir sollten uber die richtige antwort nachdenken bevor wir sprechen",
+    "de" -> "ich danke ihnen fur ihre hilfe und wunsche einen schonen tag")
+
+  val LangTestFixture: Seq[(Long, String)] = Seq(
+    0L -> "the weather is very nice today and we should go outside",
+    1L -> "prosim reknete mi kde najdu dobrou restauraci",
+    2L -> "konnen sie mir bitte sagen wo der bahnhof ist",
+    3L -> "my friends and i will travel to the mountains tomorrow",
+    4L -> "vsichni nasi pratele prijdou zitra vecer na navstevu",
+    5L -> "die kinder spielen gerne im garten hinter dem haus")
+
   /** url_normalize fixture: messy-URL clusters exercising every rule
     * (case, default ports, fragments, tracking params, param order,
     * trailing slashes, non-URL passthrough). ASCII and quote-free so
@@ -1290,6 +1315,35 @@ object TrainingDataQueries {
          |SELECT doc_id, q_score, q_prob, q_keep FROM qs
          |ORDER BY doc_id""".stripMargin)),
 
+    // TRAINED language ID (Cavnar & Trenkle 1994 n-gram profiles —
+    // textcat's algorithm): per-language top-K char-n-gram ranks,
+    // rank out-of-place distance classification. ALL integer (counts,
+    // ranks, distances, the missing-gram penalty): training +
+    // classification hash-check with zero float steps — not even a
+    // rounding grid (graft.analysis.LangIdTrain).
+    Q("langid_train", (s, _) => {
+      import s.implicits._
+      import graft.analysis.LangIdTrain
+      val profiles = LangIdTrain.fit(
+        LangTrainFixture.toDF("lang", "text"))
+      LangIdTrain.classify(
+          LangTestFixture.toDF("doc_id", "text"), profiles)
+        .orderBy(col("doc_id"))
+    }, Some {
+      val trainVals = LangTrainFixture
+        .map { case (l, t) => s"('$l', '$t')" }.mkString(",\n  ")
+      val testVals = LangTestFixture
+        .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+        .mkString(",\n  ")
+      s"""WITH litrain(lang, text) AS (VALUES
+         |  $trainVals),
+         |lidocs(doc_id, text) AS (VALUES
+         |  $testVals),
+         |${graft.analysis.LangIdTrain.oracleCtes("litrain", "lidocs")}
+         |SELECT doc_id, lang, dist FROM licls ORDER BY doc_id"""
+        .stripMargin
+    }),
+
     // EXACT substring dedup (Lee et al. 2021, arXiv:2107.06499 — the
     // suffix-array method's semantics re-expressed relationally): a
     // position is duplicated iff some corpus-duplicated L-token window
@@ -1311,10 +1365,14 @@ object TrainingDataQueries {
         .select(col("doc_id"), posexplode(grams).as(Seq("p0", "h")))
         .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
           col("h"))
-      val dupH = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).select(col("h"))
+      // global duplicate filter as ONE window count on the gram-hash
+      // shuffle (a groupBy + semi-join back would shuffle the same
+      // relation by h twice more)
       val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      occ.join(dupH, Seq("h"), "left_semi")
+      occ
+        .withColumn("c", count(lit(1))
+          .over(Window.partitionBy(col("h"))))
+        .filter(col("c") > 1)
         .withColumn("ns",
           when(col("p") - lag(col("p"), 1).over(w) > L, 1).otherwise(0))
         .withColumn("span_id", sum(col("ns")).over(w))
