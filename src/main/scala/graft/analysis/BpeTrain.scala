@@ -76,13 +76,34 @@ object BpeTrain {
       .select(col("cnt"), explode(split(trim(col("w")), "  ")).as("token"))
       .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
 
-  /** The merge loop shared by [[fit]] / [[encodeTokens]]: final
-    * working forms + the per-round best-pair rows. */
+  /** Tokenize documents with the merges learned from their own vocab:
+    * apply the trained segmentation word-by-word and emit per-document
+    * token counts (doc_id, token, n) — the full tokenizer path
+    * (train -> segment the CORPUS), what a pipeline runs to produce
+    * model input. `docWords(doc_id, word, dn)` carries per-doc word
+    * counts; `words(word, cnt)` is the training vocab. The word ->
+    * final-form map is vocab-sized; the join back to docWords shuffles
+    * on the word key (deliberately NOT a forced broadcast: a web-scale
+    * vocab outgrows one). */
+  def tokenizeDocs(
+      docWords: DataFrame, words: DataFrame, rounds: Int): DataFrame = {
+    val forms = train(words, rounds)._1.select(col("word"), col("w"))
+    docWords
+      .join(forms, Seq("word"))
+      .select(col("doc_id"), col("dn"),
+        explode(split(trim(col("w")), "  ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(sum(col("dn")).as("n"))
+  }
+
+  /** The merge loop shared by [[fit]] / [[encodeTokens]] /
+    * [[tokenizeDocs]]: final working forms (keyed by the original
+    * word) + the per-round best-pair rows. */
   private def train(
       words: DataFrame, rounds: Int): (DataFrame, Seq[DataFrame]) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var w = words
-      .select(initWord(col("word")).as("w"), col("cnt"))
+      .select(col("word"), initWord(col("word")).as("w"), col("cnt"))
       .localCheckpoint()
     var merges: Seq[DataFrame] = Nil
     for (r <- 1 to rounds) {
@@ -95,7 +116,7 @@ object BpeTrain {
       merges :+= best.select(lit(r).as("round"), col("pair"),
         regexp_replace(col("pair"), " ", "").as("merged"), col("n"))
       w = w.crossJoin(broadcast(best.select(col("pair").as("__p"))))
-        .select(expr(
+        .select(col("word"), expr(
           """replace(w, ' ' || split(__p, ' ')[0] || '  ' ||
             |            split(__p, ' ')[1] || ' ',
             |        ' ' || replace(__p, ' ', '') || ' ')""".stripMargin)
@@ -113,7 +134,7 @@ object BpeTrain {
   def oracleCtes(rel: String, rounds: Int): String = {
     val base =
       s"""bw0 AS (
-         |  SELECT '  ' || array_to_string(
+         |  SELECT word, '  ' || array_to_string(
          |      list_append(regexp_extract_all(word, '.'), '$EndOfWord'),
          |      '  ') || '  ' AS w,
          |    cnt
@@ -131,7 +152,7 @@ object BpeTrain {
          |mb$i AS (
          |  SELECT pair, n FROM pc$i ORDER BY n DESC, pair LIMIT 1),
          |bw$i AS (
-         |  SELECT replace(w,
+         |  SELECT word, replace(w,
          |      ' ' || string_split(pair, ' ')[1] || '  ' ||
          |            string_split(pair, ' ')[2] || ' ',
          |      ' ' || replace(pair, ' ', '') || ' ') AS w,
@@ -141,6 +162,17 @@ object BpeTrain {
     s"""$base,
        |${steps.mkString(",\n")}""".stripMargin
   }
+
+  /** Per-doc tokenization SELECT over [[oracleCtes]]'s final bw CTE
+    * joined to `docRel(doc_id, word, dn)` — the DuckDB twin of
+    * [[tokenizeDocs]]. */
+  def oracleTokenizeSelect(docRel: String, rounds: Int): String =
+    s"""SELECT doc_id, token, CAST(sum(dn) AS BIGINT) AS n
+       |FROM (SELECT d.doc_id, d.dn,
+       |    unnest(string_split(trim(b.w), '  ')) AS token
+       |  FROM $docRel d JOIN bw$rounds b USING (word)) __dt
+       |GROUP BY doc_id, token
+       |ORDER BY doc_id, token""".stripMargin
 
   /** Merge-table SELECT over [[oracleCtes]]'s mb CTEs. */
   def oracleSelect(rounds: Int): String =

@@ -995,6 +995,38 @@ object TrainingDataQueries {
          |${graft.analysis.BpeTrain.oracleCtes("bpewords", BpeRounds)}
          |${graft.analysis.BpeTrain.oracleEncodeSelect(BpeRounds)}""".stripMargin)),
 
+    // the full tokenizer path: train on the slice's vocab, then
+    // SEGMENT THE CORPUS — per-doc token counts under the learned
+    // merges (what a pipeline feeds the model). The word->form map is
+    // vocab-sized; the doc join shuffles on the word key.
+    Q("corpus_bpe_tokens", (s, dir) => {
+      import graft.analysis.BpeTrain
+      val slice = docs(s, dir).filter(col("doc_id") < 40)
+      val docWords = slice
+        .select(col("doc_id"), explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("dn"))
+        .localCheckpoint() // feeds BOTH the vocab and the doc join
+      val words = docWords.groupBy(col("word"))
+        .agg(sum(col("dn")).as("cnt"))
+      BpeTrain.tokenizeDocs(docWords, words, BpeRounds)
+        .orderBy(col("doc_id"), col("token"))
+    }, Some(
+      s"""WITH docwords AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS dn
+         |  FROM (SELECT doc_id,
+         |      unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |    FROM documents WHERE doc_id < 40) __dw
+         |  GROUP BY doc_id, word),
+         |bpewords AS (
+         |  SELECT word, CAST(sum(dn) AS BIGINT) AS cnt
+         |  FROM docwords GROUP BY word),
+         |${graft.analysis.BpeTrain.oracleCtes("bpewords", BpeRounds)}
+         |${graft.analysis.BpeTrain.oracleTokenizeSelect("docwords", BpeRounds)}"""
+        .stripMargin)),
+
     // IMA/DVI ADPCM — a real 4:1 compressed-audio codec with NO JDK
     // implementation: encoder + decoder written from the published IMA
     // algorithm (graft.multimodal.ImaAdpcm), container = WAVE tag

@@ -368,5 +368,46 @@ object WaveThreeQueries {
         |  count(DISTINCT l_orderkey) AS exact_distinct,
         |  true AS within_5pct,
         |  true AS merge_consistent
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)))
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // THETA sketches (DataSketches) — the set-operation sketch family
+    // HLL cannot provide: union AND intersection AND difference. The
+    // audience-overlap question (customers with open vs fulfilled
+    // orders) answered from two mergeable sketches; below the 2^16
+    // nominal-entry budget theta is EXACT, so all five outputs
+    // hash-check as integers against DuckDB's exact set algebra (the
+    // 100 TB regime degrades to the published bounded error —
+    // ThetaSketchSpec pins that). Partials per partition + distributed
+    // union merge: the shuffle carries sketch bytes, never keys; the
+    // one collected row per side is model-sized.
+    Q("q_theta_sketch", (s, dir) => {
+      import s.implicits._
+      import graft.functions.ThetaSketchOps
+      val o = Scale.spreadIfNarrow(s.read.parquet(t(dir, "orders")))
+      def keys(status: String) =
+        o.filter(col("o_orderstatus") === status)
+          .select(col("o_custkey")).as[Long]
+      val skA = ThetaSketchOps.sketch(keys("O"))
+      val skB = ThetaSketchOps.sketch(keys("F"))
+      val (un, in, anb) = ThetaSketchOps.setOps(skA, skB)
+      Seq((
+        Math.round(ThetaSketchOps.estimate(skA)),
+        Math.round(ThetaSketchOps.estimate(skB)),
+        Math.round(un), Math.round(in), Math.round(anb)))
+        .toDF("a_distinct", "b_distinct", "union_distinct",
+          "inter_distinct", "anotb_distinct")
+    }, Some(
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderstatus = 'O'),
+        |b AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderstatus = 'F')
+        |SELECT
+        |  (SELECT count(*) FROM a) AS a_distinct,
+        |  (SELECT count(*) FROM b) AS b_distinct,
+        |  (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b) u)
+        |    AS union_distinct,
+        |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b) i)
+        |    AS inter_distinct,
+        |  (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b) d)
+        |    AS anotb_distinct""".stripMargin)))
 }

@@ -103,6 +103,45 @@ class BpeTrainSpec extends AnyFunSuite {
       .groupMapReduce(_._1)(_._2)(_ + _)
   }
 
+  test("tokenizeDocs segments each doc with the corpus-trained merges") {
+    val docs = Seq(
+      (0L, Seq("low", "low", "newest")),
+      (1L, Seq("lower", "widest", "low")),
+      (2L, Seq("newest", "newest")))
+    val vocab = docs.flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val merges = refBpe(vocab, 4).map { case (a, b, _) => (a, b) }
+    def segment(word: String): Seq[String] = {
+      var syms = word.map(_.toString).toVector :+ BpeTrain.EndOfWord
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val expected = docs.flatMap { case (id, ws) =>
+      ws.flatMap(segment).groupBy(identity)
+        .map { case (t, os) => (id, t) -> os.size.toLong }
+    }.toMap
+    val docWords = docs
+      .flatMap { case (id, ws) => ws.groupBy(identity)
+        .map { case (w, os) => (id, w, os.size.toLong) } }
+      .toDF("doc_id", "word", "dn")
+    val words = vocab.toSeq.toDF("word", "cnt")
+    val got = BpeTrain.tokenizeDocs(docWords, words, 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) ->
+        r.getAs[Long]("n"))
+      .toMap
+    assert(got == expected)
+  }
+
   test("encodeTokens matches the reference token frequencies") {
     val corpora = Seq(
       Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L),
