@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable frequent-items sketches (DataSketches frequencies — the
+  * Misra-Gries/space-saving family): guaranteed-error heavy hitters
+  * over a corpus whose exact top-k would need the full token shuffle.
+  * Same pipeline shape as [[ThetaSketchOps]]: per-partition sketches,
+  * a distributed merge Aggregator (the shuffle carries sketch bytes),
+  * one model-sized result.
+  *
+  * Exactness contract: while distinct items fit the sketch's map
+  * (2^[[LgMaxMapSize]] * 0.75 slots), counts are EXACT and the sketch
+  * equals a plain frequency table — `corpus_heavy_hitters` hash-checks
+  * that regime against DuckDB's exact top-k. Past capacity the
+  * published epsilon bound (3.5/mapSize * n) takes over —
+  * FreqSketchSpec pins it with planted heavy keys in a long tail.
+  */
+object FreqSketchOps {
+
+  /** log2 max map size: exact while distinct items <= 0.75 * 2^11. */
+  val LgMaxMapSize = 11
+
+  private val serde = new ArrayOfStringsSerDe
+
+  private def wrap(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), serde)
+
+  /** One serialized sketch per partition of `items`. */
+  def partials(items: Dataset[String]): Dataset[Array[Byte]] = {
+    implicit val enc: Encoder[Array[Byte]] =
+      items.sparkSession.implicits.newByteArrayEncoder
+    items.mapPartitions { it =>
+      val sk = new ItemsSketch[String](1 << LgMaxMapSize)
+      it.foreach(sk.update)
+      Iterator.single(sk.toByteArray(serde))
+    }
+  }
+
+  /** Distributed merge of serialized frequency sketches. */
+  class MergeAggregator
+      extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    private def unite(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else wrap(a).merge(wrap(b)).toByteArray(serde)
+    override def zero: Array[Byte] = Array.emptyByteArray
+    override def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] =
+      unite(buf, in)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      unite(a, b)
+    override def finish(buf: Array[Byte]): Array[Byte] = buf
+    override def bufferEncoder: Encoder[Array[Byte]] =
+      ExpressionEncoder[Array[Byte]]()
+    override def outputEncoder: Encoder[Array[Byte]] =
+      ExpressionEncoder[Array[Byte]]()
+  }
+
+  /** Sketch a whole item column down to one serialized sketch. */
+  def sketch(items: Dataset[String]): Array[Byte] = {
+    val agg = new MergeAggregator
+    val merged = partials(items).select(agg.toColumn).head()
+    if (merged.isEmpty)
+      new ItemsSketch[String](1 << LgMaxMapSize).toByteArray(serde)
+    else merged
+  }
+
+  /** (item, estimate, lower bound, upper bound) rows, NO_FALSE_NEGATIVES,
+    * estimate-descending then item for determinism. In the exact regime
+    * lb == est == ub for every row. */
+  def heavyHitters(bytes: Array[Byte]): Seq[(String, Long, Long, Long)] =
+    wrap(bytes).getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .map(r => (r.getItem, r.getEstimate, r.getLowerBound,
+        r.getUpperBound))
+      .toSeq
+      .sortBy { case (item, est, _, _) => (-est, item) }
+
+  /** The sketch's maximum possible count error (0 in the exact regime). */
+  def maxError(bytes: Array[Byte]): Long = wrap(bytes).getMaximumError
+}

@@ -1347,6 +1347,33 @@ object TrainingDataQueries {
          |SELECT doc_id, q_score, q_prob, q_keep FROM qs
          |ORDER BY doc_id""".stripMargin)),
 
+    // Misra-Gries heavy hitters (DataSketches frequencies): mergeable
+    // guaranteed-error top tokens — the 100 TB alternative to the full
+    // token shuffle behind corpus_vocab. The fixture vocabulary sits
+    // far below the sketch map, so counts are EXACT (lb = est = ub)
+    // and the top-20 hash-checks against plain SQL; the epsilon regime
+    // past capacity is FreqSketchSpec's claim.
+    Q("corpus_heavy_hitters", (s, dir) => {
+      import s.implicits._
+      import graft.functions.FreqSketchOps
+      val toks = spread(docs(s, dir))
+        .select(explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("tok"))
+        .as[String]
+      FreqSketchOps.heavyHitters(FreqSketchOps.sketch(toks))
+        .take(20)
+        .toDF("token", "est", "lb", "ub")
+    }, Some(
+      """SELECT token, CAST(count(*) AS BIGINT) AS est,
+        |  CAST(count(*) AS BIGINT) AS lb, CAST(count(*) AS BIGINT) AS ub
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |    AS token
+        |  FROM documents) __hh
+        |GROUP BY token
+        |ORDER BY est DESC, token
+        |LIMIT 20""".stripMargin)),
+
     // TRAINED language ID (Cavnar & Trenkle 1994 n-gram profiles —
     // textcat's algorithm): per-language top-K char-n-gram ranks,
     // rank out-of-place distance classification. ALL integer (counts,

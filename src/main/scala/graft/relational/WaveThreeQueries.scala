@@ -341,9 +341,17 @@ object WaveThreeQueries {
     // PARTITION-INDEPENDENCE claim: unioning sub-sketches built under
     // two DIFFERENT groupings yields bit-equal estimates, because union
     // register state is the item-wise maximum regardless of how rows
-    // were split. (Union-vs-direct is deliberately NOT the claim:
-    // a direct sketch answers with the HIP estimator, which any union
-    // invalidates — the estimates differ by design.)
+    // were split. REGIME CONSTRAINT (r8): that argument needs DENSE
+    // HLL-mode inputs — union marks them out-of-order and answers with
+    // the register-only composite estimator. Coupon/SET-mode inputs
+    // keep the HIP estimator through the merge, and HIP is PATH-
+    // dependent when promotion to HLL happens mid-union (observed at
+    // sf0.001: ~1100 distinct sits on the lgK=12 promotion boundary
+    // and 2-way vs 7-way merges answered 1073 vs 1079). The merge-
+    // consistency pair therefore runs at lgK=4 (16 registers: dense at
+    // every SF's subgroup cardinality); the accuracy claim keeps
+    // lgK=12. (Union-vs-direct is deliberately NOT the claim: a direct
+    // sketch answers with HIP, which any union invalidates.)
     Q("q_hll_sketch", (s, dir) => {
       val li = Scale.spreadIfNarrow(s.read.parquet(t(dir, "lineitem")))
       val direct = li.groupBy(col("l_returnflag"))
@@ -352,7 +360,7 @@ object WaveThreeQueries {
           countDistinct(col("l_orderkey")).as("exact_distinct"))
       def unionEst(subKey: org.apache.spark.sql.Column, name: String) =
         li.groupBy(col("l_returnflag"), subKey.as("__sub"))
-          .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
+          .agg(expr("hll_sketch_agg(l_orderkey, 4)").as("sk"))
           .groupBy(col("l_returnflag"))
           .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as(name))
       val m1 = unionEst(col("l_linestatus"), "est_m1")
