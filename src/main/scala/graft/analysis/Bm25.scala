@@ -60,8 +60,13 @@ object Bm25 {
             (col("tf") + lit(K1) *
               (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))) * 1e6)
           .cast("long").as("s"))
+    // 4-decimal score derived EXACTLY from the integer micro sum:
+    // micro/100.0 lands on the x.5-exact double grid (both engines
+    // round halves away from zero); round(micro/1e6, 4) directly
+    // rounds Spark's shortest-decimal rendering but DuckDB's binary
+    // double and splits the hash at .xxxx5 boundaries (bit at sf0.1)
     micro.groupBy(col("doc_id"))
-      .agg(round(sum(col("s")) / 1e6, 4).as("bm25"))
+      .agg((round(sum(col("s")) / 100.0).cast("long") / 1e4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
   }
 
@@ -93,7 +98,8 @@ object Bm25 {
        |      AS BIGINT) AS s
        |  FROM bmtf f JOIN bmdf d USING (term) CROSS JOIN bmstats s),
        |bmscore AS (
-       |  SELECT doc_id, round(sum(s) / 1e6, 4) AS bm25
+       |  SELECT doc_id,
+       |    CAST(round(sum(s) / 100.0) AS BIGINT) / 1e4 AS bm25
        |  FROM bmmicro GROUP BY doc_id)""".stripMargin
   }
 }

@@ -73,9 +73,17 @@ object NgramLm {
         round(log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
             (coalesce(col("c1"), lit(0L)) + col("v"))) * 1e6)
           .cast("long").as("lp"))
+    // 4-decimal cross-entropy via EXACT rational rounding: the target
+    // is round(s / (100 n)) with s = -sum(lp) >= 0, which is
+    // floor((2s + 100n) / (200n)) in pure int64 — no engine float
+    // round ever runs, so no shortest-decimal/binary divergence can
+    // split the hash (bm25 hit that at sf0.1; this divisor has an
+    // arbitrary n, so even the x.5-grid trick wouldn't be exact)
     scored.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(-sum(col("lp")) / (count(lit(1)) * 1e6), 4).as("xent"))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp"))).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (expr("(2 * s + 100 * n_bigrams) div (200 * n_bigrams)")
+          .cast("long") / 1e4).as("xent"))
   }
 
   /** DuckDB twin over `rel(doc_id, text)`: CTEs ending in
@@ -107,7 +115,10 @@ object NgramLm {
        |  LEFT JOIN lmc1 c1 ON split_part(b.pair, ' ', 1) = c1.w1
        |  CROSS JOIN lmv),
        |lmscore AS (
-       |  SELECT doc_id, count(*) AS n_bigrams,
-       |    round(-sum(lp) / (count(*) * 1e6), 4) AS xent
-       |  FROM lmlp GROUP BY doc_id)""".stripMargin
+       |  SELECT doc_id, n_bigrams,
+       |    ((2 * s + 100 * n_bigrams) // (200 * n_bigrams)) / 1e4
+       |      AS xent
+       |  FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |      CAST(-sum(lp) AS BIGINT) AS s
+       |    FROM lmlp GROUP BY doc_id) __lms)""".stripMargin
 }

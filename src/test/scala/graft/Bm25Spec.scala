@@ -37,8 +37,7 @@ class Bm25Spec extends AnyFunSuite {
         }
       }
       if (micros.isEmpty) None
-      else Some(id -> BigDecimal(micros.sum / 1e6)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else Some(id -> Math.round(micros.sum / 100.0).toDouble / 1e4)
     }.toMap
   }
 

@@ -38,9 +38,9 @@ class NgramLmSpec extends AnyFunSuite {
             (c1.getOrElse(b._1, 0L) + v)
           Math.round(Math.log(p) * 1e6)
         }
-        val xent = BigDecimal(-lps.sum.toDouble / (bs.size * 1e6))
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-        Some(id -> (bs.size.toLong, xent))
+        val (s, n) = (-lps.sum, bs.size.toLong)
+        val xent = ((2 * s + 100 * n) / (200 * n)).toDouble / 1e4
+        Some(id -> (n, xent))
       }
     }.toMap
   }
