@@ -1347,6 +1347,35 @@ object TrainingDataQueries {
          |SELECT doc_id, q_score, q_prob, q_keep FROM qs
          |ORDER BY doc_id""".stripMargin)),
 
+    // KLL quantile sketch (DataSketches) — the third sketch leg next
+    // to theta (distinct set ops) and frequencies (heavy hitters):
+    // mergeable rank/quantile queries without a global sort. Below the
+    // first compaction KLL retains every item and INCLUSIVE quantiles
+    // equal SQL percentile_disc exactly — hash-checked here; the
+    // bounded-rank-error regime past capacity is QuantileSketchSpec's
+    // claim (graft.functions.QuantileSketchOps).
+    Q("q_kll_quantiles", (s, dir) => {
+      import s.implicits._
+      import graft.functions.QuantileSketchOps
+      val lens = spread(docs(s, dir))
+        .select(graft.analysis.TextAnalysis.tokenCount(col("text"))
+          .as("n")).as[Long]
+      val sk = QuantileSketchOps.sketch(lens)
+      Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+        .map(p => (p, QuantileSketchOps.quantile(sk, p)))
+        .toDF("p", "q")
+    }, Some {
+      val sels = Seq("0.25", "0.5", "0.75", "0.9", "0.99").map(p =>
+        s"""SELECT CAST($p AS DOUBLE) AS p,
+           |  CAST(percentile_disc($p) WITHIN GROUP (ORDER BY n)
+           |    AS BIGINT) AS q
+           |FROM lens""".stripMargin)
+      s"""WITH lens AS (
+         |  SELECT len(regexp_extract_all(text, '\\S+')) AS n
+         |  FROM documents)
+         |${sels.mkString("\nUNION ALL\n")}""".stripMargin
+    }),
+
     // Misra-Gries heavy hitters (DataSketches frequencies): mergeable
     // guaranteed-error top tokens — the 100 TB alternative to the full
     // token shuffle behind corpus_vocab. The fixture vocabulary sits
