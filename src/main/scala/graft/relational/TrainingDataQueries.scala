@@ -107,6 +107,25 @@ object TrainingDataQueries {
     * Lee et al. use 50 BPE tokens — scaled to the fixture corpus). */
   val SubstrL = 8
 
+  /** line_dedup fixture: multi-line docs sharing boilerplate
+    * header/footer lines around distinct bodies (the RefinedWeb/CCNet
+    * shape). ASCII, quote-free; newlines are real `\n` (the oracle
+    * rebuilds them with chr(10)). */
+  val LineDocs: Seq[(Long, String)] = {
+    val header = "Example Corp Daily Bulletin"
+    val footer = "copyright example corp all rights reserved"
+    val nav = "home | products | about | contact"
+    Seq(
+      0L -> s"$header\n$nav\nalpha beta gamma delta\n$footer",
+      1L -> s"$header\n$nav\nepsilon zeta eta theta\n$footer",
+      2L -> s"$header\niota kappa lambda\nmu nu xi omicron\n$footer",
+      3L -> s"$header\n\npi rho sigma\n$footer",
+      4L -> "standalone page with no boilerplate at all",
+      5L -> s"$footer\nunique closing thoughts here\n$footer",
+      // repeated only WITHIN one doc: the distinct-doc rule keeps it
+      6L -> "internal refrain line\nbody text one\ninternal refrain line")
+  }
+
   /** langid_train fixtures: per-language training sentences and test
     * docs (cs/de diacritics pre-folded to ASCII so every string embeds
     * verbatim in the oracle's VALUES lists). */
@@ -912,8 +931,12 @@ object TrainingDataQueries {
       val gated = WarcSource.recordsSplit(archives, targetSplitBytes = 8192L)
         .filter(col("warc_type") === "response" &&
           col("http_status") === 200)
-        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
-            .cast("long").as("doc_id"),
+        // same id derivation as the streaming twin: canonicalize the
+        // URI first (a no-op on this fixture's clean URLs — the oracle
+        // is unchanged — but the shared path is what a crawl hits)
+        .select(regexp_extract(
+            graft.text.UrlNormalize.norm(col("target_uri")),
+            "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
           col("body_text").as("text"))
         .filter(TextAnalysis.qualityScore(c) >= 0.5 &&
           TextAnalysis.langId(c) === "en" &&
@@ -1346,6 +1369,73 @@ object TrainingDataQueries {
       s"""WITH ${graft.analysis.QualityModel.oracleCte("documents")}
          |SELECT doc_id, q_score, q_prob, q_keep FROM qs
          |ORDER BY doc_id""".stripMargin)),
+
+    // line-level dedup (RefinedWeb/CCNet paragraph dedup, Penedo et
+    // al. 2023): a normalized line appearing in MORE THAN ONE distinct
+    // document is boilerplate (headers/footers/nav) and leaves every
+    // doc; empty lines leave too; docs are rebuilt in line order. The
+    // duplicate test is one collect_set window on the norm shuffle;
+    // reconstruction is one per-doc sorted aggregate.
+    Q("line_dedup", (s, _) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val lines = LineDocs.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("line_no", "ln")))
+        .withColumn("norm",
+          trim(regexp_replace(lower(col("ln")), " +", " ")))
+      val kept = lines
+        .filter(col("norm") =!= "")
+        .withColumn("ndocs", size(collect_set(col("doc_id"))
+          .over(Window.partitionBy(col("norm")))))
+        .filter(col("ndocs") === 1)
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("line_no"), col("ln")))),
+              x => x.getField("ln")), "\n")).as("clean_md5"))
+      LineDocs.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          size(split(col("text"), "\n")).cast("long").as("n_lines"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_md5"), lit("")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val values = LineDocs.map { case (id, t) =>
+        val lits = t.split("\n", -1).map(l => s"'$l'")
+          .mkString(" || chr(10) || ")
+        s"(CAST($id AS BIGINT), $lits)"
+      }.mkString(",\n  ")
+      s"""WITH ld(doc_id, text) AS (VALUES
+         |  $values),
+         |ll AS (
+         |  SELECT doc_id, i AS line_no, ls[i] AS ln,
+         |    trim(regexp_replace(lower(ls[i]), ' +', ' ', 'g')) AS norm
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+         |      unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i
+         |    FROM ld) __ll),
+         |dupn AS (
+         |  SELECT norm FROM (
+         |    SELECT norm, count(DISTINCT doc_id) AS c FROM ll
+         |    WHERE norm <> '' GROUP BY norm) __d
+         |  WHERE c > 1),
+         |keptl AS (
+         |  SELECT * FROM ll
+         |  WHERE norm <> '' AND norm NOT IN (SELECT norm FROM dupn)),
+         |reb AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    md5(string_agg(ln, chr(10) ORDER BY line_no)) AS clean_md5
+         |  FROM keptl GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+         |  coalesce(reb.n_kept, 0) AS n_kept,
+         |  coalesce(reb.clean_md5, '') AS clean_md5
+         |FROM ld d LEFT JOIN reb ON d.doc_id = reb.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }),
 
     // KLL quantile sketch (DataSketches) — the third sketch leg next
     // to theta (distinct set ops) and frequencies (heavy hitters):

@@ -102,10 +102,15 @@ object CorpusBuildJob {
     * archives via the SPLIT reader
     * ([[graft.sources.WarcSource.recordsSplit]], so one multi-GB
     * archive still spreads across tasks), keeps 200-status response
-    * bodies, derives doc ids from `docIdPattern`'s capture group on
-    * the target URI (rows without a match are dropped), then applies
-    * the SAME scrub/gate/dedup drain as [[runOnce]] — WARC in,
-    * curated corpus out, checkpoint-idempotent. */
+    * bodies, CANONICALIZES the target URI
+    * ([[graft.text.UrlNormalize]] — crawl dumps carry the same page
+    * under tracking-param/port/fragment variants, and URL-level
+    * collapse is the first dedup every crawl pipeline runs), derives
+    * doc ids from `docIdPattern`'s capture group on the NORMALIZED
+    * URI (rows without a match are dropped), collapses same-id rows
+    * within the batch to a deterministic winner (min body md5), then
+    * applies the SAME scrub/gate/dedup drain as [[runOnce]] — WARC
+    * in, curated corpus out, checkpoint-idempotent. */
   def runOnceFromWarc(
       spark: SparkSession,
       warcDir: String,
@@ -136,10 +141,18 @@ object CorpusBuildJob {
           .filter(col("warc_type") === "response" &&
             col("http_status") === 200)
           .select(
-            regexp_extract(col("target_uri"), docIdPattern, 1)
-              .cast("long").as("doc_id"),
+            regexp_extract(
+              graft.text.UrlNormalize.norm(col("target_uri")),
+              docIdPattern, 1).cast("long").as("doc_id"),
             col("body_text").as("text"))
           .filter(col("doc_id").isNotNull)
+          // URI variants of one page collapse to one id above; pick a
+          // deterministic representative body per id (min md5), so the
+          // admitted corpus never depends on record order
+          .groupBy(col("doc_id"))
+          .agg(min(struct(md5(col("text")).as("k"), col("text")))
+            .as("w"))
+          .select(col("doc_id"), col("w.text").as("text"))
           .localCheckpoint() // pins the fan-out; the slice cache behind
         // recordsSplit is LRU-evictable between micro-batches
         summary = summary + drainBatch(docsDf, storeDir, evalHashes)

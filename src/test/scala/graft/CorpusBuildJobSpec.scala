@@ -119,22 +119,30 @@ class CorpusBuildJobSpec extends AnyFunSuite {
       Files.write(java.nio.file.Paths.get(s"$warcDir/$name"),
         WarcSource.gzipMembers(recs))
 
-    // archive 1 carries a warcinfo record the drain must ignore;
+    // archive 1 carries a warcinfo record the drain must ignore, PLUS
+    // a messy-URL variant of doc 1 (case/port/tracking/fragment) whose
+    // normalized URI collapses onto the same id BEFORE the gates;
     // splitBytes=256 exercises the SPLIT reader inside the stream
     writeArchive("a1.warc.gz", Seq(
       ("warcinfo", "", "2024-04-01T00:00:00Z",
         "software: graft\r\n".getBytes("ISO-8859-1")),
-      resp(1, a), resp(3, junk)))
+      resp(1, a), resp(3, junk),
+      ("response",
+        "HTTPS://Corpus.Example:443/doc/1?utm_source=feed#top",
+        "2024-04-01T00:00:00Z", WarcSource.httpTextPayload(a))))
     writeArchive("a2.warc.gz", Seq(resp(2, nearDup), resp(6, d)))
 
     val r1 = CorpusBuildJob.runOnceFromWarc(spark, warcDir, store, ckpt,
       splitBytes = 256L)
+    // 5 response records, 4 rows after URL-level collapse
     assert(r1.arrived == 4 && r1.filteredOut == 1,
       s"junk body must fail the gates: $r1")
     assert(r1.accepted == 2 && r1.rejectedNearDup == 1,
       s"in-batch near-dup of doc 1 must be rejected: $r1")
-    assert(spark.read.parquet(s"$store/docs")
-      .as[(Long, String)].collect().toMap.keySet == Set(1L, 6L))
+    val admitted = spark.read.parquet(s"$store/docs")
+      .as[(Long, String)].collect().toMap
+    assert(admitted.keySet == Set(1L, 6L))
+    assert(admitted(1L) == a, "the collapsed variant must not change doc 1")
 
     // replay: the checkpoint drains nothing
     val r2 = CorpusBuildJob.runOnceFromWarc(spark, warcDir, store, ckpt,
