@@ -1530,6 +1530,12 @@ object TrainingDataQueries {
     // the paper removes. Dataflow: one L-gram fingerprint explode, one
     // global duplicate filter (count > 1 on the gram hash), one
     // PER-DOC window for the islands merge (partitioned, never global).
+    // At-scale note: a boilerplate L-gram shared by millions of docs
+    // concentrates its h-partition on one task — the same hot-key
+    // regime the n-gram dedup family handles with df caps
+    // (Dedup.ngramJaccardPairsAtScale); a capped variant here would
+    // drop grams above a df ceiling (still duplicated => still
+    // flagged, so spans stay one-sided-complete until the ceiling).
     Q("substring_dup_spans", (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val L = SubstrL
