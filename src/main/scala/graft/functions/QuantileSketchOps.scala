@@ -76,7 +76,11 @@ object QuantileSketchOps {
   }
 
   /** Quantile at `rank` with INCLUSIVE criteria — equals SQL
-    * percentile_disc while the sketch is in the exact regime. */
+    * percentile_disc while the sketch is in the exact regime.
+    * DataSketches contract: throws on an EMPTY sketch (quantiles of
+    * nothing are undefined) — callers over possibly-empty inputs gate
+    * on the sketch's item count first, exactly as SQL callers guard
+    * percentile_disc over an empty relation. */
   def quantile(bytes: Array[Byte], rank: Double): Long =
     wrap(bytes).getQuantile(rank, QuantileSearchCriteria.INCLUSIVE)
 
