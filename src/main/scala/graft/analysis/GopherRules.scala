@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
   * doubles and the comparisons are hash-exact with no rounding step.
   * Zero shuffle, zero UDF: one whole-stage-codegen map over the corpus.
   *
-  * Thresholds are the paper's; the word-count floor is scaled to the
-  * synthetic corpus (the paper's 50-word floor would fail every
-  * fixture row alike, gating nothing).
+  * Thresholds are the paper's — including the 50-word floor, so a
+  * library caller gets published behavior by default. Callers gating a
+  * corpus whose documents are uniformly shorter (like the synthetic
+  * fixture, where 50 would fail every row alike and gate nothing) pass
+  * an explicit `minWords` at the call site.
   */
 object GopherRules {
 
-  /** Minimum word count (paper: 50; scaled to the synthetic corpus). */
-  val MinWords = 20L
+  /** Minimum word count — the paper's published value. */
+  val MinWords = 50L
   val MaxWords = 100000L
   val MinMeanWordLen = 3.0
   val MaxMeanWordLen = 10.0
@@ -37,8 +39,10 @@ object GopherRules {
 
   private def lines(text: Column): Column = split(text, "\n")
 
-  /** (flag name, flag column) in rule order; `text` must be non-null. */
-  def flags(text: Column): Seq[(String, Column)] = {
+  /** (flag name, flag column) in rule order; `text` must be non-null.
+    * `minWords` overrides the word-count floor for short-document
+    * corpora; every other threshold is fixed at the paper's value. */
+  def flags(text: Column, minWords: Long = MinWords): Seq[(String, Column)] = {
     val wc = size(words(text)).cast("long")
     val nchars = length(regexp_replace(text, "\\s+", ""))
     val nlines = size(lines(text))
@@ -54,7 +58,7 @@ object GopherRules {
           lit(s"(?i)\\b$s\\b")) > 0, 1).otherwise(0))
       .reduce(_ + _)
     Seq(
-      "wc_ok" -> (wc >= MinWords && wc <= MaxWords),
+      "wc_ok" -> (wc >= minWords && wc <= MaxWords),
       "wlen_ok" -> (wc > 0 &&
         nchars.cast("double") / wc >= MinMeanWordLen &&
         nchars.cast("double") / wc <= MaxMeanWordLen),
@@ -70,12 +74,12 @@ object GopherRules {
   }
 
   /** Conjunction of all seven flags. */
-  def pass(text: Column): Column =
-    flags(text).map(_._2).reduce(_ && _)
+  def pass(text: Column, minWords: Long = MinWords): Column =
+    flags(text, minWords).map(_._2).reduce(_ && _)
 
   /** DuckDB twin: the same flags as a SQL select list over column
     * `text`. chr(10) splits lines like Spark's split on \n. */
-  def oracleFlagsSql: Seq[(String, String)] = {
+  def oracleFlagsSql(minWords: Long = MinWords): Seq[(String, String)] = {
     val wc = "len(regexp_extract_all(text, '\\S+'))"
     val nchars = "length(regexp_replace(text, '\\s+', '', 'g'))"
     val nlines = "len(string_split(text, chr(10)))"
@@ -95,7 +99,7 @@ object GopherRules {
           "THEN 1 ELSE 0 END")
       .mkString("(", " + ", ")")
     Seq(
-      "wc_ok" -> s"($wc >= $MinWords AND $wc <= $MaxWords)",
+      "wc_ok" -> s"($wc >= $minWords AND $wc <= $MaxWords)",
       "wlen_ok" -> (s"($wc > 0 AND $nchars * 1.0 / $wc >= $MinMeanWordLen " +
         s"AND $nchars * 1.0 / $wc <= $MaxMeanWordLen)"),
       "sym_ok" -> s"($wc > 0 AND $nsym * 1.0 / $wc < $MaxSymbolRatio)",

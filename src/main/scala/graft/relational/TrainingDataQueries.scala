@@ -107,6 +107,11 @@ object TrainingDataQueries {
     * Lee et al. use 50 BPE tokens — scaled to the fixture corpus). */
   val SubstrL = 8
 
+  /** gopher_rules word-count floor — fixture-scaled override of
+    * [[graft.analysis.GopherRules.MinWords]] (the paper's 50 would
+    * fail every ~30-70-token synthetic doc alike, gating nothing). */
+  val GopherFixtureMinWords = 20L
+
   /** line_dedup fixture: multi-line docs sharing boilerplate
     * header/footer lines around distinct bodies (the RefinedWeb/CCNet
     * shape). ASCII, quote-free; newlines are real `\n` (the oracle
@@ -1687,16 +1692,19 @@ object TrainingDataQueries {
     // the Gopher rule battery (Rae et al. 2021 Appendix A): the
     // published heuristic pre-filter, seven row-local rules per doc.
     // Ratios are integer quotients — bit-identical doubles in both
-    // engines, so the flags hash-check with no rounding step.
+    // engines, so the flags hash-check with no rounding step. The
+    // word-count floor is fixture-scaled HERE (the API default stays
+    // the paper's 50, which would fail every synthetic row alike).
     Q("gopher_rules", (s, dir) => {
       import graft.analysis.GopherRules
-      val fs = GopherRules.flags(col("text"))
+      val fs = GopherRules.flags(col("text"), minWords = GopherFixtureMinWords)
       spread(docs(s, dir))
         .select(col("doc_id") +: fs.map { case (n, c) => c.as(n) } :+
-          GopherRules.pass(col("text")).as("pass"): _*)
+          GopherRules.pass(col("text"), minWords = GopherFixtureMinWords)
+            .as("pass"): _*)
         .orderBy(col("doc_id"))
     }, Some {
-      val fs = graft.analysis.GopherRules.oracleFlagsSql
+      val fs = graft.analysis.GopherRules.oracleFlagsSql(GopherFixtureMinWords)
       s"""SELECT doc_id,
          |  ${fs.map { case (n, sql) => s"$sql AS $n" }.mkString(",\n  ")},
          |  ${fs.map(_._2).mkString("(", " AND ", ")")} AS pass

@@ -24,10 +24,14 @@ class GopherRulesSpec extends AnyFunSuite {
       .map { case (n, i) => n -> row.getBoolean(i) }.toMap
   }
 
-  // clean: >20 words of sane length, stopwords present, no symbols
+  // clean: >50 words (the paper's floor) of sane length, stopwords
+  // present, no symbols
   private val clean = ("the quick brown fox jumps over the lazy dog " +
     "and runs to town with that same old friend every single " +
-    "morning before anyone else wakes up properly").trim
+    "morning before anyone else wakes up properly and then they " +
+    "walk back along the river while other people start their day " +
+    "and the town slowly fills with noise from shops that open " +
+    "early for trade").trim
 
   test("a clean document passes every rule") {
     val f = flagsOf(clean)
@@ -39,6 +43,23 @@ class GopherRulesSpec extends AnyFunSuite {
     assert(flagsOf(clean)("wc_ok"))
   }
 
+  test("the default floor is the paper's published 50") {
+    assert(GopherRules.MinWords == 50L)
+    // 27 words: below the published floor, above a fixture override
+    val short = ("the quick brown fox jumps over the lazy dog and " +
+      "runs to town with that same old friend every single morning " +
+      "before anyone else wakes up properly").trim
+    val df = Seq(short).toDF("text")
+    import org.apache.spark.sql.functions.col
+    def wcOk(minWords: Long): Boolean = {
+      val fs = GopherRules.flags(col("text"), minWords)
+      val row = df.select(fs.map { case (n, c) => c.as(n) }: _*).head()
+      row.getBoolean(fs.indexWhere(_._1 == "wc_ok"))
+    }
+    assert(!wcOk(GopherRules.MinWords)) // paper default gates it
+    assert(wcOk(20L))                   // fixture-scaled override passes
+  }
+
   test("mean word length bounds") {
     val shouty = Seq.fill(30)("supercalifragilistic").mkString(" ")
     assert(!flagsOf(shouty)("wlen_ok"))
@@ -47,7 +68,7 @@ class GopherRulesSpec extends AnyFunSuite {
   }
 
   test("symbol-to-word ratio") {
-    val hashy = clean + " " + Seq.fill(5)("#tag").mkString(" ")
+    val hashy = clean + " " + Seq.fill(10)("#tag").mkString(" ")
     assert(!flagsOf(hashy)("sym_ok"))
   }
 
