@@ -122,6 +122,44 @@ object Profile {
       time("LSH CAPPED (1024) on cluster")(noop(
         Dedup.minhashLshPairs(cluster, "doc_id", "text")))
 
+      // (2b) substring dup spans at the BINDING regime: the sf docs
+      // replicated x20, truncated to 10 body tokens + a shared 13-token
+      // tail -> 100k docs, 1.6M gram occurrences of which ~600k are the
+      // tail's 6 interior L-grams (df = 100k each). The windowed form
+      // pins those 600k rows on 6 h-keys (window exchanges get no AQE
+      // skew splitting — the per-task ceiling that single-tasks at
+      // 100 TB); the capped operator collapses them map-side in the df
+      // aggregate and the semi join drops them before any sort. Cap 24
+      // keeps the x20-replicated body grams (df 20), so capped output
+      // stays non-empty — recall loss is exactly the hot tail.
+      // Runs BEFORE (3): the winnow-uncapped job's shuffle state taxes
+      // whatever follows it (the documented 3x order effect).
+      locally {
+        val tail = " the very best price ever seen in this great shop" +
+          " today and forever"
+        val hotSpan = docs
+          .select(explode(sequence(lit(0L), lit(19L))).as("i"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") * 100 + col("i")).as("doc_id"),
+            concat(array_join(slice(split(col("text"), " "), 1, 10), " "),
+              lit(tail)).as("text"))
+          .localCheckpoint()
+        println(s"[profile] span corpus: ${hotSpan.count()} docs, 6 " +
+          "tail grams at df=100k")
+        time("substr spans CAPPED (df<=24)")(noop(
+          Dedup.substringDupSpans(hotSpan, "doc_id", "text", 8, maxDf = 24)))
+        time("substr spans WINDOWED on hot")(noop(
+          Dedup.substringDupSpansWindowed(hotSpan, "doc_id", "text", 8)))
+        // the quantity the cap bounds: rows of the biggest h-partition
+        // entering the windowed form's sort vs after the capped filter
+        val hotRows = Dedup.substringDupSpansMaxPartitionRows(
+          hotSpan, "doc_id", "text", 8, maxDf = Long.MaxValue)
+        val cappedRows = Dedup.substringDupSpansMaxPartitionRows(
+          hotSpan, "doc_id", "text", 8, maxDf = 24)
+        println(s"[profile] max gram-partition rows: windowed=$hotRows " +
+          s"capped=$cappedRows")
+      }
+
       // (3) boilerplate span: the hot-shingle corpus from (1) doubles as
       // the winnow hot regime — the appended phrase's ~60 normalized
       // chars contribute identical winnow fingerprints to EVERY doc, so

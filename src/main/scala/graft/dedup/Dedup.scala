@@ -337,6 +337,152 @@ object Dedup {
        |WHERE containment >= $threshold
        |ORDER BY da, db""".stripMargin
 
+  /** EXACT substring dedup spans (Lee et al. 2021, arXiv:2107.06499 —
+    * the suffix-array method's semantics re-expressed relationally) with
+    * a document-frequency cap on the gram index: a position is
+    * duplicated iff some corpus-duplicated `l`-token window covers it,
+    * and the output spans are the per-doc islands merge of those
+    * windows. Grams with df above `maxDf` are DROPPED before the merge.
+    * The approximation is one-sided and precise: a dropped gram has
+    * df > maxDf > 1, so it IS duplicated — dropping it can only shrink
+    * or split spans (lose recall on ultra-hot boilerplate, which the
+    * line-level dedup pass targets anyway), never emit a false span.
+    * With maxDf at the corpus size, output is identical to the uncapped
+    * formulation.
+    *
+    * Plan shape — why this beats the compact single-window form at
+    * scale: the uncapped query computes df as
+    * `count over Window.partitionBy(h)`, which pins EVERY occurrence of
+    * a hot gram (a boilerplate navigation phrase shared by millions of
+    * docs) onto ONE task, and AQE's skew splitting does not apply to
+    * window exchanges. Here df comes from a groupBy aggregate — partial
+    * aggregation collapses a hot gram to one row per map task, so the
+    * reduce side sees at most `numPartitions` rows per gram — and the
+    * kept-gram set (every duplicated gram at or below the cap, at most
+    * |occurrences|/2 keys) comes back via a LEFT SEMI join, where a
+    * skewed probe-side partition is exactly what AQE skew-join
+    * splitting handles. The occurrence relation is computed twice (once
+    * aggregated, once joined) — two narrow scan+explode passes instead
+    * of persisting a corpus-sized exploded relation, the standard trade
+    * at the 100 TB design point. The islands merge itself is PER-DOC
+    * windows (partitioned, never global), unchanged from the uncapped
+    * form.
+    *
+    * Output: (doc_id, span_id, start_tok, end_tok, n_tok), 1-based
+    * token positions, spans closed under gram overlap (gap > l starts a
+    * new island). */
+  def substringDupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    def occ = substrGramOccurrences(docs, idCol, textCol, l)
+    val kept = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1 && col("df") <= maxDf)
+      .select(col("h"))
+    substrIslandsMerge(occ.join(kept, Seq("h"), "left_semi"), l)
+  }
+
+  /** [[substringDupSpans]]'s semantics in the COMPACT single-pass form:
+    * df as one `count over partitionBy(h)` window on the gram shuffle
+    * (no cap, no second scan). One exchange total, but every occurrence
+    * of a hot gram lands on one task and AQE skew splitting does not
+    * apply to window exchanges — use the capped operator when the
+    * corpus can contain boilerplate grams (the 100 TB default). */
+  def substringDupSpansWindowed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    substrIslandsMerge(
+      substrGramOccurrences(docs, idCol, textCol, l)
+        .withColumn("c", count(lit(1))
+          .over(Window.partitionBy(col("h"))))
+        .filter(col("c") > 1)
+        .drop("c"),
+      l)
+  }
+
+  /** The largest per-gram row count admitted to the duplicate-occurrence
+    * relation under `maxDf` — the single-key concentration the df cap
+    * bounds. With maxDf at Long.MaxValue this is the biggest h-partition
+    * the windowed form's sort must swallow on one task; under a cap it
+    * is at most the cap. (Profiler instrumentation, not an operator.) */
+  def substringDupSpansMaxPartitionRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int,
+      maxDf: Long): Long =
+    substrGramOccurrences(docs, idCol, textCol, l)
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1 && col("df") <= maxDf)
+      .agg(coalesce(max(col("df")), lit(0L)).as("m"))
+      .head().getLong(0)
+
+  /** (doc_id, p, h): 1-based position and md5 fingerprint of every
+    * `l`-token window of the [a-z]+-tokenized lowercased text. */
+  private def substrGramOccurrences(
+      docs: DataFrame, idCol: String, textCol: String, l: Int): DataFrame = {
+    val toks = regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))
+    val grams = when(size(toks) >= l,
+      transform(sequence(lit(1), size(toks) - (l - 1)),
+        i => md5(array_join(slice(toks, i, lit(l)), " "))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col(idCol).as("doc_id"), posexplode(grams).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("h"))
+  }
+
+  /** Per-doc islands merge of duplicated gram positions (gap > l starts
+    * a new span) — partitioned windows, never global. */
+  private def substrIslandsMerge(occ: DataFrame, l: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    occ
+      .withColumn("ns",
+        when(col("p") - lag(col("p"), 1).over(w) > l, 1).otherwise(0))
+      .withColumn("span_id", sum(col("ns")).over(w))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("p")).as("start_tok"),
+        (max(col("p")) + (l - 1)).as("end_tok"))
+      .withColumn("n_tok", col("end_tok") - col("start_tok") + 1)
+  }
+
+  /** DuckDB twin of [[substringDupSpans]] (select list:
+    * doc_id, span_id, start_tok, end_tok, n_tok — unordered; append
+    * ORDER BY at the call site). `maxDf` mirrors the cap. */
+  def substringDupSpansOracle(docsRel: String, l: Int, maxDf: Long): String =
+    s"""WITH sdtok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS a
+       |  FROM $docsRel __sd),
+       |sdg AS (
+       |  SELECT doc_id, i AS p,
+       |    md5(array_to_string(a[i:i+${l - 1}], ' ')) AS h
+       |  FROM (SELECT doc_id, a,
+       |      unnest(range(1, len(a) - ${l - 2})) AS i
+       |    FROM sdtok) __sdi),
+       |sdd AS (SELECT h FROM sdg GROUP BY h
+       |  HAVING count(*) > 1 AND count(*) <= $maxDf),
+       |sdo AS (SELECT g.doc_id, g.p FROM sdg g JOIN sdd USING (h)),
+       |sds AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+       |        > $l THEN 1 ELSE 0 END AS ns
+       |  FROM sdo),
+       |sdi AS (
+       |  SELECT doc_id, p,
+       |    CAST(sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
+       |  FROM sds)
+       |SELECT doc_id, span_id, min(p) AS start_tok,
+       |  max(p) + ${l - 1} AS end_tok,
+       |  max(p) + ${l - 1} - min(p) + 1 AS n_tok
+       |FROM sdi GROUP BY doc_id, span_id""".stripMargin
+
   /** Benchmark DECONTAMINATION (C4/Dolma-style): flag corpus documents
     * sharing at least `minShared` distinct shingles with ANY document of
     * an evaluation set — the overlap check a training corpus runs

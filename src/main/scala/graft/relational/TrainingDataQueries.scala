@@ -78,6 +78,35 @@ object TrainingDataQueries {
       |   array_to_string(string_split(text, ' ')[1:25], ' ') AS text
       | FROM documents WHERE doc_id < 8) __cc""".stripMargin
 
+  /** Hot boilerplate tail for the substring-df-cap fixture: 15 [a-z]+
+    * tokens -> 8 interior L-grams (L=SubstrL) each appearing in every
+    * planted twin. Declared before `all` (oracle interpolation). */
+  val HotBoilerplate: String = "please subscribe to our free newsletter " +
+    "today for all the very latest updates and offers"
+
+  /** [[docsWithDups]] plus a planted HOT boilerplate gram: docs 0-39
+    * re-appear (ids +300000) with [[HotBoilerplate]] appended, so the
+    * tail's 8 interior L-grams carry df = 40 — above
+    * [[SubstrDfCap]] at every SF, the regime where the substring df cap
+    * binds. Twin bodies equal their originals, so body grams stay
+    * duplicated (df 2-3, under the cap) and the capped spans cover the
+    * bodies while the uncapped form would run through the tails. */
+  private def docsWithHotGram(s: SparkSession, dir: String): DataFrame =
+    docsWithDups(s, dir).unionAll(
+      docs(s, dir).filter(col("doc_id") < 40)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" " + HotBoilerplate)).as("text")))
+
+  private def docsWithHotGramSql =
+    s"""(SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 100000 AS doc_id, text FROM documents
+       | WHERE doc_id < 5
+       | UNION ALL
+       | SELECT doc_id + 300000 AS doc_id,
+       |   text || ' $HotBoilerplate' AS text
+       | FROM documents WHERE doc_id < 40)""".stripMargin
+
   val SimilarPairsThreshold = 0.45
   val AnnQueries = 20
   val AnnK = 5
@@ -106,6 +135,11 @@ object TrainingDataQueries {
   /** Duplicated-substring window length in tokens (substring_dup_spans;
     * Lee et al. use 50 BPE tokens — scaled to the fixture corpus). */
   val SubstrL = 8
+
+  /** Gram-df ceiling for substring_dup_spans_capped — sized so the
+    * planted 40-twin boilerplate gram (df 40) is dropped while the
+    * exact-duplicate body grams (df 2-3) are kept, at every SF. */
+  val SubstrDfCap = 16L
 
   /** gopher_rules word-count floor — fixture-scaled override of
     * [[graft.analysis.GopherRules.MinWords]] (the paper's 50 would
@@ -1537,40 +1571,14 @@ object TrainingDataQueries {
     // PER-DOC window for the islands merge (partitioned, never global).
     // At-scale note: a boilerplate L-gram shared by millions of docs
     // concentrates its h-partition on one task — the same hot-key
-    // regime the n-gram dedup family handles with df caps
-    // (Dedup.ngramJaccardPairsAtScale); a capped variant here would
-    // drop grams above a df ceiling (still duplicated => still
-    // flagged, so spans stay one-sided-complete until the ceiling).
-    Q("substring_dup_spans", (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val L = SubstrL
-      val toks = regexp_extract_all(lower(col("text")), lit("[a-z]+"),
-        lit(0))
-      val grams = when(size(toks) >= L,
-        transform(sequence(lit(1), size(toks) - (L - 1)),
-          i => md5(array_join(slice(toks, i, lit(L)), " "))))
-        .otherwise(array().cast("array<string>"))
-      val occ = docsWithDups(s, dir)
-        .select(col("doc_id"), posexplode(grams).as(Seq("p0", "h")))
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
-          col("h"))
-      // global duplicate filter as ONE window count on the gram-hash
-      // shuffle (a groupBy + semi-join back would shuffle the same
-      // relation by h twice more)
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      occ
-        .withColumn("c", count(lit(1))
-          .over(Window.partitionBy(col("h"))))
-        .filter(col("c") > 1)
-        .withColumn("ns",
-          when(col("p") - lag(col("p"), 1).over(w) > L, 1).otherwise(0))
-        .withColumn("span_id", sum(col("ns")).over(w))
-        .groupBy(col("doc_id"), col("span_id"))
-        .agg(min(col("p")).as("start_tok"),
-          (max(col("p")) + (L - 1)).as("end_tok"))
-        .withColumn("n_tok", col("end_tok") - col("start_tok") + 1)
-        .orderBy(col("doc_id"), col("start_tok"))
-    }, Some(
+    // regime the n-gram dedup family handles with df caps. The capped
+    // sibling below (substring_dup_spans_capped ->
+    // Dedup.substringDupSpans) is the at-scale default; this windowed
+    // form stays as the compact uncapped reference the oracle mirrors.
+    Q("substring_dup_spans", (s, dir) =>
+      graft.dedup.Dedup.substringDupSpansWindowed(
+          docsWithDups(s, dir), "doc_id", "text", SubstrL)
+        .orderBy(col("doc_id"), col("start_tok")), Some(
       s"""WITH sdtok AS (
          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS a
          |  FROM $docsWithDupsSql __sd),
@@ -1597,6 +1605,24 @@ object TrainingDataQueries {
          |  max(p) + ${SubstrL - 1} - min(p) + 1 AS n_tok
          |FROM sdi GROUP BY doc_id, span_id
          |ORDER BY doc_id, start_tok""".stripMargin)),
+
+    // the AT-SCALE substring dedup: same Lee et al. span semantics with
+    // the df-capped gram index (graft.dedup.Dedup.substringDupSpans —
+    // groupBy df + left-semi join back, the shape AQE skew splitting
+    // handles, instead of the hot-key-prone partitionBy(h) window).
+    // The fixture plants a 40-twin boilerplate tail whose grams carry
+    // df 40 > SubstrDfCap, so the cap BINDS: capped spans stop at the
+    // twin bodies where the uncapped form would run through the tails.
+    // One-sided by construction — a dropped gram is still duplicated,
+    // so no false spans appear.
+    Q("substring_dup_spans_capped", (s, dir) =>
+      graft.dedup.Dedup.substringDupSpans(
+          docsWithHotGram(s, dir), "doc_id", "text",
+          SubstrL, maxDf = SubstrDfCap)
+        .orderBy(col("doc_id"), col("start_tok")),
+      Some(graft.dedup.Dedup.substringDupSpansOracle(
+        docsWithHotGramSql, SubstrL, SubstrDfCap) +
+        "\nORDER BY doc_id, start_tok")),
 
     // URL canonicalization (RFC 3986 section 6 + tracking-param strip):
     // the first dedup key a crawl pipeline computes. Row-local regexp +

@@ -106,6 +106,54 @@ class DedupCappedSpec extends AnyFunSuite {
       "hot buckets pruned; small buckets unaffected")
   }
 
+  // --- substring dup spans (Lee et al. semantics, df-capped index) ---
+
+  /** 6 docs with a distinct lead word, a shared 7-token body run (too
+    * short to form an L=8 gram alone) and a shared 10-token hot tail —
+    * every duplicated gram of these docs has df = 6. Plus one exact-dup
+    * pair whose 3 grams have df = 2. */
+  private lazy val spanDocs = {
+    val tail = "visit our shop for the best offers in town today"
+    val leads = Seq("alpha", "bravo", "china", "delta", "echos", "fanta")
+    val hotDocs = leads.zipWithIndex.map { case (w, i) =>
+      ((i + 1).toLong, s"$w body words go here quite long enough $tail")
+    }
+    val dupText =
+      "masked parrot sings under yellow lanterns beside quiet rivers nightly"
+    (hotDocs ++ Seq((100L, dupText), (101L, dupText)))
+      .toDF("doc_id", "text")
+  }
+
+  private def spanSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "start_tok", "end_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def coverage(spans: Set[(Long, Long, Long)]): Set[(Long, Long)] =
+    spans.flatMap { case (d, s, e) => (s to e).map(p => d -> p) }
+
+  test("substring spans: loose cap reproduces the windowed form exactly") {
+    val joined = spanSet(Dedup.substringDupSpans(
+      spanDocs, "doc_id", "text", l = 8, maxDf = Long.MaxValue))
+    val windowed = spanSet(Dedup.substringDupSpansWindowed(
+      spanDocs, "doc_id", "text", l = 8))
+    assert(joined == windowed && joined.nonEmpty)
+  }
+
+  test("substring spans: tight cap drops hot-gram coverage one-sidedly") {
+    val uncapped = spanSet(Dedup.substringDupSpansWindowed(
+      spanDocs, "doc_id", "text", l = 8))
+    val capped = spanSet(Dedup.substringDupSpans(
+      spanDocs, "doc_id", "text", l = 8, maxDf = 4))
+    // precondition: the hot tail flags the 6 hot docs uncapped
+    assert(uncapped.exists(_._1 == 1L), "hot docs must be flagged uncapped")
+    // the exact-dup pair's grams (df=2) survive the cap: full-doc spans
+    assert(capped == Set((100L, 1L, 10L), (101L, 1L, 10L)),
+      s"only the rare-gram dup pair survives: $capped")
+    // one-sided: capped coverage is a subset of uncapped coverage —
+    // a dropped gram is still duplicated, so no false spans appear
+    assert(coverage(capped).subsetOf(coverage(uncapped)))
+  }
+
   test("a pair sharing ONLY hot shingles is the documented one-sided miss") {
     // at a low threshold docs 3-4 qualify through the shared header
     // alone; with the header capped out they never become candidates
