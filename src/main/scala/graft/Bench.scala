@@ -76,7 +76,12 @@ object Bench {
     // spike lands in at most one rep and the min differences ambient
     // drift out of round-over-round per-query deltas — the driver's
     // single-pass invocation (REPS unset) is unchanged.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    // clamp to >= 1 and survive junk values: REPS=0 would run zero
+    // passes (every query -1.0, total meaningless) and a non-numeric
+    // value would throw before any query runs
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(1))
     val passes = (1 to reps).map(_ =>
       querySeq.map { case (name, fn) => name -> runOne(name, fn) })
     def minOk(vs: Seq[Double]): Double = {

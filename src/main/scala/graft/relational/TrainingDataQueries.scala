@@ -146,25 +146,6 @@ object TrainingDataQueries {
     * fail every ~30-70-token synthetic doc alike, gating nothing). */
   val GopherFixtureMinWords = 20L
 
-  /** line_dedup fixture: multi-line docs sharing boilerplate
-    * header/footer lines around distinct bodies (the RefinedWeb/CCNet
-    * shape). ASCII, quote-free; newlines are real `\n` (the oracle
-    * rebuilds them with chr(10)). */
-  val LineDocs: Seq[(Long, String)] = {
-    val header = "Example Corp Daily Bulletin"
-    val footer = "copyright example corp all rights reserved"
-    val nav = "home | products | about | contact"
-    Seq(
-      0L -> s"$header\n$nav\nalpha beta gamma delta\n$footer",
-      1L -> s"$header\n$nav\nepsilon zeta eta theta\n$footer",
-      2L -> s"$header\niota kappa lambda\nmu nu xi omicron\n$footer",
-      3L -> s"$header\n\npi rho sigma\n$footer",
-      4L -> "standalone page with no boilerplate at all",
-      5L -> s"$footer\nunique closing thoughts here\n$footer",
-      // repeated only WITHIN one doc: the distinct-doc rule keeps it
-      6L -> "internal refrain line\nbody text one\ninternal refrain line")
-  }
-
   /** langid_train fixtures: per-language training sentences and test
     * docs (cs/de diacritics pre-folded to ASCII so every string embeds
     * verbatim in the oracle's VALUES lists). */
@@ -1412,29 +1393,44 @@ object TrainingDataQueries {
     // line-level dedup (RefinedWeb/CCNet paragraph dedup, Penedo et
     // al. 2023): a normalized line appearing in MORE THAN ONE distinct
     // document is boilerplate (headers/footers/nav) and leaves every
-    // doc; empty lines leave too; docs are rebuilt in line order. The
-    // duplicate test is one collect_set window on the norm shuffle;
-    // reconstruction is one per-doc sorted aggregate.
-    Q("line_dedup", (s, _) => {
-      import s.implicits._
+    // doc; empty lines leave too; docs are rebuilt in line order.
+    // Runs on the SF-SCALED corpus: every doc wrapped in a shared
+    // header/footer, a third get a nav line (empty otherwise — the
+    // empty-line edge), each repeats its own "ref <id>" refrain twice
+    // (the within-doc-repeat edge: stays), and the docsWithDups twins
+    // make whole BODY lines cross-doc duplicates. The duplicate test is
+    // min(doc_id) == max(doc_id) over the norm window — the same
+    // predicate as counting distinct docs but with O(1) window state (a
+    // hot boilerplate line buffers NO doc-id set); reconstruction is
+    // one per-doc sorted aggregate.
+    Q("line_dedup", (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val lines = LineDocs.toDF("doc_id", "text")
+      val refrain = concat(lit("ref "), col("doc_id"))
+      val lined = docsWithDups(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          lit("Example Corp Daily Bulletin"),
+          when(col("doc_id") % 3 === 0,
+            lit("home | products | about | contact")).otherwise(lit("")),
+          refrain, col("text"), refrain,
+          lit("copyright example corp all rights reserved")).as("text"))
+      val lines = lined
         .select(col("doc_id"),
           posexplode(split(col("text"), "\n")).as(Seq("line_no", "ln")))
         .withColumn("norm",
           trim(regexp_replace(lower(col("ln")), " +", " ")))
+      val wn = Window.partitionBy(col("norm"))
       val kept = lines
         .filter(col("norm") =!= "")
-        .withColumn("ndocs", size(collect_set(col("doc_id"))
-          .over(Window.partitionBy(col("norm")))))
-        .filter(col("ndocs") === 1)
+        .withColumn("one_doc",
+          min(col("doc_id")).over(wn) === max(col("doc_id")).over(wn))
+        .filter(col("one_doc"))
       val rebuilt = kept.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_kept"),
           md5(array_join(
             transform(
               array_sort(collect_list(struct(col("line_no"), col("ln")))),
               x => x.getField("ln")), "\n")).as("clean_md5"))
-      LineDocs.toDF("doc_id", "text")
+      lined
         .select(col("doc_id"),
           size(split(col("text"), "\n")).cast("long").as("n_lines"))
         .join(rebuilt, Seq("doc_id"), "left")
@@ -1442,14 +1438,17 @@ object TrainingDataQueries {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("clean_md5"), lit("")).as("clean_md5"))
         .orderBy(col("doc_id"))
-    }, Some {
-      val values = LineDocs.map { case (id, t) =>
-        val lits = t.split("\n", -1).map(l => s"'$l'")
-          .mkString(" || chr(10) || ")
-        s"(CAST($id AS BIGINT), $lits)"
-      }.mkString(",\n  ")
-      s"""WITH ld(doc_id, text) AS (VALUES
-         |  $values),
+    }, Some(
+      s"""WITH ld AS (
+         |  SELECT doc_id,
+         |    'Example Corp Daily Bulletin' || chr(10) ||
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN 'home | products | about | contact' ELSE '' END
+         |      || chr(10) ||
+         |    'ref ' || doc_id || chr(10) || text || chr(10) ||
+         |    'ref ' || doc_id || chr(10) ||
+         |    'copyright example corp all rights reserved' AS text
+         |  FROM $docsWithDupsSql __lb),
          |ll AS (
          |  SELECT doc_id, i AS line_no, ls[i] AS ln,
          |    trim(regexp_replace(lower(ls[i]), ' +', ' ', 'g')) AS norm
@@ -1458,9 +1457,9 @@ object TrainingDataQueries {
          |    FROM ld) __ll),
          |dupn AS (
          |  SELECT norm FROM (
-         |    SELECT norm, count(DISTINCT doc_id) AS c FROM ll
+         |    SELECT norm, min(doc_id) AS mn, max(doc_id) AS mx FROM ll
          |    WHERE norm <> '' GROUP BY norm) __d
-         |  WHERE c > 1),
+         |  WHERE mn <> mx),
          |keptl AS (
          |  SELECT * FROM ll
          |  WHERE norm <> '' AND norm NOT IN (SELECT norm FROM dupn)),
@@ -1473,8 +1472,7 @@ object TrainingDataQueries {
          |  coalesce(reb.n_kept, 0) AS n_kept,
          |  coalesce(reb.clean_md5, '') AS clean_md5
          |FROM ld d LEFT JOIN reb ON d.doc_id = reb.doc_id
-         |ORDER BY d.doc_id""".stripMargin
-    }),
+         |ORDER BY d.doc_id""".stripMargin)),
 
     // KLL quantile sketch (DataSketches) — the third sketch leg next
     // to theta (distinct set ops) and frequencies (heavy hitters):
