@@ -76,25 +76,52 @@ object BpeTrain {
       .select(col("cnt"), explode(split(trim(col("w")), "  ")).as("token"))
       .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
 
-  /** Tokenize documents with the merges learned from their own vocab:
-    * apply the trained segmentation word-by-word and emit per-document
-    * token counts (doc_id, token, n) — the full tokenizer path
-    * (train -> segment the CORPUS), what a pipeline runs to produce
+  /** Tokenize documents with learned merges — the full tokenizer path
+    * (train -> segment a CORPUS), what a pipeline runs to produce
     * model input. `docWords(doc_id, word, dn)` carries per-doc word
-    * counts; `words(word, cnt)` is the training vocab. The word ->
-    * final-form map is vocab-sized; the join back to docWords shuffles
-    * on the word key (deliberately NOT a forced broadcast: a web-scale
-    * vocab outgrows one). */
+    * counts; `words(word, cnt)` is the training vocab; output is
+    * (doc_id, token, n).
+    *
+    * Words IN the training vocab reuse their final working forms (the
+    * word -> form map is vocab-sized; the join shuffles on the word
+    * key — deliberately NOT a forced broadcast: a web-scale vocab
+    * outgrows one). Words NOT in the vocab — real inference input —
+    * fall back to MERGE REPLAY: char-split and fold the learned merge
+    * table (rounds rows, broadcast as one ordered array) over the
+    * working form with the same boundary-preserving replace the
+    * trainer uses. Replaying the merges in round order reproduces the
+    * trained form exactly for in-vocab words, so the fallback is the
+    * same function restricted to the unseen ones — no silent OOV drop
+    * (the pre-r9 inner join made unseen words vanish from the
+    * output). */
   def tokenizeDocs(
       docWords: DataFrame, words: DataFrame, rounds: Int): DataFrame = {
-    val forms = train(words, rounds)._1.select(col("word"), col("w"))
+    val (forms, merges) = train(words, rounds)
+    val marr = merges.reduce(_ unionAll _)
+      .agg(transform(
+        array_sort(collect_list(struct(col("round"), col("pair")))),
+        x => x.getField("pair")).as("__ms"))
     docWords
-      .join(forms, Seq("word"))
+      .join(forms.select(col("word"), col("w")), Seq("word"), "left")
+      .crossJoin(broadcast(marr))
       .select(col("doc_id"), col("dn"),
-        explode(split(trim(col("w")), "  ")).as("token"))
+        coalesce(col("w"),
+          aggregate(col("__ms"), initWord(col("word")), applyMerge))
+          .as("wf"))
+      .select(col("doc_id"), col("dn"),
+        explode(split(trim(col("wf")), "  ")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(sum(col("dn")).as("n"))
   }
+
+  /** One merge-replay step: apply learned pair `p` ("s1 s2") to
+    * working form `acc` — the identical boundary-preserving replace
+    * the trainer's per-round merge uses. */
+  private def applyMerge(acc: Column, p: Column): Column =
+    replace(acc,
+      concat(lit(" "), element_at(split(p, " "), 1), lit("  "),
+        element_at(split(p, " "), 2), lit(" ")),
+      concat(lit(" "), regexp_replace(p, " ", ""), lit(" ")))
 
   /** The merge loop shared by [[fit]] / [[encodeTokens]] /
     * [[tokenizeDocs]]: final working forms (keyed by the original
@@ -171,6 +198,42 @@ object BpeTrain {
        |FROM (SELECT d.doc_id, d.dn,
        |    unnest(string_split(trim(b.w), '  ')) AS token
        |  FROM $docRel d JOIN bw$rounds b USING (word)) __dt
+       |GROUP BY doc_id, token
+       |ORDER BY doc_id, token""".stripMargin
+
+  /** MERGE-REPLAY CTEs over [[oracleCtes]]'s mb CTEs: segment the
+    * distinct words of `docRel(doc_id, word, dn)` — vocab membership
+    * irrelevant — by char-splitting and applying each round's learned
+    * pair in order (scalar subqueries against mb1..mb$rounds), the
+    * DuckDB twin of [[tokenizeDocs]]'s fallback path. Emits
+    * `aw0..aw$rounds`; consume via [[oracleApplySelect]]. */
+  def oracleApplyCtes(docRel: String, rounds: Int): String = {
+    val base =
+      s"""aw0 AS (
+         |  SELECT word, '  ' || array_to_string(
+         |      list_append(regexp_extract_all(word, '.'), '$EndOfWord'),
+         |      '  ') || '  ' AS w
+         |  FROM (SELECT DISTINCT word FROM $docRel) __aw)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""aw$i AS (
+         |  SELECT word, replace(w,
+         |      (SELECT ' ' || string_split(pair, ' ')[1] || '  ' ||
+         |              string_split(pair, ' ')[2] || ' ' FROM mb$i),
+         |      (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM mb$i))
+         |    AS w
+         |  FROM aw${i - 1})""".stripMargin
+    }
+    s"""$base,
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  /** Per-doc tokenization SELECT over [[oracleApplyCtes]]'s final aw
+    * CTE — replay covers every word, in-vocab or not. */
+  def oracleApplySelect(docRel: String, rounds: Int): String =
+    s"""SELECT doc_id, token, CAST(sum(dn) AS BIGINT) AS n
+       |FROM (SELECT d.doc_id, d.dn,
+       |    unnest(string_split(trim(a.w), '  ')) AS token
+       |  FROM $docRel d JOIN aw$rounds a USING (word)) __at
        |GROUP BY doc_id, token
        |ORDER BY doc_id, token""".stripMargin
 

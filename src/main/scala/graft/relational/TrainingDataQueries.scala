@@ -1070,6 +1070,48 @@ object TrainingDataQueries {
          |${graft.analysis.BpeTrain.oracleTokenizeSelect("docwords", BpeRounds)}"""
         .stripMargin)),
 
+    // Tokenizer INFERENCE on unseen input: train on docs 0-39's vocab,
+    // tokenize the DISJOINT slice 40-79. Words absent from training —
+    // the real inference case — segment by MERGE REPLAY (char-split +
+    // the learned merge table folded in round order, broadcast as one
+    // rounds-sized array); in-vocab words reuse trained forms, which
+    // replay reproduces exactly. Closes the pre-r9 silent OOV drop:
+    // the oracle replays every word through the same unrolled chain,
+    // so the hash proves no word vanished.
+    Q("corpus_bpe_apply", (s, dir) => {
+      import graft.analysis.BpeTrain
+      val words = docs(s, dir).filter(col("doc_id") < 40)
+        .select(explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val docWords = docs(s, dir)
+        .filter(col("doc_id") >= 40 && col("doc_id") < 80)
+        .select(col("doc_id"), explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("dn"))
+      BpeTrain.tokenizeDocs(docWords, words, BpeRounds)
+        .orderBy(col("doc_id"), col("token"))
+    }, Some(
+      s"""WITH bpewords AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+         |      AS word
+         |    FROM documents WHERE doc_id < 40) __bw
+         |  GROUP BY word),
+         |applydocw AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS dn
+         |  FROM (SELECT doc_id,
+         |      unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |    FROM documents WHERE doc_id >= 40 AND doc_id < 80) __aw
+         |  GROUP BY doc_id, word),
+         |${graft.analysis.BpeTrain.oracleCtes("bpewords", BpeRounds)},
+         |${graft.analysis.BpeTrain.oracleApplyCtes("applydocw", BpeRounds)}
+         |${graft.analysis.BpeTrain.oracleApplySelect("applydocw", BpeRounds)}"""
+        .stripMargin)),
+
     // IMA/DVI ADPCM — a real 4:1 compressed-audio codec with NO JDK
     // implementation: encoder + decoder written from the published IMA
     // algorithm (graft.multimodal.ImaAdpcm), container = WAVE tag

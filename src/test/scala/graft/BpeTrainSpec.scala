@@ -142,6 +142,49 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("tokenizeDocs segments UNSEEN words by merge replay (no OOV drop)") {
+    // train on a lowest/newest vocab; tokenize docs containing words the
+    // training never saw — they must segment by replaying the learned
+    // merges over the char split, not vanish (the pre-r9 inner join
+    // dropped them silently)
+    val vocab = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val rounds = 4
+    val merges = refBpe(vocab, rounds).map { case (a, b, _) => (a, b) }
+    def segment(word: String): Seq[String] = {
+      var syms = word.map(_.toString).toVector :+ BpeTrain.EndOfWord
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    // "lowest" composes trained merges on an unseen word; "zq" shares
+    // no trained symbol pair and must fall back to pure chars
+    val docWords = Seq((7L, "lowest", 2L), (7L, "zq", 1L), (8L, "low", 3L))
+      .toDF("doc_id", "word", "dn")
+    val words = vocab.toSeq.toDF("word", "cnt")
+    val got = BpeTrain.tokenizeDocs(docWords, words, rounds)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) ->
+        r.getAs[Long]("n"))
+      .toMap
+    val expected = Seq(
+      7L -> (segment("lowest").map(_ -> 2L) ++ segment("zq").map(_ -> 1L)),
+      8L -> segment("low").map(_ -> 3L))
+      .flatMap { case (id, ts) =>
+        ts.groupBy(_._1).map { case (t, os) => (id, t) -> os.map(_._2).sum }
+      }.toMap
+    assert(got == expected)
+    assert(got.keys.exists(_._2 == "z"), "unseen chars must surface")
+  }
+
   test("encodeTokens matches the reference token frequencies") {
     val corpora = Seq(
       Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L),
