@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.arrayDotDescriptor)
     GraftExtensions.textDescriptors.foreach(e.injectFunction)
+    GraftExtensions.signatureDescriptors.foreach(e.injectFunction)
   }
 }
 
@@ -52,6 +53,34 @@ object GraftExtensions {
         new ExpressionInfo("graft.analysis.TextAnalysis", name), builder)
     }
 
+  /** The dedup signature expressions as SQL functions, bound to the
+    * dedup family's published constants (MinhashK/A/B/P, WinnowK/W) so
+    * SQL callers get signatures BIT-IDENTICAL to the Dataset operators
+    * — one band key computed in SQL joins against one computed by
+    * [[graft.dedup.Dedup.minhashLshPairs]]. */
+  val signatureFunctions: Seq[(String, Seq[Expression] => Expression)] = {
+    import graft.dedup.Dedup
+    Seq(
+      "graft_minhash_sig" -> (exprs => graft.functions.MinhashSig(
+        exprs.head,
+        (0 until Dedup.MinhashK).map(Dedup.minhashA),
+        (0 until Dedup.MinhashK).map(Dedup.minhashB),
+        Dedup.MinhashP)),
+      "graft_simhash_sig" ->
+        (exprs => graft.functions.SimhashSig(exprs.head)),
+      "graft_winnow_fps" -> (exprs => graft.functions.WinnowSig(
+        exprs.head,
+        graft.analysis.TextAnalysis.WinnowK,
+        graft.analysis.TextAnalysis.WinnowW)))
+  }
+
+  val signatureDescriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] =
+    signatureFunctions.map { case (name, builder) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder)
+    }
+
   /** Idempotent per-session registration for sessions built without
     * extensions (e.g. the driver-owned harness session). Registers the
     * custom expression plus the whole domain function library, so every
@@ -60,7 +89,11 @@ object GraftExtensions {
     *   SELECT graft_correct_name(ocr_text),
     *          graft_process_price(shop, txt, 'item_price').item_price,
     *          graft_normalize_czech(name), graft_parse_price(s),
-    *          array_dot(a, b) ...
+    *          array_dot(a, b), graft_minhash_sig(shingles),
+    *          graft_simhash_sig(shingles), graft_winnow_fps(t),
+    *          graft_theta_estimate(graft_theta_union(sk)),
+    *          graft_kll_quantile(graft_kll_merge(sk), 0.5),
+    *          graft_freq_heavy_hitters(graft_freq_merge(sk)) ...
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -81,5 +114,40 @@ object GraftExtensions {
       "graft_process_price",
       exprs => graft.functions.ProcessPrice(exprs(0), exprs(1), exprs(2)),
       "scala_udf")
+    // dedup signature expressions (r9): native Catalyst trees, same
+    // registration path as the text/price surface
+    signatureFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+    // mergeable-sketch surface (r9): the theta/KLL/frequencies
+    // Aggregators as SQL AGGREGATES over serialized sketch bytes, plus
+    // scalar readers — `SELECT graft_theta_estimate(
+    // graft_theta_union(sk)) FROM partials` composes the whole
+    // distributed sketch pipeline from pure SQL. Registered as udaf
+    // wrappers (the documented Aggregator->SQL path); they appear in
+    // no SparkEntry query plan, so the PlanLint UDF allowlist is
+    // untouched.
+    locally {
+      import org.apache.spark.sql.functions.udaf
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      import graft.functions.{FreqSketchOps, QuantileSketchOps, ThetaSketchOps}
+      val bytesEnc = ExpressionEncoder[Array[Byte]]()
+      spark.udf.register("graft_theta_union",
+        udaf(new ThetaSketchOps.UnionAggregator, bytesEnc))
+      spark.udf.register("graft_theta_estimate",
+        (b: Array[Byte]) => ThetaSketchOps.estimate(b))
+      spark.udf.register("graft_theta_set_ops",
+        (a: Array[Byte], b: Array[Byte]) => ThetaSketchOps.setOps(a, b))
+      spark.udf.register("graft_kll_merge",
+        udaf(new QuantileSketchOps.MergeAggregator, bytesEnc))
+      spark.udf.register("graft_kll_quantile",
+        (b: Array[Byte], rank: Double) =>
+          QuantileSketchOps.quantile(b, rank))
+      spark.udf.register("graft_freq_merge",
+        udaf(new FreqSketchOps.MergeAggregator, bytesEnc))
+      spark.udf.register("graft_freq_heavy_hitters",
+        (b: Array[Byte]) => FreqSketchOps.heavyHitters(b))
+    }
   }
 }

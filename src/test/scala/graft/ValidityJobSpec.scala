@@ -77,6 +77,62 @@ class ValidityJobSpec extends AnyFunSuite {
     assert(row.getDouble(4) == 24.90)
   }
 
+  test("the mergeable-sketch surface is reachable from pure SQL") {
+    GraftExtensions.register(spark)
+    import graft.functions.{FreqSketchOps, QuantileSketchOps, ThetaSketchOps}
+    import spark.implicits._
+    // theta: 1000 distinct keys, exact regime -> exact estimate
+    ThetaSketchOps.partials(spark.range(0, 1000).as[Long]).toDF("sk")
+      .createOrReplaceTempView("theta_parts")
+    val est = spark.sql(
+      "SELECT graft_theta_estimate(graft_theta_union(sk)) AS e" +
+        " FROM theta_parts").collect()(0).getDouble(0)
+    assert(est == 1000.0)
+    // KLL: INCLUSIVE median of 1..1000 == percentile_disc == 500
+    QuantileSketchOps.partials(spark.range(1, 1001).as[Long]).toDF("sk")
+      .createOrReplaceTempView("kll_parts")
+    val med = spark.sql(
+      "SELECT graft_kll_quantile(graft_kll_merge(sk), 0.5d) AS m" +
+        " FROM kll_parts").collect()(0).getLong(0)
+    assert(med == 500L)
+    // frequencies: a planted heavy key in a tail, exact regime
+    val items = (Seq.fill(50)("hot") ++ (1 to 20).map(i => s"tail$i")).toDS()
+    FreqSketchOps.partials(items).toDF("sk")
+      .createOrReplaceTempView("freq_parts")
+    val hh = spark.sql(
+      "SELECT graft_freq_heavy_hitters(graft_freq_merge(sk)) AS h" +
+        " FROM freq_parts").collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.head.getString(0) == "hot" && hh.head.getLong(1) == 50L)
+  }
+
+  test("dedup signature expressions are reachable from pure SQL") {
+    GraftExtensions.register(spark)
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions.{col, split}
+    import spark.implicits._
+    val df = Seq("one two three four five six seven eight nine")
+      .toDF("t")
+    df.createOrReplaceTempView("sigdocs")
+    val viaCol = df.select(
+      graft.functions.MinhashSig.minhash_sig(split(col("t"), " "),
+        (0 until Dedup.MinhashK).map(Dedup.minhashA),
+        (0 until Dedup.MinhashK).map(Dedup.minhashB),
+        Dedup.MinhashP).as("mh"),
+      graft.functions.SimhashSig.simhash_sig(split(col("t"), " ")).as("sh"),
+      graft.functions.WinnowSig.winnow_fps(col("t"),
+        graft.analysis.TextAnalysis.WinnowK,
+        graft.analysis.TextAnalysis.WinnowW).as("wf")).collect()(0)
+    val viaSql = spark.sql(
+      """SELECT graft_minhash_sig(split(t, ' ')) AS mh,
+        |  graft_simhash_sig(split(t, ' ')) AS sh,
+        |  graft_winnow_fps(t) AS wf
+        |FROM sigdocs""".stripMargin).collect()(0)
+    assert(viaSql.getSeq[Long](0) == viaCol.getSeq[Long](0))
+    assert(viaSql.getLong(1) == viaCol.getLong(1))
+    assert(viaSql.getSeq[Long](2) == viaCol.getSeq[Long](2))
+  }
+
   test("text-pipeline operators are reachable from pure SQL") {
     GraftExtensions.register(spark)
     val row = spark.sql(
