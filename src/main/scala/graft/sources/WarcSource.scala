@@ -51,12 +51,18 @@ final case class WarcRecord(
 object WarcSource {
 
   /** Parse every record in one WARC buffer (plain or gzip). */
-  def parseWarc(bytes: Array[Byte]): Seq[WarcRecord] = {
-    val plain =
-      if (bytes.length >= 2 &&
-          (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
-        gunzipAll(bytes)
-      else bytes
+  def parseWarc(bytes: Array[Byte]): Seq[WarcRecord] =
+    parseWarcCapped(bytes, MaxInflatedBytes)._1
+
+  /** [[parseWarc]] with an explicit inflation cap, ALSO reporting
+    * whether the cap was hit (records past it are absent — the flag is
+    * what keeps that loss observable instead of silent; the
+    * distributed readers feed it into [[truncationCount]]). */
+  private[graft] def parseWarcCapped(
+      bytes: Array[Byte], cap: Long): (Seq[WarcRecord], Boolean) = {
+    val (plain, truncated) =
+      if (isGzip(bytes)) gunzipAllChecked(bytes, cap)
+      else (bytes, false)
     val out = Seq.newBuilder[WarcRecord]
     var p = 0
     var n = 0
@@ -66,7 +72,7 @@ object WarcSource {
         case None => p = plain.length // malformed tail: stop cleanly
       }
     }
-    out.result()
+    (out.result(), truncated)
   }
 
   /** Headers, payload extent, and next-record offset of the record at
@@ -202,9 +208,22 @@ object WarcSource {
     * contract to the partial buffer, so earlier intact members still
     * yield their records (the same contract the plain path honors). */
   private[graft] def gunzipAll(
-      bytes: Array[Byte], cap: Long = MaxInflatedBytes): Array[Byte] = {
+      bytes: Array[Byte], cap: Long = MaxInflatedBytes): Array[Byte] =
+    gunzipAllChecked(bytes, cap)._1
+
+  /** [[gunzipAll]] plus a TRUNCATED flag: true iff the cap stopped the
+    * inflation while the stream still had output (a legitimate
+    * high-ratio archive loses tail records exactly then — the flag is
+    * the difference between bounded-memory protection and silent data
+    * loss). The post-loop probe read makes the flag precise: an
+    * archive whose inflated size lands exactly ON the cap is not
+    * truncated. */
+  private[graft] def gunzipAllChecked(
+      bytes: Array[Byte], cap: Long = MaxInflatedBytes)
+      : (Array[Byte], Boolean) = {
     val out = new java.io.ByteArrayOutputStream(
       math.min(math.max(64L, bytes.length.toLong * 4), 1L << 20).toInt)
+    var truncated = false
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -212,12 +231,16 @@ object WarcSource {
         val buf = new Array[Byte](64 * 1024)
         var n = in.read(buf)
         while (n > 0 && out.size() < cap) {
-          out.write(buf, 0, math.min(n.toLong, cap - out.size()).toInt)
+          val take = math.min(n.toLong, cap - out.size()).toInt
+          if (take < n) truncated = true
+          out.write(buf, 0, take)
           n = in.read(buf)
         }
+        if (!truncated && n > 0 && out.size() >= cap)
+          truncated = in.read(buf) > 0
       } finally in.close()
     } catch { case _: java.io.IOException => () } // keep bytes so far
-    out.toByteArray
+    (out.toByteArray, truncated)
   }
 
   // ---- sub-file splitting at gzip-member boundaries ------------------
@@ -298,12 +321,38 @@ object WarcSource {
     ss.zip(ss.drop(1) :+ bytes.length)
   }
 
+  /** Per-SparkContext named accumulator ("graft.warc.truncated")
+    * counting parse units whose inflated output hit
+    * [[MaxInflatedBytes]] during [[records]]/[[recordsSplit]] — each
+    * such unit silently lost its tail records to the bomb cap, so a
+    * legitimate high-ratio archive shows up HERE (and in the Spark UI
+    * per stage) instead of as invisible data loss. Counted in the
+    * record-producing pass only (the numbering pass inflates the same
+    * slices and would double-count). Monotonic per context; read
+    * deltas around an action via [[truncationCount]]. */
+  def truncationAccumulator(
+      spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.util.LongAccumulator =
+    truncAccs.computeIfAbsent(spark.sparkContext,
+      ctx => ctx.longAccumulator("graft.warc.truncated"))
+
+  /** Current value of [[truncationAccumulator]] (0 when nothing ever
+    * truncated on this context). */
+  def truncationCount(spark: org.apache.spark.sql.SparkSession): Long =
+    truncationAccumulator(spark).value
+
+  private val truncAccs = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext, org.apache.spark.util.LongAccumulator]
+
   /** Record fan-out over (archive_id, content) blobs — the operator a
     * `spark.read.format("binaryFile").load(...)` scan feeds. */
   def records(archives: Dataset[(Long, Array[Byte])]): DataFrame = {
     import archives.sparkSession.implicits._
+    val trunc = truncationAccumulator(archives.sparkSession)
     archives.flatMap { case (id, content) =>
-      parseWarc(content).map(r => (id, r.record_no, r.warc_type,
+      val (recs, truncated) = parseWarcCapped(content, MaxInflatedBytes)
+      if (truncated) trunc.add(1)
+      recs.map(r => (id, r.record_no, r.warc_type,
         r.target_uri, r.warc_date, r.content_length, r.http_status,
         r.mime, r.body_text))
     }.toDF("archive_id", "record_no", "warc_type", "target_uri",
@@ -346,15 +395,30 @@ object WarcSource {
     * (WarcSourceSpec proves records(1 file) == recordsSplit(any N)). */
   def recordsSplit(
       archives: Dataset[(Long, Array[Byte])],
-      targetSplitBytes: Long = DefaultSplitBytes): DataFrame = {
+      targetSplitBytes: Long = DefaultSplitBytes): DataFrame =
+    recordsSplitWithSlices(archives, targetSplitBytes)._1
+
+  /** [[recordsSplit]] plus the persisted slice handle, for callers
+    * that materialize the result eagerly and can then RELEASE the
+    * cache (`slices.unpersist()`) — the streaming corpus drain does
+    * this per micro-batch, otherwise every batch's compressed archive
+    * bytes would accumulate in the block manager for the stream's
+    * lifetime. */
+  private[graft] def recordsSplitWithSlices(
+      archives: Dataset[(Long, Array[Byte])],
+      targetSplitBytes: Long = DefaultSplitBytes)
+      : (DataFrame, Dataset[(Long, Int, Array[Byte])]) = {
     import archives.sparkSession.implicits._
     // pin the COMPRESSED slices (the cheapest representation there is)
-    // so the count pass and the parse pass share one slicing + shuffle;
-    // persist (not localCheckpoint) keeps lineage — evicted or lost
-    // blocks recompute from shuffle files instead of failing the job
+    // so the count pass and the parse pass share one slicing + shuffle.
+    // MEMORY_ONLY, deliberately: eviction under pressure actually
+    // frees space (MEMORY_AND_DISK blocks spill and then SIT on disk
+    // until unpersist), and persist (not localCheckpoint) keeps
+    // lineage — evicted or lost blocks recompute from the
+    // repartition's shuffle files instead of failing the job
     val slices = splitSlices(archives, targetSplitBytes)
       .repartition(col("_1"), col("_2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     // cheap numbering pass: inflate + header walk only (countRecords),
     // one OUTPUT row per slice — never the full record fan-out
     val counts = slices
@@ -366,22 +430,27 @@ object WarcSource {
     // window input is split-count-sized metadata (one row per slice)
     val offsets = counts.select(col("archive_id"), col("split_no"),
       coalesce(sum(col("n")).over(w), lit(0L)).as("rec_offset"))
+    val trunc = truncationAccumulator(archives.sparkSession)
     val parsed = slices
       .flatMap { case (id, sp, slice) =>
-        parseWarc(slice).map(r => (id, sp, r.record_no, r.warc_type,
+        val (recs, truncated) = parseWarcCapped(slice, MaxInflatedBytes)
+        if (truncated) trunc.add(1)
+        recs.map(r => (id, sp, r.record_no, r.warc_type,
           r.target_uri, r.warc_date, r.content_length, r.http_status,
           r.mime, r.body_text))
       }
       .toDF("archive_id", "split_no", "rec_in_split", "warc_type",
         "target_uri", "warc_date", "content_length", "http_status",
         "mime", "body_text")
-    parsed.join(broadcast(offsets), Seq("archive_id", "split_no"))
+    val out = parsed
+      .join(broadcast(offsets), Seq("archive_id", "split_no"))
       .select(col("archive_id"),
         (col("rec_offset") + col("rec_in_split")).cast("int")
           .as("record_no"),
         col("warc_type"), col("target_uri"), col("warc_date"),
         col("content_length"), col("http_status"), col("mime"),
         col("body_text"))
+    (out, slices)
   }
 
   // ---- fixture encoder (tests + the warc_records oracle) -------------

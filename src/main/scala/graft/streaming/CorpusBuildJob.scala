@@ -137,7 +137,9 @@ object CorpusBuildJob {
         val archives = batch
           .select(xxhash64(col("path")), col("content"))
           .as[(Long, Array[Byte])]
-        val docsDf = WarcSource.recordsSplit(archives, splitBytes)
+        val (recsDf, slices) =
+          WarcSource.recordsSplitWithSlices(archives, splitBytes)
+        val docsDf = recsDf
           .filter(col("warc_type") === "response" &&
             col("http_status") === 200)
           .select(
@@ -153,8 +155,12 @@ object CorpusBuildJob {
           .agg(min(struct(md5(col("text")).as("k"), col("text")))
             .as("w"))
           .select(col("doc_id"), col("w.text").as("text"))
-          .localCheckpoint() // pins the fan-out; the slice cache behind
-        // recordsSplit is LRU-evictable between micro-batches
+          .localCheckpoint() // pins the fan-out...
+        // ...so the slice cache behind recordsSplit can be RELEASED
+        // now, not at stream shutdown: without this every micro-batch
+        // leaves its compressed archive bytes pinned in the block
+        // manager for the stream's lifetime
+        slices.unpersist(blocking = false)
         summary = summary + drainBatch(docsDf, storeDir, evalHashes)
       }
       .start()

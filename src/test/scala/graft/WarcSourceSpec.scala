@@ -86,6 +86,30 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(inflated.sameElements(big.take(100)))
   }
 
+  test("hitting the inflation cap is REPORTED, not silent") {
+    val big = Array.fill[Byte](1 << 20)('a')
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(big); gz.finish()
+    val bytes = out.toByteArray
+    // under the cap: full output, no flag
+    val (full, t0) = WarcSource.gunzipAllChecked(bytes)
+    assert(!t0 && full.length == (1 << 20))
+    // over the cap: bounded output, flag raised
+    val (part, t1) = WarcSource.gunzipAllChecked(bytes, cap = 100L)
+    assert(t1 && part.length == 100)
+    // landing exactly ON the cap is NOT truncation (the probe read)
+    val (exact, t2) = WarcSource.gunzipAllChecked(bytes, cap = 1L << 20)
+    assert(!t2 && exact.length == (1 << 20))
+    // the parse surface carries the flag and keeps earlier records
+    val warc = WarcSource.gzipMembers(fixture)
+    val inflatedLen = WarcSource.gunzipAll(warc).length
+    val (recs, t3) = WarcSource.parseWarcCapped(warc, inflatedLen / 2)
+    assert(t3 && recs.nonEmpty && recs.length < fixture.length)
+    val (all, t4) = WarcSource.parseWarcCapped(warc, Long.MaxValue)
+    assert(!t4 && all.length == fixture.length)
+  }
+
   test("truncated gzip tail keeps earlier members' records") {
     val gz = WarcSource.gzipMembers(fixture)
     val offs = WarcSource.memberOffsets(gz)
