@@ -85,6 +85,57 @@ object Profile {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     time("warmup count")(docs.count())
 
+    if (args.contains("canary")) {
+      // ---- 10x scale-regime canary (r9, VERDICT #7) ----------------
+      // The headline capped dedup/ANN family on a 10x-replicated
+      // corpus: every doc and vector appears in a 10-member exact
+      // cluster, so each detector runs with its hazard regime ACTIVE
+      // (identical LSH buckets, df-10 grams, dense k-means clusters)
+      // at 10x the sweep's largest SF. Catches perf regime shifts the
+      // three-SF oracle sweep misses — the HLL promotion-boundary bug
+      // class, on the perf side. Results land in BENCH_NOTES per round.
+      val docs10 = docs
+        .select(explode(sequence(lit(0L), lit(9L))).as("i"),
+          col("doc_id"), col("text"))
+        .select((col("doc_id") * 16 + col("i")).as("doc_id"), col("text"))
+        .localCheckpoint()
+      println(s"[profile] canary corpus: ${docs10.count()} docs " +
+        "(10x, 10-member exact clusters)")
+      time("exact dedup groups")(noop(
+        Dedup.exactDupGroups(docs10, "doc_id", "text")))
+      time("ngram at-scale (capped)")(noop(
+        Dedup.ngramJaccardPairsAtScale(docs10, "doc_id", "text")))
+      time("minhash LSH (capped 1024)")(noop(
+        Dedup.minhashLshPairs(docs10, "doc_id", "text")))
+      time("simhash pairs")(noop(
+        Dedup.simhashPairs(docs10, "doc_id", "text")))
+      time("substr spans capped (16)")(noop(
+        Dedup.substringDupSpans(docs10, "doc_id", "text", 8, maxDf = 16)))
+      time("winnow spans capped (8)")(noop(
+        graft.analysis.TextAnalysis.winnowSharedSpans(
+          docs10, "doc_id", "text", minShared = 5, maxDf = 8)))
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val emb10 = emb0
+        .select(explode(sequence(lit(0L), lit(9L))).as("i"),
+          col("vec_id"), col("embedding"))
+        .select((col("vec_id") * 16 + col("i")).as("vec_id"),
+          col("embedding"))
+        .localCheckpoint()
+      println(s"[profile] canary vectors: ${emb10.count()} " +
+        "(10-member identical clusters)")
+      time("semdedup capped (1024)")(noop(
+        graft.dedup.SemanticDedup.semanticDedup(emb10,
+          k = 8, iters = 2, threshold = 0.45, maxCluster = 1024)))
+      time("ann ivf topk")(noop(
+        graft.sim.Similarity.ivfTopK(emb10, 20, 5)))
+      time("ann lsh topk")(noop(
+        graft.sim.Similarity.lshTopK(emb10, 20, 5)))
+      time("ann int8 topk")(noop(
+        graft.sim.Similarity.int8TopK(emb10, 20, 5)))
+      spark.stop()
+      return
+    }
+
     if (hotOnly) {
       if (!hotSemOnly) {
       // ---- regime where the caps BIND ------------------------------
