@@ -51,13 +51,19 @@ object BpeTrain {
   /** Adjacent-pair fan-out of one working form: `"s1 s2"` strings
     * (space-joined; ordering = tuple ordering since symbols are
     * space-free). Fully-merged single-symbol words yield no pairs. */
-  private def pairs(w: Column): Column = {
-    val syms = split(trim(w), "  ")
-    when(size(syms) >= 2,
-      transform(sequence(lit(1), size(syms) - 1),
-        i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
+  private def pairs(w: Column): Column =
+    // symbol array bound ONCE as a lambda variable (the Dedup.shingles
+    // idiom): element_at over the raw split would re-split the working
+    // form for every pair (no CSE into lambda bodies; words are short,
+    // but the loop runs every round over the whole vocab)
+    element_at(
+      transform(array(split(trim(w), "  ")), syms =>
+        when(size(syms) >= 2,
+          transform(sequence(lit(1), size(syms) - 1),
+            i => concat(element_at(syms, i), lit(" "),
+              element_at(syms, i + 1))))
+          .otherwise(array().cast("array<string>"))),
+      1)
 
   /** Learn `rounds` BPE merges from `words(word, cnt)`; returns the
     * merge table (round, pair, merged, n) — the trained tokenizer

@@ -41,16 +41,22 @@ object LangIdTrain {
         " +", " ")),
       lit(" "))
 
-  /** All character n-grams of orders 1..[[MaxN]]. */
-  def charNgrams(text: Column): Column = {
-    val p = padded(text)
-    flatten(array((1 to MaxN).map { n =>
-      when(length(p) >= n,
-        transform(sequence(lit(1), length(p) - (n - 1)),
-          i => p.substr(i, lit(n))))
-        .otherwise(array().cast("array<string>"))
-    }: _*))
-  }
+  /** All character n-grams of orders 1..[[MaxN]]. The padded string is
+    * bound ONCE as a lambda variable (the Dedup.shingles idiom):
+    * substr over the raw regexp_replace chain would re-normalize the
+    * document for every position x order (no CSE into lambda
+    * bodies). A one-element string array stands in for the usual
+    * token-array binding. */
+  def charNgrams(text: Column): Column =
+    element_at(
+      transform(array(padded(text)), p =>
+        flatten(array((1 to MaxN).map { n =>
+          when(length(p) >= n,
+            transform(sequence(lit(1), length(p) - (n - 1)),
+              i => p.substr(i, lit(n))))
+            .otherwise(array().cast("array<string>"))
+        }: _*))),
+      1)
 
   /** Train profiles from `labeled(lang, text)`: (lang, gram, rank),
     * rank 1..K by (count DESC, gram ASC). */

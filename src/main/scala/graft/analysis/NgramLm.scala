@@ -33,14 +33,20 @@ object NgramLm {
   /** Adjacent-token pair strings ("w1 w2", [[Start]] prepended) of one
     * document. Token-less documents yield no pairs (and so no score
     * row) — matching the oracle's `range` semantics. */
-  def pairs(text: Column): Column = {
-    val a = concat(array(lit(Start)),
-      regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)))
-    when(size(a) >= 2,
-      transform(sequence(lit(1), size(a) - 1),
-        i => concat(element_at(a, i), lit(" "), element_at(a, i + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def pairs(text: Column): Column =
+    // token array bound ONCE as a lambda variable (the Dedup.shingles
+    // idiom): element_at over the raw concat+regexp would re-tokenize
+    // the document for every pair (no CSE into lambda bodies)
+    element_at(
+      transform(
+        array(concat(array(lit(Start)),
+          regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)))),
+        a => when(size(a) >= 2,
+          transform(sequence(lit(1), size(a) - 1),
+            i => concat(element_at(a, i), lit(" "),
+              element_at(a, i + 1))))
+          .otherwise(array().cast("array<string>"))),
+      1)
 
   /** Train on `docs(doc_id, text)` rows with even doc_id, score ALL
     * documents: (doc_id, n_bigrams, xent) where xent is the add-one

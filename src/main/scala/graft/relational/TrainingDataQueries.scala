@@ -1708,15 +1708,22 @@ object TrainingDataQueries {
     // report. All three orders stack into ONE explode over one corpus
     // scan; counts are exact integers, the ratio rides round-to-4.
     Q("ngram_diversity", (s, dir) => {
-      val toks = regexp_extract_all(lower(col("text")), lit("[a-z]+"),
-        lit(0))
-      val grams = flatten(array((1 to 3).map { n =>
-        when(size(toks) >= n,
-          transform(sequence(lit(1), size(toks) - (n - 1)),
-            i => struct(lit(n).as("n"),
-              array_join(slice(toks, i, lit(n)), " ").as("gram"))))
-          .otherwise(array().cast("array<struct<n:int,gram:string>>"))
-      }: _*))
+      // token array bound ONCE as a lambda variable (the Dedup.shingles
+      // idiom) — slicing the raw regexp_extract_all inside the per-gram
+      // lambda would re-tokenize the doc per gram (no CSE into lambda
+      // bodies; the r9 canary measured this class of trap at 5x)
+      val grams = element_at(
+        transform(
+          array(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
+            lit(0))),
+          ts => flatten(array((1 to 3).map { n =>
+            when(size(ts) >= n,
+              transform(sequence(lit(1), size(ts) - (n - 1)),
+                i => struct(lit(n).as("n"),
+                  array_join(slice(ts, i, lit(n)), " ").as("gram"))))
+              .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+          }: _*))),
+        1)
       spread(docs(s, dir))
         .select(explode(grams).as("g"))
         .groupBy(col("g.n").as("n"))
