@@ -423,7 +423,7 @@ object Dedup {
       .agg(coalesce(max(col("df")), lit(0L)).as("m"))
       .head().getLong(0)
 
-  /** (doc_id, p, h): 1-based position and md5 fingerprint of every
+  /** (doc_id, p, h): 1-based position and 64-bit fingerprint of every
     * `l`-token window of the [a-z]+-tokenized lowercased text.
     *
     * The token array is bound ONCE as a lambda variable (the
@@ -432,7 +432,15 @@ object Dedup {
     * re-tokenize the whole document for EVERY gram — Catalyst does not
     * common-subexpression-eliminate into lambda bodies, which made the
     * gram pass quadratic in document length (surfaced by the r9 10x
-    * canary: 70.5s -> 13.9s on the capped operator at 50k docs). */
+    * canary: 70.5s -> 13.9s on the capped operator at 50k docs).
+    *
+    * The fingerprint is xxhash64, not md5: `h` is an INTERNAL grouping
+    * key — the output is spans, so no hash ever surfaces — and an
+    * 8-byte long makes every occurrence-relation exchange a fraction
+    * of the 32-char md5 hex string's, at far lower per-gram compute.
+    * Same collision trade as the ngram inverted index (file header):
+    * the DuckDB twin keys on md5 internally, and the span gates prove
+    * result parity. */
   private def substrGramOccurrences(
       docs: DataFrame, idCol: String, textCol: String, l: Int): DataFrame = {
     val grams = element_at(
@@ -441,8 +449,8 @@ object Dedup {
           lit(0))),
         ts => when(size(ts) >= l,
           transform(sequence(lit(1), size(ts) - (l - 1)),
-            i => md5(array_join(slice(ts, i, lit(l)), " "))))
-          .otherwise(array().cast("array<string>"))),
+            i => xxhash64(array_join(slice(ts, i, lit(l)), " "))))
+          .otherwise(array().cast("array<bigint>"))),
       1)
     docs
       .select(col(idCol).as("doc_id"), posexplode(grams).as(Seq("p0", "h")))
