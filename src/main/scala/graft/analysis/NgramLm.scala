@@ -51,14 +51,28 @@ object NgramLm {
   /** Train on `docs(doc_id, text)` rows with even doc_id, score ALL
     * documents: (doc_id, n_bigrams, xent) where xent is the add-one
     * smoothed bigram cross-entropy in nats, 4 decimals. */
-  def fitScore(docs: DataFrame): DataFrame = {
-    // the tokenized corpus materializes ONCE (narrow: two columns) —
-    // its four consumers (c2, c1, v, scoring) would otherwise each
-    // re-scan and re-tokenize the raw corpus
-    val big = docs
-      .select(col("doc_id"), explode(pairs(col("text"))).as("pair"))
+  def fitScore(docs: DataFrame): DataFrame =
+    fitScoreUnits(docs, Seq("doc_id"), col("doc_id") % 2 === 0)
+
+  /** [[fitScore]] generalized to arbitrary SCORING UNITS — the CCNet
+    * recipe actually filters PARAGRAPHS, not documents, so the unit
+    * key is caller-defined: `units(idCols..., text)`, one row per
+    * unit; `trainPred` selects the training rows (evaluated on the
+    * unit row, e.g. `doc_id % 2 === 0` trains on even DOCUMENTS even
+    * when units are that document's paragraphs). Output: (idCols...,
+    * n_bigrams, xent). Token-less units yield no score row (no pairs
+    * — the oracle's `range` semantics). */
+  def fitScoreUnits(
+      units: DataFrame, ids: Seq[String], trainPred: Column): DataFrame = {
+    val idCols = ids.map(col)
+    // the tokenized corpus materializes ONCE (narrow) — its four
+    // consumers (c2, c1, v, scoring) would otherwise each re-scan and
+    // re-tokenize the raw corpus
+    val big = units
+      .select(idCols ++ Seq(trainPred.as("__train"),
+        explode(pairs(col("text"))).as("pair")): _*)
       .localCheckpoint()
-    val train = big.filter(col("doc_id") % 2 === 0)
+    val train = big.filter(col("__train"))
     val c2 = train.groupBy(col("pair")).agg(count(lit(1)).as("c2"))
     val c1 = train
       .groupBy(substring_index(col("pair"), " ", 1).as("w1"))
@@ -74,36 +88,46 @@ object NgramLm {
       .withColumn("w1", substring_index(col("pair"), " ", 1))
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(v))
-      .select(col("doc_id"),
+      .select(idCols :+
         // micro-nats: ONE float round per row, integer thereafter
         round(log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
             (coalesce(col("c1"), lit(0L)) + col("v"))) * 1e6)
-          .cast("long").as("lp"))
+          .cast("long").as("lp"): _*)
     // 4-decimal cross-entropy via EXACT rational rounding: the target
     // is round(s / (100 n)) with s = -sum(lp) >= 0, which is
     // floor((2s + 100n) / (200n)) in pure int64 — no engine float
     // round ever runs, so no shortest-decimal/binary divergence can
     // split the hash (bm25 hit that at sf0.1; this divisor has an
     // arbitrary n, so even the x.5-grid trick wouldn't be exact)
-    scored.groupBy(col("doc_id"))
+    scored.groupBy(idCols: _*)
       .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp"))).as("s"))
-      .select(col("doc_id"), col("n_bigrams"),
+      .select(idCols ++ Seq(col("n_bigrams"),
         (expr("(2 * s + 100 * n_bigrams) div (200 * n_bigrams)")
-          .cast("long") / 1e4).as("xent"))
+          .cast("long") / 1e4).as("xent")): _*)
   }
 
   /** DuckDB twin over `rel(doc_id, text)`: CTEs ending in
     * `lmscore(doc_id, n_bigrams, xent)`. */
   def oracleCtes(rel: String): String =
+    oracleCtesUnits(rel, Seq("doc_id"), "doc_id % 2 = 0")
+
+  /** [[oracleCtesUnits]]: the [[fitScoreUnits]] twin over
+    * `rel(ids..., text)` with an arbitrary unit key and train
+    * predicate; CTEs ending in `lmscore(ids..., n_bigrams, xent)`. */
+  def oracleCtesUnits(
+      rel: String, ids: Seq[String], trainPredSql: String): String = {
+    val idList = ids.mkString(", ")
+    val bIdList = ids.map(i => s"b.$i").mkString(", ")
     s"""lmbig AS (
-       |  SELECT doc_id,
+       |  SELECT $idList, __lmtrain,
        |    unnest([a[j] || ' ' || a[j + 1] for j in range(1, len(a))])
        |      AS pair
-       |  FROM (SELECT doc_id,
+       |  FROM (SELECT $idList, __lmtrain,
        |      list_prepend('$Start',
        |        regexp_extract_all(lower(text), '[a-z]+')) AS a
-       |    FROM $rel) __lmt),
-       |lmtrain AS (SELECT pair FROM lmbig WHERE doc_id % 2 = 0),
+       |    FROM (SELECT *, $trainPredSql AS __lmtrain FROM $rel) __lmp)
+       |    __lmt),
+       |lmtrain AS (SELECT pair FROM lmbig WHERE __lmtrain),
        |lmc2 AS (
        |  SELECT pair, count(*) AS c2 FROM lmtrain GROUP BY pair),
        |lmc1 AS (
@@ -113,7 +137,7 @@ object NgramLm {
        |  SELECT count(DISTINCT split_part(pair, ' ', 2)) + 1 AS v
        |  FROM lmtrain),
        |lmlp AS (
-       |  SELECT b.doc_id,
+       |  SELECT $bIdList,
        |    CAST(round(ln((coalesce(c2.c2, 0) + 1.0) /
        |        (coalesce(c1.c1, 0) + lmv.v)) * 1e6) AS BIGINT) AS lp
        |  FROM lmbig b
@@ -121,10 +145,11 @@ object NgramLm {
        |  LEFT JOIN lmc1 c1 ON split_part(b.pair, ' ', 1) = c1.w1
        |  CROSS JOIN lmv),
        |lmscore AS (
-       |  SELECT doc_id, n_bigrams,
+       |  SELECT $idList, n_bigrams,
        |    ((2 * s + 100 * n_bigrams) // (200 * n_bigrams)) / 1e4
        |      AS xent
-       |  FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  FROM (SELECT $idList, CAST(count(*) AS BIGINT) AS n_bigrams,
        |      CAST(-sum(lp) AS BIGINT) AS s
-       |    FROM lmlp GROUP BY doc_id) __lms)""".stripMargin
+       |    FROM lmlp GROUP BY $idList) __lms)""".stripMargin
+  }
 }

@@ -107,6 +107,43 @@ object TrainingDataQueries {
        |   text || ' $HotBoilerplate' AS text
        | FROM documents WHERE doc_id < 40)""".stripMargin
 
+  /** The LINED corpus shared by line_dedup and paragraph_ppl_filter:
+    * every [[docsWithDups]] doc wrapped in shared header/footer lines,
+    * a third get a nav line (empty line otherwise — the empty-line
+    * edge), each repeats its own "ref <id>" refrain twice (the
+    * within-doc-repeat edge; twins get distinct refrains since the id
+    * differs). Twin BODIES are cross-doc duplicate lines. */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
+    val refrain = concat(lit("ref "), col("doc_id"))
+    docsWithDups(s, dir).select(col("doc_id"),
+      concat_ws("\n",
+        lit("Example Corp Daily Bulletin"),
+        when(col("doc_id") % 3 === 0,
+          lit("home | products | about | contact")).otherwise(lit("")),
+        refrain, col("text"), refrain,
+        lit("copyright example corp all rights reserved")).as("text"))
+  }
+
+  /** Single-line on purpose: this fragment interpolates into oracle
+    * templates that run stripMargin, which would eat the leading pipe
+    * of any `||` that lands at a line start. */
+  private def linedDocsSql: String =
+    "(SELECT doc_id, 'Example Corp Daily Bulletin' || chr(10) || " +
+      "CASE WHEN doc_id % 3 = 0 " +
+      "THEN 'home | products | about | contact' ELSE '' END " +
+      "|| chr(10) || 'ref ' || doc_id || chr(10) || text || chr(10) || " +
+      "'ref ' || doc_id || chr(10) || " +
+      "'copyright example corp all rights reserved' AS text " +
+      s"FROM ${docsWithDupsSql.replace("\n", " ")} __lb)"
+
+  /** paragraph_ppl_filter keep threshold (nats): sits between the
+    * boilerplate-line band (0.5-1.0 — the LM sees those lines in
+    * every training doc) and the unique-body band (3.3-3.7, measured
+    * at every SF) on the lined corpus, so the filter demonstrably
+    * BINDS: kept = the fluent/low-perplexity bucket, exactly CCNet's
+    * head-bucket semantics. */
+  val ParaXentMax = 2.0
+
   val SimilarPairsThreshold = 0.45
   val AnnQueries = 20
   val AnnK = 5
@@ -1460,14 +1497,7 @@ object TrainingDataQueries {
     // one per-doc sorted aggregate.
     Q("line_dedup", (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val refrain = concat(lit("ref "), col("doc_id"))
-      val lined = docsWithDups(s, dir).select(col("doc_id"),
-        concat_ws("\n",
-          lit("Example Corp Daily Bulletin"),
-          when(col("doc_id") % 3 === 0,
-            lit("home | products | about | contact")).otherwise(lit("")),
-          refrain, col("text"), refrain,
-          lit("copyright example corp all rights reserved")).as("text"))
+      val lined = linedDocs(s, dir)
       val lines = lined
         .select(col("doc_id"),
           posexplode(split(col("text"), "\n")).as(Seq("line_no", "ln")))
@@ -1495,15 +1525,7 @@ object TrainingDataQueries {
         .orderBy(col("doc_id"))
     }, Some(
       s"""WITH ld AS (
-         |  SELECT doc_id,
-         |    'Example Corp Daily Bulletin' || chr(10) ||
-         |    CASE WHEN doc_id % 3 = 0
-         |      THEN 'home | products | about | contact' ELSE '' END
-         |      || chr(10) ||
-         |    'ref ' || doc_id || chr(10) || text || chr(10) ||
-         |    'ref ' || doc_id || chr(10) ||
-         |    'copyright example corp all rights reserved' AS text
-         |  FROM $docsWithDupsSql __lb),
+         |  SELECT * FROM $linedDocsSql __ld0),
          |ll AS (
          |  SELECT doc_id, i AS line_no, ls[i] AS ln,
          |    trim(regexp_replace(lower(ls[i]), ' +', ' ', 'g')) AS norm
@@ -1528,6 +1550,44 @@ object TrainingDataQueries {
          |  coalesce(reb.clean_md5, '') AS clean_md5
          |FROM ld d LEFT JOIN reb ON d.doc_id = reb.doc_id
          |ORDER BY d.doc_id""".stripMargin)),
+
+    // CCNet PARAGRAPH-level perplexity filtering (Wenzek et al. 2020):
+    // the published pipeline scores PARAGRAPHS with the LM, not whole
+    // documents — boilerplate the model has seen everywhere scores
+    // fluent/low, unique prose scores near the smoothing floor — and
+    // keeps/buckets by a perplexity threshold. Composes the lined
+    // corpus with NgramLm.fitScoreUnits: units are (doc_id, line_no)
+    // paragraphs, training on even DOCUMENTS' paragraphs, xent on the
+    // same exact-integer micro-nat grid as lm_perplexity (the keep
+    // comparison is on engine-identical rationals, so it hash-checks).
+    Q("paragraph_ppl_filter", (s, dir) => {
+      import graft.analysis.NgramLm
+      val paras = linedDocs(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("line0", "ln")))
+        .filter(trim(col("ln")) =!= "")
+        .select(col("doc_id"), (col("line0") + 1).cast("long").as("line_no"),
+          col("ln").as("text"))
+      NgramLm.fitScoreUnits(paras, Seq("doc_id", "line_no"),
+          col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("line_no"), col("n_bigrams"),
+          col("xent"), (col("xent") <= ParaXentMax).as("keep"))
+        .orderBy(col("doc_id"), col("line_no"))
+    }, Some(
+      s"""WITH lined AS (
+         |  SELECT * FROM $linedDocsSql __pl0),
+         |lpara AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS line_no, ls[i] AS text
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+         |      unnest(range(1, len(string_split(text, chr(10))) + 1))
+         |        AS i
+         |    FROM lined) __pp
+         |  WHERE trim(ls[i]) <> ''),
+         |${graft.analysis.NgramLm.oracleCtesUnits("lpara",
+            Seq("doc_id", "line_no"), "doc_id % 2 = 0")}
+         |SELECT doc_id, line_no, n_bigrams, xent,
+         |  xent <= $ParaXentMax AS keep
+         |FROM lmscore ORDER BY doc_id, line_no""".stripMargin)),
 
     // KLL quantile sketch (DataSketches) — the third sketch leg next
     // to theta (distinct set ops) and frequencies (heavy hitters):
