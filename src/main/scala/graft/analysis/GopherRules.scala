@@ -41,8 +41,14 @@ object GopherRules {
 
   /** (flag name, flag column) in rule order; `text` must be non-null.
     * `minWords` overrides the word-count floor for short-document
-    * corpora; every other threshold is fixed at the paper's value. */
-  def flags(text: Column, minWords: Long = MinWords): Seq[(String, Column)] = {
+    * corpora and `minStopKinds` the distinct-stop-word floor for
+    * synthetic-vocabulary corpora (the fixture corpus contains "the"
+    * but none of the other seven stop words, so the paper's 2 would
+    * fail every row alike and gate nothing — the same fixture-scaling
+    * situation as the word-count floor); every other threshold is
+    * fixed at the paper's value. */
+  def flags(text: Column, minWords: Long = MinWords,
+      minStopKinds: Int = MinStopwordKinds): Seq[(String, Column)] = {
     val wc = size(words(text)).cast("long")
     val nchars = length(regexp_replace(text, "\\s+", ""))
     val nlines = size(lines(text))
@@ -70,16 +76,18 @@ object GopherRules {
         (nellipsis.cast("double") / nlines < MaxEllipsisLineRatio),
       "alpha_ok" -> (wc > 0 &&
         nalpha.cast("double") / wc >= MinAlphaWordRatio),
-      "stop_ok" -> (nstop >= MinStopwordKinds))
+      "stop_ok" -> (nstop >= minStopKinds))
   }
 
   /** Conjunction of all seven flags. */
-  def pass(text: Column, minWords: Long = MinWords): Column =
-    flags(text, minWords).map(_._2).reduce(_ && _)
+  def pass(text: Column, minWords: Long = MinWords,
+      minStopKinds: Int = MinStopwordKinds): Column =
+    flags(text, minWords, minStopKinds).map(_._2).reduce(_ && _)
 
   /** DuckDB twin: the same flags as a SQL select list over column
     * `text`. chr(10) splits lines like Spark's split on \n. */
-  def oracleFlagsSql(minWords: Long = MinWords): Seq[(String, String)] = {
+  def oracleFlagsSql(minWords: Long = MinWords,
+      minStopKinds: Int = MinStopwordKinds): Seq[(String, String)] = {
     val wc = "len(regexp_extract_all(text, '\\S+'))"
     val nchars = "length(regexp_replace(text, '\\s+', '', 'g'))"
     val nlines = "len(string_split(text, chr(10)))"
@@ -107,6 +115,6 @@ object GopherRules {
       "ellipsis_ok" ->
         s"($nellipsis * 1.0 / $nlines < $MaxEllipsisLineRatio)",
       "alpha_ok" -> s"($wc > 0 AND $nalpha * 1.0 / $wc >= $MinAlphaWordRatio)",
-      "stop_ok" -> s"($nstop >= $MinStopwordKinds)")
+      "stop_ok" -> s"($nstop >= $minStopKinds)")
   }
 }

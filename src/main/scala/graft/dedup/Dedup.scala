@@ -406,6 +406,36 @@ object Dedup {
       l)
   }
 
+  /** Distinct `l`-token-gram fingerprints of an eval suite — the
+    * decontamination key at PUBLISHED gram lengths (GPT-3 checks
+    * 13-grams, Lee et al. 8+): 3-shingle overlap saturates on a large
+    * corpus (natural collisions flag most documents), while a shared
+    * 8-gram is near-certain genuine overlap. Column: `h` (xxhash64,
+    * internal-only — see [[substringDupSpans]]'s collision note). */
+  def evalGramHashes(
+      evalSet: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame =
+    substrGramOccurrences(evalSet, idCol, textCol, l)
+      .select(col("h")).distinct()
+
+  /** Corpus documents sharing at least `minShared` DISTINCT `l`-grams
+    * with the eval suite — long-gram decontamination, same broadcast
+    * plan shape as [[contamination]] (eval suites are bounded small by
+    * definition; the corpus side is one narrow gram explode + one
+    * groupBy(doc_id), no self-join). Output: (doc_id, n_shared). */
+  def gramContamination(
+      corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String,
+      l: Int, minShared: Long): DataFrame = {
+    val ev = broadcast(evalGramHashes(evalSet, idCol, textCol, l))
+    substrGramOccurrences(corpus, idCol, textCol, l)
+      .select(col("doc_id"), col("h")).distinct()
+      .join(ev, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The largest per-gram row count admitted to the duplicate-occurrence
     * relation under `maxDf` — the single-key concentration the df cap
     * bounds. With maxDf at Long.MaxValue this is the biggest h-partition

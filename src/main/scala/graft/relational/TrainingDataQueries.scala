@@ -136,6 +136,12 @@ object TrainingDataQueries {
       "'copyright example corp all rights reserved' AS text " +
       s"FROM ${docsWithDupsSql.replace("\n", " ")} __lb)"
 
+  /** corpus_curate_full doc-level fluency ceiling (nats): the doc xent
+    * distribution is tightly banded (q10/q50/q90 ~ 3.34/3.40/3.47 at
+    * every SF), so 3.45 keeps the fluent ~75-90% and demonstrably
+    * BINDS at each SF. */
+  val DocXentMax = 3.45
+
   /** paragraph_ppl_filter keep threshold (nats): sits between the
     * boilerplate-line band (0.5-1.0 — the LM sees those lines in
     * every training doc) and the unique-body band (3.3-3.7, measured
@@ -182,6 +188,15 @@ object TrainingDataQueries {
     * [[graft.analysis.GopherRules.MinWords]] (the paper's 50 would
     * fail every ~30-70-token synthetic doc alike, gating nothing). */
   val GopherFixtureMinWords = 20L
+
+  /** gopher_rules distinct-stop-word floor — fixture-scaled override
+    * of [[graft.analysis.GopherRules.MinStopwordKinds]]: the
+    * synthetic vocabulary contains "the" but none of the other seven
+    * published stop words, so the paper's 2 fails every row alike and
+    * the pass column gates nothing (caught composing the full funnel
+    * in r9). With 1 the flag discriminates (~76% of docs carry
+    * "the"). */
+  val GopherFixtureMinStopKinds = 1
 
   /** langid_train fixtures: per-language training sentences and test
     * docs (cs/de diacritics pre-folded to ASCII so every string embeds
@@ -651,6 +666,98 @@ object TrainingDataQueries {
          |WHERE doc_id % 50 != 0
          |GROUP BY doc_id HAVING count(*) >= 3
          |ORDER BY doc_id""".stripMargin)),
+
+    // THE FULL PUBLISHED CURATION FUNNEL in one query — what a
+    // RefinedWeb/Dolma/CCNet user actually runs end-to-end: heuristic
+    // rule battery (Gopher), model quality score, language ID, length
+    // gate, LM fluency ceiling, benchmark decontamination, exact
+    // dedup (min-id winner per fingerprint), and near-dup removal
+    // (LSH losers). Every stage is an already-gated operator; this
+    // query proves they COMPOSE — one corpus checkpoint feeds all
+    // consumers, the eval/model/loser relations are all doc- or
+    // model-sized, and nothing shuffles bodies more than once per
+    // stage. Fixture: docsWithDups, so the exact and near-dup gates
+    // both bind (twins lose); the xent ceiling binds at every SF.
+    Q("corpus_curate_full", (s, dir) => {
+      import graft.analysis.{GopherRules, NgramLm}
+      val c = col("text")
+      val d = docsWithDups(s, dir).localCheckpoint() // feeds 5 stages
+      val xent = NgramLm.fitScore(d).select(col("doc_id"), col("xent"))
+      val exactWinners = d
+        .groupBy(TextAnalysis.fingerprint(c).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val lshLosers = Dedup.minhashLshPairs(d, "doc_id", "text")
+        .select(col("db").as("doc_id")).distinct()
+      // decontamination at the PUBLISHED gram length (8 tokens — Lee
+      // et al.; GPT-3 uses 13): the 3-shingle overlap the standalone
+      // corpus_decontaminate query demonstrates saturates on a large
+      // corpus (at sf0.1 it flags 87% of docs through natural shingle
+      // collisions), while a shared 8-gram is near-certain genuine
+      // overlap — 1-10 docs per SF here, and an exact twin of an eval
+      // doc is always caught
+      val evalPred = col("doc_id") % 50 === 0
+      val contaminated = Dedup.gramContamination(
+          d.filter(!evalPred), d.filter(evalPred),
+          "doc_id", "text", l = SubstrL, minShared = 1)
+        .select(col("doc_id"))
+      d.filter(!evalPred)
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(c).as("q"),
+          TextAnalysis.langId(c).as("l"),
+          TextAnalysis.tokenCount(c).as("n"),
+          GopherRules.pass(c, GopherFixtureMinWords,
+            GopherFixtureMinStopKinds).as("g"))
+        .filter(col("g") && col("q") >= 0.5 && col("l") === "en" &&
+          col("n").between(50, 400))
+        .join(exactWinners, Seq("doc_id"), "left_semi")
+        .join(lshLosers, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(xent, Seq("doc_id"))
+        .filter(col("xent") <= DocXentMax)
+        .select(col("doc_id"), col("q"), col("n"), col("xent"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val gopher = graft.analysis.GopherRules
+        .oracleFlagsSql(GopherFixtureMinWords, GopherFixtureMinStopKinds)
+        .map(_._2).mkString("(", " AND ", ")")
+      s"""WITH dd AS (SELECT * FROM $docsWithDupsSql __cf),
+         |${Dedup.minhashLshCtes("dd", Dedup.JaccardThreshold)},
+         |losers AS (SELECT DISTINCT db AS doc_id FROM lshpairs),
+         |exwin AS (
+         |  SELECT min(doc_id) AS doc_id FROM dd
+         |  GROUP BY ${TextAnalysis.fingerprintSql("text")}),
+         |cgtok AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS a
+         |  FROM dd),
+         |cg AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string(a[i:i+${SubstrL - 1}], ' ')) AS h
+         |  FROM (SELECT doc_id, a,
+         |      unnest(range(1, len(a) - ${SubstrL - 2})) AS i
+         |    FROM cgtok) __cg),
+         |eg AS (SELECT DISTINCT h FROM cg WHERE doc_id % 50 = 0),
+         |cont AS (
+         |  SELECT doc_id FROM cg JOIN eg USING (h)
+         |  WHERE doc_id % 50 != 0
+         |  GROUP BY doc_id HAVING count(*) >= 1),
+         |${graft.analysis.NgramLm.oracleCtes("dd")}
+         |SELECT d.doc_id,
+         |  ${TextAnalysis.qualityScoreSql("text")} AS q,
+         |  ${TextAnalysis.tokenCountSql("text")} AS n,
+         |  m.xent
+         |FROM dd d JOIN lmscore m USING (doc_id)
+         |WHERE d.doc_id % 50 != 0
+         |  AND $gopher
+         |  AND ${TextAnalysis.qualityScoreSql("text")} >= 0.5
+         |  AND ${TextAnalysis.langIdSql("text")} = 'en'
+         |  AND ${TextAnalysis.tokenCountSql("text")} BETWEEN 50 AND 400
+         |  AND d.doc_id IN (SELECT doc_id FROM exwin)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+         |  AND m.xent <= $DocXentMax
+         |ORDER BY d.doc_id""".stripMargin
+    }),
 
     // distributed k-means in EXACT integer arithmetic (micro-unit
     // quantization, positive-shifted so truncating and floor division
@@ -1843,14 +1950,19 @@ object TrainingDataQueries {
     // the paper's 50, which would fail every synthetic row alike).
     Q("gopher_rules", (s, dir) => {
       import graft.analysis.GopherRules
-      val fs = GopherRules.flags(col("text"), minWords = GopherFixtureMinWords)
+      val fs = GopherRules.flags(col("text"),
+        minWords = GopherFixtureMinWords,
+        minStopKinds = GopherFixtureMinStopKinds)
       spread(docs(s, dir))
         .select(col("doc_id") +: fs.map { case (n, c) => c.as(n) } :+
-          GopherRules.pass(col("text"), minWords = GopherFixtureMinWords)
+          GopherRules.pass(col("text"),
+            minWords = GopherFixtureMinWords,
+            minStopKinds = GopherFixtureMinStopKinds)
             .as("pass"): _*)
         .orderBy(col("doc_id"))
     }, Some {
-      val fs = graft.analysis.GopherRules.oracleFlagsSql(GopherFixtureMinWords)
+      val fs = graft.analysis.GopherRules.oracleFlagsSql(
+        GopherFixtureMinWords, GopherFixtureMinStopKinds)
       s"""SELECT doc_id,
          |  ${fs.map { case (n, sql) => s"$sql AS $n" }.mkString(",\n  ")},
          |  ${fs.map(_._2).mkString("(", " AND ", ")")} AS pass

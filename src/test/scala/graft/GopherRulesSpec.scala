@@ -91,6 +91,22 @@ class GopherRulesSpec extends AnyFunSuite {
     assert(flagsOf(clean)("stop_ok"))
   }
 
+  test("the default stop-kinds floor is the paper's 2; override works") {
+    assert(GopherRules.MinStopwordKinds == 2)
+    // "the" alone: one stop kind — below the published floor, above a
+    // fixture override of 1 (the synthetic corpus carries ONLY "the")
+    val oneKind = Seq.fill(30)("somewhere over the rainbow skies").mkString(" ")
+    import org.apache.spark.sql.functions.col
+    val df = Seq(oneKind).toDF("text")
+    def stopOk(k: Int): Boolean = {
+      val fs = GopherRules.flags(col("text"), minStopKinds = k)
+      val row = df.select(fs.map { case (n, c) => c.as(n) }: _*).head()
+      row.getBoolean(fs.indexWhere(_._1 == "stop_ok"))
+    }
+    assert(!stopOk(GopherRules.MinStopwordKinds))
+    assert(stopOk(1))
+  }
+
   test("empty text fails the zero-guarded rules, not with an error") {
     val f = flagsOf("")
     assert(!f("wc_ok") && !f("wlen_ok") && !f("sym_ok") && !f("alpha_ok"))
