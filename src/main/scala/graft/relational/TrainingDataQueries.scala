@@ -1826,6 +1826,63 @@ object TrainingDataQueries {
          |FROM sdi GROUP BY doc_id, span_id
          |ORDER BY doc_id, start_tok""".stripMargin)),
 
+    // ...and the spans APPLIED — Lee et al.'s end product: the corpus
+    // with every duplicated substring removed. Spans aggregate per doc
+    // (few per doc by construction), removal is one row-local pass
+    // over the bound token array (positions not covered by any span
+    // survive, order preserved); output pins before/after token counts
+    // and the md5 of the cleaned token stream. The span domain is the
+    // [a-z]+ token stream, matching the detector.
+    Q("substring_dup_removed", (s, dir) => {
+      val d = docsWithDups(s, dir)
+      val spansAgg = graft.dedup.Dedup.substringDupSpansWindowed(
+          d, "doc_id", "text", SubstrL)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(
+          struct(col("start_tok"), col("end_tok")))).as("sp"))
+      val emptySp =
+        array().cast("array<struct<start_tok:bigint,end_tok:bigint>>")
+      val toksCol = regexp_extract_all(lower(col("text")), lit("[a-z]+"),
+        lit(0))
+      d.join(spansAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("sp"), emptySp).as("sp"),
+          toksCol.as("ts"))
+        .select(col("doc_id"),
+          size(col("ts")).cast("long").as("n_before"),
+          filter(sequence(lit(1), size(col("ts"))), i =>
+            !exists(col("sp"), x =>
+              i >= x.getField("start_tok") && i <= x.getField("end_tok")))
+            .as("kp"), col("ts"))
+        .select(col("doc_id"), col("n_before"),
+          size(col("kp")).cast("long").as("n_kept"),
+          md5(array_join(
+            transform(col("kp"), i => element_at(col("ts"), i)), " "))
+            .as("kept_md5"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH spans AS (
+         |${graft.dedup.Dedup.substringDupSpansOracle(
+            docsWithDupsSql, SubstrL, Long.MaxValue)}),
+         |rtok AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS a
+         |  FROM $docsWithDupsSql __rt),
+         |rkept AS (
+         |  SELECT r.doc_id, r.p, r.a[r.p] AS tok
+         |  FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS p
+         |    FROM rtok) r
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |    WHERE s.doc_id = r.doc_id
+         |      AND r.p BETWEEN s.start_tok AND s.end_tok)),
+         |ragg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    md5(string_agg(tok, ' ' ORDER BY p)) AS kept_md5
+         |  FROM rkept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.a) AS BIGINT) AS n_before,
+         |  coalesce(g.n_kept, 0) AS n_kept,
+         |  coalesce(g.kept_md5, md5('')) AS kept_md5
+         |FROM rtok t LEFT JOIN ragg g ON t.doc_id = g.doc_id
+         |ORDER BY t.doc_id""".stripMargin)),
+
     // the AT-SCALE substring dedup: same Lee et al. span semantics with
     // the df-capped gram index (graft.dedup.Dedup.substringDupSpans —
     // groupBy df + left-semi join back, the shape AQE skew splitting
