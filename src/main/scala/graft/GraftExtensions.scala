@@ -131,7 +131,7 @@ object GraftExtensions {
     locally {
       import org.apache.spark.sql.functions.udaf
       import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-      import graft.functions.{FreqSketchOps, QuantileSketchOps, ThetaSketchOps}
+      import graft.functions.{CmsSketchOps, FreqSketchOps, QuantileSketchOps, ThetaSketchOps}
       val bytesEnc = ExpressionEncoder[Array[Byte]]()
       spark.udf.register("graft_theta_union",
         udaf(new ThetaSketchOps.UnionAggregator, bytesEnc))
@@ -148,6 +148,10 @@ object GraftExtensions {
         udaf(new FreqSketchOps.MergeAggregator, bytesEnc))
       spark.udf.register("graft_freq_heavy_hitters",
         (b: Array[Byte]) => FreqSketchOps.heavyHitters(b))
+      spark.udf.register("graft_cms_merge",
+        udaf(new CmsSketchOps.MergeAggregator, bytesEnc))
+      spark.udf.register("graft_cms_estimate",
+        (b: Array[Byte], key: Long) => CmsSketchOps.estimate(b, key))
     }
   }
 }

@@ -104,6 +104,14 @@ class ValidityJobSpec extends AnyFunSuite {
         " FROM freq_parts").collect()(0)
       .getSeq[org.apache.spark.sql.Row](0)
     assert(hh.head.getString(0) == "hot" && hh.head.getLong(1) == 50L)
+    // count-min: 10 copies of each of 100 keys, exact regime
+    graft.functions.CmsSketchOps.partials(
+        spark.range(0, 1000).map(_ % 100).as[Long]).toDF("sk")
+      .createOrReplaceTempView("cms_parts")
+    val cnt = spark.sql(
+      "SELECT graft_cms_estimate(graft_cms_merge(sk), 7L) AS c" +
+        " FROM cms_parts").collect()(0).getLong(0)
+    assert(cnt == 10L)
   }
 
   test("dedup signature expressions are reachable from pure SQL") {
