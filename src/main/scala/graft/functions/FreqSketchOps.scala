@@ -31,12 +31,16 @@ object FreqSketchOps {
   private def wrap(bytes: Array[Byte]): ItemsSketch[String] =
     ItemsSketch.getInstance(Memory.wrap(bytes), serde)
 
-  /** One serialized sketch per partition of `items`. */
-  def partials(items: Dataset[String]): Dataset[Array[Byte]] = {
+  /** One serialized sketch per partition of `items`. `lgMaxMapSize`
+    * widens the exact regime for callers whose key space is known to
+    * fit a larger map (join_skew_probe sizes it to the join-key
+    * cardinality at the gate SFs). */
+  def partials(items: Dataset[String],
+      lgMaxMapSize: Int = LgMaxMapSize): Dataset[Array[Byte]] = {
     implicit val enc: Encoder[Array[Byte]] =
       items.sparkSession.implicits.newByteArrayEncoder
     items.mapPartitions { it =>
-      val sk = new ItemsSketch[String](1 << LgMaxMapSize)
+      val sk = new ItemsSketch[String](1 << lgMaxMapSize)
       it.foreach(sk.update)
       Iterator.single(sk.toByteArray(serde))
     }
@@ -62,11 +66,12 @@ object FreqSketchOps {
   }
 
   /** Sketch a whole item column down to one serialized sketch. */
-  def sketch(items: Dataset[String]): Array[Byte] = {
+  def sketch(items: Dataset[String],
+      lgMaxMapSize: Int = LgMaxMapSize): Array[Byte] = {
     val agg = new MergeAggregator
-    val merged = partials(items).select(agg.toColumn).head()
+    val merged = partials(items, lgMaxMapSize).select(agg.toColumn).head()
     if (merged.isEmpty)
-      new ItemsSketch[String](1 << LgMaxMapSize).toByteArray(serde)
+      new ItemsSketch[String](1 << lgMaxMapSize).toByteArray(serde)
     else merged
   }
 
