@@ -85,6 +85,97 @@ object CorpusMix {
         sum(col("tokens")).as("tokens_kept"))
       .orderBy(col("source"))
 
+  /** Exact integer floor-sqrt. Double sqrt is correctly rounded, but
+    * floor(sqrt(x)) can still land one off when the true root sits
+    * within half an ulp of an integer; the two-sided correction pins
+    * the exact value in both engines, so the temperature weights below
+    * stay hash-checkable. */
+  def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    when(s0 * s0 > x, s0 - 1)
+      .when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
+      .otherwise(s0)
+  }
+
+  /** DuckDB twin of [[isqrt]] (same correction, inline CASE). */
+  def isqrtSql(x: String): String = {
+    val s0 = s"CAST(floor(sqrt(CAST(($x) AS DOUBLE))) AS BIGINT)"
+    s"""(CASE WHEN $s0 * $s0 > ($x) THEN $s0 - 1
+       |  WHEN ($s0 + 1) * ($s0 + 1) <= ($x) THEN $s0 + 1
+       |  ELSE $s0 END)""".stripMargin.replace("\n", " ")
+  }
+
+  /** TEMPERATURE-scaled mixing (XLM-R / multilingual-LM style,
+    * arXiv:1911.02116 §3.1): instead of caller-supplied weights, each
+    * source's mixture weight derives from its own token share raised to
+    * alpha = 1/2 — big sources are down-weighted, small sources
+    * up-weighted, flattening the natural distribution. alpha = 1/2 is
+    * the one exponent with an EXACT integer form ([[isqrt]]), so the
+    * whole operator stays on the engine's integer-ppm grid:
+    *
+    *   u_s        = isqrt(tokens_s)
+    *   w_s (ppm)  = u_s * 10^6 div sum(u)
+    *
+    * and the budget/rate/keep machinery is [[sample]]'s, unchanged.
+    * The weight table is source-sized and broadcast; the corpus side
+    * adds nothing beyond the per-source aggregate it already pays. */
+  def temperatureSummary(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      budgetPpm: Long): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"),
+      TextAnalysis.tokenCount(col(textCol)).as("tokens"))
+    val tot = tok.groupBy(col("source"))
+      .agg(sum(col("tokens")).as("st"))
+      .withColumn("u", isqrt(col("st")))
+    val grand = tot.agg(sum(col("st")).as("t"), sum(col("u")).as("su"))
+    val rates = tot.crossJoin(broadcast(grand))
+      .withColumn("w", expr(s"u * $Ppm div su"))
+      .withColumn("rate",
+        least(lit(Ppm),
+          expr(s"((t * $budgetPpm div $Ppm) * w div $Ppm) * $Ppm div st")))
+      .select(col("source"), col("w"), col("rate"))
+    tok.join(broadcast(rates), Seq("source"))
+      .filter(Dedup.md5Hash32(col("doc_id").cast("string"), "mix:")
+        % Ppm < col("rate"))
+      .groupBy(col("source"))
+      .agg(max(col("w")).as("w_ppm"),
+        max(col("rate")).as("rate_ppm"),
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin of [[temperatureSummary]]. */
+  def temperatureSummarySql(docsRel: String, budgetPpm: Long): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |    ${TextAnalysis.tokenCountSql("text")} AS tokens
+       |  FROM $docsRel),
+       |tot AS (
+       |  SELECT source, sum(tokens) AS st,
+       |    ${isqrtSql("sum(tokens)")} AS u
+       |  FROM tok GROUP BY 1),
+       |g AS (SELECT sum(st) AS t, sum(u) AS su FROM tot),
+       |r AS (
+       |  SELECT source, st, u * $Ppm // g.su AS w,
+       |    least($Ppm,
+       |      (((g.t * $budgetPpm) // $Ppm) * (u * $Ppm // g.su) // $Ppm)
+       |        * $Ppm // st) AS rate
+       |  FROM tot, g),
+       |k AS (
+       |  SELECT tok.source, tok.tokens, r.w, r.rate
+       |  FROM tok JOIN r USING (source)
+       |  WHERE ${Dedup.md5Hash32Sql("CAST(doc_id AS VARCHAR)", "mix:")}
+       |    % $Ppm < r.rate)
+       |SELECT source, CAST(max(w) AS BIGINT) AS w_ppm,
+       |  CAST(max(rate) AS BIGINT) AS rate_ppm,
+       |  count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tokens_kept
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   /** DuckDB twin of [[summary]]. `weightCaseSql` must mirror the
     * weights map (CASE source ... END, BIGINT). */
   def summarySql(

@@ -13,14 +13,22 @@ object StreamingQueries {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
-  /** The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and convert by exact integer
-    * division to microseconds (matching DuckDB's nanos->micros
-    * truncation). */
+  /** The events parquet has shipped with two physical `ts` types:
+    * TIMESTAMP(NANOS) (vectorized reader rejects it; read nanos as long,
+    * truncate to micros — matching DuckDB) and plain TIMESTAMP_MICROS
+    * (read natively; NTZ casts to session-TZ timestamp, identical under
+    * the UTC session both engines run in). Adapt to whichever is on disk
+    * so a regenerated dataset never breaks the whole events family. */
   def events(s: org.apache.spark.sql.SparkSession, dir: String) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(t(dir, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = s.read.parquet(t(dir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn(
+          "ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Literal test intervals over the events' January-2024 span
