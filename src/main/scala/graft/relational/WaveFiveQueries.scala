@@ -1,0 +1,155 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.relational.RelationalQueries.Q
+
+/** Fifth-wave surface: temperature-scaled source mixing (the
+  * multilingual-LM sampling curve on the exact-integer grid),
+  * domain-level quality gating (the FineWeb-style per-domain signal —
+  * a document is dropped for the company it keeps, not just its own
+  * content), and the Z-order layout key (multi-dimension min-max
+  * data-skipping at write time). Every entry carries a DuckDB oracle.
+  */
+object WaveFiveQueries {
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Scale.spreadIfNarrow(s.read.parquet(t(dir, "documents")))
+
+  // ---- domain-gate fixture -------------------------------------------
+  // The synthetic corpus is quality-uniform across sources, so a
+  // per-domain mean gate would never separate (the degeneracy trap).
+  // The fixture plants the separation the operator exists to detect:
+  // every third source is a "content farm" whose pages carry a
+  // punctuation-noise footer (tanking the punct-ratio term of the
+  // quality score), the rest get a clean closing sentence. Keyed off
+  // the source NAME so the same domains are dirty at every SF.
+  private val DirtyFooter =
+    " !!!*** ### %%% @@@ $$$ ^^^ &&& ((( ))) ??? !!!*** ### %%% @@@"
+  private val CleanFooter =
+    " The committee reviewed the findings and approved the report."
+
+  private def srcNum(c: org.apache.spark.sql.Column) =
+    regexp_extract(c, "([0-9]+)", 1).cast("long")
+
+  private def domainDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(srcNum(col("source")) % 3 === 0, lit(DirtyFooter))
+          .otherwise(lit(CleanFooter))).as("text"))
+
+  private val domainDocsSql =
+    s"""(SELECT doc_id, source,
+       |  text || CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1)
+       |                    AS BIGINT) % 3 = 0
+       |    THEN '$DirtyFooter' ELSE '$CleanFooter' END AS text
+       | FROM documents)""".stripMargin
+
+  /** Domain punctuation-noise ceiling, in ppm of characters. Sits in
+    * the band gap the fixture plants (clean sources carry ~1 period
+    * per ~380 chars ≈ 3k ppm; noise-footer sources ~44 punct chars per
+    * page ≈ 110k ppm), so the gate BINDS at every SF. */
+  val DomainPunctPpmCeiling = 50000L
+
+  val all: Seq[Q] = Seq(
+
+    // temperature-scaled mixing (alpha = 1/2, arXiv:1911.02116 §3.1):
+    // weights DERIVED from per-source token mass via exact integer
+    // isqrt instead of caller-supplied — flattens the natural source
+    // distribution the way multilingual LM training samples languages.
+    // Cost on top of corpus_mix: one isqrt per SOURCE (model-sized).
+    Q("corpus_mix_temperature", (s, dir) => {
+      import graft.analysis.CorpusMix
+      CorpusMix.temperatureSummary(docs(s, dir),
+        "doc_id", "text", "source", budgetPpm = 600000L)
+    }, Some {
+      import graft.analysis.CorpusMix
+      CorpusMix.temperatureSummarySql("documents", budgetPpm = 600000L)
+    }),
+
+    // FineWeb-style domain-level gate: a domain whose AGGREGATE noise
+    // is over the ceiling drops wholesale — boilerplate/spam farms
+    // emit individually-passable pages, and the domain aggregate is
+    // the published signal that catches them. The signals are raw
+    // integer counts (punct chars, total chars, tokens) summed in
+    // int64 and combined by integer div — the composite quality score
+    // is a rounded-double surface whose last-ulp behavior the engines
+    // need not share, so the EXACT domain mean deliberately never
+    // touches it. Domain-stats relation is domain-cardinality sized
+    // and broadcast back; the corpus side never shuffles bodies.
+    Q("domain_quality_filter", (s, dir) => {
+      import graft.analysis.DomainQuality
+      DomainQuality.gate(domainDocs(s, dir), "doc_id", "text", "source",
+          DomainPunctPpmCeiling)
+        .orderBy(col("doc_id"))
+    }, Some {
+      import graft.analysis.TextAnalysis
+      s"""WITH s AS (
+         |  SELECT doc_id, source,
+         |    ${TextAnalysis.tokenCountSql("text")} AS ntok,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+         |      AS BIGINT) AS npunct,
+         |    CAST(length(text) AS BIGINT) AS nchars
+         |  FROM $domainDocsSql),
+         |d AS (
+         |  SELECT source,
+         |    CAST(sum(npunct) AS BIGINT) * 1000000
+         |      // CAST(sum(nchars) AS BIGINT) AS domain_punct_ppm,
+         |    CAST(sum(ntok) AS BIGINT) // count(*) AS domain_mean_tok
+         |  FROM s GROUP BY 1)
+         |SELECT s.doc_id, s.source, s.ntok, d.domain_punct_ppm,
+         |  d.domain_mean_tok,
+         |  d.domain_punct_ppm < $DomainPunctPpmCeiling AS domain_pass
+         |FROM s JOIN d USING (source)
+         |ORDER BY s.doc_id""".stripMargin
+    }),
+
+    // Z-order layout key: per-bucket bounding rectangles of the Morton
+    // key over (l_partkey, l_suppkey) — each bucket's min-max spans a
+    // tight sub-rectangle of the key space, which IS the data-skipping
+    // property a z-clustered write gives parquet file stats (the
+    // physical proof — row groups actually skipped on the secondary
+    // dimension — is ZOrderSpec over sinks.ZOrder.writeZOrdered; this
+    // query pins the curve ARITHMETIC against an independent engine).
+    // Bounds: one tiny min/max aggregate broadcast back; the key
+    // itself is row-local codegen'd bit arithmetic.
+    Q("q_zorder_layout", (s, dir) => {
+      import graft.sinks.ZOrder
+      val li = Scale.spreadIfNarrow(s.read.parquet(t(dir, "lineitem")))
+        .select(col("l_partkey").as("a"), col("l_suppkey").as("b"))
+      val bounds = li.agg(
+        min(col("a")).as("mna"), max(col("a")).as("mxa"),
+        min(col("b")).as("mnb"), max(col("b")).as("mxb"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("na", expr("(a - mna) * 65535 div greatest(mxa - mna, 1)"))
+        .withColumn("nb", expr("(b - mnb) * 65535 div greatest(mxb - mnb, 1)"))
+        .withColumn("zbucket",
+          shiftright(ZOrder.zValue(col("na"), col("nb"), 16), 26))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+          min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+        .orderBy(col("zbucket"))
+    }, Some {
+      import graft.sinks.ZOrder
+      val na = ZOrder.normalize16Sql("a", "mna", "mxa")
+      val nb = ZOrder.normalize16Sql("b", "mnb", "mxb")
+      s"""WITH li AS (
+         |  SELECT l_partkey AS a, l_suppkey AS b FROM lineitem),
+         |bounds AS (
+         |  SELECT min(a) AS mna, max(a) AS mxa,
+         |         min(b) AS mnb, max(b) AS mxb FROM li),
+         |keyed AS (
+         |  SELECT a, b,
+         |    ${ZOrder.zValue16Sql(na, nb)} >> 26 AS zbucket
+         |  FROM li, bounds)
+         |SELECT zbucket, count(*) AS n,
+         |  min(a) AS min_a, max(a) AS max_a,
+         |  min(b) AS min_b, max(b) AS max_b
+         |FROM keyed GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
+  )
+}

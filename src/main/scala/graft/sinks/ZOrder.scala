@@ -31,6 +31,26 @@ object ZOrder {
     }
   }
 
+  /** DuckDB oracle twin of [[zValue]] at bits = 16, via the classic
+    * shift-and-mask bit spread (identical Morton value, O(log bits)
+    * ops): even bits carry x, odd bits carry y. */
+  def zValue16Sql(x: String, y: String): String =
+    s"(${spread16Sql(x)} | (${spread16Sql(y)} << 1))"
+
+  private def spread16Sql(x: String): String = {
+    val s1 = s"((($x) | (($x) << 8)) & 16711935)"
+    val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+    val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+    s"(($s3 | ($s3 << 1)) & 1431655765)"
+  }
+
+  /** Affine rescale of a dimension onto the 16-bit grid — exact integer
+    * `div` (truncating in both engines), constant-dimension safe via
+    * the greatest(span, 1) clamp. SQL twin for oracles; the Spark side
+    * writes the same arithmetic with `div`. */
+  def normalize16Sql(x: String, mn: String, mx: String): String =
+    s"(($x - $mn) * 65535 // greatest($mx - $mn, 1))"
+
   /** Write `df` z-ordered on (xCol, yCol) into `nFiles` range-split,
     * internally sorted parquet files. Range partitioning keeps the curve
     * segments disjoint across files (each file owns one contiguous z
