@@ -107,6 +107,93 @@ object WaveFiveQueries {
          |ORDER BY s.doc_id""".stripMargin
     }),
 
+    // DCLM-style quality-WEIGHTED sampling: instead of a hard
+    // keep/drop at a score threshold, each document survives with
+    // probability proportional to its classifier score — soft
+    // selection keeps some mid-quality mass and diversifies the
+    // corpus (what DataComp-LM found beats hard filtering). The curve
+    // is a hard-sigmoid on the exact integer grid: QualityModel's
+    // int64 milli-log-odds raw score maps to a keep-rate in ppm by
+    // integer clamp (500000 + raw * 250, clamped to [0, 1e6] — the
+    // piecewise-linear sigmoid), and the keep test is the engine's
+    // deterministic md5 coin. Zero floats end to end; row-local
+    // scoring, no shuffle beyond the ordering.
+    Q("quality_weighted_sample", (s, dir) => {
+      import graft.analysis.QualityModel
+      import graft.dedup.Dedup
+      docs(s, dir)
+        .select(col("doc_id"),
+          QualityModel.rawScore(col("text")).as("q_raw"))
+        .withColumn("rate_ppm",
+          least(lit(1000000L),
+            greatest(lit(0L), lit(500000L) + col("q_raw") * 250)))
+        .withColumn("kept",
+          Dedup.md5Hash32(col("doc_id").cast("string"), "qws:")
+            % 1000000L < col("rate_ppm"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      import graft.analysis.QualityModel
+      import graft.dedup.Dedup
+      s"""WITH ${QualityModel.oracleCte("documents")}
+         |SELECT doc_id, q_score AS q_raw,
+         |  least(1000000, greatest(0, 500000 + q_score * 250))
+         |    AS rate_ppm,
+         |  ${Dedup.md5Hash32Sql("CAST(doc_id AS VARCHAR)", "qws:")}
+         |    % 1000000 <
+         |    least(1000000, greatest(0, 500000 + q_score * 250)) AS kept
+         |FROM qs ORDER BY doc_id""".stripMargin
+    }),
+
+    // cross-snapshot crawl diff: yesterday's corpus vs today's crawl,
+    // classified added/removed/changed/unchanged — the delta step an
+    // incremental crawl pipeline runs before re-processing ONLY what
+    // moved. Bodies reduce to md5 fingerprints BEFORE the join, so the
+    // full-outer shuffle carries (key, 32-char fp), never text; at
+    // 100 TB both sides scan once and exchange narrow rows. The "new
+    // snapshot" is a deterministic mutation of the corpus (docs %7=3
+    // removed, %5=0 rewritten, fresh ids added) so every status is
+    // present at every SF.
+    Q("crawl_diff", (s, dir) => {
+      val prev = docs(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("fp_prev"))
+      val next = docs(s, dir)
+        .filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" [updated]")))
+            .otherwise(col("text"))).as("fp_next"))
+        .unionByName(docs(s, dir).filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            md5(col("text")).as("fp_next")))
+      prev.join(next, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("fp_prev").isNull, "added")
+            .when(col("fp_next").isNull, "removed")
+            .when(col("fp_prev") === col("fp_next"), "unchanged")
+            .otherwise("changed").as("status"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH prev AS (
+        |  SELECT doc_id, md5(text) AS fp_prev FROM documents),
+        |next AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [updated]'
+        |        ELSE text END) AS fp_next
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, md5(text) FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |j AS (
+        |  SELECT coalesce(prev.doc_id, next.doc_id) AS doc_id,
+        |    fp_prev, fp_next
+        |  FROM prev FULL OUTER JOIN next ON prev.doc_id = next.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN fp_prev IS NULL THEN 'added'
+        |       WHEN fp_next IS NULL THEN 'removed'
+        |       WHEN fp_prev = fp_next THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM j ORDER BY doc_id""".stripMargin)),
+
     // Z-order layout key: per-bucket bounding rectangles of the Morton
     // key over (l_partkey, l_suppkey) — each bucket's min-max spans a
     // tight sub-rectangle of the key space, which IS the data-skipping
