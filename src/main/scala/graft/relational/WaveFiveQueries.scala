@@ -54,7 +54,55 @@ object WaveFiveQueries {
     * page ≈ 110k ppm), so the gate BINDS at every SF. */
   val DomainPunctPpmCeiling = 50000L
 
+  /** url_scope_filter fixture: one URL per rule (and per near-miss, so
+    * every boundary is pinned: depth 8 passes / 9 fails, 5 params pass
+    * / 6 fail, two repeats pass / three trap). ASCII and quote-free so
+    * each embeds verbatim in the oracle's VALUES list. */
+  val ScopeFixture: Seq[String] = Seq(
+    "https://example.com/articles/2024/ai-report",
+    "http://example.com/",
+    "ftp://files.example.org/pub/data.csv",
+    "mailto:someone@example.com",
+    "not a url at all",
+    "https://cdn.example.com/assets/logo.PNG",
+    "https://example.com/downloads/archive.tar",
+    "https://example.com/player.js",
+    "https://example.com/a/b/c/d/e/f/g/h",
+    "https://example.com/a/b/c/d/e/f/g/h/i",
+    "https://example.com/cal/2024/01/02/2024/01/03/2024/x",
+    "https://example.com/loop/x/loop/y/loop",
+    "https://example.com/a/b/a/b",
+    "https://shop.example.com/list?a=1&b=2&c=3&d=4&e=5",
+    "https://shop.example.com/list?a=1&b=2&c=3&d=4&e=5&f=6",
+    "https://example.com/search?q=term&page=2")
+
   val all: Seq[Q] = Seq(
+
+    // crawl-scope URL gate: the ingest-side filter that keeps media
+    // assets, crawler traps, and URL-family explosions out of the
+    // fetch/parse queue entirely — at 100 TB the cheapest byte is the
+    // one never read. Row-local regexp/array rules with a fixed
+    // reason priority (graft.text.UrlScope has the rule-by-rule
+    // derivation, including why the trap test is an array count and
+    // not a backreference regex).
+    Q("url_scope_filter", (s, _) => {
+      import s.implicits._
+      import graft.text.UrlScope
+      ScopeFixture.toDF("url")
+        .withColumn("c", UrlScope.classify(col("url")))
+        .select(col("url"), col("c.in_scope").as("in_scope"),
+          col("c.reason").as("reason"))
+        .orderBy(col("url"))
+    }, Some {
+      import graft.text.UrlScope
+      val values = ScopeFixture.map(u => s"('$u')").mkString(",\n  ")
+      s"""WITH urls(url) AS (VALUES
+         |  $values)
+         |SELECT url,
+         |  ${UrlScope.reasonSql("url")} = 'ok' AS in_scope,
+         |  ${UrlScope.reasonSql("url")} AS reason
+         |FROM urls ORDER BY url""".stripMargin
+    }),
 
     // temperature-scaled mixing (alpha = 1/2, arXiv:1911.02116 §3.1):
     // weights DERIVED from per-source token mass via exact integer
