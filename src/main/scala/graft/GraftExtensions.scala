@@ -44,7 +44,9 @@ object GraftExtensions {
     "graft_scrub_pii" -> lift1(graft.analysis.TextAnalysis.scrubPii),
     "graft_quality_score" -> lift1(graft.analysis.TextAnalysis.qualityScore),
     "graft_lang_id" -> lift1(graft.analysis.TextAnalysis.langId),
-    "graft_token_count" -> lift1(graft.analysis.TextAnalysis.tokenCount))
+    "graft_token_count" -> lift1(graft.analysis.TextAnalysis.tokenCount),
+    "graft_url_norm" -> lift1(graft.text.UrlNormalize.norm),
+    "graft_url_scope" -> lift1(graft.text.UrlScope.classify))
 
   val textDescriptors: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] =

@@ -147,11 +147,16 @@ class ValidityJobSpec extends AnyFunSuite {
       """SELECT graft_scrub_pii('mail bob@x.example.com now') AS scrubbed,
         |  graft_lang_id('the cat and the dog is with for') AS lang,
         |  graft_token_count('  one two  three ') AS ntok,
-        |  graft_quality_score('') AS q_empty""".stripMargin).collect()(0)
+        |  graft_quality_score('') AS q_empty,
+        |  graft_url_norm('HTTP://Ex.COM:80/a/?utm_source=x&b=2#f') AS nu,
+        |  graft_url_scope('https://cdn.example.com/a.png').reason AS sr
+        |""".stripMargin).collect()(0)
     assert(row.getString(0) == "mail <EMAIL> now")
     assert(row.getString(1) == "en")
     assert(row.getLong(2) == 3L)
     assert(row.getDouble(3) == 0.3) // len 0: punct penalty 0 -> 0.3
+    assert(row.getString(4) == "http://ex.com/a?b=2")
+    assert(row.getString(5) == "ext")
     // the SQL form expands to the same Catalyst tree as the Column form
     import spark.implicits._
     val viaColumn = Seq("mail bob@x.example.com now").toDF("t")
