@@ -242,6 +242,126 @@ object WaveFiveQueries {
         |       ELSE 'changed' END AS status
         |FROM j ORDER BY doc_id""".stripMargin)),
 
+    // the WHOLE crawl-side ingestion funnel end-to-end (the WEB-facing
+    // twin of corpus_curate_full's content funnel): URL scope gate ->
+    // URL-canonicalization dedup (tracking-param variants collapse to
+    // one min-id winner) -> domain-level noise gate over the reaching
+    // population -> quality-weighted sampling of what's left. Flags
+    // are PROGRESSIVE (each implies the previous), so the row set is
+    // the funnel's complete audit trail. One checkpointed crawl
+    // snapshot feeds all stages; domain stats and URL winners are the
+    // only exchanges, and both are narrow.
+    Q("crawl_curate", (s, dir) => {
+      import graft.analysis.QualityModel
+      import graft.dedup.Dedup
+      import graft.text.{UrlNormalize, UrlScope}
+      val base = domainDocs(s, dir)
+      val stem = concat(lit("https://"), col("source"),
+        lit(".example.com"))
+      val url =
+        when(col("doc_id") % 13 === 1,
+            concat(stem, lit("/assets/img.png")))
+          .when(col("doc_id") % 13 === 2,
+            concat(stem, lit("/a/b/c/d/e/f/g/h/i")))
+          .when(col("doc_id") % 13 === 3,
+            concat(stem, lit("/loop/x/loop/y/loop")))
+          .when(col("doc_id") % 13 === 4,
+            concat(stem, lit("/list?a=1&b=2&c=3&d=4&e=5&f=6")))
+          .when(col("doc_id") % 13 === 5,
+            concat(lit("ftp://"), col("source"),
+              lit(".example.com/docs/"), col("doc_id").cast("string")))
+          .otherwise(concat(stem, lit("/docs/"),
+            col("doc_id").cast("string")))
+      val crawl = base.select(col("doc_id"), col("source"), col("text"),
+          url.as("url"))
+        .unionByName(base.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 2000000000L).as("doc_id"),
+            col("source"), col("text"),
+            concat(stem, lit("/docs/"), col("doc_id").cast("string"),
+              lit("?utm_source=dup")).as("url")))
+        .localCheckpoint()
+      val scoped = crawl
+        .withColumn("in_scope",
+          UrlScope.classify(col("url")).getField("in_scope"))
+        .withColumn("norm_url", UrlNormalize.norm(col("url")))
+      val winners = scoped.filter(col("in_scope"))
+        .groupBy(col("norm_url")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")).withColumn("win", lit(true))
+      val flagged = scoped.join(winners, Seq("doc_id"), "left")
+        .withColumn("url_dup_winner",
+          col("in_scope") && coalesce(col("win"), lit(false)))
+      val dstats = flagged.filter(col("url_dup_winner"))
+        .groupBy(col("source"))
+        .agg(expr("sum(CAST(regexp_count(text, '[^A-Za-z0-9\\\\s]')" +
+          " AS BIGINT)) * 1000000 div sum(length(text))").as("dppm"))
+      flagged.join(broadcast(dstats), Seq("source"), "left")
+        .withColumn("domain_pass", col("url_dup_winner") &&
+          coalesce(col("dppm") < DomainPunctPpmCeiling, lit(false)))
+        .withColumn("rate_ppm",
+          least(lit(1000000L), greatest(lit(0L),
+            lit(500000L) + QualityModel.rawScore(col("text")) * 250)))
+        .withColumn("sampled", col("domain_pass") &&
+          Dedup.md5Hash32(col("doc_id").cast("string"), "cc:")
+            % 1000000L < col("rate_ppm"))
+        .select(col("doc_id"), col("in_scope"), col("url_dup_winner"),
+          col("domain_pass"), col("sampled"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      import graft.analysis.QualityModel
+      import graft.dedup.Dedup
+      import graft.text.{UrlNormalize, UrlScope}
+      val stem = "'https://' || source || '.example.com'"
+      s"""WITH crawl AS (
+         |  SELECT doc_id, source, text,
+         |    CASE WHEN doc_id % 13 = 1 THEN $stem || '/assets/img.png'
+         |      WHEN doc_id % 13 = 2 THEN $stem || '/a/b/c/d/e/f/g/h/i'
+         |      WHEN doc_id % 13 = 3 THEN $stem || '/loop/x/loop/y/loop'
+         |      WHEN doc_id % 13 = 4
+         |        THEN $stem || '/list?a=1&b=2&c=3&d=4&e=5&f=6'
+         |      WHEN doc_id % 13 = 5 THEN 'ftp://' || source ||
+         |        '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+         |      ELSE $stem || '/docs/' || CAST(doc_id AS VARCHAR)
+         |    END AS url
+         |  FROM $domainDocsSql
+         |  UNION ALL
+         |  SELECT doc_id + 2000000000, source, text,
+         |    $stem || '/docs/' || CAST(doc_id AS VARCHAR)
+         |      || '?utm_source=dup'
+         |  FROM $domainDocsSql WHERE doc_id % 9 = 0),
+         |${QualityModel.oracleCte("crawl")},
+         |scoped AS (
+         |  SELECT doc_id, source, text,
+         |    ${UrlScope.reasonSql("url")} = 'ok' AS in_scope,
+         |    ${UrlNormalize.normSql("url")} AS norm_url
+         |  FROM crawl),
+         |w AS (
+         |  SELECT min(doc_id) AS doc_id FROM scoped
+         |  WHERE in_scope GROUP BY norm_url),
+         |flagged AS (
+         |  SELECT s.doc_id, s.source, s.text, s.in_scope,
+         |    s.in_scope AND w.doc_id IS NOT NULL AS url_dup_winner
+         |  FROM scoped s LEFT JOIN w ON s.doc_id = w.doc_id),
+         |d AS (
+         |  SELECT source,
+         |    CAST(sum(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')))
+         |        AS BIGINT) * 1000000
+         |      // CAST(sum(length(text)) AS BIGINT) AS dppm
+         |  FROM flagged WHERE url_dup_winner GROUP BY 1)
+         |SELECT f.doc_id, f.in_scope, f.url_dup_winner,
+         |  f.url_dup_winner AND coalesce(d.dppm < $DomainPunctPpmCeiling,
+         |    false) AS domain_pass,
+         |  f.url_dup_winner AND coalesce(d.dppm < $DomainPunctPpmCeiling,
+         |    false) AND
+         |    ${Dedup.md5Hash32Sql("CAST(f.doc_id AS VARCHAR)", "cc:")}
+         |      % 1000000 <
+         |    least(1000000, greatest(0, 500000 + qs.q_score * 250))
+         |    AS sampled
+         |FROM flagged f
+         |LEFT JOIN d ON f.source = d.source
+         |JOIN qs ON f.doc_id = qs.doc_id
+         |ORDER BY f.doc_id""".stripMargin
+    }),
+
     // Z-order layout key: per-bucket bounding rectangles of the Morton
     // key over (l_partkey, l_suppkey) — each bucket's min-max spans a
     // tight sub-rectangle of the key space, which IS the data-skipping
