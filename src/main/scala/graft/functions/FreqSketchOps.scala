@@ -68,8 +68,29 @@ object FreqSketchOps {
   /** Sketch a whole item column down to one serialized sketch. */
   def sketch(items: Dataset[String],
       lgMaxMapSize: Int = LgMaxMapSize): Array[Byte] = {
-    val agg = new MergeAggregator
-    val merged = partials(items, lgMaxMapSize).select(agg.toColumn).head()
+    // treeReduce, not a single-group aggregate: one reducer would
+    // deserialize + re-serialize every partition's map in sequence
+    // (O(partitions x model) single-threaded; the CmsSketchOps.sketch
+    // rationale, string serde makes it worse here). Misra-Gries merge
+    // is order-insensitive within the sketch's guarantees, and the
+    // hash gate runs it in the exact regime where the result is
+    // order-FREE.
+    // self-contained closure: builds its own serde so nothing
+    // non-serializable is captured from the enclosing object
+    val unite = (a: Array[Byte], b: Array[Byte]) =>
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val sd = new ArrayOfStringsSerDe
+        ItemsSketch.getInstance(Memory.wrap(a), sd)
+          .merge(ItemsSketch.getInstance(Memory.wrap(b), sd))
+          .toByteArray(sd)
+      }
+    val merged =
+      try partials(items, lgMaxMapSize).rdd.treeReduce(unite, depth = 2)
+      catch { // empty input: treeReduce has no identity element
+        case _: UnsupportedOperationException => Array.emptyByteArray
+      }
     if (merged.isEmpty)
       new ItemsSketch[String](1 << lgMaxMapSize).toByteArray(serde)
     else merged
