@@ -67,6 +67,44 @@ object ThetaSketchOps {
       ExpressionEncoder[Array[Byte]]()
   }
 
+  /** One compact sketch PER COLUMN per partition from rows of
+    * pre-hashed column values — the one-pass multi-column NDV shape
+    * (ANALYZE builds every column's sketch from a SINGLE table scan,
+    * not one scan per column). `nullSentinel` marks a null cell (the
+    * caller maps nulls to it in-plan; a genuine hash landing on the
+    * sentinel is the same 2^-64 event as any hash collision the NDV
+    * estimate already tolerates). Emits (colIdx, compactBytes). */
+  def multiPartials(rows: Dataset[Seq[Long]], nCols: Int,
+      nullSentinel: Long): Dataset[(Int, Array[Byte])] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      val sks = Array.fill(nCols)(
+        UpdateSketch.builder().setLogNominalEntries(LgK).build())
+      it.foreach { vs =>
+        var i = 0
+        while (i < nCols) {
+          val v = vs(i)
+          if (v != nullSentinel) sks(i).update(v)
+          i += 1
+        }
+      }
+      Iterator.tabulate(nCols)(i => (i, sks(i).compact().toByteArray))
+    }
+  }
+
+  /** Per-column union of [[multiPartials]] (nCols tiny groups; each
+    * group merges one model-sized compact per partition). */
+  def sketchColumns(rows: Dataset[Seq[Long]], nCols: Int,
+      nullSentinel: Long): Map[Int, Array[Byte]] = {
+    import rows.sparkSession.implicits._
+    val agg = new UnionAggregator
+    multiPartials(rows, nCols, nullSentinel)
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn)
+      .collect().toMap
+  }
+
   /** Sketch an entire key column down to one compact byte array
     * (distributed partials + distributed union; the single collected
     * row is model-sized — at most ~8 x 2^LgK bytes). Empty input

@@ -265,11 +265,20 @@ object WaveFourQueries {
       val row = li.groupBy().agg(count(lit(1)).as("n_rows"),
         aggs: _*).head()
       val nRows = row.getAs[Long]("n_rows")
-      cols.map { c =>
-        val keys = li.filter(col(c).isNotNull)
-          .select(xxhash64(col(c))).as[Long]
-        val ndv =
-          Math.round(ThetaSketchOps.estimate(ThetaSketchOps.sketch(keys)))
+      // ALL columns' NDV sketches from ONE scan (the ANALYZE shape):
+      // each row carries its 5 column hashes, every partition folds
+      // them into 5 exact-mode sketches at once. A null cell maps to
+      // the sentinel in-plan (xxhash64 of a null COLUMN returns the
+      // seed, not null — the when() guard is load-bearing).
+      val NullSentinel = Long.MinValue + 7
+      val hashed = li.select(array(cols.map(c =>
+          when(col(c).isNotNull, xxhash64(col(c)))
+            .otherwise(lit(NullSentinel))): _*).as("hs"))
+        .as[Seq[Long]]
+      val sketches =
+        ThetaSketchOps.sketchColumns(hashed, cols.size, NullSentinel)
+      cols.zipWithIndex.map { case (c, i) =>
+        val ndv = Math.round(ThetaSketchOps.estimate(sketches(i)))
         (c, nRows, nRows - row.getAs[Long](s"cnt_$c"), ndv,
           row.getAs[String](s"min_$c"), row.getAs[String](s"max_$c"))
       }.toDF("col_name", "n_rows", "n_nulls", "ndv", "min_value",
