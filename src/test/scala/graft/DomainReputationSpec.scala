@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.DomainReputationJob
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Domain reputation is EARNED OVER TIME and sticks: a farm's first
+  * clean page passes (no history), its noisy wave drops itself, and a
+  * later clean page still drops because the domain's cumulative record
+  * condemns it. Redelivery of archived doc_ids is a no-op. */
+class DomainReputationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val noisy =
+    "spam page !!!*** ### %%% @@@ $$$ ^^^ &&& ((( ))) ??? !!!***"
+  private val clean =
+    "a perfectly reasonable sentence about the weather today"
+
+  private def landBatch(dir: String,
+      rows: Seq[(Long, String, String)]): Unit =
+    rows.toDF("doc_id", "domain", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  test("reputation evolves across batches and sticks") {
+    val base = Files.createTempDirectory("domrep").toString
+    val in = s"$base/in"; val store = s"$base/store"
+    val ckpt = s"$base/ckpt"
+
+    // batch 1: the farm's first page is clean -> no history, passes
+    landBatch(in, Seq((1L, "farm.example", clean),
+      (2L, "good.example", clean)))
+    val s1 = DomainReputationJob.runOnce(spark, in, store, ckpt)
+    assert(s1.admitted == 2 && s1.rejectedDomain == 0)
+
+    // batch 2: the noisy wave — cumulative farm stats cross the
+    // ceiling, so the unmasking batch itself drops; good stays good
+    landBatch(in, Seq((3L, "farm.example", noisy),
+      (4L, "farm.example", noisy), (5L, "good.example", clean)))
+    val s2 = DomainReputationJob.runOnce(spark, in, store, ckpt)
+    assert(s2.admitted == 1, s"batch2: $s2")
+    assert(s2.rejectedDomain == 2, s"batch2: $s2")
+
+    // batch 3: a clean-looking farm page STILL drops — reputation
+    // attaches to the domain, not the page
+    landBatch(in, Seq((6L, "farm.example", clean),
+      (7L, "good.example", clean)))
+    val s3 = DomainReputationJob.runOnce(spark, in, store, ckpt)
+    assert(s3.admitted == 1 && s3.rejectedDomain == 1, s"batch3: $s3")
+
+    // corpus holds exactly the admitted docs; the farm's b1 page is in
+    // (admitted before the evidence existed — history is not rewritten)
+    val corpus = spark.read.parquet(s"$store/corpus")
+      .select("doc_id").as[Long].collect().sorted
+    assert(corpus.toSeq == Seq(1L, 2L, 5L, 7L))
+
+    // replay with nothing new: checkpoint drains zero files
+    val s4 = DomainReputationJob.runOnce(spark, in, store, ckpt)
+    assert(s4.arrived == 0)
+
+    // crash-replay shape: the same doc_ids land again as a "new" file
+    // (fresh checkpoint, half-written-batch redelivery) — the archive
+    // skip makes them a no-op, stats are not double-counted
+    landBatch(in, Seq((6L, "farm.example", clean),
+      (5L, "good.example", clean)))
+    val s5 = DomainReputationJob.runOnce(spark, in, store,
+      s"$base/ckpt2")
+    assert(s5.skippedRedelivered >= 2, s"redelivery: $s5")
+    assert(s5.admitted == 0 && s5.rejectedDomain == 0, s"redelivery: $s5")
+    val corpus2 = spark.read.parquet(s"$store/corpus")
+      .select("doc_id").as[Long].collect().sorted
+    assert(corpus2.toSeq == Seq(1L, 2L, 5L, 7L), "corpus unchanged")
+  }
+}
