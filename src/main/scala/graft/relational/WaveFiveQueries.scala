@@ -297,9 +297,15 @@ object WaveFiveQueries {
       flagged.join(broadcast(dstats), Seq("source"), "left")
         .withColumn("domain_pass", col("url_dup_winner") &&
           coalesce(col("dppm") < DomainPunctPpmCeiling, lit(false)))
+        // the model evaluation (the funnel's priciest expression) is
+        // gated BEHIND domain_pass: rows already dropped by an earlier
+        // stage never pay for scoring (conditional evaluation — ~60%
+        // of rows at the gate SFs), and sampled is false for them
+        // either way
         .withColumn("rate_ppm",
-          least(lit(1000000L), greatest(lit(0L),
-            lit(500000L) + QualityModel.rawScore(col("text")) * 250)))
+          when(col("domain_pass"),
+            least(lit(1000000L), greatest(lit(0L),
+              lit(500000L) + QualityModel.rawScore(col("text")) * 250))))
         .withColumn("sampled", col("domain_pass") &&
           Dedup.md5Hash32(col("doc_id").cast("string"), "cc:")
             % 1000000L < col("rate_ppm"))
