@@ -31,6 +31,36 @@ object ZOrder {
     }
   }
 
+  /** N-dimensional Morton interleave: dimension d of `xs` takes bit
+    * positions d, d+n, d+2n, ... (the 2-dim [[zValue]] generalized the
+    * way OPTIMIZE ZORDER BY accepts arbitrary column lists). Total key
+    * width n*bits must fit a long's 63 value bits. */
+  def zValueN(xs: Seq[Column], bits: Int): Column = {
+    val n = xs.size
+    require(n >= 1, "at least one dimension")
+    require(bits >= 1 && n * bits <= 63,
+      s"n*bits must fit 63 bits, got $n x $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      xs.zipWithIndex.foldLeft(acc) { case (a, (x, d)) =>
+        a + shiftright(x.cast("long"), i).bitwiseAND(lit(1L)) *
+          lit(1L << (n * i + d))
+      }
+    }
+  }
+
+  /** [[writeZOrdered]] over any dimension list via [[zValueN]]. */
+  def writeZOrderedN(
+      df: DataFrame,
+      dir: String,
+      cols: Seq[String],
+      bits: Int,
+      nFiles: Int): Unit =
+    df.withColumn("__z", zValueN(cols.map(col), bits))
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+
   /** DuckDB oracle twin of [[zValue]] at bits = 16, via the classic
     * shift-and-mask bit spread (identical Morton value, O(log bits)
     * ops): even bits carry x, odd bits carry y. */
