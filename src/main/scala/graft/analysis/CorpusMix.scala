@@ -91,17 +91,22 @@ object CorpusMix {
     * the exact value in both engines, so the temperature weights below
     * stay hash-checkable. */
   def isqrt(x: Column): Column = {
+    // Upper-branch guard: for s0 >= 3037000499 (= isqrt(Long.MaxValue)),
+    // (s0+1)^2 exceeds 2^63-1 — Spark would wrap negative and take the
+    // <= x branch (off-by-one) where DuckDB raises instead. s0+1 can
+    // never be the answer in that regime, so skip the probe entirely.
     val s0 = floor(sqrt(x.cast("double"))).cast("long")
     when(s0 * s0 > x, s0 - 1)
-      .when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
+      .when(s0 < lit(3037000499L) && (s0 + 1) * (s0 + 1) <= x, s0 + 1)
       .otherwise(s0)
   }
 
-  /** DuckDB twin of [[isqrt]] (same correction, inline CASE). */
+  /** DuckDB twin of [[isqrt]] (same correction + overflow guard,
+    * inline CASE). */
   def isqrtSql(x: String): String = {
     val s0 = s"CAST(floor(sqrt(CAST(($x) AS DOUBLE))) AS BIGINT)"
     s"""(CASE WHEN $s0 * $s0 > ($x) THEN $s0 - 1
-       |  WHEN ($s0 + 1) * ($s0 + 1) <= ($x) THEN $s0 + 1
+       |  WHEN $s0 < 3037000499 AND ($s0 + 1) * ($s0 + 1) <= ($x) THEN $s0 + 1
        |  ELSE $s0 END)""".stripMargin.replace("\n", " ")
   }
 

@@ -108,4 +108,21 @@ object FreqSketchOps {
 
   /** The sketch's maximum possible count error (0 in the exact regime). */
   def maxError(bytes: Array[Byte]): Long = wrap(bytes).getMaximumError
+
+  /** Enforce the exact-regime precondition at hash-checked call sites.
+    * maxError == 0 holds iff the sketch never evicted — counts are
+    * exact AND the treeReduce merge was order-free, so the result is
+    * partitioning-independent and safe to hash-check. Past capacity
+    * the merge topology (which varies with partition count) would leak
+    * into the estimates; failing loudly here beats a flaky hash
+    * mismatch at a bigger SF. */
+  def requireExact(bytes: Array[Byte], context: String): Array[Byte] = {
+    val err = maxError(bytes)
+    require(err == 0L,
+      s"$context: Misra-Gries sketch left its exact regime " +
+        s"(maxError=$err > 0); item cardinality exceeded the map — " +
+        "raise lgMaxMapSize to keep the result partitioning-" +
+        "independent and hash-checkable")
+    bytes
+  }
 }

@@ -1739,7 +1739,8 @@ object TrainingDataQueries {
           regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
           .as("tok"))
         .as[String]
-      FreqSketchOps.heavyHitters(FreqSketchOps.sketch(toks))
+      FreqSketchOps.heavyHitters(FreqSketchOps.requireExact(
+          FreqSketchOps.sketch(toks), "corpus_heavy_hitters"))
         .take(20)
         .toDF("token", "est", "lb", "ub")
     }, Some(

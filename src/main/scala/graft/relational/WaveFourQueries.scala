@@ -300,21 +300,22 @@ object WaveFourQueries {
     // pre-flight join-skew diagnostic — the two-sketch pattern: Misra-
     // Gries NOMINATES the keys that would concentrate a shuffle
     // partition (no-false-negatives guarantee), count-min CONFIRMS each
-    // candidate's frequency from an independent single pass, and the
-    // share is an integer ppm quotient. Neither pass shuffles the key
-    // space — the 100 TB alternative to `GROUP BY key` over the fact
-    // table before deciding on salting / skew-join hints. Both sketches
-    // sit in their exact regime at the gate SFs (MG map sized to the
-    // 20k-key sf0.1 cardinality), so the oracle is plain GROUP BY.
+    // candidate's frequency — independent DERIVATIONS (different
+    // algorithms + hash families) folded from ONE shared scan of the
+    // fact keys (SkewProbe.sketchBoth; the old two-pass shape read the
+    // fact table twice for the same pair of model-sized sketches).
+    // Neither sketch shuffles the key space — the 100 TB alternative
+    // to `GROUP BY key` over the fact table before deciding on salting
+    // / skew-join hints. Both sketches sit in their exact regime at
+    // the gate SFs (MG map sized to the 20k-key sf0.1 cardinality) —
+    // requireExact enforces it, so the oracle is plain GROUP BY.
     Q("join_skew_probe", (s, dir) => {
       import s.implicits._
-      import graft.functions.{CmsSketchOps, FreqSketchOps}
+      import graft.functions.{CmsSketchOps, FreqSketchOps, SkewProbe}
       val li = Scale.spreadIfNarrow(s.read.parquet(t(dir, "lineitem")))
       val keys = li.select(col("l_partkey")).as[Long]
-      val mg = FreqSketchOps.sketch(
-        li.select(col("l_partkey").cast("string")).as[String],
-        lgMaxMapSize = 15)
-      val cms = CmsSketchOps.sketch(keys)
+      val (mgRaw, cms) = SkewProbe.sketchBoth(keys, lgMaxMapSize = 15)
+      val mg = FreqSketchOps.requireExact(mgRaw, "join_skew_probe")
       val total = CmsSketchOps.totalCount(cms)
       FreqSketchOps.heavyHitters(mg)
         .filter { case (_, est, _, _) => est >= SkewMinCount }

@@ -79,4 +79,52 @@ class DomainReputationSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted
     assert(corpus2.toSeq == Seq(1L, 2L, 5L, 7L), "corpus unchanged")
   }
+
+  test("same-batch duplicate doc_ids collapse to one deterministic row") {
+    val base = Files.createTempDirectory("domrep-dup").toString
+    val in = s"$base/in"; val store = s"$base/store"
+    // doc 1 arrives three times in ONE micro-batch (two identical, one
+    // differing payload); the archive anti-join alone would admit all
+    // three — stats and corpus must count it once, min-struct winner
+    landBatch(in, Seq((1L, "good.example", clean),
+      (1L, "good.example", clean), (1L, "zzz.example", noisy),
+      (2L, "good.example", clean)))
+    val s1 = DomainReputationJob.runOnce(spark, in, store, s"$base/ckpt")
+    assert(s1.arrived == 4 && s1.skippedRedelivered == 2, s"dup: $s1")
+    assert(s1.admitted == 2, s"dup: $s1")
+    val corpus = spark.read.parquet(s"$store/corpus")
+    assert(corpus.count() == 2)
+    // deterministic winner: min(struct(domain, text)) -> good.example
+    assert(corpus.filter($"doc_id" === 1L).select("domain")
+      .as[String].head() == "good.example")
+    val archive = spark.read.parquet(s"$store/archive")
+    assert(archive.count() == 2, "archive holds one row per doc_id")
+  }
+
+  test("crash between archive and corpus writes repairs on redelivery") {
+    val base = Files.createTempDirectory("domrep-crash").toString
+    val store = s"$base/store"
+    // simulate the crash window: a half-completed drain wrote doc 1 to
+    // the ARCHIVE as admitted but died before the corpus append
+    Seq((1L, "good.example", 0L, 40L, true))
+      .toDF("doc_id", "domain", "npunct", "nchars", "admitted")
+      .coalesce(1).write.parquet(s"$store/archive")
+    // redelivery: the same doc arrives again (fresh checkpoint)
+    landBatch(s"$base/in", Seq((1L, "good.example", clean),
+      (2L, "good.example", clean)))
+    val s1 = DomainReputationJob.runOnce(spark, s"$base/in", store,
+      s"$base/ckpt")
+    // doc 1 is not re-counted (archive skip) but its text IS repaired
+    // into the corpus; doc 2 admits normally
+    assert(s1.skippedRedelivered == 1 && s1.admitted == 1, s"crash: $s1")
+    val corpus = spark.read.parquet(s"$store/corpus")
+      .select("doc_id").as[Long].collect().sorted
+    assert(corpus.toSeq == Seq(1L, 2L), "orphan repaired exactly once")
+    // drain again with nothing new missing: no second copy of doc 1
+    landBatch(s"$base/in", Seq((1L, "good.example", clean)))
+    DomainReputationJob.runOnce(spark, s"$base/in", store, s"$base/ckpt2")
+    val corpus2 = spark.read.parquet(s"$store/corpus")
+      .select("doc_id").as[Long].collect().sorted
+    assert(corpus2.toSeq == Seq(1L, 2L), "repair is idempotent")
+  }
 }
