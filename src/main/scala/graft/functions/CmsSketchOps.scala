@@ -81,34 +81,52 @@ object CmsSketchOps {
   }
 
   /** Sketch a whole key column down to one serialized table. The merge
-    * runs as a treeReduce, NOT a single-group aggregate: one reducer
-    * would deserialize + re-serialize every partition's Depth×Width
-    * table in sequence (O(partitions × model) single-threaded churn —
-    * measured 2.3s/sketch at 32 partitions, and a 1000-partition
-    * cluster scan would serialize 5 GB through one task); the tree
-    * spreads those merges across executors in O(log partitions) waves.
-    * Counter addition is exact-integer commutative/associative, so the
-    * tree order changes nothing — the table stays byte-identical under
-    * any partitioning (CmsSketchSpec pins it). */
+    * is an OBJECT-LEVEL tree fold, not a single-group aggregate and
+    * not a pairwise byte-array treeReduce: one reducer would
+    * deserialize + re-serialize every partition's Depth×Width table in
+    * sequence (O(partitions × model) single-threaded churn — measured
+    * 2.3s/sketch at 32 partitions, and a 1000-partition cluster scan
+    * would serialize 5 GB through one task), and even treeReduce's
+    * pairwise unite re-serializes the accumulator once per merged
+    * input. One shuffled sqrt(n)-task level folds live sketch objects
+    * (deserialize each input once, serialize once per task), then the
+    * driver folds the sqrt(n) survivors. Counter addition is
+    * exact-integer commutative/associative, so fold order changes
+    * nothing — the table stays byte-identical under any partitioning
+    * (CmsSketchSpec pins it). */
   def sketch(keys: Dataset[Long], depth: Int = Depth,
       width: Int = Width): Array[Byte] = {
-    val parts = partials(keys, depth, width)
-    def unite(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-      if (a.isEmpty) b
-      else if (b.isEmpty) a
-      else CountMinSketch.readFrom(a)
-        .mergeInPlace(CountMinSketch.readFrom(b)).toByteArray
-    val merged =
-      try parts.rdd.treeReduce(unite, depth = 2)
-      catch { // empty input: treeReduce has no identity element
-        case _: UnsupportedOperationException => Array.emptyByteArray
+    val fold = (it: Iterator[Array[Byte]]) => {
+      var acc: CountMinSketch = null
+      it.foreach { b =>
+        if (b.nonEmpty) {
+          val s = CountMinSketch.readFrom(b)
+          if (acc == null) acc = s else acc.mergeInPlace(s)
+        }
       }
-    if (merged.isEmpty) empty(depth, width).toByteArray else merged
+      if (acc == null) Iterator.empty
+      else Iterator.single(acc.toByteArray)
+    }
+    val rdd = partials(keys, depth, width).rdd
+    val mid = math.max(1,
+      math.ceil(math.sqrt(rdd.getNumPartitions.toDouble)).toInt)
+    val level1 = rdd.repartition(mid).mapPartitions(fold).collect()
+    fold(level1.iterator).toSeq.headOption
+      .getOrElse(empty(depth, width).toByteArray)
   }
 
   /** Estimated frequency of `key` (never under the true count). */
   def estimate(bytes: Array[Byte], key: Long): Long =
     CountMinSketch.readFrom(bytes).estimateCount(key)
+
+  /** Deserialize ONCE, probe many: [[estimate]] re-reads the whole
+    * Depth×Width table per call, which turns an n-key probe loop into
+    * n×model churn (measured ~3s of the old join_skew_probe at sf0.1).
+    * Returns a closure over the live sketch. */
+  def prober(bytes: Array[Byte]): Long => Long = {
+    val sk = CountMinSketch.readFrom(bytes)
+    k => sk.estimateCount(k)
+  }
 
   /** Total stream length folded into the sketch. */
   def totalCount(bytes: Array[Byte]): Long =

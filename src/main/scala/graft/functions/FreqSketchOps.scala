@@ -68,32 +68,35 @@ object FreqSketchOps {
   /** Sketch a whole item column down to one serialized sketch. */
   def sketch(items: Dataset[String],
       lgMaxMapSize: Int = LgMaxMapSize): Array[Byte] = {
-    // treeReduce, not a single-group aggregate: one reducer would
-    // deserialize + re-serialize every partition's map in sequence
-    // (O(partitions x model) single-threaded; the CmsSketchOps.sketch
-    // rationale, string serde makes it worse here). Misra-Gries merge
-    // is order-insensitive within the sketch's guarantees, and the
-    // hash gate runs it in the exact regime where the result is
-    // order-FREE.
+    // object-level tree fold, not a single-group aggregate (one
+    // reducer would churn O(partitions x model) single-threaded; the
+    // CmsSketchOps.sketch rationale, string serde makes it worse
+    // here): one shuffled sqrt(n)-task level folds live sketches —
+    // each input deserialized once, ONE serialization per task — then
+    // the driver folds the survivors. Misra-Gries merge is
+    // order-insensitive within the sketch's guarantees, and the hash
+    // gate runs it in the exact regime where the result is order-FREE.
     // self-contained closure: builds its own serde so nothing
     // non-serializable is captured from the enclosing object
-    val unite = (a: Array[Byte], b: Array[Byte]) =>
-      if (a.isEmpty) b
-      else if (b.isEmpty) a
-      else {
-        val sd = new ArrayOfStringsSerDe
-        ItemsSketch.getInstance(Memory.wrap(a), sd)
-          .merge(ItemsSketch.getInstance(Memory.wrap(b), sd))
-          .toByteArray(sd)
+    val fold = (it: Iterator[Array[Byte]]) => {
+      val sd = new ArrayOfStringsSerDe
+      var acc: ItemsSketch[String] = null
+      it.foreach { b =>
+        if (b.nonEmpty) {
+          val s = ItemsSketch.getInstance(Memory.wrap(b), sd)
+          if (acc == null) acc = s else acc.merge(s)
+        }
       }
-    val merged =
-      try partials(items, lgMaxMapSize).rdd.treeReduce(unite, depth = 2)
-      catch { // empty input: treeReduce has no identity element
-        case _: UnsupportedOperationException => Array.emptyByteArray
-      }
-    if (merged.isEmpty)
-      new ItemsSketch[String](1 << lgMaxMapSize).toByteArray(serde)
-    else merged
+      if (acc == null) Iterator.empty
+      else Iterator.single(acc.toByteArray(sd))
+    }
+    val rdd = partials(items, lgMaxMapSize).rdd
+    val mid = math.max(1,
+      math.ceil(math.sqrt(rdd.getNumPartitions.toDouble)).toInt)
+    val level1 = rdd.repartition(mid).mapPartitions(fold).collect()
+    fold(level1.iterator).toSeq.headOption
+      .getOrElse(new ItemsSketch[String](1 << lgMaxMapSize)
+        .toByteArray(serde))
   }
 
   /** (item, estimate, lower bound, upper bound) rows, NO_FALSE_NEGATIVES,

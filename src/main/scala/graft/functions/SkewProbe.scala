@@ -40,32 +40,40 @@ object SkewProbe {
       it.foreach { k => mg.update(k.toString); cms.addLong(k) }
       Iterator.single((mg.toByteArray(sd), cms.toByteArray))
     }
-    // pairwise unite: each side's own associative merge, same closure
-    // hygiene as the single-sketch treeReduces (serde built inside).
-    val unite = (a: (Array[Byte], Array[Byte]),
-        b: (Array[Byte], Array[Byte])) => {
-      val mgU =
-        if (a._1.isEmpty) b._1
-        else if (b._1.isEmpty) a._1
-        else {
-          val sd = new ArrayOfStringsSerDe
-          ItemsSketch.getInstance(Memory.wrap(a._1), sd)
-            .merge(ItemsSketch.getInstance(Memory.wrap(b._1), sd))
-            .toByteArray(sd)
+    // OBJECT-LEVEL fold, not pairwise treeReduce: a pairwise byte-array
+    // unite re-serializes the ~width*depth*8B CMS accumulator once per
+    // merged input (k inputs -> k serializations per task); folding
+    // into live sketch OBJECTS deserializes each input once and
+    // serializes once per task. One shuffled tree level (sqrt(n)
+    // tasks) keeps the driver's share at sqrt(n) pairs — the same
+    // topology discipline as treeReduce, minus the churn.
+    val foldPairs = (it: Iterator[(Array[Byte], Array[Byte])]) => {
+      val sd = new ArrayOfStringsSerDe
+      var mg: ItemsSketch[String] = null
+      var cms: CountMinSketch = null
+      it.foreach { case (mgB, cmsB) =>
+        if (mgB.nonEmpty) {
+          val s = ItemsSketch.getInstance(Memory.wrap(mgB), sd)
+          if (mg == null) mg = s else mg.merge(s)
         }
-      val cmsU =
-        if (a._2.isEmpty) b._2
-        else if (b._2.isEmpty) a._2
-        else CountMinSketch.readFrom(a._2)
-          .mergeInPlace(CountMinSketch.readFrom(b._2)).toByteArray
-      (mgU, cmsU)
-    }
-    val merged =
-      try parts.rdd.treeReduce(unite, depth = 2)
-      catch { // empty input: treeReduce has no identity element
-        case _: UnsupportedOperationException =>
-          (Array.emptyByteArray, Array.emptyByteArray)
+        if (cmsB.nonEmpty) {
+          val c = CountMinSketch.readFrom(cmsB)
+          if (cms == null) cms = c else cms.mergeInPlace(c)
+        }
       }
+      if (mg == null && cms == null)
+        Iterator.empty
+      else Iterator.single((
+        if (mg == null) Array.emptyByteArray else mg.toByteArray(sd),
+        if (cms == null) Array.emptyByteArray else cms.toByteArray))
+    }
+    val rdd = parts.rdd
+    val mid = math.max(1,
+      math.ceil(math.sqrt(rdd.getNumPartitions.toDouble)).toInt)
+    val level1 = rdd.repartition(mid).mapPartitions(foldPairs).collect()
+    val merged = foldPairs(level1.iterator)
+      .toSeq.headOption
+      .getOrElse((Array.emptyByteArray, Array.emptyByteArray))
     val mg = if (merged._1.isEmpty)
       new ItemsSketch[String](1 << lgMaxMapSize)
         .toByteArray(new ArrayOfStringsSerDe)

@@ -232,7 +232,8 @@ object WaveFourQueries {
       val a = CmsSketchOps.sketch(keys)
       val b = CmsSketchOps.sketch(keys.repartition(7, col("l_partkey")))
       val consistent = java.util.Arrays.equals(a, b)
-      (1L to 20L).map(k => (k, CmsSketchOps.estimate(a, k), consistent))
+      val probe = CmsSketchOps.prober(a) // one deserialize, 20 probes
+      (1L to 20L).map(k => (k, probe(k), consistent))
         .toDF("probe_key", "est_count", "merge_consistent")
         .orderBy(col("probe_key"))
     }, Some(
@@ -317,10 +318,11 @@ object WaveFourQueries {
       val (mgRaw, cms) = SkewProbe.sketchBoth(keys, lgMaxMapSize = 15)
       val mg = FreqSketchOps.requireExact(mgRaw, "join_skew_probe")
       val total = CmsSketchOps.totalCount(cms)
+      val cmsProbe = CmsSketchOps.prober(cms) // one deserialize, n probes
       FreqSketchOps.heavyHitters(mg)
         .filter { case (_, est, _, _) => est >= SkewMinCount }
         .map { case (k, est, _, _) =>
-          (k.toLong, est, CmsSketchOps.estimate(cms, k.toLong),
+          (k.toLong, est, cmsProbe(k.toLong),
             est * 1000000L / total)
         }
         .sortBy(_._1)
