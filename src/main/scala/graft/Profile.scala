@@ -132,6 +132,64 @@ object Profile {
         graft.sim.Similarity.lshTopK(emb10, 20, 5)))
       time("ann int8 topk")(noop(
         graft.sim.Similarity.int8TopK(emb10, 20, 5)))
+      time("ann ivfpq topk")(noop(
+        graft.sim.IvfPq.topK(emb10, 20, 5)))
+      spark.stop()
+      return
+    }
+
+    if (args.contains("ivfpq")) {
+      // ---- IVFADC probed fraction vs flat ADC (r10, VERDICT #1) ----
+      // The composition's claim is that a query scores ONLY the probed
+      // lists' codes. Measured: the scored candidate-pair count of
+      // IvfPq.topK vs ann_topk_pq's all-codes scan, plus wall times.
+      // The fraction ~= NProbe/Coarse modulo list-size imbalance.
+      import graft.sim.{IvfPq, ProductQuantizer}
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .localCheckpoint()
+      val n = emb0.count()
+      val nq = 20L
+      val flatPairs = nq * (n - 1) // ADC scores every code per query
+      // probed pairs: rebuild the coarse assignment exactly as topK
+      // does and sum the probed lists' sizes per query
+      val q = graft.sim.KMeans.quantized(emb0).localCheckpoint()
+      val cents = graft.sim.KMeans.centroidsOf(
+        graft.sim.KMeans.fitQ(q, IvfPq.Coarse, IvfPq.CoarseIters))
+      val listed = q.select(col("vec_id"),
+          graft.sim.KMeans.assignExpr(cents, col("q")).as("list_id"))
+        .groupBy(col("list_id")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // scored rows BEFORE top-k = sum over (query, probed list) of
+      // list size — the same integer-L2 probe ranking the operator uses
+      val probed = {
+        val wProbe = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cdist"), col("list_id"))
+        import spark.implicits._
+        val cdf = broadcast(cents.map { case (cid, arr) => (cid, arr) }
+          .toDF("list_id", "cv"))
+        q.filter(col("vec_id") < nq)
+          .select(col("vec_id").as("qid"), col("q").as("qq"))
+          .crossJoin(cdf)
+          .withColumn("cdist", aggregate(
+            zip_with(col("qq"), col("cv"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= IvfPq.NProbe)
+          .select(col("qid"), col("list_id")).collect()
+          .map { r => listed.getOrElse(r.getLong(1), 0L) }.sum
+      }
+      println(f"[profile] corpus vectors: $n, queries: $nq")
+      println(f"[profile] flat ADC pairs:   $flatPairs")
+      println(f"[profile] IVFADC pairs:     $probed  " +
+        f"(${100.0 * probed / flatPairs}%.1f%% of flat; " +
+        f"NProbe/Coarse = ${100.0 * IvfPq.NProbe / IvfPq.Coarse}%.1f%%)")
+      println(s"[profile] probe list sizes: ${listed.toSeq.sortBy(_._1)}")
+      (1 to 3).foreach { i =>
+        time(s"ann_topk_pq flat ADC (pass $i)")(noop(
+          ProductQuantizer.adcTopK(emb0, 20, 5)))
+        time(s"ann_topk_ivfpq       (pass $i)")(noop(
+          IvfPq.topK(emb0, 20, 5)))
+      }
       spark.stop()
       return
     }

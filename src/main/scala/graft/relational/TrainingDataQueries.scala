@@ -851,6 +851,19 @@ object TrainingDataQueries {
     }, Some(graft.sim.ProductQuantizer.adcTopKOracle(
       "embeddings", AnnQueries, AnnK))),
 
+    // IVFADC (Jegou et al. 2011 §IV) — the billion-vector production
+    // shape composing the two halves above: trained coarse quantizer
+    // partitions the corpus into inverted lists, PQ codebooks train on
+    // the RE-SHIFTED INTEGER RESIDUALS r = q - c + 2e6, queries probe
+    // NProbe lists and ADC-score ONLY those lists' codes (ann_topk_pq
+    // scans all codes; ann_topk_ivf reads full vectors). The oracle
+    // unrolls coarse chain + residual relation + 4 residual-codebook
+    // chains + probe ranking + per-probe tables + the ADC join.
+    Q("ann_topk_ivfpq", (s, dir) => {
+      graft.sim.IvfPq.topK(emb(s, dir), AnnQueries, AnnK)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(graft.sim.IvfPq.topKOracle("embeddings", AnnQueries, AnnK))),
+
     // multimodal: binary-column decode + feature extraction as partition
     // batches; oracle VALUES from the independent python mirror of the
     // synthetic blob format (tools/gen_media_oracle.py)

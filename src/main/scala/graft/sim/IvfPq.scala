@@ -1,0 +1,218 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVFADC (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011, §IV) — the production composition of the
+  * engine's two ANN halves: a TRAINED coarse quantizer partitions the
+  * corpus into inverted lists (`ann_topk_ivf_trained`'s discipline),
+  * and product-quantization codes over the RESIDUAL r = x − q1(x)
+  * answer queries with asymmetric distance computation over ONLY the
+  * probed lists' codes (`ann_topk_pq` scans all codes; IVF-exact reads
+  * full vectors). Residual encoding is the paper's preferred variant:
+  * residuals concentrate near zero, so a fixed-size codebook spends
+  * its codes where the mass is.
+  *
+  * Exactness discipline (everything int64, both engines agree):
+  *  - vectors quantize once to shifted micro-units ([[KMeans.Shift]]);
+  *  - residual = q − c re-shifted by [[RShift]] = 2·Shift so every
+  *    coordinate stays NON-NEGATIVE (q, c ∈ [0, 2e6] ⇒ q − c + 2e6 ∈
+  *    [0, 4e6]) — the precondition for Spark `div` / DuckDB `//`
+  *    agreement inside the per-segment codebook training ([[KMeans
+  *    .fitQ]]);
+  *  - all distances are integer sums of squares (≤ (4e6)² · 64
+  *    ≈ 10^15 ≪ 2^63);
+  *  - every argmin / top-k tiebreaks lexicographically on id.
+  *
+  * Scale shape: codes are Segments × log2(Codes) bits per vector — the
+  * corpus never moves after ONE encode projection; the query side
+  * (probe assignments + per-probe distance tables, nQueries × NProbe ×
+  * Segments × Codes longs) broadcasts; scoring joins codes to tables
+  * on list_id (broadcast hash join, no corpus shuffle) and pays one
+  * per-query top-k window over the probed fraction only. At a billion
+  * vectors the probed fraction IS the speedup: NProbe/Coarse of the
+  * codes table per query instead of all of it.
+  */
+object IvfPq {
+
+  /** Coarse quantizer size (inverted-list count). */
+  val Coarse = 8
+
+  /** Lloyd iterations for the coarse quantizer. */
+  val CoarseIters = 1
+
+  /** Inverted lists probed per query. */
+  val NProbe = 2
+
+  val Segments = 4
+  val SegDim = 16 // Segments * SegDim = Similarity.Dim
+  val Codes = 4
+  val PqIters = 1
+
+  /** Residual re-shift keeping residual coordinates non-negative. */
+  val RShift = 2 * KMeans.Shift
+
+  private def segSlice(c: Column, s: Int): Column =
+    slice(c, s * SegDim + 1, SegDim)
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** IVFADC top-k: queries are vec_id < nQueries; k nearest by summed
+    * per-segment residual ADC over the NProbe probed lists (self
+    * excluded; (adc, cid) tiebreak). Output (qid, rank, cid, adc). */
+  def topK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    require(nQueries >= 1 && k >= 1,
+      s"nQueries and k must be positive, got ($nQueries, $k)")
+    require(nQueries <= 1000000,
+      s"nQueries = $nQueries would broadcast a corpus-scale query side")
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    val q = KMeans.quantized(emb).localCheckpoint()
+
+    // 1. coarse quantizer: trained Lloyd's loop, model-sized collect
+    val cents = KMeans.centroidsOf(KMeans.fitQ(q, Coarse, CoarseIters))
+    val cdf = broadcast(cents.map { case (cid, arr) => (cid, arr) }
+      .toDF("list_id", "cv"))
+
+    // 2. inverted-list assignment + re-shifted residuals (row-local
+    //    argmin; the broadcast join is against a Coarse-row relation)
+    val resid = q
+      .select(col("vec_id"), col("q"),
+        KMeans.assignExpr(cents, col("q")).as("list_id"))
+      .join(cdf, Seq("list_id"))
+      .select(col("vec_id"), col("list_id"),
+        zip_with(col("q"), col("cv"),
+          (a, b) => a - b + lit(RShift)).as("rq"))
+      .localCheckpoint()
+
+    // 3. per-segment codebooks TRAINED ON RESIDUALS (fitQ — residuals
+    //    never had a float form)
+    val books = (0 until Segments).map { s =>
+      KMeans.centroidsOf(KMeans.fitQ(
+        resid.select(col("vec_id"), segSlice(col("rq"), s).as("q")),
+        Codes, PqIters))
+    }
+
+    // 4. codes: one row-local projection — Segments small ids per vector
+    val codes = resid.select(
+      col("vec_id") +: col("list_id") +: (0 until Segments).map { s =>
+        KMeans.assignExpr(books(s), segSlice(col("rq"), s)).as(s"c$s")
+      }: _*)
+
+    // 5. probes: each query's NProbe nearest coarse centroids by exact
+    //    integer L2 (Coarse-row broadcast; window over nQueries rows)
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist"), col("list_id"))
+    val probes = q.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+      .crossJoin(cdf)
+      .withColumn("cdist", sqDist(col("qq"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= NProbe)
+
+    // 6. per-(query, probed list) ADC tables: the query's residual
+    //    AGAINST THAT LIST's centroid, per segment an array of exact
+    //    distances to each codebook entry in books(s) order
+    val tabs = probes
+      .select(col("qid"), col("list_id"),
+        zip_with(col("qq"), col("cv"),
+          (a, b) => a - b + lit(RShift)).as("qr"))
+      .select(col("qid") +: col("list_id") +: (0 until Segments).map { s =>
+        val qseg = segSlice(col("qr"), s)
+        array(books(s).map { case (_, arr) =>
+          sqDist(qseg, array(arr.map(lit): _*))
+        }: _*).as(s"dt$s")
+      }: _*)
+
+    // code -> table position (books(s) order); cids can be sparse when
+    // a training cluster emptied, so map explicitly instead of indexing
+    def lookup(s: Int): Column =
+      books(s).zipWithIndex.foldLeft(lit(null).cast("long")) {
+        case (acc, ((cid, _), i)) =>
+          when(col(s"c$s") === cid, element_at(col(s"dt$s"), i + 1))
+            .otherwise(acc)
+      }
+
+    // 7. ADC over the probed lists ONLY: codes join the broadcast
+    //    query tables on list_id — the probed fraction is the join
+    //    selectivity, the corpus side never shuffles
+    val scored = codes
+      .join(broadcast(tabs), Seq("list_id"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adc", (0 until Segments).map(lookup).reduce(_ + _))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("cid"), col("adc"))
+  }
+
+  /** DuckDB twin: coarse k-means chain + residual relation + Segments
+    * unrolled residual-codebook chains + probe ranking + per-probe
+    * distance tables + ADC join, all exact integer. */
+  def topKOracle(embRel: String, nQueries: Int, k: Int): String = {
+    val segChains = (0 until Segments).map { s =>
+      val src =
+        s"""(SELECT vec_id, dim - ${s * SegDim} AS dim, v FROM r_el
+           | WHERE dim >= ${s * SegDim} AND dim < ${(s + 1) * SegDim})"""
+          .stripMargin.replace("\n", "")
+      s"""${KMeans.oracleCtesFromEl(src, Codes, PqIters, s"s${s}_")},
+         |${KMeans.assignCtes(PqIters, s"s${s}_")}""".stripMargin
+    }.mkString(",\n")
+    val qdCtes = (0 until Segments).map { s =>
+      s"""qd$s AS (
+         |  SELECT q.qid, q.list_id, cb.cid AS code,
+         |    CAST(sum((q.v - cb.c) * (q.v - cb.c)) AS BIGINT) AS d
+         |  FROM qr q JOIN s${s}_c$PqIters cb
+         |    ON cb.dim = q.dim - ${s * SegDim}
+         |  WHERE q.dim >= ${s * SegDim} AND q.dim < ${(s + 1) * SegDim}
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (0 until Segments)
+      .map(s => s"JOIN s${s}_af a$s ON a$s.vec_id = r.vec_id")
+      .mkString(" ")
+    val qdJoins = (0 until Segments).map { s =>
+      val sameQid = if (s == 0) "" else s" AND q$s.qid = q0.qid"
+      s"JOIN qd$s q$s ON q$s.list_id = r.cid AND q$s.code = a$s.cid$sameQid"
+    }.mkString(" ")
+    val adcSum = (0 until Segments).map(s => s"q$s.d").mkString(" + ")
+    s"""WITH ${KMeans.oracleCtes(embRel, Coarse, CoarseIters, "g_")},
+       |${KMeans.assignCtes(CoarseIters, "g_")},
+       |r_el AS (
+       |  SELECT el.vec_id, el.dim, el.v - c.c + $RShift AS v
+       |  FROM g_el el JOIN g_af a USING (vec_id)
+       |  JOIN g_c$CoarseIters c ON c.cid = a.cid AND c.dim = el.dim),
+       |$segChains,
+       |p0 AS (
+       |  SELECT el.vec_id AS qid, c.cid AS list_id,
+       |    sum((el.v - c.c) * (el.v - c.c)) AS cdist
+       |  FROM g_el el JOIN g_c$CoarseIters c ON el.dim = c.dim
+       |  WHERE el.vec_id < $nQueries GROUP BY 1, 2),
+       |p AS (
+       |  SELECT qid, list_id FROM (
+       |    SELECT qid, list_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cdist, list_id) AS rn
+       |    FROM p0) __p WHERE rn <= $NProbe),
+       |qr AS (
+       |  SELECT el.vec_id AS qid, p.list_id, el.dim,
+       |    el.v - c.c + $RShift AS v
+       |  FROM g_el el JOIN p ON p.qid = el.vec_id
+       |  JOIN g_c$CoarseIters c ON c.cid = p.list_id AND c.dim = el.dim),
+       |$qdCtes,
+       |adc AS (
+       |  SELECT q0.qid, r.vec_id AS cid, CAST($adcSum AS BIGINT) AS adc
+       |  FROM g_af r $codeJoins $qdJoins
+       |  WHERE q0.qid != r.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rank
+       |  FROM adc)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, adc
+       |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+}

@@ -157,12 +157,20 @@ object KMeans {
     * (cid, dim): member count `n` and centroid coordinate `c` in
     * shifted micro-units (exact integers; divide by 10^6 and subtract 1
     * for the float view). */
-  def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  def fit(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    fitQ(quantized(emb), k, iters)
+
+  /** [[fit]] over an ALREADY-quantized `(vec_id, q: array<long>)`
+    * relation — the composition point for quantizers that train on
+    * derived integer vectors (IVFADC's per-segment codebooks fit on
+    * re-shifted residuals, which never had a float form). All values
+    * must be non-negative so truncating and floor division agree. */
+  def fitQ(qIn: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // every iteration reads q twice (assign + update): checkpoint so
     // the quantization scan never re-runs per consumer
-    val q = quantized(emb).localCheckpoint()
+    val q = qIn.select(col("vec_id"), col("q")).localCheckpoint()
 
     def collectCentroids(df: DataFrame): Seq[(Long, Seq[Long])] =
       df.collect()
@@ -227,7 +235,28 @@ object KMeans {
          |  FROM ${p}el0),
          |${p}c0 AS (SELECT vec_id AS cid, dim, v AS c FROM ${p}el
          |       WHERE vec_id < $k)""".stripMargin
-    val steps = (1 to iters).map { i =>
+    s"""$base,
+       |${stepCtes(p, iters).mkString(",\n")}""".stripMargin
+  }
+
+  /** [[oracleCtes]] starting from an EXISTING exploded long relation
+    * `(vec_id, dim, v)` instead of a float embedding column — the twin
+    * of [[fitQ]] for oracle chains over derived integer vectors
+    * (IVFADC's residuals). Ends in `{p}c$iters` like [[oracleCtes]],
+    * and defines `{p}el`, so [[assignCtes]] composes unchanged. */
+  def oracleCtesFromEl(
+      elRel: String, k: Int, iters: Int, prefix: String = ""): String = {
+    val p = prefix
+    val base =
+      s"""${p}el AS (SELECT vec_id, dim, v FROM $elRel),
+         |${p}c0 AS (SELECT vec_id AS cid, dim, v AS c FROM ${p}el
+         |       WHERE vec_id < $k)""".stripMargin
+    s"""$base,
+       |${stepCtes(p, iters).mkString(",\n")}""".stripMargin
+  }
+
+  private def stepCtes(p: String, iters: Int): Seq[String] =
+    (1 to iters).map { i =>
       val prev = s"${p}c${i - 1}"
       s"""${p}d$i AS (
          |  SELECT el.vec_id, c.cid,
@@ -245,9 +274,6 @@ object KMeans {
          |  FROM ${p}el el JOIN ${p}a$i a USING (vec_id) GROUP BY 1, 2)"""
         .stripMargin
     }
-    s"""$base,
-       |${steps.mkString(",\n")}""".stripMargin
-  }
 
   /** CTEs extending [[oracleCtes]] with the FINAL-model assignment of
     * every vector: ends in `{p}af(vec_id, cid)` — the same
