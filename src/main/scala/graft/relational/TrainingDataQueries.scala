@@ -1185,6 +1185,34 @@ object TrainingDataQueries {
          |${graft.analysis.BpeTrain.oracleCtes("bpewords", BpeRounds)}
          |${graft.analysis.BpeTrain.oracleSelect(BpeRounds)}""".stripMargin)),
 
+    // UNIGRAM-LM tokenizer training (Kudo 2018, the SentencePiece
+    // alternative to BPE) — the fourth hash-checked training loop next
+    // to k-means/perceptron/BPE: seed vocab from frequent substrings
+    // (top-K + all single chars), HARD-EM rounds (Viterbi E-step on
+    // the exact integer micro-nat grid, longest-piece tiebreak,
+    // deterministic), counts-based re-estimation. The loop runs on the
+    // WORD table, never the corpus; the oracle unrolls each round's
+    // Viterbi DP one CTE per character position (the k-means-chain
+    // discipline). UnigramLmSpec additionally matches fit against an
+    // independent in-memory trainer.
+    Q("corpus_unigram", (s, dir) => {
+      import graft.analysis.UnigramLm
+      val words = docs(s, dir).filter(col("doc_id") < 40)
+        .select(explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      UnigramLm.fit(words).orderBy(col("piece"))
+    }, Some(
+      s"""WITH ugwords AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+         |      AS word
+         |    FROM documents WHERE doc_id < 40) __uw
+         |  GROUP BY word),
+         |${graft.analysis.UnigramLm.oracleCtes("ugwords")}
+         |${graft.analysis.UnigramLm.oracleSelect()}""".stripMargin)),
+
     // Trained-tokenizer INFERENCE: apply corpus_bpe's 8 learned merges
     // back to the vocab and hash-check the resulting token frequency
     // table — train + encode composed in one query, like
