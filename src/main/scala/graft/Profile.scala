@@ -134,6 +134,33 @@ object Profile {
         graft.sim.Similarity.int8TopK(emb10, 20, 5)))
       time("ann ivfpq topk")(noop(
         graft.sim.IvfPq.topK(emb10, 20, 5)))
+
+      // ---- r10 extension: the funnel/sketch wave under 10x spread --
+      // crawl_curate / corpus_curate_full / join_skew_probe /
+      // table_profile are COMPOSITION points (multi-stage funnels, two
+      // independent sketches, one-scan profiling) where a regime shift
+      // would first appear. They read table dirs, so the canary stages
+      // a 10x table dir: documents replicated with the cluster id
+      // scheme above, lineitem replicated verbatim (10x key
+      // frequencies — the skew probe's MG map must stay exact).
+      val canaryDir = java.nio.file.Files
+        .createTempDirectory("canary10x").toString
+      docs
+        .select(explode(sequence(lit(0L), lit(9L))).as("__i"), col("*"))
+        .select((col("doc_id") * 16 + col("__i")).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .write.parquet(s"$canaryDir/documents.parquet")
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(explode(sequence(lit(0L), lit(9L))).as("__i"), col("*"))
+        .drop("__i")
+        .write.parquet(s"$canaryDir/lineitem.parquet")
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "events", "embeddings"))
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.parquet(s"$canaryDir/$t.parquet")
+      for (q <- Seq("crawl_curate", "corpus_curate_full",
+          "join_skew_probe", "table_profile"))
+        time(s"$q @10x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
       spark.stop()
       return
     }

@@ -173,11 +173,12 @@ object UnigramLm {
        |$roundCtes""".stripMargin
   }
 
-  /** One hard-EM round `r`: DP over `u_v${r-1}`, backtrack, counts,
-    * re-estimated costs into `u_v$r`. */
-  private def roundCte(r: Int): String = {
-    val p = s"r$r"
-    val v = s"u_v${r - 1}"
+  /** The Viterbi DP + backtrack CTE block, parameterized on the word
+    * relation and vocabulary so the SAME chain serves training rounds
+    * AND held-out encoding: emits `${p}_dp` (word, pos, c) and
+    * `${p}_pieces` (word, strt, piece) — pieces carry their start
+    * offset so consumers can reassemble left-to-right. */
+  private def dpChain(p: String, wordsRel: String, v: String): String = {
     // dp position CTEs: ${p}_dp$j = min cost to cover word[0..j)
     val dpSteps = (1 to MaxWordLen).map { j =>
       val cands = (1 to math.min(MaxPieceLen, j)).map { l =>
@@ -213,9 +214,10 @@ object UnigramLm {
          |  WHERE b.pos > 0)""".stripMargin
     }.mkString(",\n")
     val btUnion = (1 to MaxWordLen)
-      .map(k => s"SELECT word, piece FROM ${p}_bt$k")
+      .map(k => s"SELECT word, pos AS strt, piece FROM ${p}_bt$k")
       .mkString("\n    UNION ALL\n    ")
-    s"""${p}_dp0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS c FROM u_w),
+    s"""${p}_dp0 AS MATERIALIZED (
+       |  SELECT word, CAST(0 AS BIGINT) AS c FROM $wordsRel),
        |$dpSteps,
        |${p}_dpu AS (
        |  ${dpUnion.mkString("\n  UNION ALL\n  ")}),
@@ -225,10 +227,18 @@ object UnigramLm {
        |    SELECT *, row_number() OVER (PARTITION BY word, pos
        |      ORDER BY l DESC) AS rn
        |    FROM ($chCands) __cc) __cr WHERE rn = 1),
-       |${p}_bt0 AS MATERIALIZED (SELECT word, length(word) AS pos FROM u_w),
+       |${p}_bt0 AS MATERIALIZED (
+       |  SELECT word, length(word) AS pos FROM $wordsRel),
        |$btSteps,
        |${p}_pieces AS (
-       |    $btUnion),
+       |    $btUnion)""".stripMargin
+  }
+
+  /** One hard-EM round `r`: DP over `u_v${r-1}`, backtrack, counts,
+    * re-estimated costs into `u_v$r`. */
+  private def roundCte(r: Int): String = {
+    val p = s"r$r"
+    s"""${dpChain(p, "u_w", s"u_v${r - 1}")},
        |${p}_cnt AS MATERIALIZED (
        |  SELECT piece, CAST(sum(w.wcnt) AS BIGINT) AS cnt
        |  FROM ${p}_pieces pc JOIN u_w w USING (word) GROUP BY piece),
@@ -242,4 +252,52 @@ object UnigramLm {
   /** Final SELECT over [[oracleCtes]]'s chain. */
   def oracleSelect(rounds: Int = Rounds): String =
     s"SELECT piece, cnt, cost FROM u_v$rounds ORDER BY piece"
+
+  /** CTEs segmenting a HELD-OUT word relation with the trained
+    * `u_v$rounds` vocabulary (append after [[oracleCtes]]): words not
+    * fully coverable by the surviving pieces are dropped — identically
+    * in both engines, since coverability IS dp-reachability. */
+  def oracleEncodeCtes(evalWordsRel: String,
+      rounds: Int = Rounds): String =
+    s"""u_ew AS MATERIALIZED (
+       |  SELECT word FROM $evalWordsRel
+       |  WHERE length(word) BETWEEN 1 AND $MaxWordLen),
+       |${dpChain("enc", "u_ew", s"u_v$rounds")},
+       |u_enc AS (
+       |  SELECT p.word,
+       |    string_agg(p.piece, ' ' ORDER BY p.strt) AS seg,
+       |    CAST(count(*) AS BIGINT) AS n_pieces,
+       |    min(d.c) AS cost
+       |  FROM enc_pieces p
+       |  JOIN enc_dp d ON d.word = p.word AND d.pos = length(p.word)
+       |  GROUP BY p.word)""".stripMargin
+
+  /** Final SELECT over [[oracleEncodeCtes]]. */
+  def oracleEncodeSelect: String =
+    "SELECT word, seg, n_pieces, cost FROM u_enc ORDER BY word"
+
+  /** Viterbi-segment a `(word)` relation under a trained cost map
+    * (broadcast, model-sized): returns `(word, seg, n_pieces, cost)`;
+    * uncoverable or over-length words are dropped — the oracle's
+    * dp-reachability semantics. */
+  def encode(words: DataFrame, vocab: Map[String, Long]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words
+      .filter(length(col("word")) <= MaxWordLen && length(col("word")) >= 1)
+      .select(col("word").cast("string")).as[String]
+      .flatMap { word =>
+        viterbiOpt(word, vocab).map { pieces =>
+          (word, pieces.mkString(" "), pieces.size.toLong,
+            pieces.map(vocab).sum)
+        }
+      }
+      .toDF("word", "seg", "n_pieces", "cost")
+  }
+
+  /** [[viterbi]] returning None when the word is not coverable. */
+  def viterbiOpt(word: String,
+      cost: Map[String, Long]): Option[Seq[String]] =
+    try Some(viterbi(word, cost))
+    catch { case _: IllegalArgumentException => None }
 }

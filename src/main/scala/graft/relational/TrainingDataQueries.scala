@@ -1213,6 +1213,43 @@ object TrainingDataQueries {
          |${graft.analysis.UnigramLm.oracleCtes("ugwords")}
          |${graft.analysis.UnigramLm.oracleSelect()}""".stripMargin)),
 
+    // held-out Viterbi segmentation with the TRAINED unigram vocab —
+    // the train/inference split (corpus_bpe_apply's discipline): train
+    // on docs 0-39, segment the DISJOINT 40-79 slice. Words whose
+    // characters fell out of the pruned vocabulary are dropped by
+    // dp-reachability, identically in both engines; every kept word
+    // hash-pins its segmentation, piece count AND total micro-nat cost.
+    Q("corpus_unigram_encode", (s, dir) => {
+      import graft.analysis.UnigramLm
+      val train = docs(s, dir).filter(col("doc_id") < 40)
+        .select(explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val vocab = UnigramLm.fit(train)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val evalWords = docs(s, dir)
+        .filter(col("doc_id") >= 40 && col("doc_id") < 80)
+        .select(explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+        .distinct()
+      UnigramLm.encode(evalWords, vocab).orderBy(col("word"))
+    }, Some(
+      s"""WITH ugwords AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+         |      AS word
+         |    FROM documents WHERE doc_id < 40) __uw
+         |  GROUP BY word),
+         |${graft.analysis.UnigramLm.oracleCtes("ugwords")},
+         |${graft.analysis.UnigramLm.oracleEncodeCtes(
+      """(SELECT DISTINCT unnest(regexp_extract_all(lower(text),
+        |      '[a-z]+')) AS word
+        |    FROM documents WHERE doc_id >= 40 AND doc_id < 80)"""
+        .stripMargin)}
+         |${graft.analysis.UnigramLm.oracleEncodeSelect}""".stripMargin)),
+
     // Trained-tokenizer INFERENCE: apply corpus_bpe's 8 learned merges
     // back to the vocab and hash-check the resulting token frequency
     // table — train + encode composed in one query, like
