@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.pipeline.{IngestPipeline, PipelineFixtures, ValidityPipeline}
 import graft.price.PriceFunctions
-import graft.relational.{AdvancedQueries, Fixtures, RelationalQueries, StreamingQueries, TrainingDataQueries, WaveFiveQueries, WaveFourQueries, WaveThreeQueries}
+import graft.relational.{AdvancedQueries, Fixtures, RelationalQueries, StreamingQueries, TrainingDataQueries, WaveFiveQueries, WaveFourQueries, WaveSixQueries, WaveThreeQueries}
 import graft.text.{CzechText, NameCorrection}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -248,7 +248,7 @@ object SparkEntry {
   /** Full query surface = core/domain queries + the relational module. */
   private def modules =
     RelationalQueries.all ++ AdvancedQueries.all ++ WaveThreeQueries.all ++
-      WaveFourQueries.all ++ WaveFiveQueries.all ++
+      WaveFourQueries.all ++ WaveFiveQueries.all ++ WaveSixQueries.all ++
       TrainingDataQueries.all ++ StreamingQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -154,6 +154,10 @@ object TrainingDataQueries {
   val AnnQueries = 20
   val AnnK = 5
 
+  /** ADC shortlist size for the exact re-rank stage (3·k — the
+    * ICASSP 2011 paper's R/k regime at this fixture scale). */
+  val AnnRerank = 15
+
   /** corpus_chunk window / stride (10-token overlap) — sized so the
     * testdata docs (~30-70 tokens) genuinely fan out to several chunks.
     * Declared BEFORE `all` — the oracle strings interpolate them at
@@ -863,6 +867,30 @@ object TrainingDataQueries {
       graft.sim.IvfPq.topK(emb(s, dir), AnnQueries, AnnK)
         .orderBy(col("qid"), col("rank"))
     }, Some(graft.sim.IvfPq.topKOracle("embeddings", AnnQueries, AnnK))),
+
+    // IVFADC + exact re-rank (Jegou et al., ICASSP 2011): ADC builds
+    // a 3k-deep shortlist, exact integer L2 over the shortlist's FULL
+    // vectors re-ranks to k. Full-vector reads cost shortlist·queries
+    // rows instead of the corpus — the standard accuracy/IO trade at
+    // billion-vector scale, and the final ranking is EXACT within the
+    // shortlist (ADC error survives only as shortlist misses).
+    Q("ann_topk_ivfpq_rerank", (s, dir) => {
+      graft.sim.IvfPq.topKRerank(emb(s, dir), AnnQueries, AnnK,
+          AnnRerank)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(graft.sim.IvfPq.topKRerankOracle("embeddings", AnnQueries,
+      AnnK, AnnRerank))),
+
+    // Recall@k evaluation of the IVFADC index against the exact
+    // integer ground truth — the acceptance gate an index build runs
+    // before serving. The ground-truth side is a deliberate
+    // brute-force scan (once per build, not per query); recall lands
+    // on an exact ppm grid so the measurement itself hash-checks.
+    Q("ann_recall_eval", (s, dir) => {
+      graft.sim.IvfPq.recallEval(emb(s, dir), AnnQueries, AnnK)
+        .orderBy(col("qid"))
+    }, Some(graft.sim.IvfPq.recallEvalOracle("embeddings", AnnQueries,
+      AnnK))),
 
     // multimodal: binary-column decode + feature extraction as partition
     // batches; oracle VALUES from the independent python mirror of the

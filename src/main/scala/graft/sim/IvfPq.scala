@@ -152,10 +152,122 @@ object IvfPq {
       .select(col("qid"), col("rank"), col("vec_id").as("cid"), col("adc"))
   }
 
+  /** IVFADC + exact re-ranking (Jégou, Tavenard, Douze, Amsaleg,
+    * "Searching in one billion vectors: re-rank with source coding",
+    * ICASSP 2011): ADC builds a SHORTLIST of `shortlist` candidates
+    * per query, then exact integer L2 over the shortlist's FULL
+    * vectors re-ranks down to k. The corpus pays full-vector reads
+    * for shortlist·nQueries rows only — the re-rank join is against a
+    * broadcast (qid, cid) relation, never a corpus shuffle — while
+    * recall recovers most of the quantization loss. Output
+    * (qid, rank, cid, dist) with dist the EXACT distance. */
+  def topKRerank(emb: DataFrame, nQueries: Int, k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist $shortlist must be >= k = $k")
+    val short = topK(emb, nQueries, shortlist)
+      .select(col("qid"), col("cid"))
+    val q = KMeans.quantized(emb)
+    val qvecs = q.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val rescored = q
+      .select(col("vec_id").as("cid"), col("q").as("cv"))
+      .join(broadcast(short), Seq("cid"))
+      .join(broadcast(qvecs), Seq("qid"))
+      .withColumn("dist", sqDist(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col("cid"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("dist"))
+  }
+
+  /** Recall@k of the pure-ADC ranking against the EXACT integer-L2
+    * ground truth over the same quantized vectors — the evaluation an
+    * ANN deployment runs before trusting an index (the measured gap
+    * IS the quantization + probe-miss loss). Exact side: brute-force
+    * over the corpus for nQueries broadcast queries (the ground truth
+    * is necessarily a scan; it runs once per index build, not per
+    * query). Output (qid, hits, recall_ppm), ppm exact because
+    * 1e6 % k == 0 is required. */
+  def recallEval(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    require(1000000L % k == 0,
+      s"k = $k must divide 1e6 for an exact ppm grid")
+    val approx = topK(emb, nQueries, k).select(col("qid"), col("cid"))
+    val q = KMeans.quantized(emb)
+    val qvecs = q.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val exact = q.select(col("vec_id").as("cid"), col("q").as("cv"))
+      .crossJoin(broadcast(qvecs))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("dist", sqDist(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col("cid"))
+    val exactK = exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), lit(1L).as("hit"))
+    approx.join(exactK, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("qid"), col("hits"),
+        (col("hits") * lit(1000000L / k)).as("recall_ppm"))
+  }
+
   /** DuckDB twin: coarse k-means chain + residual relation + Segments
     * unrolled residual-codebook chains + probe ranking + per-probe
     * distance tables + ADC join, all exact integer. */
-  def topKOracle(embRel: String, nQueries: Int, k: Int): String = {
+  def topKOracle(embRel: String, nQueries: Int, k: Int): String =
+    s"""${searchCtes(embRel, nQueries)}
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, adc
+       |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** DuckDB twin of [[topKRerank]]: the full [[searchCtes]] chain,
+    * then exact re-scoring of the shortlist against g_el. */
+  def topKRerankOracle(embRel: String, nQueries: Int, k: Int,
+      shortlist: Int): String =
+    s"""${searchCtes(embRel, nQueries)},
+       |short AS (SELECT qid, cid FROM ranked WHERE rank <= $shortlist),
+       |ex AS (
+       |  SELECT s.qid, s.cid,
+       |    CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS dist
+       |  FROM short s JOIN g_el a ON a.vec_id = s.qid
+       |  JOIN g_el b ON b.vec_id = s.cid AND b.dim = a.dim
+       |  GROUP BY 1, 2),
+       |rer AS (
+       |  SELECT qid, cid, dist, row_number() OVER (PARTITION BY qid
+       |    ORDER BY dist, cid) AS rank
+       |  FROM ex)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, dist
+       |FROM rer WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** DuckDB twin of [[recallEval]]: ADC top-k vs the brute-force
+    * exact ranking over the quantized element relation. */
+  def recallEvalOracle(embRel: String, nQueries: Int, k: Int): String =
+    s"""${searchCtes(embRel, nQueries)},
+       |approx AS (SELECT qid, cid FROM ranked WHERE rank <= $k),
+       |ex0 AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    sum((a.v - b.v) * (a.v - b.v)) AS dist
+       |  FROM g_el a JOIN g_el b
+       |    ON b.dim = a.dim AND b.vec_id != a.vec_id
+       |  WHERE a.vec_id < $nQueries
+       |  GROUP BY 1, 2),
+       |exk AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY dist, cid) AS rn
+       |    FROM ex0) __e WHERE rn <= $k),
+       |h AS (
+       |  SELECT a.qid, count(e.cid) AS hits
+       |  FROM approx a LEFT JOIN exk e
+       |    ON e.qid = a.qid AND e.cid = a.cid
+       |  GROUP BY 1)
+       |SELECT qid, hits, hits * ${1000000L / k} AS recall_ppm
+       |FROM h ORDER BY qid""".stripMargin
+
+  /** The shared WITH-chain through `ranked` (the full IVFADC search);
+    * callers append their final SELECT (and optional extra CTEs). */
+  private def searchCtes(embRel: String, nQueries: Int): String = {
     val segChains = (0 until Segments).map { s =>
       val src =
         s"""(SELECT vec_id, dim - ${s * SegDim} AS dim, v FROM r_el
@@ -211,8 +323,6 @@ object IvfPq {
        |ranked AS (
        |  SELECT qid, cid, adc,
        |    row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rank
-       |  FROM adc)
-       |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, adc
-       |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+       |  FROM adc)""".stripMargin
   }
 }

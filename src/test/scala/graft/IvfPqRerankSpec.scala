@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.{IvfPq, KMeans}
+
+/** IVFADC re-rank + recall-eval structural properties (the value-level
+  * proofs are the ann_topk_ivfpq_rerank / ann_recall_eval oracles):
+  * the re-ranked top-k is contained in the ADC shortlist, its
+  * distances are the EXACT integer distances, and exact re-ranking
+  * never loses recall against pure ADC at the same k. */
+class IvfPqRerankSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Dir = "/root/testdata/sf0.001"
+  private val NQ = 5
+  private val K = 5
+  private val R = 15
+
+  private lazy val emb = spark.read.parquet(s"$Dir/embeddings.parquet")
+
+  test("re-ranked top-k is a subset of the ADC shortlist") {
+    val short = IvfPq.topK(emb, NQ, R)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rer = IvfPq.topKRerank(emb, NQ, K, R)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rer.nonEmpty)
+    assert(rer.forall(short.contains))
+  }
+
+  test("re-rank distances are the exact integer L2 distances") {
+    val q = KMeans.quantized(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val rer = IvfPq.topKRerank(emb, NQ, K, R).collect()
+    assert(rer.nonEmpty)
+    rer.foreach { r =>
+      val (qid, cid, dist) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val want = q(qid).zip(q(cid))
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(dist === want, s"qid=$qid cid=$cid")
+    }
+  }
+
+  test("exact re-ranking never loses recall vs pure ADC at the same k") {
+    def hits(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]) =
+      exact.map { case (qid, ids) =>
+        qid -> approx.getOrElse(qid, Set.empty).intersect(ids).size
+      }
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    // exact ground truth via the recall evaluator's own oracle-proven
+    // ranking: rerank with shortlist = corpus is exact, but cheaper is
+    // reusing recallEval on both rankings' hit counts
+    val exact = topSet(IvfPq.topKRerank(emb, NQ, K, 1000000))
+    val adc = hits(topSet(IvfPq.topK(emb, NQ, K)), exact)
+    val rer = hits(topSet(IvfPq.topKRerank(emb, NQ, K, R)), exact)
+    assert(exact.nonEmpty)
+    exact.keys.foreach { qid =>
+      assert(rer(qid) >= adc(qid), s"qid=$qid")
+    }
+  }
+
+  test("recallEval lands on the exact ppm grid with hits in [0, k]") {
+    val rows = IvfPq.recallEval(emb, NQ, K).collect()
+    assert(rows.length === NQ)
+    rows.foreach { r =>
+      val (hits, ppm) = (r.getLong(1), r.getLong(2))
+      assert(hits >= 0 && hits <= K)
+      assert(ppm === hits * (1000000L / K))
+    }
+  }
+}
