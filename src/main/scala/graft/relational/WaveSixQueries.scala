@@ -35,6 +35,52 @@ object WaveSixQueries {
     s"""(SELECT doc_id, ${HtmlExtract.pageSql("doc_id", "text")} AS html
        | FROM documents)""".stripMargin
 
+  /** robots.txt fixture: agent-specific group overriding `*`
+    * (a.example), `*`-only with an empty-pattern no-op rule
+    * (b.example), and an Allow/Disallow length tie (d.example);
+    * c.example has NO robots at all. Quote-free lines so each embeds
+    * verbatim in the oracle's VALUES list. */
+  val RobotsFixture: Seq[(String, Seq[String])] = Seq(
+    "a.example" -> Seq(
+      "# robots for a.example",
+      "User-agent: graftbot",
+      "Disallow: /private/",
+      "Allow: /private/pub",
+      "User-agent: *",
+      "Disallow: /"),
+    "b.example" -> Seq(
+      "User-agent: *",
+      "Disallow: /tmp/",
+      "Disallow:",
+      "Allow: /tmp/ok"),
+    "d.example" -> Seq(
+      "User-agent: *",
+      "Allow: /dir",
+      "Disallow: /dir"))
+
+  /** URL fixture pinning every [[graft.text.Robots]] boundary: group
+    * override, longest-match, tie-break, default-allow, no-robots. */
+  val RobotsUrlFixture: Seq[String] = Seq(
+    "https://a.example/private/x",
+    "https://a.example/private/pub/1",
+    "https://a.example/other",
+    "https://b.example/tmp/x",
+    "https://b.example/tmp/ok/f",
+    "https://b.example/home",
+    "https://c.example/anything",
+    "https://d.example/dir/sub",
+    "https://d.example/di")
+
+  private def robotsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    RobotsFixture.map { case (h, ls) => (h, ls.mkString("\n")) }
+      .toDF("host", "robots")
+  }
+
+  private val robotsValuesSql = RobotsFixture.map { case (h, ls) =>
+    s"('$h', concat_ws(chr(10), ${ls.map(l => s"'$l'").mkString(", ")}))"
+  }.mkString(",\n  ")
+
   val all: Seq[Q] = Seq(
 
     // HTML main-content extraction (Kohlschütter 2010 / jusText):
@@ -217,5 +263,38 @@ object WaveSixQueries {
          |  min(anchor) AS sample
          |FROM normed WHERE ${UrlScope.reasonSql("url")} = 'ok'
          |GROUP BY url ORDER BY url""".stripMargin
-    }))
+    }),
+
+    // robots.txt parsing (RFC 9309): line attribution is a window
+    // last(ignoreNulls) over line order, agent-group selection a
+    // per-host flag — the whole parse is declarative and shared with
+    // the twin. The agent-specific group SUPPRESSES the * group
+    // (a.example), empty-pattern rules drop (b.example).
+    Q("robots_rules", (s, _) => {
+      graft.text.Robots.rules(robotsDf(s))
+        .orderBy(col("host"), col("line_no"))
+    }, Some(
+      s"""WITH robots(host, robots) AS (VALUES
+         |  $robotsValuesSql)
+         |SELECT * FROM (${graft.text.Robots.rulesSql("robots")}) __r
+         |ORDER BY host, line_no""".stripMargin)),
+
+    // The fetch gate: longest matching prefix wins, Allow beats
+    // Disallow on length ties, no match (or no robots at all) means
+    // allowed. Rules broadcast; the URL side never shuffles — the
+    // politeness gate costs one broadcast join at any crawl scale.
+    Q("robots_gate", (s, _) => {
+      import s.implicits._
+      graft.text.Robots.gate(
+          RobotsUrlFixture.toDF("url"), graft.text.Robots.rules(robotsDf(s)))
+        .orderBy(col("url"))
+    }, Some(
+      s"""WITH robots(host, robots) AS (VALUES
+         |  $robotsValuesSql),
+         |urls(url) AS (VALUES
+         |  ${RobotsUrlFixture.map(u => s"('$u')").mkString(",\n  ")}),
+         |rules AS (
+         |  SELECT * FROM (${graft.text.Robots.rulesSql("robots")}) __r)
+         |SELECT * FROM (${graft.text.Robots.gateSql("urls")}) __g
+         |ORDER BY url""".stripMargin)))
 }

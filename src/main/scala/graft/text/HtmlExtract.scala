@@ -170,6 +170,13 @@ object HtmlExtract {
       .when(href.startsWith("/"), concat(lit(origin), href))
       .otherwise(concat(lit(origin), lit("/"), href))
 
+  /** [[resolve]] with a per-row origin column (a multi-host crawl
+    * resolves each page's links against that page's own origin). */
+  def resolveCol(href: Column, origin: Column): Column =
+    when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), href)
+      .when(href.startsWith("/"), concat(origin, href))
+      .otherwise(concat(origin, lit("/"), href))
+
   def resolveSql(c: String, origin: String): String =
     s"""CASE WHEN regexp_matches($c, '^[A-Za-z][A-Za-z0-9+.-]*:')
        |  THEN $c
