@@ -1213,6 +1213,55 @@ object TrainingDataQueries {
          |${graft.analysis.BpeTrain.oracleCtes("bpewords", BpeRounds)}
          |${graft.analysis.BpeTrain.oracleSelect(BpeRounds)}""".stripMargin)),
 
+    // WORDPIECE tokenizer training (Schuster & Nakajima ICASSP 2012,
+    // the BERT tokenizer) — same merge loop as corpus_bpe but the
+    // selection maximizes the likelihood score count(ab)/(count(a)*
+    // count(b)) on an exact integer grid, and symbols carry BERT's
+    // `##` continuation marks. The tokenizer trifecta's third family
+    // (frequency-greedy BPE / likelihood-greedy WordPiece / EM-pruned
+    // unigram), trained on the same word table so the learned vocabs
+    // are directly comparable.
+    Q("corpus_wordpiece", (s, dir) => {
+      import graft.analysis.WordPiece
+      val words = docs(s, dir).filter(col("doc_id") < 40)
+        .select(explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      WordPiece.fit(words, BpeRounds).orderBy(col("round"))
+    }, Some(
+      s"""WITH wpwords AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+         |      AS word
+         |    FROM documents WHERE doc_id < 40) __ww
+         |  GROUP BY word),
+         |${graft.analysis.WordPiece.oracleCtes("wpwords", BpeRounds)}
+         |${graft.analysis.WordPiece.oracleSelect(BpeRounds)}"""
+        .stripMargin)),
+
+    // The trained WordPiece vocabulary applied back to the word table:
+    // the (##-marked) token frequency distribution the corpus
+    // tokenizes to — what a pipeline inspects to size a model vocab.
+    Q("corpus_wordpiece_encode", (s, dir) => {
+      import graft.analysis.WordPiece
+      val words = docs(s, dir).filter(col("doc_id") < 40)
+        .select(explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      WordPiece.encodeTokens(words, BpeRounds).orderBy(col("token"))
+    }, Some(
+      s"""WITH wpwords AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+         |      AS word
+         |    FROM documents WHERE doc_id < 40) __ww
+         |  GROUP BY word),
+         |${graft.analysis.WordPiece.oracleCtes("wpwords", BpeRounds)}
+         |${graft.analysis.WordPiece.oracleEncodeSelect(BpeRounds)}"""
+        .stripMargin)),
+
     // UNIGRAM-LM tokenizer training (Kudo 2018, the SentencePiece
     // alternative to BPE) — the fourth hash-checked training loop next
     // to k-means/perceptron/BPE: seed vocab from frequent substrings

@@ -1,0 +1,306 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Hits
+import graft.relational.RelationalQueries.Q
+import graft.text.{HtmlExtract, Robots, Sitemap, UrlNormalize, UrlScope}
+
+/** Seventh-wave surface: sitemap-driven frontier seeding — the
+  * crawl-control file robots.txt's complement (sitemaps.org protocol).
+  * The fixture sitemaps are built deterministically from the documents
+  * table in BOTH engines (the [[graft.text.HtmlExtract.page]]
+  * discipline), so the whole parse + protocol-rule + prioritization
+  * stack hash-checks end to end and scales with the SF.
+  */
+object WaveSevenQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Scale.spreadIfNarrow(s.read.parquet(s"$dir/documents.parquet"))
+
+  // ---- deterministic sitemap fixture --------------------------------
+  // Each doc lands on host s<doc_id%4>.example, shard sitemap_<doc_id%2>.
+  // Field boundaries pinned: %17 → cross-host loc (protocol guard must
+  // drop it), %13 → entity-escaped query with tracking params (decode +
+  // normalize), %7 → no lastmod, %11 → no priority, changefreq only on
+  // %3 (optional fields NULL), lastmod carries a time-of-day suffix
+  // (the parser keeps the DATE prefix).
+
+  private def entryCol: Column = {
+    val id = col("doc_id")
+    val host = concat(lit("s"), (id % 4).cast("string"), lit(".example"))
+    val loc0 = concat(lit("https://"), host, lit("/doc/"), id.cast("string"))
+    val loc = when(id % 17 === 0,
+        concat(lit("https://other.example/doc/"), id.cast("string")))
+      .when(id % 13 === 0,
+        concat(loc0, lit("?b=2&amp;utm_source=feed&amp;a=1")))
+      .otherwise(loc0)
+    val lastmod = date_format(
+      date_add(to_date(lit("2024-01-01")), (id % 365).cast("int")),
+      "yyyy-MM-dd")
+    val cf = element_at(array(lit("daily"), lit("weekly"), lit("monthly")),
+      ((id % 3) + 1).cast("int"))
+    val pr = element_at(
+      array(lit("1.0"), lit("0.8"), lit("0.5"), lit("0.3"), lit("0.1")),
+      ((id % 5) + 1).cast("int"))
+    concat(lit("<url><loc>"), loc, lit("</loc>"),
+      when(id % 7 === 0, lit("")).otherwise(concat(
+        lit("<lastmod>"), lastmod, lit("T08:30:00+00:00</lastmod>"))),
+      when(id % 3 === 0, concat(
+        lit("<changefreq>"), cf, lit("</changefreq>"))).otherwise(lit("")),
+      when(id % 11 === 0, lit("")).otherwise(concat(
+        lit("<priority>"), pr, lit("</priority>"))),
+      lit("</url>"))
+  }
+
+  /** (host, sm_url, xml) — one `<urlset>` per (host, shard). */
+  private def shardSitemaps(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        concat(lit("s"), (col("doc_id") % 4).cast("string"),
+          lit(".example")).as("host"),
+        (col("doc_id") % 2).cast("string").as("shard"),
+        entryCol.as("entry"))
+      .groupBy(col("host"), col("shard"))
+      .agg(concat(lit("<urlset>"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("entry")))),
+          x => x.getField("entry")), ""),
+        lit("</urlset>")).as("xml"))
+      .select(col("host"),
+        concat(lit("https://"), col("host"), lit("/sitemap_"),
+          col("shard"), lit(".xml")).as("sm_url"),
+        col("xml"))
+
+  private val entrySql: String = {
+    val host = "'s' || (doc_id % 4) || '.example'"
+    val loc0 = s"'https://' || $host || '/doc/' || doc_id"
+    s"""'<url><loc>' ||
+       |CASE WHEN doc_id % 17 = 0
+       |    THEN 'https://other.example/doc/' || doc_id
+       |  WHEN doc_id % 13 = 0
+       |    THEN $loc0 || '?b=2&amp;utm_source=feed&amp;a=1'
+       |  ELSE $loc0 END
+       ||| '</loc>' ||
+       |CASE WHEN doc_id % 7 = 0 THEN '' ELSE '<lastmod>' ||
+       |  strftime(DATE '2024-01-01' + CAST(doc_id % 365 AS INT),
+       |    '%Y-%m-%d') || 'T08:30:00+00:00</lastmod>' END ||
+       |CASE WHEN doc_id % 3 = 0 THEN '<changefreq>' ||
+       |  ['daily','weekly','monthly'][CAST(doc_id % 3 AS INT) + 1] ||
+       |  '</changefreq>' ELSE '' END ||
+       |CASE WHEN doc_id % 11 = 0 THEN '' ELSE '<priority>' ||
+       |  ['1.0','0.8','0.5','0.3','0.1'][CAST(doc_id % 5 AS INT) + 1] ||
+       |  '</priority>' END ||
+       |'</url>'""".stripMargin.replace("\n", " ")
+  }
+
+  private val shardsCtes =
+    s"""smdocs AS (
+       |  SELECT doc_id, 's' || (doc_id % 4) || '.example' AS host,
+       |    CAST(doc_id % 2 AS VARCHAR) AS shard, $entrySql AS entry
+       |  FROM documents),
+       |shards AS (
+       |  SELECT host,
+       |    'https://' || host || '/sitemap_' || shard || '.xml' AS sm_url,
+       |    '<urlset>' || string_agg(entry, '' ORDER BY doc_id) ||
+       |      '</urlset>' AS xml
+       |  FROM smdocs GROUP BY host, shard)""".stripMargin
+
+  // ---- robots fixture for the sitemap hosts -------------------------
+  // s0: `*` group with one path-prefix block; s1: agent group overrides
+  // a block-everything `*` group; s2/s3: no robots (default allow).
+  private val SitemapRobots: Seq[(String, Seq[String])] = Seq(
+    "s0.example" -> Seq("User-agent: *", "Disallow: /doc/2"),
+    "s1.example" -> Seq(
+      "User-agent: graftbot", "Disallow: /doc/1", "Allow: /doc/12",
+      "User-agent: *", "Disallow: /"))
+
+  private def robotsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    SitemapRobots.map { case (h, ls) => (h, ls.mkString("\n")) }
+      .toDF("host", "robots")
+  }
+
+  private val robotsValuesSql = SitemapRobots.map { case (h, ls) =>
+    s"('$h', concat_ws(chr(10), ${ls.map(l => s"'$l'").mkString(", ")}))"
+  }.mkString(",\n  ")
+
+  val all: Seq[Q] = Seq(
+
+    // Sitemap parse + protocol rules: explode <url> entries, drop
+    // loc-less and cross-host entries (the spec's cross-submission
+    // guard), entity-decode and canonicalize locs, surface the
+    // optional fields (lastmod DATE prefix, changefreq, priority on
+    // the exact per-mille grid; absent → NULL). Pure projection: one
+    // sitemap row in, narrow URL rows out, no shuffle before the
+    // ORDER BY (driver-compare only).
+    Q("sitemap_urls", (s, dir) => {
+      shardSitemaps(s, dir)
+        .select(col("host"), explode(Sitemap.entries(col("xml"))).as("e"))
+        .filter(col("e.loc") =!= "" &&
+          Sitemap.sameHost(col("e.loc"), col("host")))
+        .select(col("host"),
+          UrlNormalize.norm(col("e.loc")).as("url"),
+          date_format(col("e.lastmod"), "yyyy-MM-dd").as("lastmod"),
+          col("e.changefreq").as("changefreq"),
+          col("e.priority_pm").as("priority_pm"))
+        .orderBy(col("host"), col("url"))
+    }, Some(
+      s"""WITH $shardsCtes,
+         |ent AS (
+         |  SELECT host, unnest(${Sitemap.entriesSql("xml")}) AS e
+         |  FROM shards),
+         |flat AS (
+         |  SELECT host, e.loc AS loc, e.lastmod AS lastmod,
+         |    e.changefreq AS changefreq, e.priority_pm AS priority_pm
+         |  FROM ent)
+         |SELECT host, ${UrlNormalize.normSql("loc")} AS url,
+         |  strftime(lastmod, '%Y-%m-%d') AS lastmod,
+         |  changefreq, priority_pm
+         |FROM flat
+         |WHERE loc <> '' AND ${Sitemap.sameHostSql("loc", "host")}
+         |ORDER BY host, url""".stripMargin)),
+
+    // Sitemap-driven frontier seeding END TO END: index hop
+    // (<sitemapindex> → sub-sitemaps), entry parse, protocol guards,
+    // URL canonicalization, crawl-scope gate, robots fetch gate
+    // (agent-group override binds on s1), seen-set anti-join, and the
+    // fetch ordering production crawlers use — priority (protocol
+    // default 500pm when unstated) desc. Bodies never shuffle: every
+    // exchanged relation is (url, attrs)-narrow, robots rules
+    // broadcast.
+    Q("sitemap_frontier", (s, dir) => {
+      val shards = shardSitemaps(s, dir)
+      val index = shards
+        .groupBy(col("host"))
+        .agg(concat(lit("<sitemapindex>"),
+          array_join(transform(array_sort(collect_list(col("sm_url"))),
+            u => concat(lit("<sitemap><loc>"), u,
+              lit("</loc></sitemap>"))), ""),
+          lit("</sitemapindex>")).as("xml"))
+      val subs = index
+        .select(col("host"),
+          explode(Sitemap.indexLocs(col("xml"))).as("sm_url"))
+      val flat = subs.join(shards, Seq("host", "sm_url"))
+        .select(col("host"), explode(Sitemap.entries(col("xml"))).as("e"))
+        .filter(col("e.loc") =!= "" &&
+          Sitemap.sameHost(col("e.loc"), col("host")))
+        .select(col("host"), UrlNormalize.norm(col("e.loc")).as("url"),
+          date_format(col("e.lastmod"), "yyyy-MM-dd").as("lastmod"),
+          col("e.priority_pm").as("priority_pm"))
+      val scoped = flat
+        .filter(UrlScope.classify(col("url")).getField("in_scope"))
+      val gated = Robots.gate(
+        scoped.select(col("url")).distinct(), Robots.rules(robotsDf(s)))
+        .filter(col("allowed"))
+        .select(col("url"))
+      val seen = docs(s, dir).filter(col("doc_id") % 3 === 0)
+        .select(concat(lit("https://s"), (col("doc_id") % 4).cast("string"),
+          lit(".example/doc/"), col("doc_id").cast("string")).as("url"))
+      scoped
+        .join(gated, Seq("url"), "left_semi")
+        .join(seen, Seq("url"), "left_anti")
+        .select(col("host"), col("url"), col("priority_pm"),
+          coalesce(col("priority_pm"), lit(500L)).as("sort_pm"),
+          col("lastmod"))
+        .orderBy(col("sort_pm").desc, col("url"))
+    }, Some(
+      s"""WITH $shardsCtes,
+         |idx AS (
+         |  SELECT host, '<sitemapindex>' ||
+         |    string_agg('<sitemap><loc>' || sm_url || '</loc></sitemap>',
+         |      '' ORDER BY sm_url) || '</sitemapindex>' AS xml
+         |  FROM shards GROUP BY host),
+         |subs AS (
+         |  SELECT host, unnest(${Sitemap.indexLocsSql("xml")}) AS sm_url
+         |  FROM idx),
+         |joined AS (
+         |  SELECT s.host AS host, sh.xml AS xml
+         |  FROM subs s JOIN shards sh
+         |    ON sh.host = s.host AND sh.sm_url = s.sm_url),
+         |ent AS (
+         |  SELECT host, unnest(${Sitemap.entriesSql("xml")}) AS e
+         |  FROM joined),
+         |flat AS (
+         |  SELECT host, e.loc AS loc,
+         |    strftime(e.lastmod, '%Y-%m-%d') AS lastmod,
+         |    e.priority_pm AS priority_pm
+         |  FROM ent),
+         |cand AS (
+         |  SELECT host, ${UrlNormalize.normSql("loc")} AS url,
+         |    lastmod, priority_pm
+         |  FROM flat
+         |  WHERE loc <> '' AND ${Sitemap.sameHostSql("loc", "host")}),
+         |scoped AS (
+         |  SELECT * FROM cand WHERE ${UrlScope.reasonSql("url")} = 'ok'),
+         |robots(host, robots) AS (VALUES
+         |  $robotsValuesSql),
+         |rules AS (SELECT * FROM (${Robots.rulesSql("robots")}) __r),
+         |urls AS (SELECT DISTINCT url FROM scoped),
+         |gated AS (${Robots.gateSql("urls")}),
+         |seen AS (
+         |  SELECT 'https://s' || (doc_id % 4) || '.example/doc/' || doc_id
+         |    AS url
+         |  FROM documents WHERE doc_id % 3 = 0)
+         |SELECT c.host, c.url, c.priority_pm,
+         |  coalesce(c.priority_pm, 500) AS sort_pm, c.lastmod
+         |FROM scoped c JOIN gated g ON g.url = c.url
+         |WHERE g.allowed AND c.url NOT IN (SELECT url FROM seen)
+         |ORDER BY sort_pm DESC, c.url""".stripMargin)),
+
+    // HITS hubs/authorities over the intra-corpus link graph — the
+    // link graph is DERIVED by the real parse chain (page fixture →
+    // href extraction → resolve → canonicalize → '/doc/N' target →
+    // in-corpus semi join), then [[graft.operators.Hits]] runs 3
+    // exact-integer mutual-reinforcement iterations. Only narrow
+    // (src, dst) longs ever shuffle; each half-iteration is one
+    // key-partitioned join + sum and a broadcast one-row shrink.
+    Q("link_hits", (s, dir) => {
+      val d = docs(s, dir)
+      val pages = d.select(col("doc_id"),
+        HtmlExtract.page(col("doc_id"), col("text")).as("html"))
+      val tgt = regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+      val edges = pages
+        .select(col("doc_id").as("src"),
+          explode(HtmlExtract.links(col("html"))).as("href"))
+        .select(col("src"), UrlNormalize.norm(
+          HtmlExtract.resolve(col("href"), WaveSixQueries.Origin))
+          .as("url"))
+        .filter(tgt =!= "")
+        .select(col("src"), tgt.cast("long").as("dst"))
+        .join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      Hits.run(d.select(col("doc_id").as("node")), edges,
+          "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    }, Some {
+      val pageSql = HtmlExtract.pageSql("doc_id", "text")
+      s"""WITH pages AS MATERIALIZED (
+         |  SELECT doc_id, $pageSql AS html FROM documents),
+         |hrefs AS (
+         |  SELECT doc_id AS src, unnest(${HtmlExtract.linksSql("html")})
+         |    AS href
+         |  FROM pages),
+         |resolved AS (
+         |  SELECT src, ${HtmlExtract.resolveSql("href",
+                WaveSixQueries.Origin)} AS u
+         |  FROM hrefs),
+         |normed AS (
+         |  SELECT src, ${UrlNormalize.normSql("u")} AS url
+         |  FROM resolved),
+         |tg AS (
+         |  SELECT src, TRY_CAST(regexp_extract(url, '/doc/(\\d+)$$', 1)
+         |    AS BIGINT) AS dst
+         |  FROM normed),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM tg
+         |  WHERE dst IS NOT NULL
+         |    AND dst IN (SELECT doc_id FROM documents)
+         |    AND src <> dst),
+         |nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+         |${Hits.oracleCtes("nodes", "edges", 3)}
+         |${Hits.oracleSelect("nodes", 3)}""".stripMargin
+    }))
+}
