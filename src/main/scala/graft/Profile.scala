@@ -159,7 +159,9 @@ object Profile {
         spark.read.parquet(s"$sfDir/$t.parquet")
           .write.parquet(s"$canaryDir/$t.parquet")
       for (q <- Seq("crawl_curate", "corpus_curate_full",
-          "join_skew_probe", "table_profile"))
+          "join_skew_probe", "table_profile",
+          // r10 additions: link-graph iteration + sitemap funnel
+          "link_hits", "sitemap_frontier"))
         time(s"$q @10x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
       spark.stop()
       return
