@@ -182,4 +182,112 @@ object WordPiece {
        |  FROM wp$rounds) __tok
        |GROUP BY token
        |ORDER BY token""".stripMargin
+
+  // ---- inference: greedy longest-match-first (the BERT tokenizer) ---
+
+  /** Maximum word length segmentable at inference (the oracle's
+    * per-position unroll bound — the [[UnigramLm.MaxWordLen]]
+    * convention). */
+  val MaxWordLen = 16
+
+  /** BERT's WordpieceTokenizer: greedy maximum-munch against the
+    * trained vocabulary — at each position take the LONGEST vocab
+    * piece (`##`-prefixed when not word-initial); any position with no
+    * match makes the whole word `[UNK]` (returned as None). NOTE this
+    * is the published INFERENCE algorithm and deliberately not merge
+    * replay: greedy segmentation of an unseen word can differ from
+    * replaying the training merges — that divergence is the
+    * documented WordPiece semantics (Devlin et al. 2019 §A; the
+    * `corpus_bpe_apply` fallback is the replay alternative). */
+  def greedySegment(word: String, vocab: Set[String]): Option[Seq[String]] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = 0
+    while (pos < word.length) {
+      val prefix = if (pos == 0) "" else "##"
+      val l = (math.min(word.length - pos, MaxWordLen) to 1 by -1)
+        .find(l => vocab.contains(prefix + word.substring(pos, pos + l)))
+      l match {
+        case None => return None
+        case Some(k) => out += prefix + word.substring(pos, pos + k)
+          pos += k
+      }
+    }
+    Some(out.toSeq)
+  }
+
+  /** Segment a HELD-OUT `(word)` relation with the vocabulary trained
+    * on `words` — train + real inference composed (the
+    * `corpus_unigram_encode` discipline). The vocabulary is collected
+    * and broadcast (model-sized — distinct final symbols, the
+    * [[UnigramLm.encode]] precedent); segmentation is a row-local
+    * flatMap. Returns (word, seg, n_pieces); uncoverable words emit
+    * BERT's `[UNK]` with n_pieces 1; words over [[MaxWordLen]] are
+    * dropped (both engines filter identically). */
+  def segmentHeldOut(
+      heldOut: DataFrame, words: DataFrame, rounds: Int): DataFrame = {
+    val spark = heldOut.sparkSession
+    import spark.implicits._
+    val vocab = train(words, rounds)._1
+      .select(explode(split(trim(col("w")), "  ")).as("p"))
+      .distinct().as[String].collect().toSet // model-sized
+    heldOut
+      .filter(length(col("word")).between(1, MaxWordLen))
+      .select(col("word").cast("string")).distinct().as[String]
+      .map { w =>
+        greedySegment(w, vocab) match {
+          case Some(ps) => (w, ps.mkString(" "), ps.size.toLong)
+          case None => (w, "[UNK]", 1L)
+        }
+      }
+      .toDF("word", "seg", "n_pieces")
+  }
+
+  /** DuckDB twin of [[segmentHeldOut]] over [[oracleCtes]]'s final wp
+    * CTE and `heldRel(word)`: the greedy cursor walks one CTE per
+    * character position (the [[UnigramLm]] DP-unroll discipline); at
+    * each position the longest vocab match advances the cursor, a miss
+    * latches `bad`. */
+  def oracleApplyCtes(heldRel: String, rounds: Int): String = {
+    val base =
+      s"""wv AS MATERIALIZED (
+         |  SELECT list(DISTINCT piece) AS ps
+         |  FROM (SELECT unnest(string_split(trim(w), '  ')) AS piece
+         |    FROM wp$rounds) __v),
+         |gs0 AS MATERIALIZED (
+         |  SELECT word, ps, 1 AS cur, '' AS seg, FALSE AS bad
+         |  FROM (SELECT DISTINCT word FROM $heldRel
+         |    WHERE length(word) BETWEEN 1 AND $MaxWordLen) __hw, wv)"""
+        .stripMargin
+    val steps = (1 to MaxWordLen).map { j =>
+      val pieceOf = if (j == 1) "substr(word, cur, bl)"
+      else "'##' || substr(word, cur, bl)"
+      s"""gs$j AS MATERIALIZED (
+         |  SELECT word, ps,
+         |    CASE WHEN act AND bl IS NOT NULL THEN cur + bl
+         |         ELSE cur END AS cur,
+         |    CASE WHEN act AND bl IS NOT NULL THEN
+         |        seg || (CASE WHEN seg = '' THEN '' ELSE ' ' END) ||
+         |          $pieceOf
+         |      ELSE seg END AS seg,
+         |    CASE WHEN act AND bl IS NULL THEN TRUE ELSE bad END AS bad
+         |  FROM (
+         |    SELECT *,
+         |      (NOT bad AND cur = $j AND cur <= length(word)) AS act,
+         |      list_max(list_filter(
+         |        [x for x in range(1, $MaxWordLen + 1)],
+         |        l -> l <= length(word) - cur + 1 AND list_contains(ps,
+         |          (CASE WHEN cur = 1 THEN '' ELSE '##' END) ||
+         |            substr(word, cur, l)))) AS bl
+         |    FROM gs${j - 1}) __g$j)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  /** Final SELECT over [[oracleApplyCtes]]'s last position CTE. */
+  def oracleApplySelect: String =
+    s"""SELECT word,
+       |  CASE WHEN bad THEN '[UNK]' ELSE seg END AS seg,
+       |  CAST(CASE WHEN bad THEN 1
+       |    ELSE len(string_split(seg, ' ')) END AS BIGINT) AS n_pieces
+       |FROM gs$MaxWordLen ORDER BY word""".stripMargin
 }

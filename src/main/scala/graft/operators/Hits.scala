@@ -68,11 +68,14 @@ object Hits {
       raw.crossJoin(broadcast(shrink))
         .select(col("node"), expr("x div __s").as("x"))
     }
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
+      // only the loop state (hub) checkpoints each iteration — auth
+      // feeds hub lazily (lineage depth stays bounded at 2 levels) and
+      // is materialized once, on the final iteration, for the output
       auth = rescale(
         e.join(hub, e("src") === hub("node"))
           .groupBy(e("dst").as("node")).agg(sum(col("x")).as("x")))
-        .localCheckpoint()
+      if (i == iters) auth = auth.localCheckpoint()
       hub = rescale(
         e.join(auth, e("dst") === auth("node"))
           .groupBy(e("src").as("node")).agg(sum(col("x")).as("x")))

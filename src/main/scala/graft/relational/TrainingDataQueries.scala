@@ -1262,6 +1262,42 @@ object TrainingDataQueries {
          |${graft.analysis.WordPiece.oracleEncodeSelect(BpeRounds)}"""
         .stripMargin)),
 
+    // The trained WordPiece vocabulary applied to HELD-OUT text by the
+    // published INFERENCE algorithm — BERT's greedy longest-match-first
+    // WordpieceTokenizer (maximum munch, `##` continuations, whole-word
+    // [UNK] on any miss) — deliberately NOT merge replay: greedy
+    // segmentation is what BERT ships (train on docs 0-39, segment the
+    // disjoint 40-79 slice; the corpus_bpe_apply discipline). The
+    // oracle walks the greedy cursor one CTE per character position.
+    Q("corpus_wordpiece_apply", (s, dir) => {
+      import graft.analysis.WordPiece
+      val words = docs(s, dir).filter(col("doc_id") < 40)
+        .select(explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val held = docs(s, dir)
+        .filter(col("doc_id") >= 40 && col("doc_id") < 80)
+        .select(explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+      WordPiece.segmentHeldOut(held, words, BpeRounds)
+        .orderBy(col("word"))
+    }, Some(
+      s"""WITH wpwords AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+         |      AS word
+         |    FROM documents WHERE doc_id < 40) __ww
+         |  GROUP BY word),
+         |hwords AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+         |    AS word
+         |  FROM documents WHERE doc_id >= 40 AND doc_id < 80),
+         |${graft.analysis.WordPiece.oracleCtes("wpwords", BpeRounds)},
+         |${graft.analysis.WordPiece.oracleApplyCtes("hwords", BpeRounds)}
+         |${graft.analysis.WordPiece.oracleApplySelect}""".stripMargin)),
+
     // UNIGRAM-LM tokenizer training (Kudo 2018, the SentencePiece
     // alternative to BPE) — the fourth hash-checked training loop next
     // to k-means/perceptron/BPE: seed vocab from frequent substrings

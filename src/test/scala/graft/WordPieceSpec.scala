@@ -90,6 +90,38 @@ class WordPieceSpec extends AnyFunSuite {
     assert(sparkTrain(words, 6) === refTrain(words, 6))
   }
 
+  test("greedy segmentation is maximum munch with ## continuations") {
+    val vocab = Set("un", "##aff", "##able", "##affable", "a", "##f")
+    // longest-first at every position: un + ##affable (not ##aff...)
+    assert(WordPiece.greedySegment("unaffable", vocab) ===
+      Some(Seq("un", "##affable")))
+    // a position with no match makes the WHOLE word [UNK]
+    assert(WordPiece.greedySegment("unz", vocab) === None)
+    // word-initial position only matches BARE pieces ("##aff" can't
+    // start a word): "affable" falls back to a + ##f + ##f + ##able
+    assert(WordPiece.greedySegment("affable", vocab) ===
+      Some(Seq("a", "##f", "##f", "##able")))
+  }
+
+  test("held-out segmentation matches a reference greedy walk") {
+    val train = Seq(("low", 5L), ("lowest", 6L), ("newer", 3L),
+      ("wider", 3L)).toDF("word", "cnt")
+    val held = Seq("lower", "low", "newest", "zzz")
+      .toDF("word")
+    val got = WordPiece.segmentHeldOut(held, train, 4)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got.contains("low") && got.contains("zzz"))
+    // a word with a character never seen word-initially is [UNK]
+    assert(got("zzz") === (("[UNK]", 1L)))
+    // every non-UNK segmentation reassembles the word (## stripped)
+    got.foreach { case (w, (seg, _)) =>
+      if (seg != "[UNK]")
+        assert(seg.split(" ").map(_.stripPrefix("##")).mkString === w)
+    }
+  }
+
   test("encode totals conserve word occurrences") {
     val words = Seq(("low", 5L), ("lower", 2L), ("new", 3L))
     val toks = WordPiece.encodeTokens(words.toDF("word", "cnt"), 2)
