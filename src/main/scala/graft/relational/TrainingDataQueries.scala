@@ -1545,6 +1545,102 @@ object TrainingDataQueries {
          |    '\\s+', ' ', 'g')) AS scrubbed
          |FROM raw ORDER BY doc_id""".stripMargin)),
 
+    // Readability battery (Flesch-Kincaid grade + Flesch Reading Ease,
+    // Kincaid et al. 1975 / Flesch 1948) on the exact integer MILLI
+    // grid: words = [a-z]+ runs, sentences = [.!?]+ runs (min 1),
+    // syllables = the standard vowel-group estimate ([aeiouy]+ runs —
+    // runs cannot span whitespace, so the corpus-level count equals
+    // the per-word sum; the min-1-per-word adjustment is the
+    // documented simplification). Truncating integer div in both
+    // engines; zero-word docs drop. Row-local, no shuffle.
+    Q("text_readability", (s, dir) => {
+      val t = lower(col("text"))
+      spread(docs(s, dir))
+        .select(col("doc_id"),
+          size(regexp_extract_all(t, lit("[a-z]+"), lit(0)))
+            .cast("long").as("n_words"),
+          greatest(lit(1L),
+            size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+              .cast("long")).as("n_sentences"),
+          size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))
+            .cast("long").as("n_syllables"))
+        .filter(col("n_words") > 0)
+        .withColumn("fk_grade_milli", expr(
+          "(390 * n_words) div n_sentences" +
+            " + (11800 * n_syllables) div n_words - 15590"))
+        .withColumn("fre_milli", expr(
+          "206835 - (1015 * n_words) div n_sentences" +
+            " - (84600 * n_syllables) div n_words"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+        |      AS BIGINT) AS n_words,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |      AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  (390 * n_words) // n_sentences
+        |    + (11800 * n_syllables) // n_words - 15590 AS fk_grade_milli,
+        |  206835 - (1015 * n_words) // n_sentences
+        |    - (84600 * n_syllables) // n_words AS fre_milli
+        |FROM m WHERE n_words > 0 ORDER BY doc_id""".stripMargin)),
+
+    // Heaps'-law vocabulary growth (Heaps 1978): cumulative distinct
+    // types vs cumulative tokens over the doc_id-ordered corpus — the
+    // curve a pipeline inspects to size tokenizer vocabularies and
+    // detect dedup regressions (a flattening curve = duplicated text).
+    // New types per doc = first-occurrence doc of each word (one
+    // groupBy min, never a corpus self-join); both cumulatives ride
+    // Scale.globalRunningSum (range-partitioned prefix sums + driver
+    // offsets — no single-partition window at any corpus size).
+    Q("corpus_vocab_growth", (s, dir) => {
+      val words = spread(docs(s, dir))
+        .select(col("doc_id"), explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+      val perDoc = words.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val firstOcc = words.groupBy(col("word"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("new_types"))
+      val base = perDoc.join(firstOcc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+      val c1 = Scale.globalRunningSum(base, Seq(col("doc_id")),
+        col("n_tokens"), "cum_tokens")
+      val c2 = Scale.globalRunningSum(c1, Seq(col("doc_id")),
+        col("new_types"), "cum_types")
+      c2.select(col("doc_id"), col("n_tokens"), col("new_types"),
+          col("cum_tokens"), col("cum_types"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH wt AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents),
+        |pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM wt GROUP BY doc_id),
+        |fo AS (SELECT min(doc_id) AS doc_id FROM wt GROUP BY word),
+        |nt AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS new_types
+        |  FROM fo GROUP BY doc_id),
+        |b AS (
+        |  SELECT p.doc_id, p.n_tokens,
+        |    coalesce(nt.new_types, 0) AS new_types
+        |  FROM pd p LEFT JOIN nt USING (doc_id))
+        |SELECT doc_id, n_tokens, new_types,
+        |  CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(sum(new_types) OVER (ORDER BY doc_id) AS BIGINT)
+        |    AS cum_types
+        |FROM b ORDER BY doc_id""".stripMargin)),
+
     // Gopher-style repetition quality metrics, all in integer/ppm domain
     // (hash-safe): word repetition (1 - distinct/total) and the share of
     // the most frequent word bigram. Everything is row-local array math —

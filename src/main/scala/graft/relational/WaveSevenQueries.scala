@@ -126,6 +126,26 @@ object WaveSevenQueries {
     s"('$h', concat_ws(chr(10), ${ls.map(l => s"'$l'").mkString(", ")}))"
   }.mkString(",\n  ")
 
+  // ---- crawl-delay fixture ------------------------------------------
+  private val DelayRobots: Seq[(String, Seq[String])] = Seq(
+    "a.example" -> Seq(
+      "User-agent: graftbot", "Crawl-delay: 2", "Disallow: /x",
+      "User-agent: *", "Crawl-delay: 10"),
+    "b.example" -> Seq(
+      "User-agent: *", "Crawl-delay: soon", "Crawl-delay: 5"),
+    "d.example" -> Seq("User-agent: *", "Disallow: /tmp/"))
+
+  private val DelayPending: Seq[(String, Long)] = Seq(
+    ("https://a.example/1", 1L), ("https://a.example/2", 2L),
+    ("https://a.example/3", 3L),
+    ("https://b.example/1", 1L), ("https://b.example/2", 2L),
+    ("https://c.example/1", 7L), ("https://c.example/2", 5L),
+    ("https://d.example/1", 4L))
+
+  private val delayRobotsValuesSql = DelayRobots.map { case (h, ls) =>
+    s"('$h', concat_ws(chr(10), ${ls.map(l => s"'$l'").mkString(", ")}))"
+  }.mkString(",\n  ")
+
   val all: Seq[Q] = Seq(
 
     // Sitemap parse + protocol rules: explode <url> entries, drop
@@ -248,6 +268,45 @@ object WaveSevenQueries {
          |FROM scoped c JOIN gated g ON g.url = c.url
          |WHERE g.allowed AND c.url NOT IN (SELECT url FROM seen)
          |ORDER BY sort_pm DESC, c.url""".stripMargin)),
+
+    // Crawl-delay politeness plan (the de-facto robots.txt extension):
+    // per-host delay extraction under the same group-attribution /
+    // agent-override logic as the rules parse (last numeric line of
+    // the governing group wins; junk values drop), composed into the
+    // per-host FIFO fetch plan — slot i fetches at (i-1)*delay. The
+    // delay relation is host-sized and broadcast; the slot window is
+    // per-host. Fixture pins: agent override (a: graftbot 2s beats *
+    // 10s), junk + last-wins (b: 'soon' drops, 5s stands), no-robots
+    // default (c), robots-without-delay default (d).
+    Q("robots_delays", (s, _) => {
+      import s.implicits._
+      val robots = DelayRobots
+        .map { case (h, ls) => (h, ls.mkString("\n")) }
+        .toDF("host", "robots")
+      Robots.fetchPlan(
+          DelayPending.toDF("norm_url", "src_doc"),
+          Robots.delays(robots), defaultDelayMs = 1000L)
+        .orderBy(col("host"), col("slot"))
+    }, Some(
+      s"""WITH robots(host, robots) AS (VALUES
+         |  $delayRobotsValuesSql),
+         |pending(norm_url, src_doc) AS (VALUES
+         |  ${DelayPending.map { case (u, d) => s"('$u', ${d}::BIGINT)" }
+                .mkString(",\n  ")}),
+         |numbered AS (
+         |  SELECT regexp_extract(norm_url, '^[a-z]+://([^/]+)', 1)
+         |      AS host,
+         |    norm_url,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY regexp_extract(norm_url,
+         |        '^[a-z]+://([^/]+)', 1)
+         |      ORDER BY src_doc, norm_url) AS BIGINT) AS slot
+         |  FROM pending)
+         |SELECT n.host, n.norm_url, n.slot,
+         |  (n.slot - 1) * coalesce(d.delay_s * 1000, 1000) AS offset_ms
+         |FROM numbered n
+         |LEFT JOIN (${Robots.delaysSql("robots")}) d ON d.host = n.host
+         |ORDER BY n.host, n.slot""".stripMargin)),
 
     // HITS hubs/authorities over the intra-corpus link graph — the
     // link graph is DERIVED by the real parse chain (page fixture →

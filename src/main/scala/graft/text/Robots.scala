@@ -36,7 +36,7 @@ object Robots {
   val Agent = "graftbot"
 
   private val LineRe =
-    "(?i)^\\s*(user-agent|allow|disallow)\\s*:\\s*(\\S*).*$"
+    "(?i)^\\s*(user-agent|allow|disallow|crawl-delay)\\s*:\\s*(\\S*).*$"
 
   /** Parse a (host, robots) relation into the effective rule set for
     * [[Agent]]: (host, ua, rule, prefix, rule_len, line_no). Only the
@@ -106,6 +106,102 @@ object Robots {
        |FROM __flagged
        |WHERE (has_agent = 1 AND ua = '$Agent')
        |   OR (has_agent = 0 AND ua = '*')""".stripMargin
+
+  /** Crawl-delay extraction — the de-facto politeness extension most
+    * robots.txt files carry (not standardized by RFC 9309 but honored
+    * by Yandex/Bing-class crawlers; Google ignores it): per host the
+    * GOVERNING group's LAST numeric `Crawl-delay:` line, in seconds.
+    * Same line attribution and agent-override selection as [[rules]];
+    * non-numeric values drop (the conservative read). */
+  def delays(robots: DataFrame): DataFrame = {
+    val lines = robots
+      .select(col("host"),
+        posexplode(split(col("robots"), "\n")).as(Seq("line_no", "raw")))
+      .select(col("host"), col("line_no"),
+        regexp_replace(col("raw"), "#.*$", "").as("line"))
+      .select(col("host"), col("line_no"),
+        lower(regexp_extract(col("line"), LineRe, 1)).as("kind"),
+        regexp_extract(col("line"), LineRe, 2).as("value"))
+    val wAttr = Window.partitionBy(col("host")).orderBy(col("line_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attributed = lines
+      .withColumn("ua", last(
+        when(col("kind") === "user-agent", lower(col("value"))),
+        ignoreNulls = true).over(wAttr))
+      .filter(col("kind") === "crawl-delay" &&
+        col("value").rlike("^\\d+$") && col("ua").isNotNull)
+    val wHost = Window.partitionBy(col("host"))
+    attributed
+      .withColumn("has_agent",
+        max(when(col("ua") === Agent, 1).otherwise(0)).over(wHost))
+      .filter((col("has_agent") === 1 && col("ua") === Agent) ||
+        (col("has_agent") === 0 && col("ua") === "*"))
+      .groupBy(col("host"))
+      .agg(max(struct(col("line_no"), col("value"))).as("w"))
+      .select(col("host"), col("w.value").cast("long").as("delay_s"))
+  }
+
+  /** DuckDB twin of [[delays]] over `robotsRel(host, robots)`. */
+  def delaysSql(robotsRel: String): String =
+    s"""WITH __dlines AS (
+       |  SELECT host, l.i - 1 AS line_no,
+       |    regexp_replace(l.raw, '#.*$$', '') AS line
+       |  FROM $robotsRel,
+       |    LATERAL (SELECT unnest(string_split(robots, chr(10))) AS raw,
+       |      generate_subscripts(string_split(robots, chr(10)), 1) AS i)
+       |      AS l),
+       |__dparsed AS (
+       |  SELECT host, line_no,
+       |    lower(regexp_extract(line, '$LineRe', 1)) AS kind,
+       |    regexp_extract(line, '$LineRe', 2) AS value
+       |  FROM __dlines),
+       |__dattr AS (
+       |  SELECT host, line_no, kind, value,
+       |    last_value(CASE WHEN kind = 'user-agent'
+       |      THEN lower(value) END IGNORE NULLS)
+       |      OVER (PARTITION BY host ORDER BY line_no
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ua
+       |  FROM __dparsed),
+       |__druled AS (
+       |  SELECT * FROM __dattr
+       |  WHERE kind = 'crawl-delay' AND regexp_matches(value, '^\\d+$$')
+       |    AND ua IS NOT NULL),
+       |__dflagged AS (
+       |  SELECT *, max(CASE WHEN ua = '$Agent' THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY host) AS has_agent
+       |  FROM __druled)
+       |SELECT host,
+       |  CAST(max(struct_pack(line_no := line_no, value := value)).value
+       |    AS BIGINT) AS delay_s
+       |FROM __dflagged
+       |WHERE (has_agent = 1 AND ua = '$Agent')
+       |   OR (has_agent = 0 AND ua = '*')
+       |GROUP BY host""".stripMargin
+
+  /** Politeness fetch plan: per-host FIFO slots over a pending-URL
+    * relation `(norm_url, src_doc)`, each slot offset by the host's
+    * crawl delay (milliseconds; `defaultDelayMs` where no delay is
+    * declared) — what a fetch scheduler enqueues. The delay relation
+    * is host-sized and broadcast; the window is per-host (the
+    * [[graft.streaming.FrontierJob.pendingBudget]] shape). */
+  def fetchPlan(
+      pending: DataFrame,
+      parsedDelays: DataFrame,
+      defaultDelayMs: Long): DataFrame = {
+    val w = Window
+      .partitionBy(regexp_extract(col("norm_url"),
+        "^[a-z]+://([^/]+)", 1))
+      .orderBy(col("src_doc"), col("norm_url"))
+    pending
+      .withColumn("host",
+        regexp_extract(col("norm_url"), "^[a-z]+://([^/]+)", 1))
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .join(broadcast(parsedDelays), Seq("host"), "left")
+      .select(col("host"), col("norm_url"), col("slot"),
+        ((col("slot") - 1) *
+          coalesce(col("delay_s") * 1000, lit(defaultDelayMs)))
+          .as("offset_ms"))
+  }
 
   /** Gate a URL relation `(url, ...)` with the parsed rules: longest
     * matching prefix wins, Allow beats Disallow on length ties, no
