@@ -27,7 +27,7 @@ object WaveSevenQueries {
   // %3 (optional fields NULL), lastmod carries a time-of-day suffix
   // (the parser keeps the DATE prefix).
 
-  private def entryCol: Column = {
+  private def entryCol(extraDays: Column = lit(0)): Column = {
     val id = col("doc_id")
     val host = concat(lit("s"), (id % 4).cast("string"), lit(".example"))
     val loc0 = concat(lit("https://"), host, lit("/doc/"), id.cast("string"))
@@ -37,7 +37,8 @@ object WaveSevenQueries {
         concat(loc0, lit("?b=2&amp;utm_source=feed&amp;a=1")))
       .otherwise(loc0)
     val lastmod = date_format(
-      date_add(to_date(lit("2024-01-01")), (id % 365).cast("int")),
+      date_add(to_date(lit("2024-01-01")),
+        (id % 365 + extraDays).cast("int")),
       "yyyy-MM-dd")
     val cf = element_at(array(lit("daily"), lit("weekly"), lit("monthly")),
       ((id % 3) + 1).cast("int"))
@@ -55,13 +56,16 @@ object WaveSevenQueries {
   }
 
   /** (host, sm_url, xml) — one `<urlset>` per (host, shard). */
-  private def shardSitemaps(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+  private def shardSitemaps(
+      s: SparkSession, dir: String,
+      docFilter: Column = lit(true),
+      extraDays: Column = lit(0)): DataFrame =
+    docs(s, dir).filter(docFilter)
       .select(col("doc_id"),
         concat(lit("s"), (col("doc_id") % 4).cast("string"),
           lit(".example")).as("host"),
         (col("doc_id") % 2).cast("string").as("shard"),
-        entryCol.as("entry"))
+        entryCol(extraDays).as("entry"))
       .groupBy(col("host"), col("shard"))
       .agg(concat(lit("<urlset>"),
         array_join(transform(
@@ -73,7 +77,7 @@ object WaveSevenQueries {
           col("shard"), lit(".xml")).as("sm_url"),
         col("xml"))
 
-  private val entrySql: String = {
+  private def entrySql(extraDays: String = "0"): String = {
     val host = "'s' || (doc_id % 4) || '.example'"
     val loc0 = s"'https://' || $host || '/doc/' || doc_id"
     s"""'<url><loc>' ||
@@ -84,7 +88,8 @@ object WaveSevenQueries {
        |  ELSE $loc0 END
        ||| '</loc>' ||
        |CASE WHEN doc_id % 7 = 0 THEN '' ELSE '<lastmod>' ||
-       |  strftime(DATE '2024-01-01' + CAST(doc_id % 365 AS INT),
+       |  strftime(DATE '2024-01-01'
+       |      + CAST(doc_id % 365 + ($extraDays) AS INT),
        |    '%Y-%m-%d') || 'T08:30:00+00:00</lastmod>' END ||
        |CASE WHEN doc_id % 3 = 0 THEN '<changefreq>' ||
        |  ['daily','weekly','monthly'][CAST(doc_id % 3 AS INT) + 1] ||
@@ -95,17 +100,21 @@ object WaveSevenQueries {
        |'</url>'""".stripMargin.replace("\n", " ")
   }
 
-  private val shardsCtes =
-    s"""smdocs AS (
+  private def shardsCtesNamed(prefix: String, whereSql: String,
+      extraDays: String): String =
+    s"""${prefix}smdocs AS (
        |  SELECT doc_id, 's' || (doc_id % 4) || '.example' AS host,
-       |    CAST(doc_id % 2 AS VARCHAR) AS shard, $entrySql AS entry
-       |  FROM documents),
-       |shards AS (
+       |    CAST(doc_id % 2 AS VARCHAR) AS shard,
+       |    ${entrySql(extraDays)} AS entry
+       |  FROM documents WHERE $whereSql),
+       |${prefix}shards AS (
        |  SELECT host,
        |    'https://' || host || '/sitemap_' || shard || '.xml' AS sm_url,
        |    '<urlset>' || string_agg(entry, '' ORDER BY doc_id) ||
        |      '</urlset>' AS xml
-       |  FROM smdocs GROUP BY host, shard)""".stripMargin
+       |  FROM ${prefix}smdocs GROUP BY host, shard)""".stripMargin
+
+  private val shardsCtes = shardsCtesNamed("", "TRUE", "0")
 
   // ---- robots fixture for the sitemap hosts -------------------------
   // s0: `*` group with one path-prefix block; s1: agent group overrides
@@ -268,6 +277,67 @@ object WaveSevenQueries {
          |FROM scoped c JOIN gated g ON g.url = c.url
          |WHERE g.allowed AND c.url NOT IN (SELECT url FROM seen)
          |ORDER BY sort_pm DESC, c.url""".stripMargin)),
+
+    // Cross-snapshot sitemap diff — the BATCH hash-checked twin of
+    // SitemapRecrawlJob's classification: two sitemap snapshots of the
+    // same sites (B advances lastmod for %5 docs, adds the %9 docs A
+    // lacked, drops the %6 docs) parse through the full protocol
+    // chain, then one full-outer join on the canonical URL classifies
+    // new / updated / gone / unchanged (null lastmods prove nothing →
+    // unchanged, the recrawl job's conservatism). Only (url, date)
+    // rows join — snapshot bodies never shuffle.
+    Q("sitemap_recrawl_diff", (s, dir) => {
+      def snap(docFilter: Column, extra: Column): DataFrame =
+        shardSitemaps(s, dir, docFilter, extra)
+          .select(col("host"),
+            explode(Sitemap.entries(col("xml"))).as("e"))
+          .filter(col("e.loc") =!= "" &&
+            Sitemap.sameHost(col("e.loc"), col("host")))
+          .select(UrlNormalize.norm(col("e.loc")).as("url"),
+            col("e.lastmod").as("lm"))
+      val a = snap(col("doc_id") % 9 =!= 0, lit(0))
+        .select(col("url"), col("lm").as("lm_a"), lit(true).as("in_a"))
+      val b = snap(col("doc_id") % 6 =!= 0,
+          when(col("doc_id") % 5 === 0, 30).otherwise(0))
+        .select(col("url"), col("lm").as("lm_b"), lit(true).as("in_b"))
+      a.join(b, Seq("url"), "full_outer")
+        .withColumn("status",
+          when(col("in_a").isNull, "new")
+            .when(col("in_b").isNull, "gone")
+            .when(col("lm_a").isNotNull && col("lm_b").isNotNull &&
+              col("lm_b") > col("lm_a"), "updated")
+            .otherwise("unchanged"))
+        .select(col("url"), col("status"),
+          date_format(col("lm_a"), "yyyy-MM-dd").as("lastmod_a"),
+          date_format(col("lm_b"), "yyyy-MM-dd").as("lastmod_b"))
+        .orderBy(col("url"))
+    }, Some {
+      def snapSql(p: String) =
+        s"""${p}flat AS (
+           |  SELECT host, e.loc AS loc, e.lastmod AS lm
+           |  FROM (SELECT host, unnest(${Sitemap.entriesSql("xml")}) AS e
+           |    FROM ${p}shards) __${p}e),
+           |${p}cand AS (
+           |  SELECT ${UrlNormalize.normSql("loc")} AS url, lm
+           |  FROM ${p}flat
+           |  WHERE loc <> '' AND ${Sitemap.sameHostSql("loc", "host")})"""
+          .stripMargin
+      s"""WITH ${shardsCtesNamed("a_", "doc_id % 9 <> 0", "0")},
+         |${shardsCtesNamed("b_", "doc_id % 6 <> 0",
+              "CASE WHEN doc_id % 5 = 0 THEN 30 ELSE 0 END")},
+         |${snapSql("a_")},
+         |${snapSql("b_")}
+         |SELECT coalesce(a.url, b.url) AS url,
+         |  CASE WHEN a.url IS NULL THEN 'new'
+         |    WHEN b.url IS NULL THEN 'gone'
+         |    WHEN a.lm IS NOT NULL AND b.lm IS NOT NULL AND b.lm > a.lm
+         |      THEN 'updated'
+         |    ELSE 'unchanged' END AS status,
+         |  strftime(a.lm, '%Y-%m-%d') AS lastmod_a,
+         |  strftime(b.lm, '%Y-%m-%d') AS lastmod_b
+         |FROM a_cand a FULL OUTER JOIN b_cand b ON b.url = a.url
+         |ORDER BY url""".stripMargin
+    }),
 
     // Crawl-delay politeness plan (the de-facto robots.txt extension):
     // per-host delay extraction under the same group-attribution /

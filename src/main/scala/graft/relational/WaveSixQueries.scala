@@ -222,13 +222,17 @@ object WaveSixQueries {
     // both captures come from the SAME regex pass, in page order.
     Q("anchor_text_index", (s, dir) => {
       val pairRe = "(?is)<a[^>]+href=\"([^\"]*)\"[^>]*>(.*?)</a>"
-      val noNoise = HtmlExtract.stripNoise(col("html"))
+      // ONE noise-strip + ONE whole-document regex pass (group 0);
+      // groups re-extract per MATCH (short strings) — the pre-r10 form
+      // ran the strip chain and the full-document pair regex twice
       val pairs = pages(s, dir)
         .select(col("doc_id"),
-          explode(zip_with(
-            regexp_extract_all(noNoise, lit(pairRe), lit(1)),
-            regexp_extract_all(noNoise, lit(pairRe), lit(2)),
-            (h, t) => struct(h.as("href"), t.as("atext")))).as("p"))
+          HtmlExtract.stripNoise(col("html")).as("nn"))
+        .select(col("doc_id"),
+          explode(transform(
+            regexp_extract_all(col("nn"), lit(pairRe), lit(0)),
+            m => struct(regexp_extract(m, pairRe, 1).as("href"),
+              regexp_extract(m, pairRe, 2).as("atext")))).as("p"))
         .select(col("doc_id"),
           UrlNormalize.norm(
             HtmlExtract.resolve(col("p.href"), Origin)).as("url"),
