@@ -278,6 +278,44 @@ object WaveSevenQueries {
          |WHERE g.allowed AND c.url NOT IN (SELECT url FROM seen)
          |ORDER BY sort_pm DESC, c.url""".stripMargin)),
 
+    // Recursive CTE (SQL:1999 WITH RECURSIVE, first usable in Spark 4):
+    // BFS transitive closure with min-depth over the +1/x2 successor
+    // graph — the iterative-query shape (org charts, BOM explosions,
+    // graph reachability) that previously REQUIRED the driver-side
+    // loop operators (ConnectedComponents/PageRank/Hits); here the
+    // whole fixpoint stays inside one declarative statement in both
+    // engines. Monotone successors bound the recursion (node strictly
+    // grows, capped at 64), min-depth aggregates AFTER the fixpoint.
+    Q("q_recursive_closure", (s, _) => {
+      s.sql(
+        """WITH RECURSIVE r(node, d) AS (
+          |  SELECT 1, 0
+          |  UNION ALL
+          |  SELECT CASE WHEN x = 0 THEN node + 1 ELSE node * 2 END,
+          |    d + 1
+          |  FROM r, (SELECT explode(array(0, 1)) AS x)
+          |  WHERE (CASE WHEN x = 0 THEN node + 1 ELSE node * 2 END)
+          |    <= 64
+          |)
+          |SELECT CAST(node AS BIGINT) AS node,
+          |  CAST(min(d) AS BIGINT) AS depth,
+          |  CAST(count(*) AS BIGINT) AS n_paths
+          |FROM r GROUP BY node ORDER BY node""".stripMargin)
+    }, Some(
+      """WITH RECURSIVE r(node, d) AS (
+        |  SELECT 1, 0
+        |  UNION ALL
+        |  SELECT CASE WHEN x = 0 THEN node + 1 ELSE node * 2 END,
+        |    d + 1
+        |  FROM r, (SELECT unnest([0, 1]) AS x) t
+        |  WHERE (CASE WHEN x = 0 THEN node + 1 ELSE node * 2 END)
+        |    <= 64
+        |)
+        |SELECT CAST(node AS BIGINT) AS node,
+        |  CAST(min(d) AS BIGINT) AS depth,
+        |  CAST(count(*) AS BIGINT) AS n_paths
+        |FROM r GROUP BY node ORDER BY node""".stripMargin)),
+
     // Cross-snapshot sitemap diff — the BATCH hash-checked twin of
     // SitemapRecrawlJob's classification: two sitemap snapshots of the
     // same sites (B advances lastmod for %5 docs, adds the %9 docs A
