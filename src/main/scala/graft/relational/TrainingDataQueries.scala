@@ -1641,6 +1641,44 @@ object TrainingDataQueries {
         |    AS cum_types
         |FROM b ORDER BY doc_id""".stripMargin)),
 
+    // Zipf rank-frequency head (Zipf 1949): top-100 words with rank
+    // and the rank*freq product whose near-constancy IS Zipf's law —
+    // the companion diagnostic to corpus_vocab_growth (a corpus whose
+    // head product trends up is boilerplate-heavy; trending down,
+    // over-deduplicated). Top-K via TakeOrderedAndProject (never a
+    // global sort), rank via Scale.globalRowNumber over the K-row
+    // survivor set (no partitionless window at any K).
+    Q("corpus_zipf", (s, dir) => {
+      val wc = spread(docs(s, dir))
+        .select(explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val top = wc.orderBy(col("freq").desc, col("word")).limit(100)
+      Scale.globalRowNumber(top,
+          Seq(col("freq").desc, col("word")))
+        .withColumnRenamed("rn", "rank")
+        .withColumn("zipf_product", col("rank") * col("freq"))
+        .select(col("rank"), col("word"), col("freq"),
+          col("zipf_product"))
+        .orderBy(col("rank"))
+    }, Some(
+      """WITH wc AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |      AS word
+        |    FROM documents) __w
+        |  GROUP BY word),
+        |top AS (
+        |  SELECT word, freq FROM wc ORDER BY freq DESC, word LIMIT 100)
+        |SELECT
+        |  CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT)
+        |    AS rank,
+        |  word, freq,
+        |  CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT)
+        |    * freq AS zipf_product
+        |FROM top ORDER BY rank""".stripMargin)),
+
     // Gopher-style repetition quality metrics, all in integer/ppm domain
     // (hash-safe): word repetition (1 - distinct/total) and the share of
     // the most frequent word bigram. Everything is row-local array math —

@@ -92,6 +92,36 @@ object VersionedTable {
     readVersion(spark, root, v)
   }
 
+  /** Non-destructive OPTIMIZE ZORDER: rewrite the LATEST snapshot
+    * compacted and Morton-clustered on `cols` as a NEW version — the
+    * table-format shape of OPTIMIZE (vs [[Compaction.optimizeZOrder]]'s
+    * in-place rename swap): readers of the old version are never
+    * disturbed, time travel keeps both layouts, and rollback is free
+    * (the pre-optimize version is still committed). File count is
+    * sized from the source snapshot's on-disk bytes. Returns the new
+    * version number. */
+  def optimize(
+      spark: SparkSession,
+      root: String,
+      cols: Seq[String],
+      bits: Int = 16,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed version"))
+    val (fs, rootP) = fsOf(spark, root)
+    val bytes = fs.listStatus(dataPath(rootP, v))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nOut = math.max(1,
+      math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val nv = v + 1
+    ZOrder.writeZOrderedN(readVersion(spark, root, v),
+      dataPath(rootP, nv).toString, cols, bits, nOut)
+    val out = fs.create(markerPath(rootP, nv), false) // atomic if-absent
+    out.close()
+    nv
+  }
+
   /** Batch MERGE (upsert): rows of `updates` replace same-key rows of
     * the latest snapshot, new keys append, untouched keys carry over —
     * committed as one new version. Duplicate keys WITHIN `updates`

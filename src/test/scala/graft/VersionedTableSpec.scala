@@ -109,6 +109,30 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(rows(root) === Set((3L, "v")))
   }
 
+  test("optimize commits a z-ordered NEW version; old layout survives") {
+    val root = tmpRoot()
+    val df = spark.range(0, 2000).toDF("id")
+      .select(col("id").cast("long").as("k"),
+        (col("id") % 7).cast("string").as("v"),
+        (col("id") * 37 % 1000).as("x"), (col("id") * 61 % 1000).as("y"))
+      .repartition(8) // fragmented layout
+    VersionedTable.commit(df, root)
+    val nv = VersionedTable.optimize(spark, root, Seq("x", "y"))
+    assert(nv === 1L)
+    assert(VersionedTable.versions(spark, root) === Seq(0L, 1L))
+    // content identical across layouts (checksum over all rows)
+    def sumOf(ver: Long) = VersionedTable.readVersion(spark, root, ver)
+      .select(xxhash64(col("k"), col("v"), col("x"), col("y")).as("h"))
+      .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
+    assert(sumOf(0L) === sumOf(1L))
+    // the optimized snapshot is the new latest; the old one still reads
+    assert(VersionedTable.read(spark, root).count() === 2000L)
+    assert(VersionedTable.readVersion(spark, root, 0L).count() === 2000L)
+    // rollback is free: vacuum keeping 1 drops the OLD version only
+    VersionedTable.vacuum(spark, root, keep = 1)
+    assert(VersionedTable.versions(spark, root) === Seq(1L))
+  }
+
   test("diffVersions reports added/removed/changed by fingerprint") {
     val root = tmpRoot()
     VersionedTable.commit(
