@@ -655,6 +655,20 @@ object Dedup {
     * DuckDB oracle replicating the per-bucket admission filter. */
   val MaxBandBucket = 1024L
 
+  /** ONE fused 64-bit band key per (doc, band) — band index hashed in —
+    * instead of a (bi, "h1_h2_…" string) pair: the self-join exchange
+    * carries 8 bytes per band row. Equal bands always collide to the
+    * same key, so every true candidate survives; a cross-band collision
+    * only ADDS a candidate, and the exact-Jaccard rescore drops it —
+    * the DEFINED output is unchanged. */
+  def minhashBandKeys(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      explode(array((0 until Bands).map { b =>
+        val hs = (0 until RowsPerBand)
+          .map(r => col(s"h${RowsPerBand * b + r}"))
+        xxhash64(lit(b) +: hs: _*)
+      }: _*)).as("bk"))
+
   def minhashLshPairs(
       docs: DataFrame,
       idCol: String,
@@ -663,18 +677,7 @@ object Dedup {
       maxBucket: Long = MaxBandBucket): DataFrame = {
     val sets = docShingleSets(docs, idCol, textCol).localCheckpoint()
     val sig = minhashSignaturesFromSets(sets)
-    // ONE fused 64-bit band key (band index hashed in) instead of a
-    // (bi, "h1_h2_…" string) pair: the self-join exchange carries 8
-    // bytes per band row. Equal bands always collide to the same key, so
-    // every true candidate survives; a cross-band collision only ADDS a
-    // candidate, and the exact-Jaccard rescore below drops it — the
-    // DEFINED output is unchanged.
-    val bands = sig.select(col("doc_id"),
-      explode(array((0 until Bands).map { b =>
-        val hs = (0 until RowsPerBand)
-          .map(r => col(s"h${RowsPerBand * b + r}"))
-        xxhash64(lit(b) +: hs: _*)
-      }: _*)).as("bk"))
+    val bands = minhashBandKeys(sig)
     // bucket-size admission as a WINDOW count over the band key (no
     // census job, no checkpoint, no driver action — a separate count +
     // anti-join guard measured +0.4s per query in extra jobs). Regime
@@ -710,6 +713,94 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("da"), col("db"), col("jaccard"))
   }
+
+  /** MinHash-LSH acceptance gate (the dedup analog of
+    * `IvfPq.recallEval`): measures THIS band configuration's candidate
+    * quality against the exact inverted-index Jaccard ground truth —
+    * the evaluation an LSH rollout runs once per (bands, rowsPerBand,
+    * cap) choice before trusting it on the corpus.
+    *
+    * One row: `n_truth` exact pairs >= threshold, `n_cand` distinct
+    * band-collision candidates, `n_found` candidates that are true
+    * pairs, `recall_ppm` = found/truth and `cand_precision_ppm` =
+    * found/cand — both EXACT integer divisions (no float path, so the
+    * measurement itself hash-checks). Precision here is the
+    * wasted-rescore-work metric: every non-true candidate still pays an
+    * exact-Jaccard rescore at corpus scale.
+    *
+    * Scale shape: ONE shingle-set checkpoint feeds truth, signatures
+    * and candidates; the ground-truth side is the deliberate
+    * inverted-index quadratic (once per config choice, not per corpus
+    * build — the same once-per-build argument as `ann_recall_eval`),
+    * and everything downstream of the sets is (da, db) narrow. */
+  def lshRecallEval(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = JaccardThreshold,
+      maxBucket: Long = MaxBandBucket): DataFrame = {
+    val sets = docShingleSets(docs, idCol, textCol).localCheckpoint()
+    // exact ground truth — the ngramJaccardPairs inverted-index shape
+    // over 64-bit shingle hashes, from the SHARED sets checkpoint
+    val sh = sets.select(col("doc_id"), explode(col("ss")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val counts = sets
+      .select(col("doc_id"), size(col("ss")).cast("long").as("n"))
+    val truth = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+      .join(counts.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(counts.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(round(col("i").cast("double") /
+        (col("na") + col("nb") - col("i")), 4) >= threshold)
+      .select(col("da"), col("db"))
+      .localCheckpoint()
+    // candidates: the same banding + bucket admission as minhashLshPairs
+    val bands = minhashBandKeys(minhashSignaturesFromSets(sets))
+    val admitted = bands
+      .withColumn("__bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bk"))))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+    val cand = admitted.as("a")
+      .join(admitted.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+      .localCheckpoint()
+    val found = cand.join(truth, Seq("da", "db"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_truth"), col("n_cand"), col("n_found"),
+        expr("n_found * 1000000L div n_truth").as("recall_ppm"),
+        expr("n_found * 1000000L div n_cand").as("cand_precision_ppm"))
+  }
+
+  /** DuckDB twin of [[lshRecallEval]]: the [[minhashLshCtes]] chain
+    * already exposes both the exact pair relation (`jac`) and the
+    * admitted candidates (`cand`); the eval is three counts and two
+    * integer divisions on top. */
+  def lshRecallEvalOracle(
+      docsRel: String,
+      threshold: Double,
+      maxBucket: Long = MaxBandBucket): String =
+    s"""WITH ${minhashLshCtes(docsRel, threshold, maxBucket)},
+       |truth AS (SELECT da, db FROM jac WHERE jaccard >= $threshold),
+       |fnd AS (
+       |  SELECT c.da, c.db FROM cand c
+       |  JOIN truth t ON t.da = c.da AND t.db = c.db),
+       |m AS (
+       |  SELECT (SELECT count(*) FROM truth) AS n_truth,
+       |    (SELECT count(*) FROM cand) AS n_cand,
+       |    (SELECT count(*) FROM fnd) AS n_found)
+       |SELECT n_truth, n_cand, n_found,
+       |  n_found * 1000000 // n_truth AS recall_ppm,
+       |  n_found * 1000000 // n_cand AS cand_precision_ppm
+       |FROM m""".stripMargin
 
   /** 32-bit SimHash per document from distinct whitespace tokens:
     * per-bit majority vote over word hashes. Fully ROW-LOCAL (zero

@@ -155,6 +155,60 @@ object WaveSevenQueries {
     s"('$h', concat_ws(chr(10), ${ls.map(l => s"'$l'").mkString(", ")}))"
   }.mkString(",\n  ")
 
+  // ---- parse-derived intra-corpus link graph ------------------------
+  // Shared by link_hits (this file) and graph_label_prop (wave eight):
+  // page fixture → href extraction → resolve → canonicalize →
+  // '/doc/N' target → in-corpus semi join → distinct (src, dst) longs.
+
+  private[relational] def linkEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pages = d.select(col("doc_id"),
+      HtmlExtract.page(col("doc_id"), col("text")).as("html"))
+    val tgt = regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+    pages
+      .select(col("doc_id").as("src"),
+        explode(HtmlExtract.links(col("html"))).as("href"))
+      .select(col("src"), UrlNormalize.norm(
+        HtmlExtract.resolve(col("href"), WaveSixQueries.Origin))
+        .as("url"))
+      .filter(tgt =!= "")
+      .select(col("src"), tgt.cast("long").as("dst"))
+      .join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** WITH-body fragment ending in `edges(src, dst)` and `nodes(node)`,
+    * both MATERIALIZED (multiply referenced by the iterative oracles —
+    * the BENCH_NOTES CTE-inlining lesson). */
+  private[relational] def linkGraphCtes: String = {
+    val pageSql = HtmlExtract.pageSql("doc_id", "text")
+    s"""pages AS MATERIALIZED (
+       |  SELECT doc_id, $pageSql AS html FROM documents),
+       |hrefs AS (
+       |  SELECT doc_id AS src, unnest(${HtmlExtract.linksSql("html")})
+       |    AS href
+       |  FROM pages),
+       |resolved AS (
+       |  SELECT src, ${HtmlExtract.resolveSql("href",
+            WaveSixQueries.Origin)} AS u
+       |  FROM hrefs),
+       |normed AS (
+       |  SELECT src, ${UrlNormalize.normSql("u")} AS url
+       |  FROM resolved),
+       |tg AS (
+       |  SELECT src, TRY_CAST(regexp_extract(url, '/doc/(\\d+)$$', 1)
+       |    AS BIGINT) AS dst
+       |  FROM normed),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM tg
+       |  WHERE dst IS NOT NULL
+       |    AND dst IN (SELECT doc_id FROM documents)
+       |    AND src <> dst),
+       |nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents)"""
+      .stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Sitemap parse + protocol rules: explode <url> entries, drop
@@ -425,49 +479,11 @@ object WaveSevenQueries {
     // key-partitioned join + sum and a broadcast one-row shrink.
     Q("link_hits", (s, dir) => {
       val d = docs(s, dir)
-      val pages = d.select(col("doc_id"),
-        HtmlExtract.page(col("doc_id"), col("text")).as("html"))
-      val tgt = regexp_extract(col("url"), "/doc/(\\d+)$", 1)
-      val edges = pages
-        .select(col("doc_id").as("src"),
-          explode(HtmlExtract.links(col("html"))).as("href"))
-        .select(col("src"), UrlNormalize.norm(
-          HtmlExtract.resolve(col("href"), WaveSixQueries.Origin))
-          .as("url"))
-        .filter(tgt =!= "")
-        .select(col("src"), tgt.cast("long").as("dst"))
-        .join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-      Hits.run(d.select(col("doc_id").as("node")), edges,
+      Hits.run(d.select(col("doc_id").as("node")), linkEdges(s, dir),
           "src", "dst", iters = 3)
         .orderBy(col("node"))
-    }, Some {
-      val pageSql = HtmlExtract.pageSql("doc_id", "text")
-      s"""WITH pages AS MATERIALIZED (
-         |  SELECT doc_id, $pageSql AS html FROM documents),
-         |hrefs AS (
-         |  SELECT doc_id AS src, unnest(${HtmlExtract.linksSql("html")})
-         |    AS href
-         |  FROM pages),
-         |resolved AS (
-         |  SELECT src, ${HtmlExtract.resolveSql("href",
-                WaveSixQueries.Origin)} AS u
-         |  FROM hrefs),
-         |normed AS (
-         |  SELECT src, ${UrlNormalize.normSql("u")} AS url
-         |  FROM resolved),
-         |tg AS (
-         |  SELECT src, TRY_CAST(regexp_extract(url, '/doc/(\\d+)$$', 1)
-         |    AS BIGINT) AS dst
-         |  FROM normed),
-         |edges AS MATERIALIZED (
-         |  SELECT DISTINCT src, dst FROM tg
-         |  WHERE dst IS NOT NULL
-         |    AND dst IN (SELECT doc_id FROM documents)
-         |    AND src <> dst),
-         |nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+    }, Some(
+      s"""WITH $linkGraphCtes,
          |${Hits.oracleCtes("nodes", "edges", 3)}
-         |${Hits.oracleSelect("nodes", 3)}""".stripMargin
-    }))
+         |${Hits.oracleSelect("nodes", 3)}""".stripMargin)))
 }
