@@ -16,6 +16,9 @@ object WaveEightQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
   /** Label-propagation rounds — fixed, like the Hits/PageRank loops:
     * enough for communities to form on the corpus link graph while the
     * unrolled oracle stays linear in rounds. (Declared BEFORE `all`:
@@ -35,6 +38,43 @@ object WaveEightQueries {
       Dedup.lshRecallEval(docs(s, dir), "doc_id", "text")
     }, Some(Dedup.lshRecallEvalOracle("documents",
       Dedup.JaccardThreshold))),
+
+    // Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of the BM25
+    // lexical list and a dense list seeded by pseudo-relevance
+    // feedback (the dense query = the top-1 lexical hit's embedding)
+    // — the standard hybrid-retrieval composition over bm25_search +
+    // the ann family. Fusion scores are pure integer rank arithmetic;
+    // both lists rank via the range-partitioned global row number and
+    // truncate BEFORE the fusion join.
+    Q("search_rrf_hybrid", (s, dir) => {
+      graft.search.HybridSearch.rrf(docs(s, dir), emb(s, dir),
+        TrainingDataQueries.Bm25Terms)
+    }, Some(graft.search.HybridSearch.rrfOracle("documents",
+      "embeddings", TrainingDataQueries.Bm25Terms))),
+
+    // Maximal-marginal-relevance diversification (Carbonell &
+    // Goldstein, SIGIR 1998): greedy relevance-vs-redundancy selection
+    // over each query's ANN candidate list, all queries advancing
+    // together — per round ONE qid-keyed join + group-max + struct
+    // argmax on list-sized integer relations. Oracle unrolls the
+    // greedy loop to MmrK CTE rounds (the LPA/Hits discipline).
+    Q("search_mmr_diversify", (s, dir) => {
+      graft.search.HybridSearch.mmr(emb(s, dir),
+          TrainingDataQueries.AnnQueries)
+        .orderBy(col("qid"), col("mrank"))
+    }, Some(graft.search.HybridSearch.mmrOracle("embeddings",
+      TrainingDataQueries.AnnQueries))),
+
+    // nDCG@k of the int8-quantized ANN ranking against the exact
+    // float-cosine truth (Järvelin & Kekäläinen 2002) — the graded
+    // sibling of ann_recall_eval: recall counts hits, nDCG weighs
+    // where they landed. Per-position gains on the Bm25 integer
+    // micro-grid, final ratio exact ppm.
+    Q("ann_ndcg_int8", (s, dir) => {
+      graft.search.RankEval.ndcgInt8(emb(s, dir),
+        TrainingDataQueries.AnnQueries, TrainingDataQueries.AnnK)
+    }, Some(graft.search.RankEval.ndcgInt8Oracle("embeddings",
+      TrainingDataQueries.AnnQueries, TrainingDataQueries.AnnK))),
 
     // Synchronous label propagation (Raghavan et al. 2007) over the
     // parse-derived intra-corpus link graph — community detection, the
