@@ -25,7 +25,159 @@ object WaveEightQueries {
     * object-init order would otherwise read 0.) */
   val LpaIters = 3
 
+  /** Bigram collocation admission floor and report depth. */
+  val MinColloc = 3
+  val CollocTop = 25
+
   val all: Seq[Q] = Seq(
+
+    // Node-local triangle counts + clustering coefficient over the
+    // parse-derived link graph, DEGREE-ORIENTED (Schank & Wagner 2005;
+    // the MapReduce shape is Suri & Vassilvitskii, WWW 2011): each
+    // undirected edge orients from lower to higher (degree, id) rank,
+    // so every triangle is counted exactly once and the wedge join is
+    // bounded by sum(outdeg²) with outdeg = O(sqrt(m)) on any graph —
+    // the skew guard a raw 3-way self-join lacks (a hub of degree d
+    // would otherwise contribute d² wedges; oriented, high-degree
+    // nodes get LOW out-degree). Only narrow (long, long) edges
+    // shuffle; cc lands on an exact ppm grid.
+    Q("graph_triangles", (s, dir) => {
+      val e = WaveSevenQueries.linkEdges(s, dir)
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+        .localCheckpoint() // consumers: degrees + orientation
+      val deg = und
+        .select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint() // consumers: rank keys + final cc join
+      // distinct total-order rank key: degree-major, id tiebreak
+      val rk = deg.select(col("node"),
+        (col("deg") * lit(4294967296L) + col("node")).as("rk"))
+      val ord = und
+        .join(rk.select(col("node").as("a"), col("rk").as("ra")), "a")
+        .join(rk.select(col("node").as("b"), col("rk").as("rb")), "b")
+        .select(
+          when(col("ra") < col("rb"), col("a")).otherwise(col("b"))
+            .as("u"),
+          when(col("ra") < col("rb"), col("b")).otherwise(col("a"))
+            .as("v"),
+          greatest(col("ra"), col("rb")).as("rv"))
+        .localCheckpoint() // consumers: both wedge sides + closing
+      val wedges = ord.as("x")
+        .join(ord.as("y"),
+          col("x.u") === col("y.u") && col("x.rv") < col("y.rv"))
+        .select(col("x.u").as("n1"), col("x.v").as("n2"),
+          col("y.v").as("n3"))
+      val tris = wedges.join(
+        ord.select(col("u").as("n2"), col("v").as("n3")),
+        Seq("n2", "n3"), "left_semi")
+      val perNode = tris
+        .select(explode(array(col("n1"), col("n2"), col("n3")))
+          .as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+      deg.join(perNode, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"))
+        .select(col("node"), col("deg"), col("tri"),
+          when(col("deg") >= 2,
+            expr("tri * 2000000L div (deg * (deg - 1))"))
+            .otherwise(lit(0L)).as("cc_ppm"))
+        .orderBy(col("node"))
+    }, Some(
+      s"""WITH ${WaveSevenQueries.linkGraphCtes},
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges),
+         |dg AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM und
+         |    UNION ALL SELECT b FROM und) __d
+         |  GROUP BY node),
+         |rk AS (SELECT node, deg * 4294967296 + node AS rk FROM dg),
+         |ord AS MATERIALIZED (
+         |  SELECT CASE WHEN ra.rk < rb.rk THEN u.a ELSE u.b END AS u,
+         |    CASE WHEN ra.rk < rb.rk THEN u.b ELSE u.a END AS v,
+         |    greatest(ra.rk, rb.rk) AS rv
+         |  FROM und u
+         |  JOIN rk ra ON ra.node = u.a
+         |  JOIN rk rb ON rb.node = u.b),
+         |tri3 AS (
+         |  SELECT x.u AS n1, x.v AS n2, y.v AS n3
+         |  FROM ord x JOIN ord y ON y.u = x.u AND x.rv < y.rv
+         |  SEMI JOIN ord z ON z.u = x.v AND z.v = y.v),
+         |pt AS (
+         |  SELECT node, count(*) AS tri FROM (
+         |    SELECT n1 AS node FROM tri3
+         |    UNION ALL SELECT n2 FROM tri3
+         |    UNION ALL SELECT n3 FROM tri3) __t
+         |  GROUP BY node)
+         |SELECT d.node, d.deg, CAST(coalesce(p.tri, 0) AS BIGINT) AS tri,
+         |  CAST(CASE WHEN d.deg >= 2 THEN
+         |      coalesce(p.tri, 0) * 2000000 // (d.deg * (d.deg - 1))
+         |    ELSE 0 END AS BIGINT) AS cc_ppm
+         |FROM dg d LEFT JOIN pt p ON p.node = d.node
+         |ORDER BY d.node""".stripMargin)),
+
+    // Bigram collocation extraction by pointwise mutual information
+    // (Church & Hanks 1990) — the lexical-association diagnostic next
+    // to corpus_zipf/corpus_vocab_growth: high-PMI pairs are the
+    // multiword units a tokenizer should not split. Bigrams are
+    // ROW-LOCAL (zip_with over the token array — no positional join);
+    // only (word, word, count) triples shuffle; the two corpus totals
+    // ride a broadcast one-row relation; PMI lands on the integer
+    // micro-nat grid before ranking, so the float ln hash-checks.
+    Q("corpus_collocations", (s, dir) => {
+      val toks = docs(s, dir).select(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+            .as("t"))
+        .localCheckpoint() // consumers: unigrams + bigrams
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // consumers: total + two count joins
+      val tn = uni.agg(sum(col("c")).as("tn"))
+      val biCounts = toks.filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+            " (x, y) -> struct(x, y))")).as("p"))
+        .select(col("p.x").as("w1"), col("p.y").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+        .localCheckpoint() // consumers: total + admitted pairs
+      val bn = biCounts.agg(sum(col("cab")).as("bn"))
+      biCounts.filter(col("cab") >= MinColloc)
+        .join(uni.select(col("w").as("w1"), col("c").as("ca")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("cb")), "w2")
+        .crossJoin(broadcast(tn.crossJoin(bn)))
+        .select(col("w1"), col("w2"), col("cab"),
+          round(lit(1e6) * log((col("cab") / col("bn")) /
+            ((col("ca") / col("tn")) * (col("cb") / col("tn")))))
+            .cast("long").as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+        .limit(CollocTop)
+    }, Some(
+      s"""WITH tok AS (
+         |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS t
+         |  FROM documents),
+         |uni AS (
+         |  SELECT w, count(*) AS c FROM (
+         |    SELECT unnest(t) AS w FROM tok) __u
+         |  GROUP BY w),
+         |st AS (SELECT CAST(sum(c) AS BIGINT) AS tn FROM uni),
+         |bc AS (
+         |  SELECT w1, w2, count(*) AS cab FROM (
+         |    SELECT t[i] AS w1, t[i + 1] AS w2
+         |    FROM tok, unnest(range(1, len(t))) AS u(i)) __b
+         |  GROUP BY w1, w2),
+         |bst AS (SELECT CAST(sum(cab) AS BIGINT) AS bn FROM bc)
+         |SELECT b.w1, b.w2, b.cab,
+         |  CAST(round(1e6 * ln((b.cab / s2.bn) /
+         |    ((a.c / s.tn) * (c2.c / s.tn)))) AS BIGINT) AS pmi_micro
+         |FROM bc b
+         |JOIN uni a ON a.w = b.w1
+         |JOIN uni c2 ON c2.w = b.w2
+         |CROSS JOIN st s CROSS JOIN bst s2
+         |WHERE b.cab >= $MinColloc
+         |ORDER BY pmi_micro DESC, w1, w2 LIMIT $CollocTop""".stripMargin)),
 
     // MinHash-LSH acceptance gate — the dedup analog of
     // ann_recall_eval: THIS band configuration's candidate recall and
