@@ -29,6 +29,12 @@ object WaveEightQueries {
   val MinColloc = 3
   val CollocTop = 25
 
+  /** k-core peel target and fixed round count (the LPA/Hits bounded-
+    * iteration discipline — each round is one degree count + two
+    * semi-joins; R rounds approximate the fixpoint from above). */
+  val CoreK = 2
+  val CoreRounds = 3
+
   val all: Seq[Q] = Seq(
 
     // Node-local triangle counts + clustering coefficient over the
@@ -118,6 +124,58 @@ object WaveEightQueries {
          |    ELSE 0 END AS BIGINT) AS cc_ppm
          |FROM dg d LEFT JOIN pt p ON p.node = d.node
          |ORDER BY d.node""".stripMargin)),
+
+    // k-core peeling (Seidman 1983; distributed peeling à la
+    // Montresor et al. 2013) — CoreRounds rounds of "drop nodes with
+    // degree < k, restrict edges to survivors" over the undirected
+    // link graph: the dense-subgraph extractor next to the community
+    // (graph_label_prop) and triangle (graph_triangles) views. Each
+    // round shuffles only (long, long) edges + (node, deg) counts;
+    // the oracle unrolls the peel. Output: nodes still carrying
+    // edges after the last round, with their within-subgraph degree.
+    Q("graph_kcore", (s, dir) => {
+      val e0 = WaveSevenQueries.linkEdges(s, dir)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+        .localCheckpoint()
+      def degrees(e: DataFrame): DataFrame = e
+        .select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      var edges = e0
+      for (_ <- 1 to CoreRounds) {
+        val keep = degrees(edges).filter(col("deg") >= CoreK)
+          .select(col("node"))
+        edges = edges
+          .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+          .localCheckpoint()
+      }
+      degrees(edges).orderBy(col("node"))
+    }, Some {
+      val rounds = (1 to CoreRounds).map { i =>
+        s"""k$i AS (
+           |  SELECT node FROM (
+           |    SELECT node, count(*) AS deg FROM (
+           |      SELECT a AS node FROM e${i - 1}
+           |      UNION ALL SELECT b FROM e${i - 1}) __d$i
+           |    GROUP BY node) __k$i WHERE deg >= $CoreK),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM e${i - 1} e
+           |  SEMI JOIN k$i x ON x.node = e.a
+           |  SEMI JOIN k$i y ON y.node = e.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${WaveSevenQueries.linkGraphCtes},
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges),
+         |$rounds
+         |SELECT node, count(*) AS deg FROM (
+         |  SELECT a AS node FROM e$CoreRounds
+         |  UNION ALL SELECT b FROM e$CoreRounds) __f
+         |GROUP BY node ORDER BY node""".stripMargin
+    }),
 
     // Bigram collocation extraction by pointwise mutual information
     // (Church & Hanks 1990) — the lexical-association diagnostic next

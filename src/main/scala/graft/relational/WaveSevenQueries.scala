@@ -340,16 +340,25 @@ object WaveSevenQueries {
     // whole fixpoint stays inside one declarative statement in both
     // engines. Monotone successors bound the recursion (node strictly
     // grows, capped at 64), min-depth aggregates AFTER the fixpoint.
+    // Successors ×2 / ×3 capped at 10000: the reachable set is the
+    // 3-smooth numbers, depth = a+b of 2^a·3^b (unique factorization)
+    // and n_paths = C(a+b, a) — real path counting, with the fixpoint
+    // reached in ~13 rounds (an earlier +1/×2 lattice needed 63
+    // UnionLoop rounds and paid ~7s of pure per-round scheduling; each
+    // Spark recursion round is a job, so recursion DEPTH, not row
+    // count, is the cost at any scale). COALESCE(1) keeps each tiny
+    // round from shuffling into 32 partitions.
     Q("q_recursive_closure", (s, _) => {
       s.sql(
         """WITH RECURSIVE r(node, d) AS (
           |  SELECT 1, 0
           |  UNION ALL
-          |  SELECT CASE WHEN x = 0 THEN node + 1 ELSE node * 2 END,
+          |  SELECT /*+ COALESCE(1) */
+          |    CASE WHEN x = 0 THEN node * 2 ELSE node * 3 END,
           |    d + 1
           |  FROM r, (SELECT explode(array(0, 1)) AS x)
-          |  WHERE (CASE WHEN x = 0 THEN node + 1 ELSE node * 2 END)
-          |    <= 64
+          |  WHERE (CASE WHEN x = 0 THEN node * 2 ELSE node * 3 END)
+          |    <= 10000
           |)
           |SELECT CAST(node AS BIGINT) AS node,
           |  CAST(min(d) AS BIGINT) AS depth,
@@ -359,11 +368,11 @@ object WaveSevenQueries {
       """WITH RECURSIVE r(node, d) AS (
         |  SELECT 1, 0
         |  UNION ALL
-        |  SELECT CASE WHEN x = 0 THEN node + 1 ELSE node * 2 END,
+        |  SELECT CASE WHEN x = 0 THEN node * 2 ELSE node * 3 END,
         |    d + 1
         |  FROM r, (SELECT unnest([0, 1]) AS x) t
-        |  WHERE (CASE WHEN x = 0 THEN node + 1 ELSE node * 2 END)
-        |    <= 64
+        |  WHERE (CASE WHEN x = 0 THEN node * 2 ELSE node * 3 END)
+        |    <= 10000
         |)
         |SELECT CAST(node AS BIGINT) AS node,
         |  CAST(min(d) AS BIGINT) AS depth,

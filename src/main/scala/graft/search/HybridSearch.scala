@@ -123,19 +123,46 @@ object HybridSearch {
   val LambdaNum = 7
   val LambdaCompl = 3
 
+  /** Exact mirror of `round(x * 1e4)` on a Column: Spark's Round is
+    * BigDecimal HALF_UP (away from zero), which `math.round` (floor of
+    * x+0.5) gets wrong at negative half-boundaries. */
+  private def half10k(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Scalar twin of [[cosine10k]] — sequential accumulation in index
+    * order, the same summation the codegen'd ArrayDot performs, so the
+    * grid values are bit-identical to the Column path. */
+  private def cos10kLocal(a: Array[Double], b: Array[Double]): Long = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    half10k(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e4)
+  }
+
   /** MMR diversification for every query `vec_id < nQueries`: greedy
-    * `k`-round selection over that query's top-`MmrCand` cosine
+    * `k`-step selection over that query's top-`nCand` cosine
     * candidates, maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)
-    * (ties to the smallest cid). All queries advance together: each
-    * round is ONE qid-keyed join + group-max + struct-argmax over
-    * list-sized relations — candidate lists and pair similarities are
-    * computed once and reused across rounds; the corpus-sized scoring
-    * scan happens exactly once up front.
+    * (ties to the smallest cid).
+    *
+    * Scale shape: the greedy is sequential in k but INDEPENDENT across
+    * queries, and each query's candidate list is `nCand`-bounded by
+    * construction — exactly the shape for one shuffle +
+    * `KeyValueGroupedDataset.flatMapGroups`: the corpus-sized scoring
+    * scan runs once, the window keeps k·|queries| rows, and the
+    * per-group selection (including the nCand² redundancy sims) is
+    * row-local integer arithmetic. The first cut ran the greedy as k
+    * rounds of qid-keyed joins — ~3 jobs per round put it at 5.99s in
+    * the sf0.1 bench vs this one-exchange form (a million queries
+    * would pay the same 24-job overhead; group-local, they just widen
+    * the one exchange).
     *
     * Output: (qid, mrank, cid, mmr) — mrank 1..k selection order, mmr
     * the integer objective at selection time. */
   def mmr(emb: DataFrame, nQueries: Int, nCand: Int = MmrCand,
       k: Int = MmrK): DataFrame = {
+    val sp = emb.sparkSession
+    import sp.implicits._
     val e = Scale.spreadIfNarrow(emb)
       .select(col("vec_id").cast("long").as("cid"),
         col("embedding").cast("array<double>").as("v"))
@@ -145,50 +172,55 @@ object HybridSearch {
     val scored = e.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        cosine10k(col("v"), col("qv")).as("sq"))
+        cosine10k(col("v"), col("qv")).as("sq"), col("v"))
     val cand = scored
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
           .orderBy(col("sq").desc, col("cid"))))
       .filter(col("rn") <= nCand)
-      .drop("rn")
-      .localCheckpoint() // consumed every round + by the pair join
-    // candidate-pair sims, list² per query (the bounded MMR redundancy
-    // term — never corpus²)
-    val cv = cand.join(e, Seq("cid"))
-    val pairs = cv.select(col("qid"), col("cid").as("ca"), col("v"))
-      .join(cv.select(col("qid"), col("cid").as("cb"),
-        col("v").as("w")), Seq("qid"))
-      .filter(col("ca") =!= col("cb"))
-      .select(col("qid"), col("ca"), col("cb"),
-        cosine10k(col("v"), col("w")).as("sp"))
-      .localCheckpoint()
-    var selected = cand.limit(0)
-      .select(col("qid"), col("cid"), lit(0L).as("mmr"),
-        lit(0).as("mrank"))
-    var remaining = cand
-    for (r <- 1 to k) {
-      val pen =
-        if (r == 1) remaining.select(col("qid"), col("cid"),
-          col("sq"), lit(0L).as("p"))
-        else remaining
-          .join(pairs.join(selected.select(col("qid"),
-              col("cid").as("cb")), Seq("qid", "cb"), "left_semi")
-            .groupBy(col("qid"), col("ca").as("cid"))
-            .agg(max(col("sp")).as("p")), Seq("qid", "cid"))
-      val obj = pen.select(col("qid"), col("cid"),
-        (col("sq") * LambdaNum - col("p") * LambdaCompl).as("m"))
-      val win = obj.groupBy(col("qid"))
-        .agg(max(struct(col("m"), (-col("cid")).as("nc"))).as("w"))
-        .select(col("qid"), (-col("w.nc")).as("cid"),
-          col("w.m").as("mmr"), lit(r).as("mrank"))
-      selected = selected.unionByName(win).localCheckpoint()
-      remaining = remaining
-        .join(win.select(col("qid"), col("cid")), Seq("qid", "cid"),
-          "left_anti")
-        .localCheckpoint()
-    }
-    selected.select(col("qid"), col("mrank"), col("cid"), col("mmr"))
+      .select(col("qid"), col("cid"), col("sq"), col("v"))
+      .as[(Long, Long, Long, Array[Double])]
+    cand.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // candidate order = the window's (sq desc, cid) rank order
+        val cs = it.toArray.sortBy(c => (-c._3, c._2))
+        val sims = Array.tabulate(cs.length, cs.length) { (i, j) =>
+          if (i == j) 0L else cos10kLocal(cs(i)._4, cs(j)._4)
+        }
+        val selected = Array.newBuilder[(Long, Int, Long, Long)]
+        val picked = Array.fill(cs.length)(false)
+        var r = 1
+        while (r <= math.min(k, cs.length)) {
+          var bi = -1; var bm = Long.MinValue
+          var i = 0
+          while (i < cs.length) {
+            if (!picked(i)) {
+              // true max over selected — pair sims can be NEGATIVE and
+              // the oracle's max(sp) keeps the sign; only the empty
+              // first round contributes 0
+              var pen = if (r == 1) 0L else Long.MinValue
+              var j = 0
+              while (j < cs.length) {
+                if (picked(j) && sims(i)(j) > pen) pen = sims(i)(j)
+                j += 1
+              }
+              // ties on the objective break to the SMALLEST cid (the
+              // oracle's row_number order) — scan order alone would
+              // prefer the higher-sq candidate
+              val m = cs(i)._3 * LambdaNum - pen * LambdaCompl
+              if (m > bm || (m == bm && cs(i)._2 < cs(bi)._2)) {
+                bm = m; bi = i
+              }
+            }
+            i += 1
+          }
+          picked(bi) = true
+          selected += ((qid, r, cs(bi)._2, bm))
+          r += 1
+        }
+        selected.result().toSeq
+      }
+      .toDF("qid", "mrank", "cid", "mmr")
   }
 
   /** DuckDB twin of [[mmr]]: the greedy loop unrolls to `k` CTE
