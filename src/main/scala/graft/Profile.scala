@@ -161,7 +161,14 @@ object Profile {
       for (q <- Seq("crawl_curate", "corpus_curate_full",
           "join_skew_probe", "table_profile",
           // r10 additions: link-graph iteration + sitemap funnel
-          "link_hits", "sitemap_frontier"))
+          "link_hits", "sitemap_frontier",
+          // r10 wave-eight additions: graph family over the 10x parse,
+          // LSH acceptance gate with df-10 shingles (quadratic truth
+          // side in its active regime), collocations at 10x vocab
+          // counts, and the fusion/diversification pair
+          "graph_triangles", "graph_kcore", "graph_label_prop",
+          "lsh_recall_eval", "corpus_collocations",
+          "search_rrf_hybrid", "search_mmr_diversify"))
         time(s"$q @10x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
       spark.stop()
       return

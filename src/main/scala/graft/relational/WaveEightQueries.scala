@@ -35,6 +35,9 @@ object WaveEightQueries {
   val CoreK = 2
   val CoreRounds = 3
 
+  /** BFS hop bound — recursion rounds are jobs, so depth is the cost. */
+  val BfsDepth = 3
+
   val all: Seq[Q] = Seq(
 
     // Node-local triangle counts + clustering coefficient over the
@@ -176,6 +179,44 @@ object WaveEightQueries {
          |  UNION ALL SELECT b FROM e$CoreRounds) __f
          |GROUP BY node ORDER BY node""".stripMargin
     }),
+
+    // DATA-DRIVEN recursive CTE: BFS reachability (min depth + path
+    // counts, ≤ BfsDepth hops) from the smallest linking doc over the
+    // parse-derived link graph — the production sibling of
+    // q_recursive_closure's synthetic lattice, SQL:1999 recursion over
+    // a REAL edge relation in both engines. The edge relation is
+    // localCheckpointed BEFORE the recursion: each UnionLoop round
+    // re-executes the step query, and an un-pinned edges subplan would
+    // re-run the whole HTML parse chain per round. Depth bounds the
+    // rounds; COALESCE(1) keeps the tiny per-round exchange narrow.
+    Q("graph_bfs_reach", (s, dir) => {
+      WaveSevenQueries.linkEdges(s, dir).localCheckpoint()
+        .createOrReplaceTempView("graft_edges")
+      s.sql(
+        s"""WITH RECURSIVE bfs(node, d) AS (
+           |  SELECT CAST((SELECT min(src) FROM graft_edges) AS BIGINT),
+           |    0
+           |  UNION ALL
+           |  SELECT /*+ COALESCE(1) */ e.dst, b.d + 1
+           |  FROM bfs b JOIN graft_edges e ON e.src = b.node
+           |  WHERE b.d < $BfsDepth
+           |)
+           |SELECT node, CAST(min(d) AS BIGINT) AS depth,
+           |  CAST(count(*) AS BIGINT) AS n_paths
+           |FROM bfs GROUP BY node ORDER BY node""".stripMargin)
+    }, Some(
+      s"""WITH RECURSIVE ${WaveSevenQueries.linkGraphCtes},
+         |sd AS (SELECT min(src) AS s FROM edges),
+         |bfs(node, d) AS (
+         |  SELECT s, 0 FROM sd
+         |  UNION ALL
+         |  SELECT e.dst, b.d + 1
+         |  FROM bfs b JOIN edges e ON e.src = b.node
+         |  WHERE b.d < $BfsDepth
+         |)
+         |SELECT node, CAST(min(d) AS BIGINT) AS depth,
+         |  CAST(count(*) AS BIGINT) AS n_paths
+         |FROM bfs GROUP BY node ORDER BY node""".stripMargin)),
 
     // Bigram collocation extraction by pointwise mutual information
     // (Church & Hanks 1990) — the lexical-association diagnostic next
