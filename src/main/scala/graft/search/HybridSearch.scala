@@ -224,26 +224,31 @@ object HybridSearch {
   }
 
   /** DuckDB twin of [[mmr]]: the greedy loop unrolls to `k` CTE
-    * rounds (select → anti-join shrink), the LPA/Hits discipline. */
+    * rounds (select → anti-join shrink), the LPA/Hits discipline.
+    * EVERY per-round CTE is MATERIALIZED: inlined, each round's
+    * rem/selall re-expands the previous round's whole subtree and the
+    * plan grows 2^k copies of the corpus-sized scoring cross join —
+    * DuckDB OOMed exactly this way at sf0.1 (the linkGraphCtes
+    * inlining lesson, squared). */
   def mmrOracle(embRel: String, nQueries: Int, nCand: Int = MmrCand,
       k: Int = MmrK): String = {
     val rounds = (2 to k).map { i =>
-      s"""pen$i AS (
+      s"""pen$i AS MATERIALIZED (
          |  SELECT r.qid, r.cid, r.sq, max(p.sp) AS p
          |  FROM rem${i - 1} r
          |  JOIN mpairs p ON p.qid = r.qid AND p.ca = r.cid
          |  JOIN selall${i - 1} s ON s.qid = p.qid AND s.cid = p.cb
          |  GROUP BY 1, 2, 3),
-         |sel$i AS (
+         |sel$i AS MATERIALIZED (
          |  SELECT qid, cid, m AS mmr, $i AS mrank FROM (
          |    SELECT qid, cid, sq * $LambdaNum - p * $LambdaCompl AS m,
          |      row_number() OVER (PARTITION BY qid
          |        ORDER BY sq * $LambdaNum - p * $LambdaCompl DESC,
          |          cid) AS rn
          |    FROM pen$i) __s$i WHERE rn = 1),
-         |selall$i AS (
+         |selall$i AS MATERIALIZED (
          |  SELECT * FROM selall${i - 1} UNION ALL SELECT * FROM sel$i),
-         |rem$i AS (
+         |rem$i AS MATERIALIZED (
          |  SELECT r.* FROM rem${i - 1} r
          |  ANTI JOIN sel$i s ON s.qid = r.qid AND s.cid = r.cid)"""
         .stripMargin
@@ -256,12 +261,12 @@ object HybridSearch {
        |    CAST(round(list_cosine_similarity(e.v, q.qv) * 1e4)
        |      AS BIGINT) AS sq
        |  FROM e CROSS JOIN mq q WHERE e.cid != q.qid),
-       |mcand AS (
+       |mcand AS MATERIALIZED (
        |  SELECT qid, cid, sq FROM (
        |    SELECT qid, cid, sq, row_number() OVER (PARTITION BY qid
        |      ORDER BY sq DESC, cid) AS rn
        |    FROM msc) __c WHERE rn <= $nCand),
-       |mpairs AS (
+       |mpairs AS MATERIALIZED (
        |  SELECT a.qid, a.cid AS ca, b.cid AS cb,
        |    CAST(round(list_cosine_similarity(ea.v, eb.v) * 1e4)
        |      AS BIGINT) AS sp
@@ -269,14 +274,14 @@ object HybridSearch {
        |  JOIN mcand b ON b.qid = a.qid AND b.cid != a.cid
        |  JOIN e ea ON ea.cid = a.cid
        |  JOIN e eb ON eb.cid = b.cid),
-       |sel1 AS (
+       |sel1 AS MATERIALIZED (
        |  SELECT qid, cid, m AS mmr, 1 AS mrank FROM (
        |    SELECT qid, cid, sq * $LambdaNum AS m,
        |      row_number() OVER (PARTITION BY qid
        |        ORDER BY sq * $LambdaNum DESC, cid) AS rn
        |    FROM mcand) __s1 WHERE rn = 1),
-       |selall1 AS (SELECT * FROM sel1),
-       |rem1 AS (
+       |selall1 AS MATERIALIZED (SELECT * FROM sel1),
+       |rem1 AS MATERIALIZED (
        |  SELECT r.* FROM mcand r
        |  ANTI JOIN sel1 s ON s.qid = r.qid AND s.cid = r.cid),
        |$rounds
