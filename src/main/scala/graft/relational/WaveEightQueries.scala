@@ -51,47 +51,9 @@ object WaveEightQueries {
     // nodes get LOW out-degree). Only narrow (long, long) edges
     // shuffle; cc lands on an exact ppm grid.
     Q("graph_triangles", (s, dir) => {
-      val e = WaveSevenQueries.linkEdges(s, dir)
-      val und = e.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct()
-        .localCheckpoint() // consumers: degrees + orientation
-      val deg = und
-        .select(explode(array(col("a"), col("b"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint() // consumers: rank keys + final cc join
-      // distinct total-order rank key: degree-major, id tiebreak
-      val rk = deg.select(col("node"),
-        (col("deg") * lit(4294967296L) + col("node")).as("rk"))
-      val ord = und
-        .join(rk.select(col("node").as("a"), col("rk").as("ra")), "a")
-        .join(rk.select(col("node").as("b"), col("rk").as("rb")), "b")
-        .select(
-          when(col("ra") < col("rb"), col("a")).otherwise(col("b"))
-            .as("u"),
-          when(col("ra") < col("rb"), col("b")).otherwise(col("a"))
-            .as("v"),
-          greatest(col("ra"), col("rb")).as("rv"))
-        .localCheckpoint() // consumers: both wedge sides + closing
-      val wedges = ord.as("x")
-        .join(ord.as("y"),
-          col("x.u") === col("y.u") && col("x.rv") < col("y.rv"))
-        .select(col("x.u").as("n1"), col("x.v").as("n2"),
-          col("y.v").as("n3"))
-      val tris = wedges.join(
-        ord.select(col("u").as("n2"), col("v").as("n3")),
-        Seq("n2", "n3"), "left_semi")
-      val perNode = tris
-        .select(explode(array(col("n1"), col("n2"), col("n3")))
-          .as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("tri"))
-      deg.join(perNode, Seq("node"), "left")
-        .select(col("node"), col("deg"),
-          coalesce(col("tri"), lit(0L)).as("tri"))
-        .select(col("node"), col("deg"), col("tri"),
-          when(col("deg") >= 2,
-            expr("tri * 2000000L div (deg * (deg - 1))"))
-            .otherwise(lit(0L)).as("cc_ppm"))
+      graft.operators.GraphOps.triangleStats(
+          graft.operators.GraphOps.undirected(
+            WaveSevenQueries.linkEdges(s, dir)))
         .orderBy(col("node"))
     }, Some(
       s"""WITH ${WaveSevenQueries.linkGraphCtes},
@@ -137,25 +99,11 @@ object WaveEightQueries {
     // the oracle unrolls the peel. Output: nodes still carrying
     // edges after the last round, with their within-subgraph degree.
     Q("graph_kcore", (s, dir) => {
-      val e0 = WaveSevenQueries.linkEdges(s, dir)
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct()
-        .localCheckpoint()
-      def degrees(e: DataFrame): DataFrame = e
-        .select(explode(array(col("a"), col("b"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      var edges = e0
-      for (_ <- 1 to CoreRounds) {
-        val keep = degrees(edges).filter(col("deg") >= CoreK)
-          .select(col("node"))
-        edges = edges
-          .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
-          .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
-          .select(col("a"), col("b"))
-          .localCheckpoint()
-      }
-      degrees(edges).orderBy(col("node"))
+      graft.operators.GraphOps.kcore(
+          graft.operators.GraphOps.undirected(
+            WaveSevenQueries.linkEdges(s, dir)),
+          CoreK, CoreRounds)
+        .orderBy(col("node"))
     }, Some {
       val rounds = (1 to CoreRounds).map { i =>
         s"""k$i AS (
@@ -337,34 +285,9 @@ object WaveEightQueries {
     // — only narrow longs shuffle, labels localCheckpoint per round so
     // lineage stays flat.
     Q("graph_label_prop", (s, dir) => {
-      // pin column ORDER before the positional union (linkEdges leads
-      // with its semi-join key), then symmetrize
-      val edges = WaveSevenQueries.linkEdges(s, dir)
-        .select(col("src"), col("dst"))
-      val und = edges
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-        .localCheckpoint()
-      var labels = docs(s, dir)
-        .select(col("doc_id").as("node"), col("doc_id").as("label"))
-      for (_ <- 1 to LpaIters) {
-        val votes = und
-          .join(labels.withColumnRenamed("node", "src"), "src")
-          .groupBy(col("dst").as("node"), col("label"))
-          .agg(count(lit(1)).as("c"))
-        // max count then min label via one struct max: (c, -label)
-        val picked = votes.groupBy(col("node"))
-          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-          .select(col("node"), (-col("m.nl")).as("plabel"))
-        labels = labels.join(picked, Seq("node"), "left")
-          .select(col("node"),
-            coalesce(col("plabel"), col("label")).as("label"))
-          .localCheckpoint()
-      }
-      val sizes = labels.groupBy(col("label"))
-        .agg(count(lit(1)).as("members"))
-      labels.join(sizes, Seq("label"))
-        .select(col("node"), col("label"), col("members"))
+      graft.operators.GraphOps.labelPropagate(
+          docs(s, dir).select(col("doc_id").as("node")),
+          WaveSevenQueries.linkEdges(s, dir), LpaIters)
         .orderBy(col("node"))
     }, Some {
       val rounds = (1 to LpaIters).map { i =>
