@@ -729,10 +729,20 @@ object Dedup {
     * exact-Jaccard rescore at corpus scale.
     *
     * Scale shape: ONE shingle-set checkpoint feeds truth, signatures
-    * and candidates; the ground-truth side is the deliberate
-    * inverted-index quadratic (once per config choice, not per corpus
-    * build — the same once-per-build argument as `ann_recall_eval`),
-    * and everything downstream of the sets is (da, db) narrow. */
+    * and candidates. The ground-truth side reuses the DF-CAPPED exact
+    * generator ([[ngramJaccardPairsCapped]]'s core) at
+    * [[defaultDfCap]], so a hot shingle cluster cannot square the
+    * truth join at a bigger corpus — the once-per-config price stays
+    * ~linear (LshRecallCapSpec pins capped == uncapped truth on the
+    * gate corpus, and the 10x canary tracks growth). Candidates bucket
+    * by the EXACT (band index, key string) pair — not the fused 64-bit
+    * band hash the production pair generator uses — because here the
+    * raw candidate COUNT is the measured output: minhashLshPairs can
+    * afford hash-fused keys (a cross-band collision only adds a
+    * candidate the exact rescore drops), but this eval has no rescore
+    * downstream of `n_cand`, so it buys exactness instead of the
+    * narrower key. Everything downstream of the sets is (da, db)
+    * narrow. */
   def lshRecallEval(
       docs: DataFrame,
       idCol: String,
@@ -740,34 +750,33 @@ object Dedup {
       threshold: Double = JaccardThreshold,
       maxBucket: Long = MaxBandBucket): DataFrame = {
     val sets = docShingleSets(docs, idCol, textCol).localCheckpoint()
-    // exact ground truth — the ngramJaccardPairs inverted-index shape
-    // over 64-bit shingle hashes, from the SHARED sets checkpoint
-    val sh = sets.select(col("doc_id"), explode(col("ss")).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-    val counts = sets
-      .select(col("doc_id"), size(col("ss")).cast("long").as("n"))
-    val truth = sh.as("a")
-      .join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("i"))
-      .join(counts.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(counts.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      .filter(round(col("i").cast("double") /
-        (col("na") + col("nb") - col("i")), 4) >= threshold)
+    // exact ground truth — the df-capped inverted-index generator from
+    // the SHARED sets checkpoint (scores exact; only a pair sharing NO
+    // rare shingle can be missed, and the cap's floor keeps it slack on
+    // the oracle-gate corpora — equality pinned by LshRecallCapSpec)
+    val truth = ngramJaccardCappedFromSets(
+        sets, defaultDfCap(sets.count()), threshold)
       .select(col("da"), col("db"))
       .localCheckpoint()
-    // candidates: the same banding + bucket admission as minhashLshPairs
-    val bands = minhashBandKeys(minhashSignaturesFromSets(sets))
+    // candidates: same banding + bucket admission as minhashLshPairs,
+    // but keyed by the exact (band index, joined-minhash string) so
+    // n_cand is collision-free by construction
+    val sig = minhashSignaturesFromSets(sets)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until Bands).map { b =>
+        concat_ws("_", (0 until RowsPerBand)
+          .map(r => col(s"h${RowsPerBand * b + r}")): _*)
+      }: _*)).as(Seq("bi", "bk")))
     val admitted = bands
       .withColumn("__bn",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("bk"))))
+          .partitionBy(col("bi"), col("bk"))))
       .filter(col("__bn") <= maxBucket)
       .drop("__bn")
     val cand = admitted.as("a")
       .join(admitted.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
       .localCheckpoint()
@@ -780,22 +789,56 @@ object Dedup {
         expr("n_found * 1000000L div n_cand").as("cand_precision_ppm"))
   }
 
-  /** DuckDB twin of [[lshRecallEval]]: the [[minhashLshCtes]] chain
-    * already exposes both the exact pair relation (`jac`) and the
-    * admitted candidates (`cand`); the eval is three counts and two
-    * integer divisions on top. */
+  /** DuckDB twin of [[lshRecallEval]]: reuses the [[minhashLshCtes]]
+    * chain for signatures / bands / admitted candidates (its `jac` and
+    * `lshpairs` CTEs go unreferenced here, so DuckDB never executes
+    * them), re-buckets nothing — the chain's `cand` already keys by the
+    * exact (band index, key string) pair the Spark side now uses — and
+    * rebuilds the TRUTH side as the df-capped exact generator
+    * ([[ngramJaccardPairsCapped]]'s arithmetic: rare-shingle counting
+    * join + hot-set intersection add-back, scores exact).
+    *
+    * Multiply-referenced CTEs (`cand` via `candm`, `hot`, `truth`) are
+    * AS MATERIALIZED per the repo's oracle rule — inlining would
+    * re-execute the banding subtree and the quadratic truth join once
+    * per reference. */
   def lshRecallEvalOracle(
       docsRel: String,
       threshold: Double,
       maxBucket: Long = MaxBandBucket): String =
     s"""WITH ${minhashLshCtes(docsRel, threshold, maxBucket)},
-       |truth AS (SELECT da, db FROM jac WHERE jaccard >= $threshold),
+       |candm AS MATERIALIZED (SELECT da, db FROM cand),
+       |capv AS (
+       |  SELECT greatest(64, least(1024, count(DISTINCT doc_id) // 20)) AS cap
+       |  FROM sh),
+       |hot AS MATERIALIZED (
+       |  SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) __df, capv
+       |  WHERE df > cap),
+       |shr AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+       |interr AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ir
+       |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |hsets AS (
+       |  SELECT doc_id, list(s ORDER BY s) AS hs
+       |  FROM sh JOIN hot USING (s) GROUP BY doc_id),
+       |truth AS MATERIALIZED (
+       |  SELECT da, db FROM (
+       |    SELECT i.da, i.db,
+       |      i.ir + coalesce(len(list_intersect(ha.hs, hb.hs)), 0) AS it,
+       |      ca.n AS na, cb.n AS nb
+       |    FROM interr i
+       |    LEFT JOIN hsets ha ON ha.doc_id = i.da
+       |    LEFT JOIN hsets hb ON hb.doc_id = i.db
+       |    JOIN cnt ca ON ca.doc_id = i.da
+       |    JOIN cnt cb ON cb.doc_id = i.db) __t
+       |  WHERE round(it * 1.0 / (na + nb - it), 4) >= $threshold),
        |fnd AS (
-       |  SELECT c.da, c.db FROM cand c
+       |  SELECT c.da, c.db FROM candm c
        |  JOIN truth t ON t.da = c.da AND t.db = c.db),
        |m AS (
        |  SELECT (SELECT count(*) FROM truth) AS n_truth,
-       |    (SELECT count(*) FROM cand) AS n_cand,
+       |    (SELECT count(*) FROM candm) AS n_cand,
        |    (SELECT count(*) FROM fnd) AS n_found)
        |SELECT n_truth, n_cand, n_found,
        |  n_found * 1000000 // n_truth AS recall_ppm,
@@ -996,8 +1039,8 @@ object Dedup {
               |    FROM bands) __adm WHERE bn <= $maxBucket)"""
         .stripMargin
     s"""${shinglesCte(docsRel)},
-       |sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
-       |bands AS (
+       |sig AS MATERIALIZED (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
+       |bands AS MATERIALIZED (
        |  $bandRows),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db

@@ -127,4 +127,26 @@ class DomainReputationSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted
     assert(corpus2.toSeq == Seq(1L, 2L), "repair is idempotent")
   }
+
+  test("corrupt archive FAILS the job instead of resetting reputation") {
+    val base = Files.createTempDirectory("domrep-corrupt").toString
+    val store = s"$base/store"
+    // a present-but-unreadable archive: the state dir EXISTS, so
+    // readOrEmpty must read it — and a garbage footer must propagate
+    // as a failure. The old catch-all would have substituted an empty
+    // frame: every archived doc_id looks fresh, rejected docs re-admit,
+    // corpus rows duplicate — silent state corruption.
+    Files.createDirectories(java.nio.file.Paths.get(s"$store/archive"))
+    Files.write(
+      java.nio.file.Paths.get(s"$store/archive/part-00000.parquet"),
+      "this is not a parquet file".getBytes)
+    landBatch(s"$base/in", Seq((1L, "good.example", clean)))
+    val ex = intercept[Exception] {
+      DomainReputationJob.runOnce(spark, s"$base/in", store, s"$base/ckpt")
+    }
+    // the failure must be the corrupt read surfacing, and the job must
+    // not have admitted anything on top of unreadable state
+    assert(!new java.io.File(s"$store/corpus").exists(),
+      s"no corpus writes on corrupt state (got ${ex.getClass.getName})")
+  }
 }
