@@ -80,6 +80,82 @@ object IngestPipeline {
     (materialized.flatMap(_._1), materialized.flatMap(_._2))
   }
 
+  /** HTTP twin of [[detectPagesSafe]]: one POST per image against the
+    * enrichment service, issued through a BOUNDED per-partition async
+    * window (`cfg.maxInFlight` requests in flight at once — the
+    * batching knob; the reference's loop is strictly sequential,
+    * yolo_ocr_utils.py:82). First attempts ride the async window; an
+    * image whose first attempt fails transiently falls back to the
+    * synchronous bounded-retry path with the remaining retry budget —
+    * retries are the rare case, so they never stall the window.
+    * Permanent failures (4xx, malformed JSON) take the dead-letter
+    * channel immediately, per row, exactly like [[detectPagesSafe]].
+    *
+    * Scale shape: no driver involvement, no shuffle — enrichment
+    * parallelism is partitions x maxInFlight; the service endpoint is
+    * the throughput governor, which is why the window is a per-request
+    * knob and not a global pool. */
+  def detectPagesHttp(
+      pages: Dataset[PageImage],
+      cfg: graft.enrich.HttpEnrichConfig,
+      model: String): (Dataset[ImageDetection], Dataset[EnrichError]) = {
+    import pages.sparkSession.implicits._
+    import graft.enrich.HttpInferenceService
+    val attempted = pages.mapPartitions { it =>
+      val uri = java.net.URI.create(s"${cfg.baseUrl}/predict?model=$model")
+      it.grouped(math.max(1, cfg.maxInFlight)).flatMap { group =>
+        val inFlight = group.map { p =>
+          (p, HttpInferenceService.sharedClient.sendAsync(
+            HttpInferenceService.request(uri, p.image_id, cfg),
+            java.net.http.HttpResponse.BodyHandlers.ofString()))
+        }
+        inFlight.map { case (p, fut) =>
+          val body: Either[Throwable, String] =
+            try {
+              val resp = fut.join()
+              if (resp.statusCode() == 200) Right(resp.body())
+              else if (resp.statusCode() >= 500) Left(new RuntimeException(
+                s"HTTP ${resp.statusCode()} from $uri: ${resp.body()}"))
+              else Left(new graft.enrich.PermanentEnrichException(
+                s"HTTP ${resp.statusCode()} from $uri: ${resp.body()}"))
+            } catch {
+              case e: java.util.concurrent.CompletionException =>
+                Left(if (e.getCause != null) e.getCause else e)
+            }
+          val recovered: Either[Throwable, String] = body match {
+            case Left(_: graft.enrich.PermanentEnrichException) => body
+            case Left(transient) if cfg.maxRetries >= 1 =>
+              // the async attempt spent try #1; give the sync path the rest
+              try Right(HttpInferenceService.postWithRetry(uri, p.image_id,
+                cfg.copy(maxRetries = cfg.maxRetries - 1)))
+              catch { case e: Exception => Left(e) }
+            case Left(transient) =>
+              Left(new graft.enrich.EnrichRetriesExhaustedException(
+                s"retries exhausted after 1 attempt: $uri", transient))
+            case ok => ok
+          }
+          recovered.flatMap { b =>
+            try Right(HttpInferenceService.parseDetections(b))
+            catch { case e: Exception => Left(e) }
+          } match {
+            case Right(ds) =>
+              (ds.map(d => ImageDetection(p.image_id, p.shop_name, p.width,
+                p.height, d.idx, d.class_name, d.x1, d.y1, d.x2, d.y2,
+                d.confidence, d.ocr_text)),
+                None: Option[EnrichError])
+            case Left(e) =>
+              (Seq.empty[ImageDetection],
+                Some(EnrichError(p.image_id, String.valueOf(e.getMessage))))
+          }
+        }
+      }
+    }
+    // same persist-before-split discipline as detectPagesSafe: the two
+    // channels are two jobs; unpersisted, every page would be POSTed twice
+    val materialized = attempted.persist()
+    (materialized.flatMap(_._1), materialized.flatMap(_._2))
+  }
+
   def detectCrops(
       crops: Dataset[CropImage],
       svc: InferenceService): Dataset[ImageDetection] = {
@@ -190,13 +266,24 @@ object IngestPipeline {
     * persist makes each enrichment happen exactly once per run. */
   def runFixture(spark: SparkSession): DataFrame = {
     val svc = new graft.enrich.FixtureInferenceService
+    runWith(spark, svc, svc)
+  }
+
+  /** [[runFixture]] with the enrichment services injected — the seam the
+    * HTTP client swaps through (HttpEnrichSpec runs the full EP1 plan
+    * against an in-process HTTP stub and pins output equality with the
+    * fixture services). */
+  def runWith(
+      spark: SparkSession,
+      det: InferenceService,
+      ocr: OcrService): DataFrame = {
     val pages = PipelineFixtures.pages(spark)
-    val det1 = detectPages(pages, svc, "model1")
+    val det1 = detectPages(pages, det, "model1")
     val cropDs = crops(det1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val det2 = detectCrops(cropDs, svc)
-    val ocr = wholeImageOcr(cropDs, svc)
-    detectedData(det2, ocr)
+    val det2 = detectCrops(cropDs, det)
+    val ocrDf = wholeImageOcr(cropDs, ocr)
+    detectedData(det2, ocrDf)
   }
 }
 
