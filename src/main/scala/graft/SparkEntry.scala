@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.pipeline.{IngestPipeline, PipelineFixtures, ValidityPipeline}
 import graft.price.PriceFunctions
-import graft.relational.{AdvancedQueries, Fixtures, RelationalQueries, StreamingQueries, TrainingDataQueries, WaveEightQueries, WaveFiveQueries, WaveFourQueries, WaveSevenQueries, WaveSixQueries, WaveThreeQueries}
+import graft.relational.{AdvancedQueries, Fixtures, RelationalQueries, StreamingQueries, TrainingDataQueries, WaveEightQueries, WaveFiveQueries, WaveNineQueries, WaveFourQueries, WaveSevenQueries, WaveSixQueries, WaveThreeQueries}
 import graft.text.{CzechText, NameCorrection}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -249,7 +249,7 @@ object SparkEntry {
   private def modules =
     RelationalQueries.all ++ AdvancedQueries.all ++ WaveThreeQueries.all ++
       WaveFourQueries.all ++ WaveFiveQueries.all ++ WaveSixQueries.all ++
-      WaveSevenQueries.all ++ WaveEightQueries.all ++
+      WaveSevenQueries.all ++ WaveEightQueries.all ++ WaveNineQueries.all ++
       TrainingDataQueries.all ++ StreamingQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

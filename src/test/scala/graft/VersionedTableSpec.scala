@@ -143,4 +143,33 @@ class VersionedTableSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(d === Set((2L, "changed"), (3L, "removed"), (4L, "added")))
   }
+
+  test("changes: CDC round-trip — applying the feed to v_from yields v_to") {
+    val root = tmpRoot()
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e")).toDF("k", "v"), root)
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "B"), (4L, "d"), (5L, "e")).toDF("k", "v"), root)
+    val ch = VersionedTable.changes(spark, root, 0L, 1L, Seq("k"))
+    val got = ch.select("k", "v", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      (2L, "b", "update_preimage"), (2L, "B", "update_postimage"),
+      (3L, "c", "delete"), (4L, "d", "insert")),
+      s"unchanged keys must emit nothing: $got")
+    assert(ch.select("v_from", "v_to").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 1L)))
+    // round-trip: v0 minus (deletes + update_preimages) plus
+    // (inserts + update_postimages) == v1 exactly
+    val v0 = VersionedTable.readVersion(spark, root, 0L)
+    val minus = ch.filter(col("change_type")
+      .isin("delete", "update_preimage")).select("k", "v")
+    val plus = ch.filter(col("change_type")
+      .isin("insert", "update_postimage")).select("k", "v")
+    val applied = v0.except(minus).union(plus)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val v1 = VersionedTable.readVersion(spark, root, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(applied === v1, "change feed must reconstruct the target snapshot")
+  }
 }
