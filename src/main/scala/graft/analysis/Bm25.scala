@@ -41,12 +41,40 @@ object Bm25 {
     val base = docs.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("dl"), tfArr.as("tfs"))
       .localCheckpoint()
-    val tfs = base
-      .select(col("doc_id"), col("dl"), explode(col("tfs")).as("x"))
-      .select(col("doc_id"), col("dl"), col("x.term").as("term"),
-        col("x.tf").as("tf"))
-      .filter(col("tf") > 0)
-    val stats = base.agg(count(lit(1)).as("n_docs"),
+    scoreFromIndex(
+      base.select(col("doc_id"), col("dl")),
+      base
+        .select(col("doc_id"), col("dl"), explode(col("tfs")).as("x"))
+        .select(col("doc_id"), col("dl"), col("x.term").as("term"),
+          col("x.tf").as("tf"))
+        .filter(col("tf") > 0))
+  }
+
+  /** One-scan index build for `terms`: (doc_id, dl, tfs[(term, tf)]) —
+    * the row-local projection a streaming indexer appends from, before
+    * exploding positive postings. Same expression tree as [[search]]'s
+    * base relation. */
+  def docIndex(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val tfArr = array(terms.map { t =>
+      struct(lit(t).as("term"),
+        regexp_count(col("text"), lit(s"(?i)\\b$t\\b")).cast("long")
+          .as("tf"))
+    }: _*)
+    docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("dl"), tfArr.as("tfs"))
+  }
+
+  /** BM25 from a PERSISTED index instead of a corpus scan — the shape
+    * an incremental consumer ([[graft.streaming.StandingSearchJob]])
+    * scores from: `lens(doc_id, dl)` one row per indexed document
+    * (zero-match docs included — they carry the corpus stats), and
+    * `tfs(doc_id, dl, term, tf)` the positive postings for the query
+    * terms. Arithmetic is IDENTICAL to [[search]] (which now delegates
+    * here), so a stream that accumulates these two relations converges
+    * on the batch scores exactly. */
+  def scoreFromIndex(lens: DataFrame, tfs: DataFrame): DataFrame = {
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")) * lit(1.0) / count(lit(1))).as("avgdl"))
     val dfs = tfs.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val micro = tfs

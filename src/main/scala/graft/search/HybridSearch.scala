@@ -57,14 +57,22 @@ object HybridSearch {
     * fusion joins two list-sized (not corpus-sized) relations. Output:
     * (doc_id, rank_lex, rank_dense, rrf) top `RrfOut`. */
   def rrf(docs: DataFrame, emb: DataFrame,
-      terms: Seq[String]): DataFrame = {
-    val lex = Scale.globalRowNumber(Bm25.search(docs, terms),
+      terms: Seq[String]): DataFrame =
+    rrfFromScores(Bm25.search(docs, terms),
+      emb.select(col("vec_id").cast("long").as("doc_id"),
+        col("embedding").cast("array<double>").as("v")))
+
+  /** [[rrf]] from precomputed parts — `bmScores(doc_id, bm25)` (any
+    * BM25 source: the batch corpus scan or a persisted incremental
+    * index) and `e(doc_id, v)` dense vectors. The incremental twin
+    * ([[graft.streaming.StandingSearchJob]]) fuses through this exact
+    * code path, so stream and batch rankings converge by construction. */
+  def rrfFromScores(bmScores: DataFrame, e: DataFrame): DataFrame = {
+    val lex = Scale.globalRowNumber(bmScores,
         Seq(col("bm25").desc, col("doc_id")))
       .filter(col("rn") <= RrfList)
       .select(col("doc_id"), col("rn").as("rank_lex"))
       .localCheckpoint() // two consumers: seed lookup + fusion join
-    val e = emb.select(col("vec_id").cast("long").as("doc_id"),
-      col("embedding").cast("array<double>").as("v"))
     val seed = lex.filter(col("rank_lex") === 1).select(col("doc_id"))
     val qv = e.join(broadcast(seed), Seq("doc_id"))
       .select(col("v").as("qv"))
