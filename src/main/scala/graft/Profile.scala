@@ -168,8 +168,68 @@ object Profile {
           // counts, and the fusion/diversification pair
           "graph_triangles", "graph_kcore", "graph_label_prop",
           "lsh_recall_eval", "corpus_collocations",
-          "search_rrf_hybrid", "search_mmr_diversify"))
+          "search_rrf_hybrid", "search_mmr_diversify",
+          // r11 additions (VERDICT #3): the heaviest r10 entries not
+          // yet tracked — training loops, the multi-signal dedup
+          // composition, deep-graph clustering, the ANN acceptance
+          // gate — plus the new CDC read at 10x change volume
+          "quality_train", "quality_train_score", "dedup_multisignal",
+          "dedup_components_logstar", "ann_recall_eval",
+          "table_changes"))
         time(s"$q @10x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
+      spark.stop()
+      return
+    }
+
+    if (args.contains("multisig")) {
+      // ---- dedup_multisignal stage attribution (r11) ---------------
+      // The canary showed the composition costing ~2.8x the sum of its
+      // standalone signals; this section times each signal and the
+      // fusion joins in isolation ON THE SAME corpus to attribute it.
+      import graft.analysis.TextAnalysis
+      // same 10x replication scheme as the canary branch
+      val d0 = docs
+        .select(explode(sequence(lit(0L), lit(9L))).as("i"),
+          col("doc_id"), col("text"))
+        .select((col("doc_id") * 16 + col("i")).as("doc_id"), col("text"))
+      val d = d0.unionAll(d0.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .localCheckpoint()
+      println(s"[profile] multisig corpus: ${d.count()} docs")
+      val mh = Dedup.minhashLshPairs(d, "doc_id", "text")
+        .select(col("da"), col("db"), lit(true).as("by_minhash"))
+      val sh = Dedup.simhashPairs(d, "doc_id", "text")
+        .select(col("da"), col("db"), lit(true).as("by_simhash"))
+      val fp = d.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val ex = fp.as("a")
+        .join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          lit(true).as("by_exact"))
+      time("minhash signal alone")(noop(mh))
+      time("simhash signal alone")(noop(sh))
+      time("exact signal alone")(noop(ex))
+      val mhC = mh.localCheckpoint(); val shC = sh.localCheckpoint()
+      val exC = ex.localCheckpoint()
+      println(s"[profile] pair rows: mh=${mhC.count()} " +
+        s"sh=${shC.count()} ex=${exC.count()}")
+      time("fusion joins alone")(noop(
+        mhC.join(shC, Seq("da", "db"), "full")
+          .join(exC, Seq("da", "db"), "full")
+          .select(col("da"), col("db"),
+            coalesce(col("by_minhash"), lit(false)).as("by_minhash"),
+            coalesce(col("by_simhash"), lit(false)).as("by_simhash"),
+            coalesce(col("by_exact"), lit(false)).as("by_exact"))
+          .orderBy(col("da"), col("db"))))
+      time("composed (one plan)")(noop(
+        mh.join(sh, Seq("da", "db"), "full")
+          .join(ex, Seq("da", "db"), "full")
+          .select(col("da"), col("db"),
+            coalesce(col("by_minhash"), lit(false)).as("by_minhash"),
+            coalesce(col("by_simhash"), lit(false)).as("by_simhash"),
+            coalesce(col("by_exact"), lit(false)).as("by_exact"))
+          .orderBy(col("da"), col("db"))))
       spark.stop()
       return
     }

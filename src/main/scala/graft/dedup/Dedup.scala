@@ -906,11 +906,24 @@ object Dedup {
   def simhashBandBuildBytes(nValues: Long, nDocs: Long, nBands: Int): Long =
     nBands.toLong * (nValues * 40L + nDocs * 8L)
 
+  /** `maxGroup` is the r11 at-scale guard (the simhash analog of
+    * minhash's band-bucket cap): an identical-signature group larger
+    * than `maxGroup` contributes only its FIRST `maxGroup` members (by
+    * doc_id) to pair generation — intra-group pairs AND cross-value
+    * expansion both bound at maxGroup², so a clone farm cannot square
+    * the output (the canary's 10x clone corpus measured 278M pairs
+    * uncapped — each emitted pair exact, but pair VOLUME is the cost).
+    * One-sided and precise: every emitted pair's hamming is exact;
+    * only pairs involving an over-cap group's tail are missed, and
+    * exact_dedup already reports those groups as clusters. Default
+    * Int.MaxValue keeps the reference form unchanged; `simhash_capped`
+    * pins the binding behavior cross-engine. */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxDist: Int = HammingMax): DataFrame = {
+      maxDist: Int = HammingMax,
+      maxGroup: Int = Int.MaxValue): DataFrame = {
     // Band-join over DISTINCT SIGNATURE VALUES, not documents: a
     // clustered corpus collapses many docs onto one signature, so
     // (1) hamming-0 pairs fall out of the identical-signature groups
@@ -921,9 +934,12 @@ object Dedup {
     //     value pairs expand back to doc pairs afterwards. Exactness is
     //     unchanged: equal-sig pairs are case (1); distinct-sig pairs
     //     within maxDist still agree on >= 1 of the maxDist+1 bands.
-    val groups = simhash(docs, idCol, textCol)
+    val rawGroups = simhash(docs, idCol, textCol)
       .groupBy(col("simhash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val groups = (
+      if (maxGroup == Int.MaxValue) rawGroups
+      else rawGroups.withColumn("ids", slice(col("ids"), 1, maxGroup)))
       .localCheckpoint()
     // one cheap pass over the checkpointed blocks for both size stats
     val statsRow = groups
@@ -1097,5 +1113,26 @@ object Dedup {
   def simhashPairsOracle(docsRel: String, maxDist: Int): String =
     s"""WITH ${simhashPairsCtes(docsRel, maxDist)}
        |SELECT da, db, hamming FROM shpairs
+       |ORDER BY da, db""".stripMargin
+
+  /** Capped twin: the per-signature group cap expressed as a
+    * row_number window over each identical-signature group — the SQL
+    * mirror of `slice(sort_array(ids), 1, maxGroup)`. The chain's
+    * uncapped `shpairs` goes unreferenced (and unexecuted). */
+  def simhashPairsCappedOracle(
+      docsRel: String, maxDist: Int, maxGroup: Int): String =
+    s"""WITH ${simhashPairsCtes(docsRel, maxDist)},
+       |sh_kept AS MATERIALIZED (
+       |  SELECT doc_id, simhash FROM (
+       |    SELECT doc_id, simhash, row_number() OVER (
+       |      PARTITION BY simhash ORDER BY doc_id) AS grn
+       |    FROM sh_sig) __g
+       |  WHERE grn <= $maxGroup),
+       |shpairs_c AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |  FROM sh_kept a JOIN sh_kept b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist)
+       |SELECT da, db, hamming FROM shpairs_c
        |ORDER BY da, db""".stripMargin
 }

@@ -800,6 +800,20 @@ object TrainingDataQueries {
         .orderBy(col("da"), col("db"))
     }, Some(Dedup.simhashPairsOracle("documents", Dedup.HammingMax))),
 
+    // the simhash GROUP cap WHERE IT BINDS (the minhash_lsh_capped
+    // pattern): the planted 10-member identical-signature cluster keeps
+    // only its first 4 members by doc_id — C(4,2)=6 intra pairs instead
+    // of 45, cross-value expansion bounded the same way — while every
+    // smaller group is untouched. The oracle replicates the cap as a
+    // row_number window per signature, so the one-sided-miss contract
+    // is pinned by the gate, not only by a spec.
+    Q("simhash_capped", (s, dir) => {
+      Dedup.simhashPairs(docsWithCluster(s, dir), "doc_id", "text",
+          maxGroup = 4)
+        .orderBy(col("da"), col("db"))
+    }, Some(Dedup.simhashPairsCappedOracle(docsWithClusterSql,
+      Dedup.HammingMax, 4))),
+
     Q("embedding_similar_pairs", (s, dir) => {
       Similarity.similarPairs(emb(s, dir), SimilarPairsThreshold)
         .orderBy(col("va"), col("vb"))

@@ -49,6 +49,30 @@ class DedupCappedSpec extends AnyFunSuite {
     assert(c.toSet.subsetOf(u.toSet), "scores must be exact, not capped")
   }
 
+  test("simhash group cap: first-maxGroup members only, exact hammings, loose cap = uncapped") {
+    // 8 exact clones (one signature group) + one distinct near doc
+    val clones = (1L to 8L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val corpus = (clones :+ (9L -> "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.simhashPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loose = Dedup.simhashPairs(corpus, "doc_id", "text", maxGroup = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == uncapped, "loose cap must reproduce the uncapped output")
+    val capped = Dedup.simhashPairs(corpus, "doc_id", "text", maxGroup = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // intra pairs only among the first 3 clone ids
+    val intra = capped.filter(_._3 == 0).map(t => (t._1, t._2)).toSet
+    assert(intra == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"group cap must keep the first 3 members: $intra")
+    // cross pairs to doc 9 expand only from the kept members
+    val cross = capped.filter(t => t._2 == 9L || t._1 == 9L)
+    assert(cross.map(t => math.min(t._1, t._2)).toSet.subsetOf(Set(1L, 2L, 3L)),
+      s"cross expansion must use kept members only: ${cross.toSeq}")
+    assert(capped.map(t => (t._1, t._2)).toSet.subsetOf(uncapped),
+      "one-sided contract: capped pairs are a subset with exact hammings")
+  }
+
   test("the cap bounds candidate volume quadratically on a hot corpus") {
     // 120 docs all sharing one stopword phrase, each with a unique tail:
     // the uncapped inverted index meets every pair through the hot
