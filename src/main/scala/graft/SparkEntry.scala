@@ -212,12 +212,12 @@ object SparkEntry {
     // fan-out with the reference's page-naming scheme (structural
     // rasterizer; dims = A4 @ dpi 250)
     "pdf_split" -> ((s, _) => {
-      import graft.sources.{PdfSource, StructuralRasterizer}
+      import graft.sources.{ContentStreamRasterizer, PdfSource}
       val dir = PdfSource.writeFixturePdfs(
         sys.props("java.io.tmpdir") + "/graft_pdfs")
       val shops = Map("a.pdf" -> "Lidl", "b.pdf" -> "Penny", "c.pdf" -> "Billa")
       PdfSource.splitToPages(PdfSource.readPdfs(s, dir),
-          f => shops.getOrElse(f, "Unknown"), new StructuralRasterizer)
+          f => shops.getOrElse(f, "Unknown"), new ContentStreamRasterizer)
         .toDF()
         .orderBy(col("image_id"))
     }),
@@ -290,7 +290,8 @@ object SparkEntry {
         ("c.pdf", "Billa", 3)).flatMap { case (f, shop, n) =>
         val base = f.stripSuffix(".pdf")
         (1 to n).map(p =>
-          s"('pages/valid/${base}_page_$p.png', '$f', '$shop', $p, 2067, 2922)")
+          // MediaBox 595x842pt at dpi 250 (round(pt * dpi / 72))
+          s"('pages/valid/${base}_page_$p.png', '$f', '$shop', $p, 2066, 2924)")
       }
       "SELECT * FROM (VALUES\n" + rows.mkString(",\n") +
         ") AS t(image_id, filename, shop_name, page_no, width, height)" +

@@ -83,5 +83,34 @@ object WaveNineQueries {
          |UNION ALL
          |SELECT k, b_ck, b_st, b_pc, 'update_postimage',
          |  CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM j WHERE upd""".stripMargin)),
+
+    // The standing-query hybrid stream, ORACLE-GATED end to end: land
+    // the corpus in three micro-batch files, drain them through the
+    // REAL StandingSearchJob (checkpointed AvailableNow, persisted
+    // postings/vector state, lens-anchored idempotence), and return
+    // the standing result from state. The oracle is the BATCH fusion's
+    // oracle over the full corpus — so the stream/batch equivalence
+    // (and the index write/read round-trip) is pinned by the driver's
+    // hash gate, not only by StandingSearchJobSpec.
+    Q("search_rrf_standing", (s, dir) => {
+      val terms = TrainingDataQueries.Bm25Terms
+      val base = java.nio.file.Files
+        .createTempDirectory("standing_q").toString
+      val in = s"$base/in"
+      val joined = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text"))
+        .join(s.read.parquet(t(dir, "embeddings"))
+          .withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+        .select(col("doc_id"), col("text"),
+          col("embedding").cast("array<double>").as("embedding"))
+      for (m <- 0 until 3) {
+        joined.filter(col("doc_id") % 3 === m)
+          .write.mode("append").parquet(in)
+        graft.streaming.StandingSearchJob.runOnce(
+          s, in, s"$base/store", s"$base/ckpt", terms)
+      }
+      graft.streaming.StandingSearchJob.results(s, s"$base/store")
+    }, Some(graft.search.HybridSearch.rrfOracle("documents",
+      "embeddings", TrainingDataQueries.Bm25Terms))),
   )
 }

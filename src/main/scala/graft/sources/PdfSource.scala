@@ -76,28 +76,67 @@ object PdfSource {
       }
   }
 
-  /** Deterministic fixture: writes tiny hand-built PDFs (uncompressed
-    * object structure) into a directory; returns the dir. Page counts:
-    * a.pdf=2, b.pdf=1, c.pdf=3. */
+  /** Deterministic fixture: writes tiny hand-built PDFs into a
+    * directory; returns the dir. Page counts: a.pdf=2, b.pdf=1,
+    * c.pdf=3 — and since r11 every page carries a REAL content stream
+    * (a per-page-colored filled box, a stroked diagonal, and on c.pdf
+    * page 2 a q/cm/Q transformed box) so [[ContentStreamRasterizer]]
+    * renders genuine pixels. b.pdf's stream is /FlateDecode-compressed
+    * to exercise the inflate path. */
   def writeFixturePdfs(dir: String): String = {
-    def pdf(pages: Int): Array[Byte] = {
-      val kids = (0 until pages).map(i => s"${3 + i} 0 R").mkString(" ")
+    def deflate(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    /** Per-page content: fill color keyed by (file, page) so specs can
+      * assert exact pixels; coordinates in PDF points, origin
+      * bottom-left. */
+    def content(fileIdx: Int, page: Int): String = {
+      val extra =
+        if (fileIdx == 2 && page == 2)
+          "\nq 2 0 0 2 100 50 cm 0 0 0.9 rg 10 20 30 40 re f Q"
+        else ""
+      s"""0.8 ${0.1 * page} ${0.2 * (fileIdx + 1)} rg
+         |${50 + 10 * page} 100 200 150 re f
+         |0 0 1 RG 4 w
+         |100 700 m 400 650 l S$extra""".stripMargin
+    }
+    def pdf(fileIdx: Int, pages: Int, flate: Boolean): Array[Byte] = {
+      val kids = (0 until pages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
       val pageObjs = (0 until pages).map { i =>
-        s"${3 + i} 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] >> endobj"
-      }.mkString("\n")
-      (s"""%PDF-1.4
-         |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
-         |2 0 obj << /Type /Pages /Kids [$kids] /Count $pages >> endobj
-         |$pageObjs
-         |trailer << /Root 1 0 R >>
-         |%%EOF
-         |""".stripMargin).getBytes("ISO-8859-1")
+        val pObj = 3 + 2 * i
+        val cObj = 4 + 2 * i
+        val raw = content(fileIdx, i + 1).getBytes("ISO-8859-1")
+        val payload = if (flate) deflate(raw) else raw
+        val filter = if (flate) " /Filter /FlateDecode" else ""
+        val head =
+          (s"$pObj 0 obj << /Type /Page /Parent 2 0 R " +
+            s"/MediaBox [0 0 595 842] /Contents $cObj 0 R >> endobj\n" +
+            s"$cObj 0 obj << /Length ${payload.length}$filter >> stream\n")
+            .getBytes("ISO-8859-1")
+        head ++ payload ++ "\nendstream endobj".getBytes("ISO-8859-1")
+      }
+      val header =
+        (s"""%PDF-1.4
+           |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+           |2 0 obj << /Type /Pages /Kids [$kids] /Count $pages >> endobj
+           |""".stripMargin).getBytes("ISO-8859-1")
+      val trailer = "\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+        .getBytes("ISO-8859-1")
+      header ++ pageObjs.reduce(_ ++ "\n".getBytes("ISO-8859-1") ++ _) ++
+        trailer
     }
     val d = new java.io.File(dir)
     d.mkdirs()
-    Seq("a.pdf" -> 2, "b.pdf" -> 1, "c.pdf" -> 3).foreach { case (n, p) =>
+    Seq(("a.pdf", 0, 2, false), ("b.pdf", 1, 1, true),
+        ("c.pdf", 2, 3, false)).foreach { case (n, fi, p, fl) =>
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(dir, n), pdf(p))
+        java.nio.file.Paths.get(dir, n), pdf(fi, p, fl))
     }
     dir
   }

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import javax.imageio.ImageIO
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ContentStreamRasterizer, PdfSource}
+
+/** The from-scratch content-stream rasterizer renders REAL pixels from
+  * the fixture PDFs' own content streams: exact fill colors inside the
+  * drawn boxes, white outside, the Flate path identical to raw, q/cm/Q
+  * transforms honored, and full determinism. */
+class PdfRasterSpec extends AnyFunSuite {
+
+  private val Dpi = 250
+  private def s = Dpi / 72.0
+
+  private lazy val dir = PdfSource.writeFixturePdfs(
+    Files.createTempDirectory("pdfraster").toString)
+
+  private def pagesOf(name: String) =
+    new ContentStreamRasterizer().rasterize(
+      Files.readAllBytes(java.nio.file.Paths.get(dir, name)), Dpi)
+
+  /** Device pixel for PDF point (x, y): y flips around the page top. */
+  private def px(x: Double): Int = math.round(x * s).toInt
+  private def py(y: Double, hPx: Int): Int = hPx - 1 - math.round(y * s).toInt
+
+  private def rgbAt(png: Array[Byte], x: Int, y: Int): Int =
+    ImageIO.read(new java.io.ByteArrayInputStream(png)).getRGB(x, y) & 0xffffff
+
+  private def expectedFill(fileIdx: Int, page: Int): Int = {
+    // content() in writeFixturePdfs: rg 0.8, 0.1*page, 0.2*(fileIdx+1)
+    val c = new java.awt.Color(0.8f, (0.1 * page).toFloat,
+      (0.2 * (fileIdx + 1)).toFloat)
+    c.getRGB & 0xffffff
+  }
+
+  test("page dims derive from the MediaBox, not an assumed paper size") {
+    val pages = pagesOf("a.pdf")
+    assert(pages.map(_.page_no) == Seq(1, 2))
+    assert(pages.forall(p =>
+      p.width == math.round(595 * s).toInt &&
+        p.height == math.round(842 * s).toInt))
+  }
+
+  test("filled boxes land at their PDF coordinates in their exact color") {
+    for ((name, fi, n) <- Seq(("a.pdf", 0, 2), ("c.pdf", 2, 3))) {
+      val pages = pagesOf(name)
+      assert(pages.length == n)
+      for (p <- pages) {
+        val h = p.height
+        // box: (50 + 10*page, 100) size 200x150 — probe its center
+        val cx = px(50 + 10 * p.page_no + 100)
+        val cy = py(100 + 75, h)
+        assert(rgbAt(p.png, cx, cy) == expectedFill(fi, p.page_no),
+          s"$name page ${p.page_no}: wrong fill at box center")
+        // outside every drawn shape: white background
+        assert(rgbAt(p.png, px(500), py(300, h) - h / 4) == 0xffffff ||
+          rgbAt(p.png, px(520), py(400, h)) == 0xffffff)
+        // the stroked diagonal from (100,700) to (400,650) in pure blue:
+        // probe its midpoint
+        val mx = px(250); val my = py(675, h)
+        val nearLine = (for {
+          dx <- -8 to 8; dy <- -8 to 8
+        } yield rgbAt(p.png, mx + dx, my + dy)).exists(_ == 0x0000ff)
+        assert(nearLine, s"$name page ${p.page_no}: stroked line missing")
+      }
+    }
+  }
+
+  test("FlateDecode content renders exactly like the raw twin") {
+    val b = pagesOf("b.pdf")
+    assert(b.length == 1)
+    val h = b.head.height
+    assert(rgbAt(b.head.png, px(160), py(175, h)) == expectedFill(1, 1),
+      "flate-compressed stream must render its fill")
+  }
+
+  test("q/cm/Q transform: the scaled+translated box on c.pdf page 2") {
+    val p = pagesOf("c.pdf")(1)
+    val h = p.height
+    // content: q 2 0 0 2 100 50 cm (10 20 30 40 re, 0 0 0.9 rg) f Q
+    // box in user space after cm: origin (100 + 2*10, 50 + 2*20),
+    // size (60, 80) — probe its center
+    val cx = px(100 + 20 + 30)
+    val cy = py(50 + 40 + 40, h)
+    val blue = new java.awt.Color(0f, 0f, 0.9f).getRGB & 0xffffff
+    assert(rgbAt(p.png, cx, cy) == blue, "transformed box missing/misplaced")
+    // and the un-transformed page-2 box still renders at its own spot
+    assert(rgbAt(p.png, px(70 + 100), py(175, h)) == expectedFill(2, 2))
+  }
+
+  test("rasterization is deterministic byte-for-byte") {
+    val a1 = pagesOf("a.pdf").map(_.png.toSeq)
+    val a2 = pagesOf("a.pdf").map(_.png.toSeq)
+    assert(a1 == a2)
+  }
+}

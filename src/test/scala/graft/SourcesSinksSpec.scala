@@ -24,10 +24,16 @@ class SourcesSinksSpec extends AnyFunSuite {
     val dir = PdfSource.writeFixturePdfs(
       Files.createTempDirectory("pdfsrc").toString)
     val pages = PdfSource.splitToPages(PdfSource.readPdfs(spark, dir),
-      _ => "Lidl", new StructuralRasterizer).collect()
+      _ => "Lidl", new graft.sources.ContentStreamRasterizer).collect()
     assert(pages.length == 6)
     assert(pages.map(_.image_id).toSet.contains("pages/valid/c_page_3.png"))
-    assert(pages.forall(p => p.width == 2067 && p.height == 2922))
+    // MediaBox 595x842pt at dpi 250: round(pt * 250 / 72)
+    assert(pages.forall(p => p.width == 2066 && p.height == 2924))
+    // the structural fallback still agrees on the fan-out itself
+    val structural = PdfSource.splitToPages(PdfSource.readPdfs(spark, dir),
+      _ => "Lidl", new StructuralRasterizer).collect()
+    assert(structural.map(p => (p.image_id, p.page_no)).sorted.toSeq ==
+      pages.map(p => (p.image_id, p.page_no)).sorted.toSeq)
   }
 
   test("keyed upsert: incoming wins, re-run is a no-op, untouched rows survive") {
