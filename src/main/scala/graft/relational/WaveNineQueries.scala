@@ -97,18 +97,22 @@ object WaveNineQueries {
       val base = java.nio.file.Files
         .createTempDirectory("standing_q").toString
       val in = s"$base/in"
+      // LEFT join: every document streams (lexical side needs the full
+      // corpus stats); docs without a vector ride with a NULL embedding
+      // exactly like the batch fusion's full-outer semantics
       val joined = s.read.parquet(t(dir, "documents"))
         .select(col("doc_id"), col("text"))
         .join(s.read.parquet(t(dir, "embeddings"))
-          .withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+          .withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), col("text"),
           col("embedding").cast("array<double>").as("embedding"))
-      for (m <- 0 until 3) {
+      for (m <- 0 until 3)
         joined.filter(col("doc_id") % 3 === m)
-          .write.mode("append").parquet(in)
-        graft.streaming.StandingSearchJob.runOnce(
-          s, in, s"$base/store", s"$base/ckpt", terms)
-      }
+          .coalesce(1).write.mode("append").parquet(in)
+      // one stream startup, three incremental drains (1 file/batch)
+      graft.streaming.StandingSearchJob.runOnce(
+        s, in, s"$base/store", s"$base/ckpt", terms,
+        maxFilesPerTrigger = 1)
       graft.streaming.StandingSearchJob.results(s, s"$base/store")
     }, Some(graft.search.HybridSearch.rrfOracle("documents",
       "embeddings", TrainingDataQueries.Bm25Terms))),

@@ -76,16 +76,25 @@ object StandingSearchJob {
   private val EmbSchema = "doc_id BIGINT, v ARRAY<DOUBLE>"
 
   /** One AvailableNow drain of `docsDir` (parquet rows
-    * `doc_id BIGINT, text STRING, embedding ARRAY<DOUBLE>`). */
+    * `doc_id BIGINT, text STRING, embedding ARRAY<DOUBLE>`).
+    * `maxFilesPerTrigger > 0` splits the available files into that many
+    * per micro-batch — one stream startup, several incremental drains
+    * (the shape the oracle-gated `search_rrf_standing` runs). */
   def runOnce(
       spark: SparkSession,
       docsDir: String,
       storeDir: String,
       checkpointDir: String,
-      terms: Seq[String]): SearchSummary = {
+      terms: Seq[String],
+      maxFilesPerTrigger: Int = 0): SearchSummary = {
     var summary = Empty
-    val q = spark.readStream
+    val reader = spark.readStream
       .schema("doc_id BIGINT, text STRING, embedding ARRAY<DOUBLE>")
+    val limited =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    val q = limited
       .parquet(docsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -124,7 +133,11 @@ object StandingSearchJob {
           col("x.tf").as("tf"))
         .filter(col("tf") > 0)
         .write.mode("append").parquet(tfsDir(storeDir))
-      fresh.select(col("doc_id"),
+      // docs without a dense vector still index lexically (they carry
+      // corpus stats and BM25 ranks) — only non-null vectors land in
+      // the dense store, mirroring the batch query's full-outer fusion
+      fresh.filter(col("embedding").isNotNull)
+        .select(col("doc_id"),
           col("embedding").cast("array<double>").as("v"))
         .write.mode("append").parquet(embDir(storeDir))
       indexed.select(col("doc_id"), col("dl"))
