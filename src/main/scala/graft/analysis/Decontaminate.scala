@@ -1,0 +1,87 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the overlap check every LLM training
+  * pipeline runs before a corpus ships: flag training documents that
+  * share word n-grams with an evaluation/benchmark set (the GPT-3
+  * appendix-C / PaLM procedure, with the n-gram order as the knob).
+  *
+  * Scale shape: the asymmetry IS the design. A benchmark is MB-sized
+  * against a 100 TB corpus, so its distinct-gram set broadcasts —
+  * corpus-side work is a row-local split→gram→distinct projection, a
+  * narrow explode, one BROADCAST hash join (no shuffle of the corpus),
+  * and a single map-side-combined groupBy on doc_id whose shuffle
+  * volume is one row per contaminated document. `n_grams` rides the
+  * explode so no second doc-keyed join is needed.
+  *
+  * Gram order 4 here (the gate corpus is short synthetic docs); real
+  * deployments use 8-13 — the plan shape is order-independent.
+  */
+object Decontaminate {
+
+  val GramSize = 4
+
+  /** Word 4-gram array of a single-space-tokenized text column; the
+    * split binds once as a lambda variable (same non-quadratic pattern
+    * as [[graft.dedup.Dedup.shingles]] — Catalyst does not CSE into
+    * lambda bodies). */
+  def grams(text: Column): Column =
+    element_at(
+      transform(array(split(text, " ")), ws =>
+        when(size(ws) < GramSize, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(ws) - (GramSize - 1)),
+            i => concat_ws("|", element_at(ws, i), element_at(ws, i + 1),
+              element_at(ws, i + 2), element_at(ws, i + 3))))),
+      1)
+
+  /** Contamination report: (doc_id, n_overlap, n_grams,
+    * contamination_ratio) for every corpus document sharing at least
+    * one gram with the eval set. `evalDocs`/`corpusDocs` carry
+    * (doc_id, text). */
+  def report(corpusDocs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val ev = evalDocs
+      .select(explode(array_distinct(grams(col("text")))).as("g"))
+      .distinct()
+    val cg = graft.relational.Scale.spreadIfNarrow(corpusDocs)
+      .select(col("doc_id"), array_distinct(grams(col("text"))).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode(col("gs")).as("g"))
+    cg.join(broadcast(ev), Seq("g"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("doc_id"), col("n_overlap"), col("n_grams"),
+        round(col("n_overlap") * lit(1.0) / col("n_grams"), 4)
+          .as("contamination_ratio"))
+  }
+
+  /** DuckDB twin: same tokenization (string_split on a single space),
+    * same gram joiner, same distinct-set semantics. `evalPred` /
+    * `corpusPred` partition the documents relation into the two sides.
+    * Multiply-referenced CTEs are MATERIALIZED per the repo rule. */
+  def oracle(docsRel: String, evalPred: String, corpusPred: String): String = {
+    val gram = (1 to GramSize).map(o => s"ws[i+${o - 1}]").mkString(" || '|' || ")
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT DISTINCT
+       |    unnest([$gram for i in range(1, len(ws) - ${GramSize - 2})]) AS g
+       |  FROM (SELECT string_split(text, ' ') AS ws
+       |        FROM $docsRel WHERE $evalPred) __e
+       |  WHERE len(ws) >= $GramSize),
+       |cg AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([$gram for i in range(1, len(ws) - ${GramSize - 2})]) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM $docsRel WHERE $corpusPred) __c
+       |  WHERE len(ws) >= $GramSize),
+       |n AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
+       |o AS (SELECT cg.doc_id, count(*) AS n_overlap
+       |      FROM cg JOIN ev USING (g) GROUP BY cg.doc_id)
+       |SELECT o.doc_id, n_overlap, n_grams,
+       |  round(n_overlap * 1.0 / n_grams, 4) AS contamination_ratio
+       |FROM o JOIN n ON o.doc_id = n.doc_id
+       |ORDER BY o.doc_id""".stripMargin
+  }
+}

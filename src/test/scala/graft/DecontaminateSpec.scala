@@ -1,0 +1,53 @@
+package graft
+
+import graft.analysis.Decontaminate
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Analytic truth for benchmark decontamination: a hand-built corpus
+  * where every 4-gram overlap count is computable by inspection. */
+class DecontaminateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // eval doc: grams {a|b|c|d, b|c|d|e, c|d|e|f}
+  private lazy val ev = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+
+  private lazy val corpus = Seq(
+    // full clone — all 3 of its grams overlap (3 own grams, ratio 1)
+    (1L, "a b c d e f"),
+    // shares exactly one gram a|b|c|d; owns 5 grams
+    (2L, "a b c d x y z w"),
+    // same words, different order — zero 4-gram overlap
+    (3L, "f e d c b a"),
+    // repeated eval gram counts ONCE (distinct sets both sides)
+    (4L, "a b c d a b c d"),
+    // under 4 words: no grams, never reported
+    (5L, "a b c"))
+    .toDF("doc_id", "text")
+
+  test("overlap counts, distinct-set semantics, ratio") {
+    val got = Decontaminate.report(corpus, ev)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 3L, 1.0)),
+      // doc 4: grams {a|b|c|d, b|c|d|a, c|d|a|b, d|a|b|c} distinct=4,
+      // only a|b|c|d is in the eval set
+      4L -> ((1L, 4L, 0.25)),
+      2L -> ((1L, 5L, 0.2))))
+  }
+
+  test("eval side is broadcast — no corpus-wide shuffle join") {
+    val plan = Decontaminate.report(corpus, ev)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
