@@ -111,5 +111,17 @@ object WaveTenQueries {
         .orderBy(col("doc_id"))
     }, Some(Decontaminate.oracle("documents",
       "doc_id % 17 = 0", "doc_id % 17 <> 0"))),
+
+    // Sequence packing: greedy next-fit of documents into 256-token
+    // training sequences within 256-doc groups — the sequential unit
+    // is bounded by construction (one hash exchange on grp, one
+    // O(groupSize) scan per group), so the plan is corpus-size-free.
+    Q("seq_pack", (s, dir) => {
+      graft.analysis.SeqPack.pack(
+          s.read.parquet(t(dir, "documents"))
+            .select(col("doc_id"), col("text")),
+          groupSize = 256, capacity = 256)
+        .orderBy(col("grp"), col("seq_idx"))
+    }, Some(graft.analysis.SeqPack.oracle("documents", 256, 256))),
   )
 }

@@ -1,0 +1,52 @@
+package graft
+
+import graft.analysis.SeqPack
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Analytic truth for sequence packing: hand-packed groups covering
+  * exact-fit, overflow-to-next, over-capacity single docs, and the
+  * group boundary. */
+class SeqPackSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+
+  test("greedy next-fit with capacity 10, groups of 4") {
+    // group 0 (ids 0-3): toks 4,4,3,9 -> [4+4], [3], [9]? NO —
+    // next-fit: 4+4=8, +3=11>10 -> seq2: 3, +9=12>10 -> seq3: 9
+    // group 1 (ids 4-7): toks 12,5,5,1 -> over-cap 12 alone; 5+5+1=11>10
+    //   -> 5+5=10 exact fit, then 1 opens seq3
+    val docs = Seq(
+      (0L, words(4)), (1L, words(4)), (2L, words(3)), (3L, words(9)),
+      (4L, words(12)), (5L, words(5)), (6L, words(5)), (7L, words(1)))
+      .toDF("doc_id", "text")
+    val got = SeqPack.pack(docs, groupSize = 4, capacity = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      (0L, 1L) -> ((2L, 8L, 8000L)),
+      (0L, 2L) -> ((1L, 3L, 3000L)),
+      (0L, 3L) -> ((1L, 9L, 9000L)),
+      (1L, 1L) -> ((1L, 12L, 12000L)),
+      (1L, 2L) -> ((2L, 10L, 10000L)),
+      (1L, 3L) -> ((1L, 1L, 1000L))))
+  }
+
+  test("packing is doc_id-ordered regardless of input partition order") {
+    val docs = Seq((3L, words(9)), (0L, words(4)), (2L, words(3)),
+        (1L, words(4)))
+      .toDF("doc_id", "text").repartition(3)
+    val got = SeqPack.pack(docs, groupSize = 4, capacity = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 2L, 8L), (2L, 1L, 3L), (3L, 1L, 9L)))
+  }
+}
