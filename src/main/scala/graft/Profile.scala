@@ -175,7 +175,13 @@ object Profile {
           // gate — plus the new CDC read at 10x change volume
           "quality_train", "quality_train_score", "dedup_multisignal",
           "dedup_components_logstar", "ann_recall_eval",
-          "table_changes"))
+          "table_changes",
+          // r11 wave-ten additions: decontaminate's broadcast-join
+          // fan-out under 10x duplicated grams (every eval doc has 10
+          // corpus clones — the overlap-volume hazard regime),
+          // seq_pack's bounded-group exchange at 10x group count,
+          // pii_scrub's row-local regex pass (linearity control)
+          "decontaminate", "seq_pack", "pii_scrub"))
         time(s"$q @10x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
       spark.stop()
       return
