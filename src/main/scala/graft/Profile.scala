@@ -181,7 +181,10 @@ object Profile {
           // corpus clones — the overlap-volume hazard regime),
           // seq_pack's bounded-group exchange at 10x group count,
           // pii_scrub's row-local regex pass (linearity control)
-          "decontaminate", "seq_pack", "pii_scrub"))
+          "decontaminate", "seq_pack", "pii_scrub",
+          // span-level twin: same broadcast shape as decontaminate
+          // plus the doc_id-partitioned hit window
+          "decontaminate_spans"))
         time(s"$q @10x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
       spark.stop()
       return

@@ -1,6 +1,7 @@
 package graft.analysis
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — the overlap check every LLM training
@@ -56,6 +57,85 @@ object Decontaminate {
       .select(col("doc_id"), col("n_overlap"), col("n_grams"),
         round(col("n_overlap") * lit(1.0) / col("n_grams"), 4)
           .as("contamination_ratio"))
+  }
+
+  /** Span-level contamination (the Lee et al. 2022 exact-substring
+    * spirit applied to word grams): the maximal token spans of each
+    * corpus document covered by eval-overlapping grams — WHERE the
+    * contamination sits, not just how much. A hit at 1-based token
+    * position p covers tokens [p, p+GramSize-1]; hits whose coverages
+    * overlap or touch (next_pos - prev_pos <= GramSize) merge into one
+    * span. Output (doc_id, span_start, span_end, span_tokens, n_hits),
+    * inclusive 1-based token positions, all exact integers.
+    *
+    * Scale shape: identical broadcast asymmetry to [[report]] — the
+    * position column rides the same corpus-side explode, and the only
+    * new exchange is a doc_id-PARTITIONED window over HIT rows only
+    * (contaminated docs' matching positions, a vanishing fraction of
+    * the corpus; never a partitionless window).
+    */
+  def reportSpans(corpusDocs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val ev = evalDocs
+      .select(explode(array_distinct(grams(col("text")))).as("g"))
+      .distinct()
+    val cp = graft.relational.Scale.spreadIfNarrow(corpusDocs)
+      .select(col("doc_id"), posexplode(grams(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("g"))
+    val hits = cp.join(broadcast(ev), Seq("g")).select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= GramSize, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("island", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (GramSize - 1)).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + GramSize).as("span_tokens"),
+        count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"), col("n_hits"))
+  }
+
+  /** DuckDB twin of [[reportSpans]]: positions ride a parallel unnest
+    * (DuckDB zips same-SELECT unnests; range is end-exclusive so both
+    * lists have length len(ws)-GramSize+1), then the same
+    * gaps-and-islands window. First row's lag is NULL, so the CASE
+    * falls to ELSE 1 — matching Spark's when(...).otherwise(1). */
+  def spansOracle(docsRel: String, evalPred: String, corpusPred: String): String = {
+    val gram = (1 to GramSize).map(o => s"ws[i+${o - 1}]").mkString(" || '|' || ")
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT DISTINCT
+       |    unnest([$gram for i in range(1, len(ws) - ${GramSize - 2})]) AS g
+       |  FROM (SELECT string_split(text, ' ') AS ws
+       |        FROM $docsRel WHERE $evalPred) __e
+       |  WHERE len(ws) >= $GramSize),
+       |cg AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(ws) - ${GramSize - 2})) AS pos,
+       |    unnest([$gram for i in range(1, len(ws) - ${GramSize - 2})]) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM $docsRel WHERE $corpusPred) __c
+       |  WHERE len(ws) >= $GramSize),
+       |hits AS MATERIALIZED (
+       |  SELECT cg.doc_id, cg.pos FROM cg JOIN ev USING (g)),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |              <= $GramSize THEN 0 ELSE 1 END AS brk
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM brk)
+       |SELECT doc_id, min(pos) AS span_start,
+       |  max(pos) + ${GramSize - 1} AS span_end,
+       |  max(pos) - min(pos) + $GramSize AS span_tokens,
+       |  count(*) AS n_hits
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
   }
 
   /** DuckDB twin: same tokenization (string_split on a single space),

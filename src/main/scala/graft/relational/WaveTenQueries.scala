@@ -112,6 +112,20 @@ object WaveTenQueries {
     }, Some(Decontaminate.oracle("documents",
       "doc_id % 17 = 0", "doc_id % 17 <> 0"))),
 
+    // Span-level twin of `decontaminate`: WHERE the eval overlap sits
+    // — maximal covered token spans per corpus doc (hits merging when
+    // coverage overlaps or touches). Same broadcast shape; the one new
+    // exchange is a doc_id-partitioned window over hit rows only.
+    Q("decontaminate_spans", (s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      Decontaminate.reportSpans(
+          d.filter(col("doc_id") % 17 =!= 0),
+          d.filter(col("doc_id") % 17 === 0))
+        .orderBy(col("doc_id"), col("span_start"))
+    }, Some(Decontaminate.spansOracle("documents",
+      "doc_id % 17 = 0", "doc_id % 17 <> 0"))),
+
     // Sequence packing: greedy next-fit of documents into 256-token
     // training sequences within 256-doc groups — the sequential unit
     // is bounded by construction (one hash exchange on grp, one

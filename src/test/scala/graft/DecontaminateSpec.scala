@@ -45,6 +45,30 @@ class DecontaminateSpec extends AnyFunSuite {
       2L -> ((1L, 5L, 0.2))))
   }
 
+  test("span merge semantics: consecutive, touch-at-k, gap split, clean doc") {
+    // eval grams: {a|b|c|d, b|c|d|e, c|d|e|f}; GramSize k = 4
+    val c2 = Seq(
+      (10L, "a b c d e f"),       // hits at pos 1,2,3 -> one span [1,6]
+      (11L, "a b c d b c d e"),   // hits 1 and 5 (gap == k) -> merged [1,8]
+      (12L, "a b c d q b c d e"), // hits 1 and 6 (gap > k) -> [1,4],[6,9]
+      (13L, "x y z w v u"))       // no hits -> absent
+      .toDF("doc_id", "text")
+    val got = Decontaminate.reportSpans(c2, ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (10L, 1L, 6L, 6L, 3L),
+      (11L, 1L, 8L, 8L, 2L),
+      (12L, 1L, 4L, 4L, 1L),
+      (12L, 6L, 9L, 4L, 1L)))
+  }
+
+  test("span eval side is broadcast too") {
+    val plan = Decontaminate.reportSpans(corpus, ev)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("eval side is broadcast — no corpus-wide shuffle join") {
     val plan = Decontaminate.report(corpus, ev)
       .queryExecution.executedPlan.toString
