@@ -201,13 +201,25 @@ object Profile {
         .select(explode(sequence(lit(0L), lit(9L))).as("i"),
           col("doc_id"), col("text"))
         .select((col("doc_id") * 16 + col("i")).as("doc_id"), col("text"))
+      // extra-clone ids start past the OBSERVED max replicated id — a
+      // fixed +100000 offset would collide with the doc_id*16+i space
+      // once the base corpus passes ~6250 docs and silently skew the
+      // per-signal timings being attributed
+      val cloneOffset =
+        d0.agg(max(col("doc_id"))).first().getLong(0) + 16
       val d = d0.unionAll(d0.filter(col("doc_id") < 5)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .select((col("doc_id") + cloneOffset).as("doc_id"), col("text")))
         .localCheckpoint()
       println(s"[profile] multisig corpus: ${d.count()} docs")
       val mh = Dedup.minhashLshPairs(d, "doc_id", "text")
         .select(col("da"), col("db"), lit(true).as("by_minhash"))
-      val sh = Dedup.simhashPairs(d, "doc_id", "text")
+      // r12: the triage query now composes the CAPPED simhash signal
+      // (MultisigMaxGroup) — attribute that form, and keep the uncapped
+      // timing as the clone-farm contrast
+      val sh = Dedup.simhashPairs(d, "doc_id", "text",
+          maxGroup = Dedup.MultisigMaxGroup)
+        .select(col("da"), col("db"), lit(true).as("by_simhash"))
+      val shUncapped = Dedup.simhashPairs(d, "doc_id", "text")
         .select(col("da"), col("db"), lit(true).as("by_simhash"))
       val fp = d.select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -217,28 +229,29 @@ object Profile {
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           lit(true).as("by_exact"))
       time("minhash signal alone")(noop(mh))
-      time("simhash signal alone")(noop(sh))
+      time("simhash signal alone (capped)")(noop(sh))
+      time("simhash signal alone (uncapped)")(noop(shUncapped))
       time("exact signal alone")(noop(ex))
       val mhC = mh.localCheckpoint(); val shC = sh.localCheckpoint()
       val exC = ex.localCheckpoint()
       println(s"[profile] pair rows: mh=${mhC.count()} " +
         s"sh=${shC.count()} ex=${exC.count()}")
+      // no trailing orderBy: the shipped composition dropped its global
+      // sort (the harness sorts rows itself before hashing)
       time("fusion joins alone")(noop(
         mhC.join(shC, Seq("da", "db"), "full")
           .join(exC, Seq("da", "db"), "full")
           .select(col("da"), col("db"),
             coalesce(col("by_minhash"), lit(false)).as("by_minhash"),
             coalesce(col("by_simhash"), lit(false)).as("by_simhash"),
-            coalesce(col("by_exact"), lit(false)).as("by_exact"))
-          .orderBy(col("da"), col("db"))))
+            coalesce(col("by_exact"), lit(false)).as("by_exact"))))
       time("composed (one plan)")(noop(
         mh.join(sh, Seq("da", "db"), "full")
           .join(ex, Seq("da", "db"), "full")
           .select(col("da"), col("db"),
             coalesce(col("by_minhash"), lit(false)).as("by_minhash"),
             coalesce(col("by_simhash"), lit(false)).as("by_simhash"),
-            coalesce(col("by_exact"), lit(false)).as("by_exact"))
-          .orderBy(col("da"), col("db"))))
+            coalesce(col("by_exact"), lit(false)).as("by_exact"))))
       spark.stop()
       return
     }

@@ -39,9 +39,13 @@ object Decontaminate {
       1)
 
   /** Contamination report: (doc_id, n_overlap, n_grams,
-    * contamination_ratio) for every corpus document sharing at least
+    * contamination_ppm) for every corpus document sharing at least
     * one gram with the eval set. `evalDocs`/`corpusDocs` carry
-    * (doc_id, text). */
+    * (doc_id, text). The share ships as an exact integer —
+    * floor(n_overlap * 1e6 / n_grams) parts-per-million — per the repo
+    * rounding rule: n_grams is data-dependent, so a power-of-two gram
+    * count makes `round(x, 4)` hit structural half-way ties where
+    * Spark HALF_UP and another engine may legally diverge. */
   def report(corpusDocs: DataFrame, evalDocs: DataFrame): DataFrame = {
     val ev = evalDocs
       .select(explode(array_distinct(grams(col("text")))).as("g"))
@@ -55,8 +59,8 @@ object Decontaminate {
       .groupBy(col("doc_id"), col("n_grams"))
       .agg(count(lit(1)).as("n_overlap"))
       .select(col("doc_id"), col("n_overlap"), col("n_grams"),
-        round(col("n_overlap") * lit(1.0) / col("n_grams"), 4)
-          .as("contamination_ratio"))
+        expr("(n_overlap * 1000000L) div n_grams")
+          .as("contamination_ppm"))
   }
 
   /** Span-level contamination (the Lee et al. 2022 exact-substring
@@ -160,7 +164,7 @@ object Decontaminate {
        |o AS (SELECT cg.doc_id, count(*) AS n_overlap
        |      FROM cg JOIN ev USING (g) GROUP BY cg.doc_id)
        |SELECT o.doc_id, n_overlap, n_grams,
-       |  round(n_overlap * 1.0 / n_grams, 4) AS contamination_ratio
+       |  n_overlap * 1000000 // n_grams AS contamination_ppm
        |FROM o JOIN n ON o.doc_id = n.doc_id
        |ORDER BY o.doc_id""".stripMargin
   }

@@ -47,6 +47,15 @@ object Dedup {
   val SimhashBits = 32
   val HammingMax = 3
 
+  /** Default simhash group cap for the multi-signal triage composition
+    * (dedup_multisignal): a clone farm collapses onto one signature, so
+    * an uncapped signal squares the pair output (the 10x canary
+    * measured ~278M pairs). 16 representatives per identical-signature
+    * group keep every cross-group near-dup relation visible while
+    * bounding intra-group pairs at C(16,2)=120; exact_dedup already
+    * reports over-cap groups in full as clusters. */
+  val MultisigMaxGroup = 16
+
   /** Word-shingle array (size 3) of a whitespace-tokenized text column;
     * documents with fewer than 3 words get no shingles.
     *
@@ -1115,13 +1124,16 @@ object Dedup {
        |SELECT da, db, hamming FROM shpairs
        |ORDER BY da, db""".stripMargin
 
-  /** Capped twin: the per-signature group cap expressed as a
-    * row_number window over each identical-signature group — the SQL
-    * mirror of `slice(sort_array(ids), 1, maxGroup)`. The chain's
-    * uncapped `shpairs` goes unreferenced (and unexecuted). */
-  def simhashPairsCappedOracle(
+  /** Capped-chain CTEs: [[simhashPairsCtes]] plus the per-signature
+    * group cap expressed as a row_number window over each
+    * identical-signature group — the SQL mirror of
+    * `slice(sort_array(ids), 1, maxGroup)`. Ends in `shpairs_c(da, db,
+    * hamming)`; the chain's uncapped `shpairs` goes unreferenced (and
+    * unexecuted). Composable inside a larger WITH (dedup_multisignal
+    * wires it alongside the minhash chain). */
+  def simhashPairsCappedCtes(
       docsRel: String, maxDist: Int, maxGroup: Int): String =
-    s"""WITH ${simhashPairsCtes(docsRel, maxDist)},
+    s"""${simhashPairsCtes(docsRel, maxDist)},
        |sh_kept AS MATERIALIZED (
        |  SELECT doc_id, simhash FROM (
        |    SELECT doc_id, simhash, row_number() OVER (
@@ -1132,7 +1144,11 @@ object Dedup {
        |  SELECT a.doc_id AS da, b.doc_id AS db,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |  FROM sh_kept a JOIN sh_kept b ON a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist)
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist)""".stripMargin
+
+  def simhashPairsCappedOracle(
+      docsRel: String, maxDist: Int, maxGroup: Int): String =
+    s"""WITH ${simhashPairsCappedCtes(docsRel, maxDist, maxGroup)}
        |SELECT da, db, hamming FROM shpairs_c
        |ORDER BY da, db""".stripMargin
 }

@@ -2426,11 +2426,17 @@ object TrainingDataQueries {
     // triage view a curation pipeline reviews before choosing what to
     // drop. Full-outer composition over the three pair sets; each
     // signal's machinery is the same hash-checked operator it is alone.
+    // The simhash signal composes CAPPED (MultisigMaxGroup) so a clone
+    // farm cannot square the pair output — the uncapped reference form
+    // stays gated separately as `simhash_dups` — and there is no final
+    // global sort: the harness sorts rows itself before hashing, so an
+    // orderBy here would only add a full pass over the pair table.
     Q("dedup_multisignal", (s, dir) => {
       val d = docsWithDups(s, dir).localCheckpoint() // 3 signal scans
       val mh = Dedup.minhashLshPairs(d, "doc_id", "text")
         .select(col("da"), col("db"), lit(true).as("by_minhash"))
-      val sh = Dedup.simhashPairs(d, "doc_id", "text")
+      val sh = Dedup.simhashPairs(d, "doc_id", "text",
+          maxGroup = Dedup.MultisigMaxGroup)
         .select(col("da"), col("db"), lit(true).as("by_simhash"))
       val fp = d.select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -2445,11 +2451,11 @@ object TrainingDataQueries {
           coalesce(col("by_minhash"), lit(false)).as("by_minhash"),
           coalesce(col("by_simhash"), lit(false)).as("by_simhash"),
           coalesce(col("by_exact"), lit(false)).as("by_exact"))
-        .orderBy(col("da"), col("db"))
     }, Some(
       s"""WITH corpus AS (SELECT * FROM $docsWithDupsSql __ms),
          |${Dedup.minhashLshCtes("corpus", Dedup.JaccardThreshold)},
-         |${Dedup.simhashPairsCtes("corpus", Dedup.HammingMax)},
+         |${Dedup.simhashPairsCappedCtes("corpus", Dedup.HammingMax,
+            Dedup.MultisigMaxGroup)},
          |ms_fp AS (
          |  SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp
          |  FROM corpus),
@@ -2459,7 +2465,7 @@ object TrainingDataQueries {
          |    ON a.fp = b.fp AND a.doc_id < b.doc_id),
          |allp AS (
          |  SELECT da, db FROM lshpairs
-         |  UNION SELECT da, db FROM shpairs
+         |  UNION SELECT da, db FROM shpairs_c
          |  UNION SELECT da, db FROM expairs)
          |SELECT p.da, p.db,
          |  (l.da IS NOT NULL) AS by_minhash,
@@ -2468,7 +2474,7 @@ object TrainingDataQueries {
          |FROM allp p
          |LEFT JOIN (SELECT DISTINCT da, db FROM lshpairs) l
          |  ON l.da = p.da AND l.db = p.db
-         |LEFT JOIN (SELECT DISTINCT da, db FROM shpairs) sp
+         |LEFT JOIN (SELECT DISTINCT da, db FROM shpairs_c) sp
          |  ON sp.da = p.da AND sp.db = p.db
          |LEFT JOIN expairs e ON e.da = p.da AND e.db = p.db
          |ORDER BY p.da, p.db""".stripMargin)),

@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   */
 object VersionedTable {
 
+  /** Broadcast gate for [[changes]]' fetch joins: a diff row is a key
+    * tuple + status string (~tens of bytes), so 2M keys is well inside
+    * a default 8 GB driver / 8 GB broadcast limit while still covering
+    * any realistic adjacent-version change set. */
+  val ChangesBroadcastMaxKeys: Long = 2L * 1000 * 1000
+
   private val MarkerRe = "_commit_v(\\d+)".r
 
   private def fsOf(spark: SparkSession, root: String) = {
@@ -211,10 +217,19 @@ object VersionedTable {
       keyCols: Seq[String]): DataFrame = {
     val diff = diffVersions(spark, root, from, to, keyCols)
       .localCheckpoint() // change-set sized; feeds two fetch joins
+    // Broadcast only while the diff is genuinely small: a wide-range
+    // changes() call (first commit → latest, or a fully churned table)
+    // makes the change relation snapshot-sized, where a forced
+    // broadcast would blow the driver/broadcast limit. One count over
+    // the checkpointed blocks decides; above the cap the fetch joins
+    // fall back to plain shuffled joins (still key+status columns only
+    // on the diff side — rows stay narrow).
+    val smallDiff = diff.count() <= ChangesBroadcastMaxKeys
     def fetch(v: Long, statuses: Seq[String], types: Map[String, String]) = {
       val side = readVersion(spark, root, v)
-      val wanted = diff.filter(col("status").isin(statuses: _*))
-      side.join(broadcast(wanted), keyCols)
+      val wanted0 = diff.filter(col("status").isin(statuses: _*))
+      val wanted = if (smallDiff) broadcast(wanted0) else wanted0
+      side.join(wanted, keyCols)
         .withColumn("change_type",
           when(col("status") === statuses.head, types(statuses.head))
             .otherwise(types(statuses.last)))

@@ -43,7 +43,12 @@ class ContentStreamRasterizer extends PageRasterizer {
       g2.fillRect(0, 0, wPx, hPx)
       g2.setRenderingHint(java.awt.RenderingHints.KEY_ANTIALIASING,
         java.awt.RenderingHints.VALUE_ANTIALIAS_OFF)
+      // Device transform: dpi scale, y-flip, and the MediaBox origin —
+      // a box of [x0 y0 x1 y1] puts user-space (x0, y0) at the page's
+      // bottom-left, so content coordinates translate by (-x0, -y0)
+      // before scaling (fixtures use origin 0; real PDFs may not).
       val base = new AffineTransform(s, 0, 0, -s, 0, hPx.toDouble)
+      base.translate(-page.mediaBox._1, -page.mediaBox._2)
       page.content.foreach(stream => run(g2, base, stream))
       g2.dispose()
       val out = new java.io.ByteArrayOutputStream()
@@ -221,8 +226,11 @@ object ContentStreamRasterizer {
     }
   }
 
+  // PDF real syntax allows trailing- and leading-dot forms ("4." and
+  // ".5"); rejecting them would spill a valid operand into the
+  // unknown-operator branch and clear the whole pending stack.
   private def isNumber(t: String): Boolean =
-    t.nonEmpty && t.matches("[-+]?[0-9]*\\.?[0-9]+")
+    t.nonEmpty && t.matches("[-+]?([0-9]+\\.?[0-9]*|\\.[0-9]+)")
 
   private def rgb(r: Double, g: Double, b: Double): Color =
     new Color(clamp01(r).toFloat, clamp01(g).toFloat, clamp01(b).toFloat)

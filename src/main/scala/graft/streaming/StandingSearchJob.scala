@@ -87,7 +87,11 @@ object StandingSearchJob {
       checkpointDir: String,
       terms: Seq[String],
       maxFilesPerTrigger: Int = 0): SearchSummary = {
-    var summary = Empty
+    // Written on the stream's micro-batch thread (inside foreachBatch),
+    // read on the caller thread after awaitTermination(): @volatile
+    // makes that cross-thread read a guaranteed happens-before rather
+    // than relying on incidental synchronization in the engine.
+    @volatile var summary = Empty
     val reader = spark.readStream
       .schema("doc_id BIGINT, text STRING, embedding ARRAY<DOUBLE>")
     val limited =

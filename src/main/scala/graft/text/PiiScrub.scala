@@ -32,8 +32,15 @@ object PiiScrub {
   /** International-prefix dashed form: +C[C]-NNN-NNN-NNNN. */
   val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
 
-  /** Dotted-quad IPv4, word-bounded so it does not fire inside longer
-    * digit runs or version strings like 1.2.3.4.5. */
+  /** Dotted-quad IPv4. The `\b` anchors bound DIGIT runs only: the quad
+    * cannot start or end mid-number (no firing inside `91.2.3.4` as
+    * `1.2.3.4`), but a DOT is a word boundary after a digit, so in a
+    * longer dotted run like `1.2.3.4.5` the quad DOES fire on the
+    * `1.2.3.4` prefix (→ `[IP].5`). That over-redaction is the accepted
+    * contract — pinned verbatim by PiiScrubSpec ("5-part dotted
+    * version") and identical in both engines since the pattern is
+    * shared; excluding it would need lookaround, which the Java∩RE2
+    * dialect subset deliberately forbids. */
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** 16-digit payment-card number in 4x4 space-grouped form. */

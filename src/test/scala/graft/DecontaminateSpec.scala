@@ -21,7 +21,7 @@ class DecontaminateSpec extends AnyFunSuite {
   private lazy val ev = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
 
   private lazy val corpus = Seq(
-    // full clone — all 3 of its grams overlap (3 own grams, ratio 1)
+    // full clone — all 3 of its grams overlap (3 own grams, 1e6 ppm)
     (1L, "a b c d e f"),
     // shares exactly one gram a|b|c|d; owns 5 grams
     (2L, "a b c d x y z w"),
@@ -33,16 +33,23 @@ class DecontaminateSpec extends AnyFunSuite {
     (5L, "a b c"))
     .toDF("doc_id", "text")
 
-  test("overlap counts, distinct-set semantics, ratio") {
+  test("overlap counts, distinct-set semantics, integer ppm") {
     val got = Decontaminate.report(corpus, ev)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got == Map(
-      1L -> ((3L, 3L, 1.0)),
+      1L -> ((3L, 3L, 1000000L)),
       // doc 4: grams {a|b|c|d, b|c|d|a, c|d|a|b, d|a|b|c} distinct=4,
       // only a|b|c|d is in the eval set
-      4L -> ((1L, 4L, 0.25)),
-      2L -> ((1L, 5L, 0.2))))
+      4L -> ((1L, 4L, 250000L)),
+      2L -> ((1L, 5L, 200000L))))
+  }
+
+  test("ppm floors exactly (no double rounding): 1/3 -> 333333") {
+    val got = Decontaminate.report(
+        Seq((20L, "a b c d x y")).toDF("doc_id", "text"), ev)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 3L, 333333L)))
   }
 
   test("span merge semantics: consecutive, touch-at-k, gap split, clean doc") {
