@@ -142,6 +142,31 @@ object Decontaminate {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  /** The contaminated-doc-set CTE chain alone, over two ALREADY-BUILT
+    * relations (each carrying doc_id, text) — the composable form the
+    * corpus_ship funnel wires between its scrub and pack stages. CTE
+    * names are dc_-prefixed so the chain coexists with the minhash/
+    * simhash chains inside one WITH. Ends in `dc_cont(doc_id)`: every
+    * corpus doc sharing >= 1 word GramSize-gram with the eval side —
+    * the SQL twin of `report(corpus, eval).select("doc_id")`. */
+  def contaminatedCtes(corpusRel: String, evalRel: String): String = {
+    val gram = (1 to GramSize).map(o => s"ws[i+${o - 1}]").mkString(" || '|' || ")
+    s"""dc_ev AS MATERIALIZED (
+       |  SELECT DISTINCT
+       |    unnest([$gram for i in range(1, len(ws) - ${GramSize - 2})]) AS g
+       |  FROM (SELECT string_split(text, ' ') AS ws FROM $evalRel) __de
+       |  WHERE len(ws) >= $GramSize),
+       |dc_cg AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([$gram for i in range(1, len(ws) - ${GramSize - 2})]) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM $corpusRel) __dc
+       |  WHERE len(ws) >= $GramSize),
+       |dc_cont AS (
+       |  SELECT DISTINCT dc_cg.doc_id FROM dc_cg JOIN dc_ev USING (g))"""
+      .stripMargin
+  }
+
   /** DuckDB twin: same tokenization (string_split on a single space),
     * same gram joiner, same distinct-set semantics. `evalPred` /
     * `corpusPred` partition the documents relation into the two sides.

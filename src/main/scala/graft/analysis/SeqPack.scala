@@ -61,13 +61,14 @@ object SeqPack {
         floor(col("n_tokens") * 10000.0 / capacity).cast("long"))
   }
 
-  /** DuckDB twin: the same greedy next-fit as a recursive CTE that
-    * advances every group one document per round (depth = groupSize,
-    * a constant). `docs_o` is MATERIALIZED — it is read by the
-    * anchor, every recursive round, and nothing else should re-run
-    * the tokenize. */
-  def oracle(docsRel: String, groupSize: Int, capacity: Int): String =
-    s"""WITH RECURSIVE docs_o AS MATERIALIZED (
+  /** The packing CTE chain alone (goes after a `WITH RECURSIVE`, so it
+    * composes inside a larger WITH — corpus_ship appends it to the
+    * funnel chain). `docsRel` is any relation carrying (doc_id, text).
+    * `docs_o` is MATERIALIZED — it is read by the anchor, every
+    * recursive round, and nothing else should re-run the tokenize.
+    * Ends in `pk`; [[oracleSelect]] is the matching final SELECT. */
+  def oracleCtes(docsRel: String, groupSize: Int, capacity: Int): String =
+    s"""docs_o AS MATERIALIZED (
        |  SELECT doc_id, doc_id // $groupSize AS grp,
        |    len(string_split(text, ' ')) AS tok,
        |    row_number() OVER (PARTITION BY doc_id // $groupSize
@@ -82,10 +83,20 @@ object SeqPack {
        |         ELSE p.seq_idx + 1 END,
        |    CASE WHEN p.fill + d.tok <= $capacity THEN p.fill + d.tok
        |         ELSE d.tok END
-       |  FROM pk p JOIN docs_o d ON d.grp = p.grp AND d.rn = p.rn + 1)
-       |SELECT grp, CAST(seq_idx AS BIGINT) AS seq_idx,
+       |  FROM pk p JOIN docs_o d ON d.grp = p.grp AND d.rn = p.rn + 1)"""
+      .stripMargin
+
+  def oracleSelect(capacity: Int): String =
+    s"""SELECT grp, CAST(seq_idx AS BIGINT) AS seq_idx,
        |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
        |  CAST(floor(sum(tok) * 10000.0 / $capacity) AS BIGINT) AS fill_bp
        |FROM pk GROUP BY grp, seq_idx
        |ORDER BY grp, seq_idx""".stripMargin
+
+  /** DuckDB twin: the same greedy next-fit as a recursive CTE that
+    * advances every group one document per round (depth = groupSize,
+    * a constant). */
+  def oracle(docsRel: String, groupSize: Int, capacity: Int): String =
+    s"""WITH RECURSIVE ${oracleCtes(docsRel, groupSize, capacity)}
+       |${oracleSelect(capacity)}""".stripMargin
 }

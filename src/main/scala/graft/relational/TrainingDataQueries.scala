@@ -29,14 +29,16 @@ object TrainingDataQueries {
     s.read.parquet(t(dir, "embeddings"))
 
   /** documents plus planted exact duplicates (the testdata has none):
-    * the first 5 docs re-appear with doc_id + 100000. */
-  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    * the first 5 docs re-appear with doc_id + 100000. Shared with
+    * WaveTenQueries' corpus_ship funnel so both shipping compositions
+    * bind their dedup gates on the same fixture. */
+  private[relational] def docsWithDups(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
     d.unionAll(d.filter(col("doc_id") < 5)
       .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
-  private val docsWithDupsSql =
+  private[relational] val docsWithDupsSql =
     """(SELECT doc_id, text FROM documents
       | UNION ALL
       | SELECT doc_id + 100000 AS doc_id, text FROM documents

@@ -3,7 +3,8 @@ package graft.relational
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analysis.Decontaminate
+import graft.analysis.{Decontaminate, SeqPack, TextAnalysis}
+import graft.dedup.Dedup
 import graft.relational.RelationalQueries.Q
 import graft.text.PiiScrub
 
@@ -46,7 +47,7 @@ object WaveTenQueries {
           (lit(4000) + col("doc_id") % 1000).cast("string"),
           lit(" ok."))).otherwise(lit(""))))
 
-  private val piiAugSql: String =
+  private def piiAugSql(rel: String): String =
     s"""aug AS (
        |  SELECT doc_id, text ||
        |    CASE WHEN doc_id % 7 = 0 THEN ' Contact agent' ||
@@ -62,7 +63,7 @@ object WaveTenQueries {
        |    CASE WHEN doc_id % 13 = 0 THEN ' Card 4111 2222 3333 ' ||
        |      CAST(4000 + doc_id % 1000 AS VARCHAR) || ' ok.' ELSE '' END
        |    AS text2
-       |  FROM documents)""".stripMargin
+       |  FROM $rel)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -83,7 +84,7 @@ object WaveTenQueries {
           col("n_card") > 0)
         .orderBy(col("doc_id"))
     }, Some(
-      s"""WITH $piiAugSql,
+      s"""WITH ${piiAugSql("documents")},
          |det AS (
          |  SELECT doc_id,
          |    ${PiiScrub.countSql("text2", PiiScrub.EmailRe)} AS n_email,
@@ -137,5 +138,76 @@ object WaveTenQueries {
           groupSize = 256, capacity = 256)
         .orderBy(col("grp"), col("seq_idx"))
     }, Some(graft.analysis.SeqPack.oracle("documents", 256, 256))),
+
+    // THE END-TO-END CORPUS-PUBLISH FUNNEL in one query — the last
+    // thing a training-data pipeline runs before a corpus ships:
+    // curate (quality / language / token-range gates, exact-dup min-id
+    // winners, LSH near-dup losers dropped) → PII scrub (the doc_id-
+    // derived augmentation, so the gate binds at every SF, then full
+    // redaction) → benchmark decontamination of the SCRUBBED text
+    // against the eval split (doc_id ≡ 0 mod 17 — excluded from the
+    // corpus up front, its raw text the gram source) → sequence
+    // packing of the survivors. Every stage is an already-gated
+    // operator; this query proves their MUTUAL contracts compose: one
+    // corpus checkpoint feeds curation and the eval side, one scrubbed
+    // checkpoint feeds the gram projection, the contamination
+    // anti-join, and the packer. Fixture: docsWithDups, so both dedup
+    // gates bind (twins lose). Scale shape: each stage keeps its solo
+    // plan — the eval gram set broadcasts, the pair generators stay
+    // bucketed/capped, packing stays one bounded flatMapGroups — so
+    // the funnel's cost is the SUM of its stages, never a product.
+    Q("corpus_ship", (s, dir) => {
+      val d = TrainingDataQueries.docsWithDups(s, dir)
+        .localCheckpoint() // feeds curation gates AND the eval split
+      val c = col("text")
+      val evalPred = col("doc_id") % 17 === 0
+      val exactWinners = d
+        .groupBy(TextAnalysis.fingerprint(c).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val lshLosers = Dedup.minhashLshPairs(d, "doc_id", "text")
+        .select(col("db").as("doc_id")).distinct()
+      val curated = d.filter(!evalPred)
+        .filter(TextAnalysis.qualityScore(c) >= 0.5 &&
+          TextAnalysis.langId(c) === "en" &&
+          TextAnalysis.tokenCount(c).between(50, 400))
+        .join(exactWinners, Seq("doc_id"), "left_semi")
+        .join(lshLosers, Seq("doc_id"), "left_anti")
+      val scrubbed = piiAug(curated.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), PiiScrub.redact(col("text2")).as("text"))
+        .localCheckpoint() // feeds grams, the anti-join, and the packer
+      val contaminated = Decontaminate.report(scrubbed,
+          d.filter(evalPred).select(col("doc_id"), col("text")))
+        .select(col("doc_id"))
+      val shipped = scrubbed.join(contaminated, Seq("doc_id"), "left_anti")
+      SeqPack.pack(shipped, groupSize = 256, capacity = 256)
+        .orderBy(col("grp"), col("seq_idx"))
+    }, Some(
+      s"""WITH RECURSIVE dd AS MATERIALIZED (
+         |  SELECT * FROM ${TrainingDataQueries.docsWithDupsSql} __cs),
+         |${Dedup.minhashLshCtes("dd", Dedup.JaccardThreshold)},
+         |cs_exwin AS (
+         |  SELECT min(doc_id) AS doc_id FROM dd
+         |  GROUP BY ${TextAnalysis.fingerprintSql("text")}),
+         |cs_losers AS (SELECT DISTINCT db AS doc_id FROM lshpairs),
+         |curated AS MATERIALIZED (
+         |  SELECT doc_id, text FROM dd
+         |  WHERE doc_id % 17 <> 0
+         |    AND ${TextAnalysis.qualityScoreSql("text")} >= 0.5
+         |    AND ${TextAnalysis.langIdSql("text")} = 'en'
+         |    AND ${TextAnalysis.tokenCountSql("text")} BETWEEN 50 AND 400
+         |    AND doc_id IN (SELECT doc_id FROM cs_exwin)
+         |    AND doc_id NOT IN (SELECT doc_id FROM cs_losers)),
+         |${piiAugSql("curated")},
+         |scrubbed AS MATERIALIZED (
+         |  SELECT doc_id, ${PiiScrub.redactSql("text2")} AS text
+         |  FROM aug),
+         |cs_eval AS (SELECT doc_id, text FROM dd WHERE doc_id % 17 = 0),
+         |${Decontaminate.contaminatedCtes("scrubbed", "cs_eval")},
+         |shipped AS MATERIALIZED (
+         |  SELECT doc_id, text FROM scrubbed
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dc_cont)),
+         |${SeqPack.oracleCtes("shipped", 256, 256)}
+         |${SeqPack.oracleSelect(256)}""".stripMargin)),
   )
 }

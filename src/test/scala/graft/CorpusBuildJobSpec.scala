@@ -99,6 +99,70 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     assert(r2.arrived == 0 && r2.rejectedContaminated == 0)
   }
 
+  test("stream ≡ batch: multi-drain build equals the one-shot composition") {
+    // The corpus_ship claim, proven on the job itself: draining the
+    // same documents through TWO checkpointed streaming runs (later
+    // drains carrying later ids — the corpus-build arrival order)
+    // admits EXACTLY the corpus that one batch application of the same
+    // gate chain admits. Sequential-greedy in-batch dedup makes
+    // batching invisible by design; this pins it end to end, store
+    // bytes included.
+    import graft.dedup.{Dedup, IncrementalDedup}
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val base = Files.createTempDirectory("corpusjob4").toString
+    val docsDir = s"$base/incoming"
+    val streamStore = s"$base/stream_corpus"
+    val batchStore = s"$base/batch_corpus"
+    val ckpt = s"$base/ckpt"
+
+    val evalDocs = Seq(900L -> tokens("echo").mkString(" "))
+      .toDF("doc_id", "text")
+    val drain1 = Seq(
+      1L -> tokens("alpha").mkString(" "),
+      2L -> tokens("alpha").updated(30, "changed").mkString(" "), // in-batch dup
+      3L -> "tiny text",                                          // gate-fail
+      4L -> (tokens("gamma").mkString(" ") +
+        " contact bob@example.com for the info"),                 // PII
+      5L -> tokens("echo").updated(50, "tail").mkString(" "))     // leaked
+    val drain2 = Seq(
+      6L -> tokens("alpha").updated(40, "other").mkString(" "),   // dup vs store
+      7L -> tokens("delta").mkString(" "),
+      8L -> (tokens("zeta").mkString(" ") + " mail eve@example.net ok"))
+
+    // STREAM: two incremental checkpointed drains
+    writeBatch(docsDir, drain1)
+    val r1 = CorpusBuildJob.runOnce(spark, docsDir, streamStore, ckpt,
+      evalDocs = Some(evalDocs))
+    writeBatch(docsDir, drain2)
+    val r2 = CorpusBuildJob.runOnce(spark, docsDir, streamStore, ckpt,
+      evalDocs = Some(evalDocs))
+    val stream = r1 + r2
+    assert(stream.arrived == 8 && stream.filteredOut == 1 &&
+      stream.rejectedContaminated == 1 && stream.rejectedNearDup == 2,
+      s"fixture must exercise every gate: $stream")
+
+    // BATCH: the same gate chain, applied once to the union
+    val all = (drain1 ++ drain2).toDF("doc_id", "text")
+    val clean = CorpusBuildJob.cleanAndFilter(all).localCheckpoint()
+    val evalHashes = Dedup.evalShingleHashes(evalDocs, "doc_id", "text")
+    val bad = Dedup.contaminationAgainstHashes(clean, evalHashes,
+        "doc_id", "text", CorpusBuildJob.MinSharedShingles)
+      .select(col("doc_id"))
+    val kept = clean.join(broadcast(bad), Seq("doc_id"), "left_anti")
+    val rb = IncrementalDedup.processBatch(kept, batchStore)
+
+    val streamDocs = spark.read.parquet(s"$streamStore/docs")
+      .as[(Long, String)].collect().toMap
+    val batchDocs = spark.read.parquet(s"$batchStore/docs")
+      .as[(Long, String)].collect().toMap
+    assert(streamDocs == batchDocs,
+      s"stream corpus ${streamDocs.keySet} != batch ${batchDocs.keySet}")
+    assert(stream.accepted == rb.accepted)
+    assert(streamDocs.keySet == Set(1L, 4L, 7L, 8L))
+    assert(streamDocs(4L).contains("<EMAIL>"),
+      "the shipped text must be the scrubbed one on both paths")
+  }
+
   test("WARC archives drain into the curated corpus (streaming twin)") {
     import graft.sources.WarcSource
     val base = Files.createTempDirectory("corpusjob3").toString
