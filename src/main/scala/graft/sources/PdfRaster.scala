@@ -20,14 +20,25 @@ import scala.collection.mutable
   *    re / m / l / h (path building), f / f* / F (fill), S / s
   *    (stroke), n (no-op path drop); unknown operators consume their
   *    operands and are ignored (the spec's forgiving-reader rule);
+  *  - text showing (since r12): BT/ET, Tf/TL/Td/TD/Tm/T*, Tj/TJ/'/"
+  *    with the full text-matrix algebra (Tm/Tlm split, per-glyph
+  *    advance updates, TJ thousandths adjustments) over a real
+  *    lexer — (…) literals with escapes/nesting, <…> hex strings,
+  *    [ ] arrays, /names. Glyphs render as FIXED-ADVANCE FILLED BOXES
+  *    using the public Type1 Helvetica AFM advance widths (glyph box =
+  *    advance inset 10% each side, cap height 0.7 em) — a documented
+  *    approximation: placement, advance, and line metrics are exact,
+  *    glyph SHAPES are boxes (no font engine). That gives flyer
+  *    fixtures positional text signal for crops/OCR without
+  *    misrepresenting outline fidelity;
   *  - device mapping: dpi/72 scale with the y-axis flip (PDF origin is
   *    bottom-left), so a box at (x, y) lands at pixel row
   *    `H - y·s` — stroke pen width scales with the CTM exactly as the
   *    spec's user-space pen does.
   *
-  * Out of scope (documented boundary, not silent): fonts/text
-  * rendering, images, shading, clipping — a fixture that needs them
-  * still rasterizes, with those operators skipped. */
+  * Out of scope (documented boundary, not silent): font programs /
+  * glyph outlines (boxes above), images, shading, clipping — a fixture
+  * that needs them still rasterizes, with those operators skipped. */
 class ContentStreamRasterizer extends PageRasterizer {
   import ContentStreamRasterizer._
 
@@ -162,17 +173,113 @@ object ContentStreamRasterizer {
       GState(new AffineTransform(ctm), fill, stroke, lineWidth)
   }
 
+  /** Content-stream token: a number, a string literal (already
+    * decoded), or a word (operator, /name, or array bracket). */
+  private[graft] sealed trait Tok
+  private[graft] final case class TNum(s: String) extends Tok
+  private[graft] final case class TStr(s: String) extends Tok
+  private[graft] final case class TWord(s: String) extends Tok
+
+  /** Lex a content stream per the PDF 1.4 token syntax subset the
+    * operator set needs: whitespace/%-comment skipping, `(...)`
+    * literals with backslash escapes, octal codes, and balanced
+    * nesting, `<...>` hex strings, `[ ] { }` as standalone tokens,
+    * `/name` tokens, numbers, operator words. */
+  private[graft] def tokenize(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '%') {
+        while (i < n && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
+      } else if (c == '(') {
+        val sb = new StringBuilder
+        var depth = 1
+        i += 1
+        while (i < n && depth > 0) {
+          val ch = s.charAt(i)
+          if (ch == '\\' && i + 1 < n) {
+            val e = s.charAt(i + 1)
+            if (e >= '0' && e <= '7') {
+              var j = i + 1; var v = 0
+              while (j < n && j < i + 4 && s.charAt(j) >= '0' &&
+                  s.charAt(j) <= '7') {
+                v = v * 8 + (s.charAt(j) - '0'); j += 1
+              }
+              sb.append(v.toChar); i = j
+            } else {
+              e match {
+                case 'n' => sb.append('\n')
+                case 'r' => sb.append('\r')
+                case 't' => sb.append('\t')
+                case 'b' => sb.append('\b')
+                case 'f' => sb.append('\f')
+                case '\n' | '\r' => () // line continuation
+                case other => sb.append(other) // covers \( \) \\
+              }
+              i += 2
+            }
+          } else if (ch == '(') { depth += 1; sb.append(ch); i += 1 }
+          else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(ch); i += 1 }
+          else { sb.append(ch); i += 1 }
+        }
+        out += TStr(sb.toString)
+      } else if (c == '<') {
+        val end0 = s.indexOf('>', i + 1)
+        val end = if (end0 < 0) n else end0
+        val hex = s.substring(i + 1, end).filterNot(_.isWhitespace)
+        val sb = new StringBuilder
+        var k = 0
+        while (k < hex.length) {
+          val hi = Character.digit(hex.charAt(k), 16)
+          val lo = if (k + 1 < hex.length)
+            Character.digit(hex.charAt(k + 1), 16) else 0 // odd: pad 0
+          if (hi >= 0 && lo >= 0) sb.append(((hi << 4) | lo).toChar)
+          k += 2
+        }
+        out += TStr(sb.toString)
+        i = if (end0 < 0) n else end + 1
+      } else if (c == '[' || c == ']' || c == '{' || c == '}') {
+        out += TWord(c.toString); i += 1
+      } else if (c == '/') {
+        var j = i + 1
+        while (j < n && !s.charAt(j).isWhitespace &&
+            "()<>[]{}/%".indexOf(s.charAt(j)) < 0) j += 1
+        out += TWord(s.substring(i, j)); i = j
+      } else {
+        var j = i
+        while (j < n && !s.charAt(j).isWhitespace &&
+            "()<>[]{}/%".indexOf(s.charAt(j)) < 0) j += 1
+        val t = s.substring(i, j)
+        out += (if (isNumber(t)) TNum(t) else TWord(t))
+        i = j
+      }
+    }
+    out.result()
+  }
+
   /** Execute one content stream onto `g2` under the device transform. */
   private def run(g2: java.awt.Graphics2D, base: AffineTransform,
       stream: String): Unit = {
-    val toks = stream.split("\\s+").filter(_.nonEmpty)
-    val operands = mutable.ArrayBuffer.empty[String]
+    val toks = tokenize(stream)
+    val operands = mutable.ArrayBuffer.empty[Tok]
     var st = GState(new AffineTransform(base), Color.BLACK, Color.BLACK, 1.0)
     val stack = mutable.Stack.empty[GState]
     var path = new GeneralPath()
     var cx = 0.0; var cy = 0.0
+    // text state (BT..ET): text matrix, line matrix, size, leading —
+    // deliberately NOT part of GState (the spec keeps them separate)
+    var tm: AffineTransform = null
+    var tlm: AffineTransform = null
+    var fontSize = 0.0
+    var leading = 0.0
 
-    def num(i: Int): Double = operands(operands.length + i).toDouble
+    def num(i: Int): Double = operands(operands.length + i) match {
+      case TNum(v) => v.toDouble
+      case _ => 0.0 // forgiving reader: a mistyped operand reads as 0
+    }
 
     def paint(draw: Boolean): Unit = {
       g2.setTransform(st.ctm)
@@ -188,40 +295,135 @@ object ContentStreamRasterizer {
       path = new GeneralPath()
     }
 
+    /** Move to the next line: Tlm = translate(tx, ty) applied in line
+      * space (java `translate` concatenates on the right = PDF's
+      * row-vector T(tx,ty) x Tlm), then Tm restarts at Tlm. */
+    def nextLine(tx: Double, ty: Double): Unit = if (tlm != null) {
+      tlm.translate(tx, ty)
+      tm = new AffineTransform(tlm)
+    }
+
+    /** Show glyphs at running text-space offset `off`; returns the
+      * advanced offset. Glyph = filled box of the Helvetica AFM
+      * advance inset 10% each side, 0.7 em tall; spaces advance only. */
+    def showGlyphs(text: String, off0: Double): Double = {
+      var off = off0
+      if (tm != null && fontSize > 0) {
+        val dev = new AffineTransform(st.ctm)
+        dev.concatenate(tm)
+        g2.setTransform(dev)
+        g2.setColor(st.fill)
+        text.foreach { ch =>
+          val w = glyphAdvance(ch) / 1000.0 * fontSize
+          if (!ch.isWhitespace) {
+            g2.fill(new java.awt.geom.Rectangle2D.Double(
+              off + 0.1 * w, 0, 0.8 * w, 0.7 * fontSize))
+          }
+          off += w
+        }
+        g2.setTransform(new AffineTransform())
+      }
+      off
+    }
+
+    /** Tj: show and push the total advance into Tm (the spec's
+      * per-glyph Tm update, batched). */
+    def showText(text: String): Unit = if (tm != null) {
+      val adv = showGlyphs(text, 0.0)
+      tm.translate(adv, 0)
+    }
+
     toks.foreach {
-      case "q" => stack.push(st.copyOf)
-      case "Q" => if (stack.nonEmpty) st = stack.pop()
-      case "cm" if operands.length >= 6 =>
+      case TWord("q") => stack.push(st.copyOf)
+      case TWord("Q") => if (stack.nonEmpty) st = stack.pop()
+      case TWord("cm") if operands.length >= 6 =>
         st.ctm.concatenate(new AffineTransform(
           num(-6), num(-5), num(-4), num(-3), num(-2), num(-1)))
         operands.clear()
-      case "rg" if operands.length >= 3 =>
+      case TWord("rg") if operands.length >= 3 =>
         st.fill = rgb(num(-3), num(-2), num(-1)); operands.clear()
-      case "RG" if operands.length >= 3 =>
+      case TWord("RG") if operands.length >= 3 =>
         st.stroke = rgb(num(-3), num(-2), num(-1)); operands.clear()
-      case "g" if operands.nonEmpty =>
+      case TWord("g") if operands.nonEmpty =>
         st.fill = rgb(num(-1), num(-1), num(-1)); operands.clear()
-      case "G" if operands.nonEmpty =>
+      case TWord("G") if operands.nonEmpty =>
         st.stroke = rgb(num(-1), num(-1), num(-1)); operands.clear()
-      case "w" if operands.nonEmpty =>
+      case TWord("w") if operands.nonEmpty =>
         st.lineWidth = num(-1); operands.clear()
-      case "re" if operands.length >= 4 =>
+      case TWord("re") if operands.length >= 4 =>
         path.append(new java.awt.geom.Rectangle2D.Double(
           num(-4), num(-3), num(-2), num(-1)), false)
         cx = num(-4); cy = num(-3)
         operands.clear()
-      case "m" if operands.length >= 2 =>
+      case TWord("m") if operands.length >= 2 =>
         cx = num(-2); cy = num(-1); path.moveTo(cx, cy); operands.clear()
-      case "l" if operands.length >= 2 =>
+      case TWord("l") if operands.length >= 2 =>
         cx = num(-2); cy = num(-1); path.lineTo(cx, cy); operands.clear()
-      case "h" => if (path.getCurrentPoint != null) path.closePath()
-      case "f" | "F" | "f*" => paint(draw = false); operands.clear()
-      case "S" => paint(draw = true); operands.clear()
-      case "s" =>
+      case TWord("h") => if (path.getCurrentPoint != null) path.closePath()
+      case TWord("f") | TWord("F") | TWord("f*") =>
+        paint(draw = false); operands.clear()
+      case TWord("S") => paint(draw = true); operands.clear()
+      case TWord("s") =>
         if (path.getCurrentPoint != null) path.closePath()
         paint(draw = true); operands.clear()
-      case "n" => path = new GeneralPath(); operands.clear()
-      case t if isNumber(t) => operands += t
+      case TWord("n") => path = new GeneralPath(); operands.clear()
+
+      // ---- text object / positioning / showing ----
+      case TWord("BT") =>
+        tm = new AffineTransform(); tlm = new AffineTransform()
+        operands.clear()
+      case TWord("ET") => tm = null; tlm = null; operands.clear()
+      case TWord("Tf") if operands.nonEmpty =>
+        fontSize = num(-1); operands.clear() // /name operand ignored
+      case TWord("TL") if operands.nonEmpty =>
+        leading = num(-1); operands.clear()
+      case TWord("Td") if operands.length >= 2 =>
+        nextLine(num(-2), num(-1)); operands.clear()
+      case TWord("TD") if operands.length >= 2 =>
+        leading = -num(-1); nextLine(num(-2), num(-1)); operands.clear()
+      case TWord("Tm") if operands.length >= 6 =>
+        tlm = new AffineTransform(
+          num(-6), num(-5), num(-4), num(-3), num(-2), num(-1))
+        tm = new AffineTransform(tlm)
+        operands.clear()
+      case TWord("T*") => nextLine(0, -leading); operands.clear()
+      case TWord("Tj") if operands.nonEmpty =>
+        operands.last match {
+          case TStr(t) => showText(t)
+          case _ => ()
+        }
+        operands.clear()
+      case TWord("'") if operands.nonEmpty =>
+        operands.last match {
+          case TStr(t) => nextLine(0, -leading); showText(t)
+          case _ => ()
+        }
+        operands.clear()
+      case TWord("\"") if operands.nonEmpty =>
+        // aw ac string " — word/char spacing unsupported (read as 0)
+        operands.last match {
+          case TStr(t) => nextLine(0, -leading); showText(t)
+          case _ => ()
+        }
+        operands.clear()
+      case TWord("TJ") =>
+        // elements between the opening [ and the closing ]: strings
+        // show, numbers back the pen up by thousandths of an em
+        val open = operands.lastIndexOf(TWord("["))
+        if (tm != null && open >= 0) {
+          var off = 0.0
+          operands.drop(open + 1).foreach {
+            case TStr(t) => off = showGlyphs(t, off)
+            case TNum(v) => off -= v.toDouble / 1000.0 * fontSize
+            case _ => ()
+          }
+          tm.translate(off, 0)
+        }
+        operands.clear()
+
+      case t @ (TNum(_) | TStr(_)) => operands += t
+      case b @ (TWord("[") | TWord("]")) => operands += b // TJ delimiters
+      case TWord(nm) if nm.startsWith("/") => operands += TWord(nm)
       case _ => operands.clear() // unknown operator: drop its operands
     }
   }
@@ -231,6 +433,25 @@ object ContentStreamRasterizer {
   // unknown-operator branch and clear the whole pending stack.
   private def isNumber(t: String): Boolean =
     t.nonEmpty && t.matches("[-+]?([0-9]+\\.?[0-9]*|\\.[0-9]+)")
+
+  /** Advance widths (thousandths of an em) for ASCII 32-126 from the
+    * public Adobe Type1 core-font Helvetica AFM — the PDF 1.4 base-14
+    * metrics every conforming reader carries. Characters outside the
+    * table advance by the Helvetica lowercase default 556. */
+  private val HelveticaWidths: Array[Int] = Array(
+    278, 278, 355, 556, 556, 889, 667, 191, 333, 333, 389, 584, 278,
+    333, 278, 278, // space ! " # $ % & ' ( ) * + , - . /
+    556, 556, 556, 556, 556, 556, 556, 556, 556, 556, // 0-9
+    278, 278, 584, 584, 584, 556, 1015, // : ; < = > ? @
+    667, 667, 722, 722, 667, 611, 778, 722, 278, 500, 667, 556, 833,
+    722, 778, 667, 778, 722, 667, 611, 722, 667, 944, 667, 667, 611, // A-Z
+    278, 278, 278, 469, 556, 333, // [ \ ] ^ _ `
+    556, 556, 500, 556, 556, 278, 556, 556, 222, 222, 500, 222, 833,
+    556, 556, 556, 556, 333, 500, 278, 556, 500, 722, 500, 500, 500, // a-z
+    334, 260, 334, 584) // { | } ~
+
+  private[graft] def glyphAdvance(ch: Char): Int =
+    if (ch >= 32 && ch <= 126) HelveticaWidths(ch - 32) else 556
 
   private def rgb(r: Double, g: Double, b: Double): Color =
     new Color(clamp01(r).toFloat, clamp01(g).toFloat, clamp01(b).toFloat)

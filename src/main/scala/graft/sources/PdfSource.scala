@@ -101,10 +101,14 @@ object PdfSource {
         if (fileIdx == 2 && page == 2)
           "\nq 2 0 0 2 100 50 cm 0 0 0.9 rg 10 20 30 40 re f Q"
         else ""
+      // flyer-style text: a headline line and a T*-advanced price line
+      // (glyph boxes give crops/OCR fixtures positional text signal)
       s"""0.8 ${0.1 * page} ${0.2 * (fileIdx + 1)} rg
          |${50 + 10 * page} 100 200 150 re f
          |0 0 1 RG 4 w
-         |100 700 m 400 650 l S$extra""".stripMargin
+         |100 700 m 400 650 l S$extra
+         |BT /F1 24 Tf 30 TL 60 760 Td (SALE $page) Tj T*
+         |[(Kc) -500 (99.90)] TJ ET""".stripMargin
     }
     def pdf(fileIdx: Int, pages: Int, flate: Boolean): Array[Byte] = {
       val kids = (0 until pages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")

@@ -70,6 +70,44 @@ class PdfRasterSpec extends AnyFunSuite {
     }
   }
 
+  test("text shows as positioned glyph boxes (Tf/TL/Td/T*/Tj/TJ)") {
+    // fixture text: BT /F1 24 Tf 30 TL 60 760 Td (SALE 1) Tj T*
+    //               [(Kc) -500 (99.90)] TJ ET   (a.pdf page 1)
+    // Glyph boxes use the Helvetica AFM advances at 24pt: S=A=16.008pt,
+    // L=13.344, E=16.008, K=16.008, c=12.0, digits 13.344; box = the
+    // advance inset 10% each side, 0.7em (16.8pt) tall, text color =
+    // the current fill (the page's rg from the stream head).
+    val p1 = pagesOf("a.pdf").head
+    val h = p1.height
+    val fill = expectedFill(0, 1)
+    // the S glyph box spans x [61.6, 74.4]pt, y [760, 776.8]pt
+    assert(rgbAt(p1.png, px(68), py(768, h)) == fill, "S glyph missing")
+    // inter-glyph inset gap at the S/A boundary stays background white
+    assert(rgbAt(p1.png, px(76), py(768, h)) == 0xffffff, "S/A gap filled")
+    // above cap height: white
+    assert(rgbAt(p1.png, px(68), py(780, h)) == 0xffffff)
+    // second line via TL 30 + T*: baseline 730 — the K of "Kc"
+    assert(rgbAt(p1.png, px(68), py(738, h)) == fill, "K glyph missing")
+    // the TJ -500 thousandths element opens a 12pt pen gap before the
+    // price: [86.8, 101.3]pt stays white
+    assert(rgbAt(p1.png, px(94), py(738, h)) == 0xffffff, "TJ gap filled")
+    // the first 9 lands after the adjusted pen: box [101.3, 112.0]pt
+    assert(rgbAt(p1.png, px(106.7), py(738, h)) == fill, "9 glyph missing")
+  }
+
+  test("content lexer: escapes, nesting, octal, hex strings") {
+    import graft.sources.ContentStreamRasterizer._
+    assert(tokenize("(a\\)b) Tj") ==
+      Vector(TStr("a)b"), TWord("Tj")))
+    assert(tokenize("(a (nested) b) Tj").head == TStr("a (nested) b"))
+    assert(tokenize("(\\101\\102) Tj").head == TStr("AB"))
+    assert(tokenize("<4B63> Tj").head == TStr("Kc"))
+    assert(tokenize("[(A) -120 (B)] TJ") == Vector(TWord("["), TStr("A"),
+      TNum("-120"), TStr("B"), TWord("]"), TWord("TJ")))
+    assert(tokenize("/F1 24 Tf % comment\n(x) Tj") == Vector(
+      TWord("/F1"), TNum("24"), TWord("Tf"), TStr("x"), TWord("Tj")))
+  }
+
   test("FlateDecode content renders exactly like the raw twin") {
     val b = pagesOf("b.pdf")
     assert(b.length == 1)
