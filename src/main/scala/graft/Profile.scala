@@ -184,7 +184,20 @@ object Profile {
           "decontaminate", "seq_pack", "pii_scrub",
           // span-level twin: same broadcast shape as decontaminate
           // plus the doc_id-partitioned hit window
-          "decontaminate_spans"))
+          "decontaminate_spans",
+          // r12 additions (VERDICT #7): the two new r11 heavies —
+          // the standing-search streaming protocol (checkpointed
+          // drains + index round-trip; data-volume share shows here)
+          // and the content-stream rasterizer (fixture-sized input,
+          // linearity control for the text-showing subset) — plus the
+          // end-to-end publish funnel, whose gates all hit their
+          // hazard regimes on the 10x clone corpus at once.
+          // NOTE (r11 OOM lesson): the 10x canary at the default 8g
+          // driver heap could tip inside the UNCAPPED dedup_multisignal
+          // (~278M-pair output). The composition is capped since r12;
+          // if any entry OOMs, re-run with SPARK_DRIVER_MEM=16g
+          // (build.sbt reads it) and record the heap in BENCH_NOTES.
+          "search_rrf_standing", "pdf_split", "corpus_ship"))
         time(s"$q @10x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
       spark.stop()
       return
