@@ -31,14 +31,24 @@ import scala.collection.mutable
   *    glyph SHAPES are boxes (no font engine). That gives flyer
   *    fixtures positional text signal for crops/OCR without
   *    misrepresenting outline fidelity;
+  *  - images (since r12): `/XObject` image resources drawn by `Do`
+  *    (page `/Resources` inline or by ref, `/DeviceRGB`/`/DeviceGray`
+  *    at 8 bits, raw or /FlateDecode samples) and inline `BI…ID…EI`
+  *    images with the spec's abbreviated keys (/W /H /CS /BPC /F) —
+  *    both map the sample grid onto the CTM unit square with image
+  *    row 0 at the TOP (the spec's image-space flip), nearest-neighbor
+  *    so placed pixels stay exact;
   *  - device mapping: dpi/72 scale with the y-axis flip (PDF origin is
   *    bottom-left), so a box at (x, y) lands at pixel row
   *    `H - y·s` — stroke pen width scales with the CTM exactly as the
   *    spec's user-space pen does.
   *
   * Out of scope (documented boundary, not silent): font programs /
-  * glyph outlines (boxes above), images, shading, clipping — a fixture
-  * that needs them still rasterizes, with those operators skipped. */
+  * glyph outlines (boxes above), non-8-bit or ICC/indexed color
+  * images, shading, clipping — a fixture that needs them still
+  * rasterizes, with those operators skipped. Inline-image scanning
+  * assumes `BI`/`ID`/`EI` appear as standalone tokens outside string
+  * literals (true of any writer that emits spec-legal streams). */
 class ContentStreamRasterizer extends PageRasterizer {
   import ContentStreamRasterizer._
 
@@ -58,9 +68,11 @@ class ContentStreamRasterizer extends PageRasterizer {
       // a box of [x0 y0 x1 y1] puts user-space (x0, y0) at the page's
       // bottom-left, so content coordinates translate by (-x0, -y0)
       // before scaling (fixtures use origin 0; real PDFs may not).
+      g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
       val base = new AffineTransform(s, 0, 0, -s, 0, hPx.toDouble)
       base.translate(-page.mediaBox._1, -page.mediaBox._2)
-      page.content.foreach(stream => run(g2, base, stream))
+      page.content.foreach(stream => run(g2, base, stream, page.xobjects))
       g2.dispose()
       val out = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", out)
@@ -71,9 +83,15 @@ class ContentStreamRasterizer extends PageRasterizer {
 
 object ContentStreamRasterizer {
 
+  /** Decoded image samples: 8-bit, row-major from the TOP row (PDF
+    * image-space order), 3 bytes/px RGB or 1 byte/px gray. */
+  final case class PdfImage(
+      width: Int, height: Int, gray: Boolean, samples: Array[Byte])
+
   final case class Page(
       mediaBox: (Double, Double, Double, Double),
-      content: Seq[String])
+      content: Seq[String],
+      xobjects: Map[String, PdfImage] = Map.empty)
   final case class Doc(pages: Seq[Page])
 
   private final case class RawObj(
@@ -143,10 +161,69 @@ object ContentStreamRasterizer {
         }
       val streams = contentRefs.flatMap(byNum.get).flatMap(_.stream)
         .map(new String(_, "ISO-8859-1"))
-      Page((box._1, box._2, box._3 - box._1, box._4 - box._2), streams)
+      val xobjs = xobjectRefs(p.dict, byNum).flatMap { case (nm, ref) =>
+        byNum.get(ref).flatMap(imageOf).map(nm -> _)
+      }
+      Page((box._1, box._2, box._3 - box._1, box._4 - box._2), streams,
+        xobjs)
     }
     Doc(pages)
   }
+
+  /** The page's /XObject name->objnum map, through either an inline
+    * `/Resources << … >>` dict or a `/Resources N 0 R` indirection. */
+  private def xobjectRefs(
+      pageDict: String, byNum: Map[Int, RawObj]): Map[String, Int] = {
+    val resDict = "/Resources\\s+(\\d+)\\s+0\\s+R".r
+      .findFirstMatchIn(pageDict)
+      .flatMap(m => byNum.get(m.group(1).toInt)).map(_.dict)
+      .orElse("/Resources(?=\\s*<<)".r.findFirstMatchIn(pageDict)
+        .flatMap(m => balancedDict(pageDict, m.end)))
+    resDict
+      .flatMap(rd => "/XObject(?=\\s*<<)".r.findFirstMatchIn(rd)
+        .flatMap(m => balancedDict(rd, m.end)))
+      .map(xd => "/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+0\\s+R".r
+        .findAllMatchIn(xd).map(m => m.group(1) -> m.group(2).toInt).toMap)
+      .getOrElse(Map.empty)
+  }
+
+  /** The balanced `<< … >>` dict starting at or after `from` (nested
+    * dicts counted), or None if unterminated. */
+  private def balancedDict(text: String, from: Int): Option[String] = {
+    val start = text.indexOf("<<", from)
+    var res: Option[String] = None
+    if (start >= 0) {
+      var depth = 0
+      var i = start
+      while (res.isEmpty && i < text.length - 1) {
+        if (text.startsWith("<<", i)) { depth += 1; i += 2 }
+        else if (text.startsWith(">>", i)) {
+          depth -= 1; i += 2
+          if (depth == 0) res = Some(text.substring(start, i))
+        } else i += 1
+      }
+    }
+    res
+  }
+
+  /** Decode an image XObject in the supported subset: /Subtype /Image,
+    * 8 bits/component, /DeviceRGB or /DeviceGray, samples raw or
+    * already inflated by [[parse]]'s /FlateDecode path. Anything else
+    * (or short sample data) reads as no image — the Do just skips. */
+  private def imageOf(o: RawObj): Option[PdfImage] =
+    if ("/Subtype\\s*/Image".r.findFirstIn(o.dict).isEmpty) None
+    else for {
+      w <- "/Width\\s+(\\d+)".r.findFirstMatchIn(o.dict)
+        .map(_.group(1).toInt)
+      h <- "/Height\\s+(\\d+)".r.findFirstMatchIn(o.dict)
+        .map(_.group(1).toInt)
+      data <- o.stream
+      bpc = "/BitsPerComponent\\s+(\\d+)".r.findFirstMatchIn(o.dict)
+        .map(_.group(1).toInt).getOrElse(8)
+      if bpc == 8 && w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue
+      gray = "/ColorSpace\\s*/DeviceGray".r.findFirstIn(o.dict).isDefined
+      if data.length >= w * h * (if (gray) 1 else 3)
+    } yield PdfImage(w, h, gray, data)
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
@@ -260,10 +337,15 @@ object ContentStreamRasterizer {
     out.result()
   }
 
-  /** Execute one content stream onto `g2` under the device transform. */
+  /** Execute one content stream onto `g2` under the device transform.
+    * `xobjs` are the page's named image resources; inline BI…ID…EI
+    * images are lifted out of the raw stream first and join the same
+    * name space under reserved `__inline<k>` keys. */
   private def run(g2: java.awt.Graphics2D, base: AffineTransform,
-      stream: String): Unit = {
-    val toks = tokenize(stream)
+      stream: String, xobjs: Map[String, PdfImage]): Unit = {
+    val (clean, inlineImgs) = extractInline(stream)
+    val images = xobjs ++ inlineImgs
+    val toks = tokenize(clean)
     val operands = mutable.ArrayBuffer.empty[Tok]
     var st = GState(new AffineTransform(base), Color.BLACK, Color.BLACK, 1.0)
     val stack = mutable.Stack.empty[GState]
@@ -368,6 +450,25 @@ object ContentStreamRasterizer {
         paint(draw = true); operands.clear()
       case TWord("n") => path = new GeneralPath(); operands.clear()
 
+      // ---- external objects: named (or lifted inline) images ----
+      // PDF 4.8.3: the sample grid maps onto the UNIT SQUARE of the
+      // current CTM, image row 0 at the top — so pixel (u, v) lands at
+      // user (u/w, 1 - v/h); concatenating scale(1/w, -1/h) with
+      // ty = 1 expresses exactly that. Unknown names skip silently
+      // (form XObjects et al. are outside the subset).
+      case TWord("Do") =>
+        operands.lastOption match {
+          case Some(TWord(nm)) if nm.startsWith("/") =>
+            images.get(nm.substring(1)).foreach { img =>
+              val t = new AffineTransform(st.ctm)
+              t.concatenate(new AffineTransform(
+                1.0 / img.width, 0, 0, -1.0 / img.height, 0, 1.0))
+              g2.drawImage(toBufferedImage(img), t, null)
+            }
+          case _ => ()
+        }
+        operands.clear()
+
       // ---- text object / positioning / showing ----
       case TWord("BT") =>
         tm = new AffineTransform(); tlm = new AffineTransform()
@@ -426,6 +527,123 @@ object ContentStreamRasterizer {
       case TWord(nm) if nm.startsWith("/") => operands += TWord(nm)
       case _ => operands.clear() // unknown operator: drop its operands
     }
+  }
+
+  private def isDelimOrWs(c: Char): Boolean =
+    c.isWhitespace || "()<>[]{}/%".indexOf(c) >= 0
+
+  /** Index of the next standalone occurrence of token `w` (bounded by
+    * whitespace/delimiters on both sides) at or after `from`; -1 if
+    * none. */
+  private def findToken(s: String, from: Int, w: String): Int = {
+    var i = s.indexOf(w, from)
+    var found = -1
+    while (found < 0 && i >= 0) {
+      val after = i + w.length
+      if ((i == 0 || isDelimOrWs(s.charAt(i - 1))) &&
+          (after >= s.length || isDelimOrWs(s.charAt(after)))) found = i
+      else i = s.indexOf(w, i + 1)
+    }
+    found
+  }
+
+  /** Lift inline `BI <params> ID <binary> EI` images out of a content
+    * stream: each becomes a `/__inline<k> Do` invocation in the
+    * rewritten stream plus a decoded [[PdfImage]]. Binary data starts
+    * one whitespace byte after `ID` and ends at the first
+    * whitespace-delimited `EI` (the spec's own reader rule — writers
+    * must not emit colliding byte runs, and /Fl payloads make one
+    * vanishingly unlikely). Malformed trailers drop the remainder of
+    * the stream, matching the forgiving-reader stance elsewhere. */
+  private[graft] def extractInline(
+      stream: String): (String, Map[String, PdfImage]) = {
+    val out = new StringBuilder
+    val imgs = mutable.Map.empty[String, PdfImage]
+    val n = stream.length
+    var i = 0
+    var k = 0
+    while (i < n) {
+      val bi = findToken(stream, i, "BI")
+      if (bi < 0) { out.append(stream.substring(i)); i = n }
+      else {
+        out.append(stream.substring(i, bi))
+        val id = findToken(stream, bi, "ID")
+        if (id < 0) { out.append(stream.substring(bi)); i = n }
+        else {
+          var dstart = id + 2
+          if (dstart < n && stream.charAt(dstart).isWhitespace) dstart += 1
+          var e = dstart
+          var end = -1
+          while (end < 0 && e + 2 < n) {
+            if (stream.charAt(e).isWhitespace &&
+                stream.charAt(e + 1) == 'E' && stream.charAt(e + 2) == 'I' &&
+                (e + 3 >= n || isDelimOrWs(stream.charAt(e + 3)))) end = e
+            else e += 1
+          }
+          if (end < 0) i = n
+          else {
+            parseInlineParams(stream.substring(bi + 2, id),
+                stream.substring(dstart, end)).foreach { img =>
+              val nm = s"__inline$k"
+              imgs(nm) = img
+              out.append(s" /$nm Do ")
+              k += 1
+            }
+            i = end + 3
+          }
+        }
+      }
+    }
+    (out.toString, imgs.toMap)
+  }
+
+  /** Inline-image parameter dict in the spec's abbreviated (or full)
+    * keys: /W /H /CS (/G=gray, /RGB=rgb) /BPC /F (/Fl=FlateDecode).
+    * Same supported subset as [[imageOf]]. */
+  private def parseInlineParams(
+      params: String, dataStr: String): Option[PdfImage] = {
+    def intKey(keys: Seq[String]): Option[Int] = keys.iterator
+      .flatMap(key => ("/" + key + "\\s+(\\d+)").r
+        .findFirstMatchIn(params).map(_.group(1).toInt))
+      .nextOption()
+    val gray =
+      "/(CS|ColorSpace)\\s*/(G|DeviceGray)\\b".r
+        .findFirstIn(params).isDefined
+    val flate =
+      "/(F|Filter)\\s*/(Fl|FlateDecode)\\b".r.findFirstIn(params).isDefined
+    val raw = dataStr.getBytes("ISO-8859-1")
+    val data = if (flate) inflate(raw) else raw
+    for {
+      w <- intKey(Seq("Width", "W"))
+      h <- intKey(Seq("Height", "H"))
+      bpc = intKey(Seq("BitsPerComponent", "BPC")).getOrElse(8)
+      if bpc == 8 && w > 0 && h > 0 &&
+        data.length >= w * h * (if (gray) 1 else 3)
+    } yield PdfImage(w, h, gray, data)
+  }
+
+  private def toBufferedImage(img: PdfImage): BufferedImage = {
+    val bi = new BufferedImage(img.width, img.height,
+      BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    var i = 0
+    val total = img.width * img.height
+    while (p < total) {
+      val rgbVal =
+        if (img.gray) {
+          val v = img.samples(i) & 0xff; i += 1
+          (v << 16) | (v << 8) | v
+        } else {
+          val r = img.samples(i) & 0xff
+          val g = img.samples(i + 1) & 0xff
+          val b = img.samples(i + 2) & 0xff
+          i += 3
+          (r << 16) | (g << 8) | b
+        }
+      bi.setRGB(p % img.width, p / img.width, rgbVal)
+      p += 1
+    }
+    bi
   }
 
   // PDF real syntax allows trailing- and leading-dot forms ("4." and

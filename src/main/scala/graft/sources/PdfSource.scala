@@ -82,7 +82,9 @@ object PdfSource {
     * (a per-page-colored filled box, a stroked diagonal, and on c.pdf
     * page 2 a q/cm/Q transformed box) so [[ContentStreamRasterizer]]
     * renders genuine pixels. b.pdf's stream is /FlateDecode-compressed
-    * to exercise the inflate path. */
+    * to exercise the inflate path. Since r12 every page references a
+    * shared 2x2 /DeviceRGB image XObject (drawn by Do on a.pdf page 1)
+    * and c.pdf page 3 carries an inline /Fl gray BI/ID/EI image. */
   def writeFixturePdfs(dir: String): String = {
     def deflate(data: Array[Byte]): Array[Byte] = {
       val d = new java.util.zip.Deflater()
@@ -100,7 +102,20 @@ object PdfSource {
       val extra =
         if (fileIdx == 2 && page == 2)
           "\nq 2 0 0 2 100 50 cm 0 0 0.9 rg 10 20 30 40 re f Q"
-        else ""
+        else if (fileIdx == 0 && page == 1)
+          // the shared /Im1 XObject placed into a 40x40pt square —
+          // quadrant colors prove the unit-square mapping + top-row-
+          // first image order
+          "\nq 40 0 0 40 450 100 cm /Im1 Do Q"
+        else if (fileIdx == 2 && page == 3) {
+          // inline gray image, /Fl-compressed, abbreviated keys —
+          // exercises BI/ID/EI lifting + the inline FlateDecode path
+          val data = new String(
+            deflate(Array[Byte](0, -1, 0x80.toByte, 0xc0.toByte)),
+            "ISO-8859-1")
+          s"\nq 30 0 0 30 500 300 cm BI /W 2 /H 2 /CS /G /BPC 8 /F /Fl" +
+            s" ID $data EI Q"
+        } else ""
       // flyer-style text: a headline line and a T*-advanced price line
       // (glyph boxes give crops/OCR fixtures positional text signal)
       s"""0.8 ${0.1 * page} ${0.2 * (fileIdx + 1)} rg
@@ -112,6 +127,7 @@ object PdfSource {
     }
     def pdf(fileIdx: Int, pages: Int, flate: Boolean): Array[Byte] = {
       val kids = (0 until pages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+      val imgObj = 3 + 2 * pages
       val pageObjs = (0 until pages).map { i =>
         val pObj = 3 + 2 * i
         val cObj = 4 + 2 * i
@@ -120,11 +136,25 @@ object PdfSource {
         val filter = if (flate) " /Filter /FlateDecode" else ""
         val head =
           (s"$pObj 0 obj << /Type /Page /Parent 2 0 R " +
-            s"/MediaBox [0 0 595 842] /Contents $cObj 0 R >> endobj\n" +
+            s"/MediaBox [0 0 595 842] " +
+            s"/Resources << /XObject << /Im1 $imgObj 0 R >> >> " +
+            s"/Contents $cObj 0 R >> endobj\n" +
             s"$cObj 0 obj << /Length ${payload.length}$filter >> stream\n")
             .getBytes("ISO-8859-1")
         head ++ payload ++ "\nendstream endobj".getBytes("ISO-8859-1")
       }
+      // shared 2x2 DeviceRGB image XObject (raw samples, top row
+      // first): red | green / blue | white — quadrant colors the raster
+      // spec asserts pixel-exactly
+      val imgSamples = Array[Byte](
+        -1, 0, 0, 0, -1, 0, // row 0: red, green
+        0, 0, -1, -1, -1, -1) // row 1: blue, white
+      val imgBytes =
+        (s"$imgObj 0 obj << /Type /XObject /Subtype /Image /Width 2 " +
+          s"/Height 2 /ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+          s"/Length ${imgSamples.length} >> stream\n")
+          .getBytes("ISO-8859-1") ++
+          imgSamples ++ "\nendstream endobj".getBytes("ISO-8859-1")
       val header =
         (s"""%PDF-1.4
            |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
@@ -132,7 +162,8 @@ object PdfSource {
            |""".stripMargin).getBytes("ISO-8859-1")
       val trailer = "\ntrailer << /Root 1 0 R >>\n%%EOF\n"
         .getBytes("ISO-8859-1")
-      header ++ pageObjs.reduce(_ ++ "\n".getBytes("ISO-8859-1") ++ _) ++
+      header ++
+        (pageObjs :+ imgBytes).reduce(_ ++ "\n".getBytes("ISO-8859-1") ++ _) ++
         trailer
     }
     val d = new java.io.File(dir)

@@ -130,6 +130,86 @@ class PdfRasterSpec extends AnyFunSuite {
     assert(rgbAt(p.png, px(70 + 100), py(175, h)) == expectedFill(2, 2))
   }
 
+  test("image XObject: Do maps the sample grid onto the CTM unit square") {
+    // a.pdf page 1: q 40 0 0 40 450 100 cm /Im1 Do Q over the shared
+    // 2x2 /DeviceRGB XObject (top row red|green, bottom row blue|white)
+    // — image row 0 maps to the TOP of the placed square (the spec's
+    // image-space flip), so user y [120,140] shows the red|green row.
+    val p1 = pagesOf("a.pdf").head
+    val h = p1.height
+    assert(rgbAt(p1.png, px(460), py(130, h)) == 0xff0000, "top-left red")
+    assert(rgbAt(p1.png, px(480), py(130, h)) == 0x00ff00, "top-right green")
+    assert(rgbAt(p1.png, px(460), py(110, h)) == 0x0000ff, "bottom-left blue")
+    assert(rgbAt(p1.png, px(480), py(110, h)) == 0xffffff, "bottom-right white")
+    // just outside the placed square: background white
+    assert(rgbAt(p1.png, px(445), py(130, h)) == 0xffffff)
+    // pages that never invoke Do keep that area untouched even though
+    // the resource is attached to every page
+    val p2 = pagesOf("a.pdf")(1)
+    assert(rgbAt(p2.png, px(460), py(130, p2.height)) == 0xffffff)
+  }
+
+  test("inline image: BI/ID/EI with abbreviated keys and /Fl data") {
+    // c.pdf page 3: q 30 0 0 30 500 300 cm BI /W 2 /H 2 /CS /G /BPC 8
+    // /F /Fl ID <deflate(00 ff 80 c0)> EI Q — gray quadrants, top row
+    // first: black|white over 0x80|0xc0.
+    val p3 = pagesOf("c.pdf")(2)
+    val h = p3.height
+    assert(rgbAt(p3.png, px(507), py(322, h)) == 0x000000, "top-left black")
+    assert(rgbAt(p3.png, px(522), py(322, h)) == 0xffffff, "top-right white")
+    assert(rgbAt(p3.png, px(507), py(307, h)) == 0x808080, "bottom-left gray")
+    assert(rgbAt(p3.png, px(522), py(307, h)) == 0xc0c0c0, "bottom-right gray")
+    // the graphics state around the lifted image survives the rewrite:
+    // the page's own box still renders in its exact fill color
+    assert(rgbAt(p3.png, px(80 + 100), py(175, h)) == expectedFill(2, 3))
+  }
+
+  test("inline extraction rewrites the stream without touching the rest") {
+    import graft.sources.ContentStreamRasterizer._
+    val (clean, imgs) = extractInline(
+      "1 0 0 1 5 5 cm BI /W 1 /H 1 /CS /G /BPC 8 ID " +
+        0.toChar + " EI 9 8 re f")
+    assert(imgs.keySet == Set("__inline0"))
+    val img = imgs("__inline0")
+    assert(img.width == 1 && img.height == 1 && img.gray)
+    assert(img.samples.toSeq == Seq(0: Byte))
+    assert(clean.replaceAll("\\s+", " ").trim ==
+      "1 0 0 1 5 5 cm /__inline0 Do 9 8 re f")
+    // no BI: stream passes through untouched
+    val (same, none) = extractInline("10 20 re f")
+    assert(same == "10 20 re f" && none.isEmpty)
+  }
+
+  test("forgiving reader: malformed image material never aborts a page") {
+    import graft.sources.ContentStreamRasterizer._
+    // short sample data -> the image decodes to None, Do skips
+    val (_, short) = extractInline("BI /W 4 /H 4 /CS /G /BPC 8 ID " +
+      0.toChar + " EI")
+    assert(short.isEmpty, "undersized data must not produce an image")
+    // unsupported bit depth -> skipped
+    val (_, bpc1) = extractInline("BI /W 8 /H 1 /CS /G /BPC 1 ID " +
+      0.toChar + " EI")
+    assert(bpc1.isEmpty)
+    // unterminated inline image: the remainder drops, nothing throws
+    val (c3, none) = extractInline("1 1 re f BI /W 1 /H 1 ID forever")
+    assert(c3.startsWith("1 1 re f") && none.isEmpty)
+    // Do naming a missing resource renders the rest of the page: build
+    // a one-page PDF whose stream invokes /Nope before a known box
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 100 100] " +
+      "/Contents 4 0 R >> endobj\n" +
+      "4 0 obj << /Length 34 >> stream\n" +
+      "/Nope Do 1 0 0 rg 10 10 50 50 re f\n" +
+      "endstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    val pages = new ContentStreamRasterizer().rasterize(pdf, 72)
+    assert(pages.length == 1)
+    assert(rgbAt(pages.head.png, 30, 99 - 30) == 0xff0000,
+      "content after a dangling Do must still render")
+  }
+
   test("rasterization is deterministic byte-for-byte") {
     val a1 = pagesOf("a.pdf").map(_.png.toSeq)
     val a2 = pagesOf("a.pdf").map(_.png.toSeq)
