@@ -209,5 +209,33 @@ object WaveTenQueries {
          |  WHERE doc_id NOT IN (SELECT doc_id FROM dc_cont)),
          |${SeqPack.oracleCtes("shipped", 256, 256)}
          |${SeqPack.oracleSelect(256)}""".stripMargin)),
+
+    // Output sharding — what a publisher runs on the packed sequences:
+    // a DETERMINISTIC shuffle (seeded md5 hash permutation, the same
+    // engine-neutral primitive as q_hash_sample) assigns each sequence
+    // to a shard and orders it within the shard, so neighboring
+    // documents decorrelate across the training stream and a re-publish
+    // of the same corpus is byte-identical. Plan: one hash exchange on
+    // shard + per-shard local sort (window partitions by shard, never
+    // partitionless); numShards is the 100 TB parallelism knob.
+    Q("corpus_shard", (s, dir) => {
+      graft.analysis.CorpusShard.assign(
+          s.read.parquet(t(dir, "documents"))
+            .select(col("doc_id"), col("text")),
+          groupSize = 256, capacity = 256, numShards = 16)
+        .orderBy(col("shard"), col("pos"))
+    }, Some(graft.analysis.CorpusShard.assignOracle(
+      "documents", 256, 256, 16))),
+
+    // The manifest a training job consumes and resumes against: one
+    // map-side-combined groupBy over the assignment.
+    Q("corpus_shard_manifest", (s, dir) => {
+      graft.analysis.CorpusShard.manifest(
+          s.read.parquet(t(dir, "documents"))
+            .select(col("doc_id"), col("text")),
+          groupSize = 256, capacity = 256, numShards = 16)
+        .orderBy(col("shard"))
+    }, Some(graft.analysis.CorpusShard.manifestOracle(
+      "documents", 256, 256, 16))),
   )
 }
