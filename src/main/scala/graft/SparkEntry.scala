@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.pipeline.{IngestPipeline, PipelineFixtures, ValidityPipeline}
 import graft.price.PriceFunctions
-import graft.relational.{AdvancedQueries, Fixtures, RelationalQueries, StreamingQueries, TrainingDataQueries, WaveEightQueries, WaveFiveQueries, WaveNineQueries, WaveFourQueries, WaveSevenQueries, WaveSixQueries, WaveTenQueries, WaveThreeQueries}
+import graft.relational.{AdvancedQueries, Fixtures, RelationalQueries, StreamingQueries, TrainingDataQueries, WaveEightQueries, WaveElevenQueries, WaveFiveQueries, WaveNineQueries, WaveFourQueries, WaveSevenQueries, WaveSixQueries, WaveTenQueries, WaveThreeQueries}
 import graft.text.{CzechText, NameCorrection}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -250,7 +250,8 @@ object SparkEntry {
     RelationalQueries.all ++ AdvancedQueries.all ++ WaveThreeQueries.all ++
       WaveFourQueries.all ++ WaveFiveQueries.all ++ WaveSixQueries.all ++
       WaveSevenQueries.all ++ WaveEightQueries.all ++ WaveNineQueries.all ++
-      WaveTenQueries.all ++ TrainingDataQueries.all ++ StreamingQueries.all
+      WaveTenQueries.all ++ WaveElevenQueries.all ++
+      TrainingDataQueries.all ++ StreamingQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ modules.map(q => q.name -> q.fn)

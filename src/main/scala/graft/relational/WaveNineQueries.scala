@@ -18,7 +18,7 @@ object WaveNineQueries {
     * and bumps price_cents by 100 on keys ≡0 (mod 4) — so the change
     * feed must contain inserts (≡3), deletes (≡7), and update
     * pre/post pairs (≡0 mod 4, minus the inserted/deleted residues). */
-  private def snapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[relational] def snapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = s.read.parquet(t(dir, "orders"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         round(col("o_totalprice") * 100).cast("long").as("price_cents"))

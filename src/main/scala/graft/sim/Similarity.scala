@@ -61,9 +61,9 @@ object Similarity {
   private def spread(df: DataFrame): DataFrame =
     graft.relational.Scale.spreadIfNarrow(df)
 
-  /** Brute-force top-k: for each query vector (vec_id < nQueries), the k
-    * nearest corpus vectors by cosine (self excluded). */
-  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  /** Query-x-corpus cosine scores (self excluded), rounded pre-ranking —
+    * the shared head of the brute-force exact forms. */
+  private def bruteScored(emb: DataFrame, nQueries: Int): DataFrame = {
     val emb0 = spread(emb)
     val q = emb0.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
@@ -71,12 +71,40 @@ object Similarity {
     val c = emb0.select(col("vec_id").as("cid"),
         asDouble(col("embedding")).as("cv"))
       .withColumn("cn", sqrt(array_dot(col("cv"), col("cv"))))
-    val scored = q.join(c, col("qid") =!= col("cid"))
+    q.join(c, col("qid") =!= col("cid"))
       .withColumn("sim",
         round(cosinePre(array_dot(col("qv"), col("cv")), col("qn"), col("cn")), 4))
+  }
+
+  /** Brute-force top-k: for each query vector (vec_id < nQueries), the k
+    * nearest corpus vectors by cosine (self excluded). */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
+    bruteScored(emb, nQueries).withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("sim"))
+  }
+
+  /** Hard-negative mining for contrastive/embedding training: per query
+    * vector, the k MOST similar corpus vectors whose similarity still
+    * falls BELOW `posThreshold` — the near-misses a trainer feeds as
+    * negatives. Vectors at/above the threshold are the positive set
+    * (near-duplicates by embedding) and are excluded along with self;
+    * the filter runs BEFORE the ranking window, so positives never
+    * occupy negative slots. Exact form for the gate; at corpus scale
+    * the candidate generator swaps to the IVF probe exactly like
+    * [[ivfTopK]] (threshold filter and window unchanged — negatives are
+    * by definition the NEAREST non-positives, which is what the probe
+    * surfaces first). */
+  def hardNegativesTopK(
+      emb: DataFrame, nQueries: Int, k: Int,
+      posThreshold: Double): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    bruteScored(emb, nQueries)
+      .filter(col("sim") < posThreshold)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), col("sim"))
   }
@@ -482,6 +510,25 @@ object Similarity {
        |  SELECT qid, cid, sim,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
        |  FROM scored)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
+       |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** DuckDB twin of [[hardNegativesTopK]] — the brute oracle with the
+    * positive-threshold filter applied before ranking (fixture-validated:
+    * hand vectors straddling the threshold rank identically to a python
+    * cosine mirror). */
+  def hardNegativesTopKOracle(
+      embRel: String, nQueries: Int, k: Int, posThreshold: Double): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embRel),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    round(list_cosine_similarity(q.v, c.v), 4) AS sim
+       |  FROM e q JOIN e c ON q.vec_id < $nQueries AND q.vec_id != c.vec_id),
+       |neg AS (SELECT * FROM scored WHERE sim < $posThreshold),
+       |ranked AS (
+       |  SELECT qid, cid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM neg)
        |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
        |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 

@@ -1,0 +1,83 @@
+package graft
+
+import graft.sinks.IncrementalView
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Analytic truth for CDC-driven view maintenance: every change-type
+  * path (insert, delete, update pre/post pairs, cross-group moves,
+  * group birth and death) pinned on hand states where
+  * maintain(agg(v0), changes) must equal agg(v1) exactly. */
+class IncrementalViewSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // v0 rows: (orderkey, group, value)
+  private val v0 = Seq(
+    (1L, 10L, 100L), (2L, 10L, 200L), // group 10: 2 rows
+    (3L, 20L, 300L),                  // group 20: 1 row (will vanish)
+    (4L, 30L, 400L), (5L, 30L, 50L))  // group 30: 2 rows
+
+  // v1: delete 3 (group 20 dies), insert 6 into NEW group 40,
+  // update 2's value (+25, same group), update 5 MOVING group 30 -> 10
+  private val v1 = Seq(
+    (1L, 10L, 100L), (2L, 10L, 225L),
+    (4L, 30L, 400L), (5L, 10L, 50L),
+    (6L, 40L, 600L))
+
+  private def agg(rows: Seq[(Long, Long, Long)]) =
+    rows.toDF("k", "g", "v").groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+
+  /** The v0->v1 change feed in VersionedTable.changes shape. */
+  private def feed = Seq(
+    (3L, 20L, 300L, "delete"),
+    (2L, 10L, 200L, "update_preimage"),
+    (2L, 10L, 225L, "update_postimage"),
+    (5L, 30L, 50L, "update_preimage"),  // cross-group move: -30, +10
+    (5L, 10L, 50L, "update_postimage"),
+    (6L, 40L, 600L, "insert"))
+    .toDF("k", "g", "v", "change_type")
+
+  private def resultMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  test("maintain(agg(v0), changes) == agg(v1) across all change paths") {
+    val maintained = IncrementalView.maintain(
+      agg(v0), feed, Seq("g"), "n", Seq("v" -> "sv"))
+    assert(resultMap(maintained) == resultMap(agg(v1)))
+  }
+
+  test("group death: count reaches zero and the row leaves the view") {
+    val maintained = IncrementalView.maintain(
+      agg(v0), feed, Seq("g"), "n", Seq("v" -> "sv"))
+    assert(!resultMap(maintained).contains(20L))
+  }
+
+  test("group birth arrives from the delta side alone") {
+    val m = resultMap(IncrementalView.maintain(
+      agg(v0), feed, Seq("g"), "n", Seq("v" -> "sv")))
+    assert(m(40L) == ((1L, 600L)))
+  }
+
+  test("cross-group update maintains both sides") {
+    val m = resultMap(IncrementalView.maintain(
+      agg(v0), feed, Seq("g"), "n", Seq("v" -> "sv")))
+    assert(m(30L) == ((1L, 400L))) // lost the moved row
+    assert(m(10L) == ((3L, 375L))) // gained it, plus the value update
+  }
+
+  test("empty feed is the identity") {
+    val m = IncrementalView.maintain(
+      agg(v0), feed.limit(0), Seq("g"), "n", Seq("v" -> "sv"))
+    assert(resultMap(m) == resultMap(agg(v0)))
+  }
+}
