@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.arrayDotDescriptor)
     GraftExtensions.textDescriptors.foreach(e.injectFunction)
     GraftExtensions.signatureDescriptors.foreach(e.injectFunction)
+    // materialized-summary routing (no-op until a summary is registered)
+    e.injectOptimizerRule(_ => graft.plans.SummaryRewrite)
   }
 }
 

@@ -723,6 +723,54 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate probe: LSH pairs BETWEEN two document
+    * relations — the "don't re-ship what the last publish shipped"
+    * gate. Candidates come from an equi-join of the two sides' band
+    * keys (never a self-join of either side: the published corpus is
+    * not re-paired against itself, and at deployment scale the `pub`
+    * band relation is the PERSISTED index
+    * [[graft.dedup.IncrementalDedup]] maintains, probed not rebuilt).
+    * Candidate-only exact-Jaccard rescore, identical rounding and
+    * threshold semantics to [[minhashLshPairs]]. `maxBucket` admission
+    * applies per side per band bucket (a hot bucket's cost here is
+    * |pub bucket| x |inc bucket|).
+    *
+    * Output: (pub_id, new_id, jaccard) — one row per incoming document
+    * per published near-duplicate. */
+  def minhashLshPairsBetween(
+      pub: DataFrame,
+      inc: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = JaccardThreshold,
+      maxBucket: Long = MaxBandBucket): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))
+    def sideBands(sets: DataFrame, outId: String) =
+      minhashBandKeys(minhashSignaturesFromSets(sets))
+        .withColumn("__bn", count(lit(1)).over(w))
+        .filter(col("__bn") <= maxBucket)
+        .select(col("doc_id").as(outId), col("bk"))
+    val pubSets = docShingleSets(pub, idCol, textCol).localCheckpoint()
+    val incSets = docShingleSets(inc, idCol, textCol).localCheckpoint()
+    val cand = sideBands(pubSets, "pub_id")
+      .join(sideBands(incSets, "new_id"), "bk")
+      .select(col("pub_id"), col("new_id"))
+      .distinct()
+    val ps = pubSets.select(col("doc_id").as("pub_id"),
+      col("ss").as("ssa"), size(col("ss")).cast("long").as("na"))
+    val is = incSets.select(col("doc_id").as("new_id"),
+      col("ss").as("ssb"), size(col("ss")).cast("long").as("nb"))
+    cand
+      .join(ps, "pub_id")
+      .join(is, "new_id")
+      .withColumn("i",
+        size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      .withColumn("jaccard", round(col("i").cast("double")
+        / (col("na") + col("nb") - col("i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("pub_id"), col("new_id"), col("jaccard"))
+  }
+
   /** MinHash-LSH acceptance gate (the dedup analog of
     * `IvfPq.recallEval`): measures THIS band configuration's candidate
     * quality against the exact inverted-index Jaccard ground truth —

@@ -1,0 +1,202 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, KnownNotNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Transparent materialized-summary routing: a Catalyst optimizer rule
+  * that rewrites a matching `Aggregate` over a registered base table
+  * into a scan of its (much smaller) materialized summary.
+  *
+  * The 100 TB story: dashboards and gate queries re-aggregate the same
+  * fact table all day. With the summary maintained incrementally off
+  * the CDC feed ([[graft.sinks.IncrementalView]] — count/sum are
+  * self-maintainable), the optimizer can answer the recurring
+  * aggregate from the view without the caller changing a line: the
+  * query stays written against the base table, the plan reads
+  * O(groups) instead of O(facts). Freshness is the registrant's
+  * contract (register after each maintenance commit), exactly as in
+  * any MV-rewrite system.
+  *
+  * Matching is deliberately conservative — rewrite only when the
+  * answer is PROVABLY the registered summary:
+  *  - the aggregate's child is the registered base relation (or a
+  *    pure-attribute Project of it — column pruning's shape); any
+  *    Filter/derived projection disqualifies (the summary cannot serve
+  *    a filtered aggregate);
+  *  - grouping expressions are exactly the registered group columns;
+  *  - every output is a group column or an undistinct, unfiltered
+  *    count(*) / sum / min / max over a registered source column.
+  *
+  * The rewrite preserves the original output attribute ids (parents
+  * re-bind nothing) and re-asserts non-nullability where the original
+  * aggregate guaranteed it (count(*)).
+  *
+  * Wire-up: session-wide via `SparkSessionExtensions.injectOptimizerRule`
+  * ([[graft.GraftExtensions]]) or on a live session via the public
+  * `spark.experimental.extraOptimizations` hook ([[SummaryRewrite.enable]]).
+  */
+object SummaryRewrite extends Rule[LogicalPlan] {
+
+  /** One registered summary: `aggCols` maps (function, base column) →
+    * summary column; count(*) is keyed ("count", "*"). */
+  final case class MaterializedSummary(
+      basePath: String,
+      summaryPath: String,
+      groupCols: Seq[String],
+      aggCols: Map[(String, String), String])
+
+  private val registry =
+    new ConcurrentHashMap[String, MaterializedSummary]()
+
+  private def normalize(p: String): String = new Path(p).toUri.getPath
+
+  def register(s: MaterializedSummary): Unit =
+    registry.put(normalize(s.basePath), s)
+
+  def deregister(basePath: String): Unit =
+    registry.remove(normalize(basePath))
+
+  /** Activate on a live session (idempotent). */
+  def enable(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+
+  /** The registered summary serving this base relation, if any. */
+  private def summaryFor(rel: LogicalRelation): Option[MaterializedSummary] =
+    rel.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.toSeq match {
+          case Seq(single) => Option(registry.get(single.toUri.getPath))
+          case _           => None
+        }
+      case _ => None
+    }
+
+  /** Base relation under any stack of pure-attribute Projects (column
+    * pruning's shape) and Filters — the filters are RETURNED, not
+    * accepted: the caller rewrites only when every condition commutes
+    * with the grouping (deterministic, group-columns-only — e.g. the
+    * `isnotnull(g)` a join infers), re-applying it above the summary
+    * scan. Any other filter disqualifies the plan. */
+  private def baseOf(
+      plan: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
+    plan match {
+      case rel: LogicalRelation => Some((rel, Nil))
+      case Project(list, child)
+          if list.forall(_.isInstanceOf[AttributeReference]) =>
+        baseOf(child)
+      case Filter(cond, child) =>
+        baseOf(child).map { case (r, cs) => (r, cond +: cs) }
+      case _ => None
+    }
+
+  /** (function, source column) key for a supported aggregate call. */
+  private def aggKey(ae: AggregateExpression): Option[(String, String)] =
+    if (ae.isDistinct || ae.filter.nonEmpty) None
+    else ae.aggregateFunction match {
+      case c: Count =>
+        c.children match {
+          case Seq(_: Literal) => Some(("count", "*"))
+          case _               => None
+        }
+      case s: Sum =>
+        s.child match {
+          case a: AttributeReference => Some(("sum", a.name))
+          case _                     => None
+        }
+      case m: Min =>
+        m.child match {
+          case a: AttributeReference => Some(("min", a.name))
+          case _                     => None
+        }
+      case m: Max =>
+        m.child match {
+          case a: AttributeReference => Some(("max", a.name))
+          case _                     => None
+        }
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (registry.isEmpty) return plan
+    plan.transformUp {
+      case agg @ Aggregate(groupExprs, aggExprs, child, _)
+          if baseOf(child).map(_._1).flatMap(summaryFor).isDefined =>
+        val (_, conds) = baseOf(child).get
+        val s = baseOf(child).map(_._1).flatMap(summaryFor).get
+        rewrite(agg, groupExprs, aggExprs, conds, s).getOrElse(agg)
+    }
+  }
+
+  private def rewrite(
+      agg: Aggregate,
+      groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      conds: Seq[Expression],
+      s: MaterializedSummary): Option[LogicalPlan] = {
+    // grouping must be exactly the registered group columns
+    val groupAttrs = groupExprs.map {
+      case a: AttributeReference => a
+      case _                     => return None
+    }
+    val groupNames = groupAttrs.map(_.name)
+    if (groupNames.sorted != s.groupCols.sorted) return None
+    val groupSet = groupNames.toSet
+
+    // every scan-side filter must commute with the grouping: a
+    // deterministic predicate over group columns only keeps or drops
+    // whole groups, so it re-applies unchanged above the summary (the
+    // group output attributes ARE the base attributes it references)
+    // ... and the rewritten Project must re-expose the exact attribute
+    // ids the filter references, so only group columns passed through
+    // UN-aliased into the output qualify as filter sources
+    val passThroughGroupAttrs = org.apache.spark.sql.catalyst.expressions
+      .AttributeSet(aggExprs.collect {
+        case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId)
+          => a
+      })
+    if (!conds.forall(c => c.deterministic &&
+        c.references.subsetOf(passThroughGroupAttrs))) return None
+
+    // summary scan (analyzed; summary-sized, already minimal columns)
+    val spark = SparkSession.active
+    val sPlan = spark.read.parquet(s.summaryPath).queryExecution.analyzed
+    val sOut: Map[String, Attribute] = sPlan.output.map(a => a.name -> a).toMap
+
+    // map every output of the aggregate onto a summary column
+    def summaryCol(ne: NamedExpression): Option[Attribute] = ne match {
+      case a: AttributeReference if groupSet.contains(a.name) =>
+        sOut.get(a.name)
+      case Alias(a: AttributeReference, _) if groupSet.contains(a.name) =>
+        sOut.get(a.name)
+      case Alias(ae: AggregateExpression, _) =>
+        aggKey(ae).flatMap(s.aggCols.get).flatMap(sOut.get)
+      case _ => None
+    }
+
+    val mapped = aggExprs.map(ne => (ne, summaryCol(ne)))
+    if (mapped.exists(_._2.isEmpty)) return None
+
+    val projList: Seq[NamedExpression] = mapped.map { case (orig, srcOpt) =>
+      val src = srcOpt.get
+      // parquet read-back is nullable; restore guarantees the original
+      // aggregate carried (count(*) is non-null) and types must agree
+      if (src.dataType != orig.dataType) return None
+      val expr: Expression =
+        if (!orig.nullable && src.nullable) KnownNotNull(src) else src
+      Alias(expr, orig.name)(exprId = orig.exprId)
+    }
+    val projected = Project(projList, sPlan)
+    // commuted group-column filters go back on top (they reference the
+    // group attrs' exprIds, which projList just re-exposed)
+    Some(conds.foldLeft(projected: LogicalPlan)((p, c) => Filter(c, p)))
+  }
+}

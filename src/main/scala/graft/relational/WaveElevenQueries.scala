@@ -31,6 +31,11 @@ object WaveElevenQueries {
     * scale; O(thousands) in a real 100 TB publish. */
   val TarShards = 16
 
+  /** Per-language token budget for the sampling gate: under every
+    * language's corpus total at every SF (min ~3.5k at sf0.01), so the
+    * prefix cut demonstrably binds on all five languages. */
+  val TokenBudget = 2000L
+
   val all: Seq[Q] = Seq(
 
     // Incremental materialized-view maintenance: aggregate orders v0
@@ -116,6 +121,94 @@ object WaveElevenQueries {
         .orderBy(col("qid"), col("rank"))
     }, Some(Similarity.hardNegativesTopKOracle(
       "embeddings", AnnQueries, AnnK, HardNegPosThreshold))),
+
+    // Cross-corpus near-dup probe: the incoming crawl (odd doc_ids)
+    // against the already-published corpus (even doc_ids) through the
+    // two-relation band join — the published side is never re-paired
+    // against itself, which is the whole point at publish scale (in
+    // deployment the pub band relation is IncrementalDedup's persisted
+    // index). Oracle: the single-relation LSH CTE chain over the union,
+    // restricted to cross-parity pairs — the same candidates by
+    // construction (a pair shares a bucket regardless of which side
+    // each doc entered from).
+    Q("cross_corpus_dups", (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.minhashLshPairsBetween(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text")
+        .orderBy(col("pub_id"), col("new_id"))
+    }, Some(
+      s"""WITH ${Dedup.minhashLshCtes("documents", Dedup.JaccardThreshold)}
+         |SELECT CASE WHEN da % 2 = 0 THEN da ELSE db END AS pub_id,
+         |  CASE WHEN da % 2 = 0 THEN db ELSE da END AS new_id, jaccard
+         |FROM lshpairs WHERE (da % 2 = 0) <> (db % 2 = 0)
+         |ORDER BY pub_id, new_id""".stripMargin)),
+
+    // Deterministic per-language token-budget sampling: order each
+    // language's documents by the md5 hash (an unbiased, reproducible
+    // shuffle), take the prefix whose running token total fits the
+    // budget. The running sum runs through Scale.groupedRunningSum —
+    // the few-giant-groups form (range partition on (lang, hash),
+    // within-partition window, per-span offsets), because real corpora
+    // ARE the giant-group regime: one language holds 90% of the rows
+    // and a plain partitioned window would funnel it through one task.
+    Q("token_budget_sample", (s, dir) => {
+      import graft.analysis.TextAnalysis
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("toks"),
+          Dedup.md5Hash32(col("doc_id").cast("string"), "tb:").as("h"))
+      Scale.groupedRunningSum(d, col("lang"),
+          Seq(col("h"), col("doc_id")), col("toks"), "run")
+        .filter(col("run") <= TokenBudget)
+        .select(col("doc_id"), col("lang"), col("toks"), col("run"))
+        .orderBy(col("lang"), col("run"), col("doc_id"))
+    }, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    ${graft.analysis.TextAnalysis.tokenCountSql("text")} AS toks,
+         |    ${Dedup.md5Hash32Sql("CAST(doc_id AS VARCHAR)", "tb:")} AS h
+         |  FROM documents),
+         |run AS (
+         |  SELECT doc_id, lang, toks,
+         |    sum(toks) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM toks)
+         |SELECT doc_id, lang, toks, CAST(run AS BIGINT) AS run
+         |FROM run WHERE run <= $TokenBudget
+         |ORDER BY lang, run, doc_id""".stripMargin)),
+
+    // Transparent materialized-summary routing: the user query below is
+    // written against the BASE orders table; the SummaryRewrite
+    // optimizer rule (registered summary + live-session enable) must
+    // route it to the summary scan. The driver gate pins the rewrite's
+    // SEMANTICS (values equal a DuckDB recompute from base);
+    // SummaryRewriteSpec pins the ROUTING (optimized plan reads the
+    // summary relation, negatives untouched) — and the PLANS.md capture
+    // for this query shows the summary scan in place of the base scan.
+    Q("mv_rewrite", (s, dir) => {
+      import graft.plans.SummaryRewrite
+      import graft.plans.SummaryRewrite.MaterializedSummary
+      val base = t(dir, "orders")
+      val sumPath = java.nio.file.Files
+        .createTempDirectory("mv_rw").resolve("s").toString
+      def userQuery = s.read.parquet(base).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("sum_okey"),
+          max(col("o_totalprice")).as("max_price"))
+      userQuery.write.parquet(sumPath) // in deployment: CDC-maintained
+      SummaryRewrite.enable(s)
+      SummaryRewrite.register(MaterializedSummary(base, sumPath,
+        Seq("o_custkey"),
+        Map(("count", "*") -> "n_orders", ("sum", "o_orderkey") -> "sum_okey",
+          ("max", "o_totalprice") -> "max_price")))
+      userQuery.orderBy(col("o_custkey"))
+    }, Some(
+      s"""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+         |  max(o_totalprice) AS max_price
+         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
     // Tar-shard publish manifest: documents hash to TarShards archives
     // by the engine-neutral md5 shard key, each shard written as a REAL

@@ -1,0 +1,141 @@
+package graft
+
+import graft.plans.SummaryRewrite
+import graft.plans.SummaryRewrite.MaterializedSummary
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Routing proof for the materialized-summary rewrite: matching
+  * aggregates read the summary relation (no Aggregate survives in the
+  * optimized plan), everything else — filters, other groupings,
+  * unregistered aggregates, distinct — is left alone, and the rewritten
+  * output keeps the original attribute ids so downstream operators
+  * re-bind nothing. */
+class SummaryRewriteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private lazy val (basePath, summaryPath): (String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("sumrw").toString
+    val base = s"$dir/base.parquet"
+    val sumP = s"$dir/summary.parquet"
+    Seq((1L, 10L, 1.5), (1L, 20L, 0.5), (2L, 30L, 9.0), (3L, 40L, 4.0))
+      .toDF("g", "v", "d").write.parquet(base)
+    spark.read.parquet(base).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        max(col("d")).as("mx"))
+      .write.parquet(sumP)
+    SummaryRewrite.enable(spark)
+    SummaryRewrite.register(MaterializedSummary(
+      base, sumP, Seq("g"),
+      Map(("count", "*") -> "n", ("sum", "v") -> "sv", ("max", "d") -> "mx")))
+    (base, sumP)
+  }
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toUri.getPath).toSeq
+        case _ => Nil
+      }
+    }.flatten
+
+  private def hasAggregate(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.nonEmpty
+
+  private def userAgg: DataFrame =
+    spark.read.parquet(basePath).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        max(col("d")).as("mx"))
+
+  test("matching aggregate routes to the summary scan") {
+    val df = userAgg
+    assert(scanPaths(df) == Seq(summaryPath))
+    assert(!hasAggregate(df))
+  }
+
+  test("rewritten results equal the direct aggregation") {
+    val got = userAgg.orderBy("g")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 2L, 30L, 1.5), (2L, 1L, 30L, 9.0),
+      (3L, 1L, 40L, 4.0)))
+  }
+
+  test("original attribute ids survive: downstream ops re-bind nothing") {
+    // filter + join on the REWRITTEN output exercises the preserved ids
+    val df = userAgg
+    val joined = df.filter(col("n") >= 1)
+      .join(Seq((1L, "x"), (3L, "y")).toDF("g", "tag"), Seq("g"))
+      .orderBy("g")
+    assert(scanPaths(joined).contains(summaryPath))
+    assert(joined.select("g", "n", "tag").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 2L, "x"), (3L, 1L, "y")))
+  }
+
+  test("group-column filter commutes: still routes, filter re-applies") {
+    val df = spark.read.parquet(basePath).filter(col("g") =!= 2L)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    assert(scanPaths(df) == Seq(summaryPath))
+    assert(df.orderBy("g").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("filtered aggregate is NOT rewritten") {
+    val df = spark.read.parquet(basePath).filter(col("v") > 15)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    assert(scanPaths(df) == Seq(basePath))
+    assert(hasAggregate(df))
+  }
+
+  test("different grouping is NOT rewritten") {
+    val df = spark.read.parquet(basePath)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("n"))
+    assert(scanPaths(df) == Seq(basePath))
+  }
+
+  test("unregistered aggregate function is NOT rewritten") {
+    val df = spark.read.parquet(basePath).groupBy(col("g"))
+      .agg(avg(col("v")).as("a"))
+    assert(scanPaths(df) == Seq(basePath))
+  }
+
+  test("distinct aggregate is NOT rewritten") {
+    val df = spark.read.parquet(basePath).groupBy(col("g"))
+      .agg(countDistinct(col("v")).as("n"))
+    assert(scanPaths(df) == Seq(basePath))
+  }
+
+  test("a subset of the registered outputs still routes") {
+    val df = spark.read.parquet(basePath).groupBy(col("g"))
+      .agg(sum(col("v")).as("just_sum"))
+    assert(scanPaths(df) == Seq(summaryPath))
+    assert(df.orderBy("g").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 30L), (2L, 30L), (3L, 40L)))
+  }
+
+  test("deregister restores the base scan") {
+    val tmpBase = basePath // force fixture init first
+    SummaryRewrite.deregister(tmpBase)
+    try {
+      assert(scanPaths(userAgg) == Seq(tmpBase))
+    } finally {
+      SummaryRewrite.register(MaterializedSummary(
+        tmpBase, summaryPath, Seq("g"),
+        Map(("count", "*") -> "n", ("sum", "v") -> "sv",
+          ("max", "d") -> "mx")))
+    }
+  }
+}
