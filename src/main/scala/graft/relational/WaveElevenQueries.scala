@@ -122,6 +122,60 @@ object WaveElevenQueries {
     }, Some(Similarity.hardNegativesTopKOracle(
       "embeddings", AnnQueries, AnnK, HardNegPosThreshold))),
 
+    // ...and the STREAMING twin of mv_incremental, oracle-gated end to
+    // end: three chained snapshot derivations commit through the real
+    // VersionedTable, the two change feeds come off the real CDC read,
+    // land as files, and drain through the checkpointed MvMaintainJob
+    // (delta rule per micro-batch, version ledger for replay safety).
+    // The returned view must equal a DuckDB recompute of the FINAL
+    // derivation — the stream≡batch equivalence pinned by the driver's
+    // hash gate, search_rrf_standing's discipline applied to view
+    // maintenance.
+    Q("mv_standing", (s, dir) => {
+      import graft.sinks.VersionedTable
+      val base = java.nio.file.Files
+        .createTempDirectory("mv_stand").toString
+      val (a, b) = WaveNineQueries.snapshots(s, dir)
+      val c = s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .filter(col("o_orderkey") % 10 =!= 9)
+        .withColumn("price_cents", col("price_cents")
+          + when(col("o_orderkey") % 4 === 0, 100L).otherwise(0L)
+          + when(col("o_orderkey") % 8 === 5, 50L).otherwise(0L))
+      val snapRoot = s"$base/snaps"
+      val v0 = VersionedTable.commit(a, snapRoot)
+      val v1 = VersionedTable.commit(b, snapRoot)
+      val v2 = VersionedTable.commit(c, snapRoot)
+      val cdcDir = s"$base/cdc"
+      VersionedTable.changes(s, snapRoot, v0, v1, Seq("o_orderkey"))
+        .coalesce(1).write.mode("append").parquet(cdcDir)
+      VersionedTable.changes(s, snapRoot, v1, v2, Seq("o_orderkey"))
+        .coalesce(1).write.mode("append").parquet(cdcDir)
+      graft.streaming.MvMaintainJob.runOnce(
+        s, cdcDir, s"$base/view", s"$base/ckpt",
+        Seq("o_custkey"), "n_orders", Seq("price_cents" -> "sum_price"),
+        seed = VersionedTable.readVersion(s, snapRoot, v0)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("price_cents")).as("sum_price")))
+      graft.streaming.MvMaintainJob.view(s, s"$base/view")
+        .orderBy(col("o_custkey"))
+    }, Some(
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         |  FROM orders),
+         |c AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    price_cents + CASE WHEN o_orderkey % 4 = 0 THEN 100
+         |      ELSE 0 END + CASE WHEN o_orderkey % 8 = 5 THEN 50
+         |      ELSE 0 END AS price_cents
+         |  FROM base WHERE o_orderkey % 10 != 9)
+         |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(price_cents) AS BIGINT) AS sum_price
+         |FROM c GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
     // Cross-corpus near-dup probe: the incoming crawl (odd doc_ids)
     // against the already-published corpus (even doc_ids) through the
     // two-relation band join — the published side is never re-paired

@@ -1,0 +1,89 @@
+package graft
+
+import graft.sinks.VersionedTable
+import graft.streaming.MvMaintainJob
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream≡batch for CDC-driven view maintenance: two checkpointed
+  * drains of chained delta files leave the view equal to a direct
+  * aggregation of the final snapshot, idle re-drains apply nothing,
+  * and wholesale redelivery (fresh checkpoint over an already-current
+  * view) is skipped batch by batch via the version ledger. */
+class MvMaintainJobSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.streaming.fileSource.log.compactInterval", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // snapshot chain: s0 --ch1--> s1 --ch2--> s2 (groups die, are born,
+  // move, and update across the two deltas)
+  private val s0 = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 300L))
+  private val s1 = Seq((1L, 10L, 100L), (2L, 10L, 250L), (4L, 30L, 400L))
+  private val s2 = Seq((1L, 40L, 100L), (2L, 10L, 250L), (4L, 30L, 400L),
+    (5L, 30L, 50L))
+
+  private val ch1 = Seq(
+    (3L, 20L, 300L, "delete"),
+    (2L, 10L, 200L, "update_preimage"),
+    (2L, 10L, 250L, "update_postimage"),
+    (4L, 30L, 400L, "insert"))
+  private val ch2 = Seq(
+    (1L, 10L, 100L, "update_preimage"), // moves group 10 -> 40
+    (1L, 40L, 100L, "update_postimage"),
+    (5L, 30L, 50L, "insert"))
+
+  private def agg(rows: Seq[(Long, Long, Long)]): DataFrame =
+    rows.toDF("k", "g", "v").groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+
+  private def asMap(df: DataFrame) =
+    df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  private def writeBatch(rows: Seq[(Long, Long, Long, String)], dir: String)
+      : Unit =
+    rows.toDF("k", "g", "v", "change_type")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  test("drains maintain the view to the final snapshot's aggregation") {
+    val base = java.nio.file.Files.createTempDirectory("mvjob").toString
+    val (cdc, root, ckpt) = (s"$base/cdc", s"$base/view", s"$base/ckpt")
+
+    writeBatch(ch1, cdc)
+    val r1 = MvMaintainJob.runOnce(spark, cdc, root, ckpt,
+      Seq("g"), "n", Seq("v" -> "sv"), agg(s0))
+    assert(r1.applied == 1 && r1.skippedRedelivered == 0)
+    assert(r1.finalVersion == 1L)
+    assert(asMap(MvMaintainJob.view(spark, root)) == asMap(agg(s1)))
+
+    // second drain picks up only the new delta file
+    writeBatch(ch2, cdc)
+    val r2 = MvMaintainJob.runOnce(spark, cdc, root, ckpt,
+      Seq("g"), "n", Seq("v" -> "sv"), agg(s0))
+    assert(r2.applied == 1 && r2.finalVersion == 2L)
+    assert(asMap(MvMaintainJob.view(spark, root)) == asMap(agg(s2)))
+
+    // idle re-drain: nothing new, nothing applied, view unchanged
+    val r3 = MvMaintainJob.runOnce(spark, cdc, root, ckpt,
+      Seq("g"), "n", Seq("v" -> "sv"), agg(s0))
+    assert(r3.batches == 0 && r3.finalVersion == 2L)
+
+    // wholesale redelivery: a FRESH checkpoint replays both files
+    // against the already-current view — the version ledger skips both
+    val r4 = MvMaintainJob.runOnce(spark, cdc, root, s"$base/ckpt2",
+      Seq("g"), "n", Seq("v" -> "sv"), agg(s0))
+    assert(r4.batches == 2 && r4.applied == 0 && r4.skippedRedelivered == 2)
+    assert(asMap(MvMaintainJob.view(spark, root)) == asMap(agg(s2)))
+
+    // time travel still works underneath: v1 is s1's aggregation
+    assert(asMap(VersionedTable.readVersion(spark, root, 1L)) ==
+      asMap(agg(s1)))
+  }
+}
