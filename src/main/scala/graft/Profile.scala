@@ -154,8 +154,17 @@ object Profile {
         .select(explode(sequence(lit(0L), lit(9L))).as("__i"), col("*"))
         .drop("__i")
         .write.parquet(s"$canaryDir/lineitem.parquet")
+      // orders replicated with remapped keys (residue semantics shift,
+      // which a no-oracle timing canary tolerates): o_custkey is kept,
+      // so the CDC/view entries see 10x delta volume against the SAME
+      // group count — the view-maintenance stress regime
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(explode(sequence(lit(0L), lit(9L))).as("__i"), col("*"))
+        .withColumn("o_orderkey", col("o_orderkey") * 16 + col("__i"))
+        .drop("__i")
+        .write.parquet(s"$canaryDir/orders.parquet")
       for (t <- Seq("region", "nation", "customer", "supplier", "part",
-          "orders", "events", "embeddings"))
+          "events", "embeddings"))
         spark.read.parquet(s"$sfDir/$t.parquet")
           .write.parquet(s"$canaryDir/$t.parquet")
       for (q <- Seq("crawl_curate", "corpus_curate_full",
@@ -197,7 +206,16 @@ object Profile {
           // (~278M-pair output). The composition is capped since r12;
           // if any entry OOMs, re-run with SPARK_DRIVER_MEM=16g
           // (build.sbt reads it) and record the heap in BENCH_NOTES.
-          "search_rrf_standing", "pdf_split", "corpus_ship"))
+          "search_rrf_standing", "pdf_split", "corpus_ship",
+          // r12 wave-eleven additions: the CDC/view stack (10x delta
+          // volume against an unchanged group count), the
+          // two-relation band probe (cross-bucket product regime),
+          // the giant-group running sum (one language dominating is
+          // exactly its regime), and the tar publish (shard write
+          // volume; manifest agg is narrow)
+          "mv_incremental", "mv_standing", "cross_corpus_dups",
+          "leakage_safe_split", "token_budget_sample",
+          "corpus_tar_publish", "mv_rewrite"))
         time(s"$q @10x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
       spark.stop()
       return
