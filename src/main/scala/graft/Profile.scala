@@ -215,7 +215,10 @@ object Profile {
           // volume; manifest agg is narrow)
           "mv_incremental", "mv_standing", "cross_corpus_dups",
           "leakage_safe_split", "token_budget_sample",
-          "corpus_tar_publish", "mv_rewrite"))
+          "corpus_tar_publish", "mv_rewrite",
+          // chunking (row-local linearity control) + sorted packing
+          // (re-id range exchange at 10x)
+          "doc_chunk", "seq_pack_sorted"))
         time(s"$q @10x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
       spark.stop()
       return

@@ -36,6 +36,11 @@ object WaveElevenQueries {
     * prefix cut demonstrably binds on all five languages. */
   val TokenBudget = 2000L
 
+  /** Chunking geometry: 64-token windows advancing 48 tokens (16-token
+    * overlap) — the RAG/long-context slicing shape. */
+  val ChunkSize = 64L
+  val ChunkStride = 48L
+
   val all: Seq[Q] = Seq(
 
     // Incremental materialized-view maintenance: aggregate orders v0
@@ -232,6 +237,72 @@ object WaveElevenQueries {
          |SELECT doc_id, lang, toks, CAST(run AS BIGINT) AS run
          |FROM run WHERE run <= $TokenBudget
          |ORDER BY lang, run, doc_id""".stripMargin)),
+
+    // Length-bucketed sequence packing — sorted batching: re-id
+    // documents in (token count, doc_id) order through the
+    // range-partitioned global row number, so the next-fit packer's
+    // id-contiguous groups hold SIMILAR-LENGTH docs. The win is a
+    // length-VARIANCE lever: on bimodal corpora it provably packs
+    // tighter (SeqPackSpec pins the mechanism on a long/short fixture);
+    // on the driver's near-uniform corpus it measures neutral
+    // (123 -> 124 sequences at sf0.01) — recorded honestly, the gate
+    // here pins the sorted form's exact semantics, not a speedup.
+    // Same bounded-group flatMapGroups plan as seq_pack; the only
+    // addition is the re-id's range exchange.
+    Q("seq_pack_sorted", (s, dir) => {
+      import graft.analysis.SeqPack
+      val toks = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+      val reid = Scale.globalRowNumber(toks, Seq(col("tok"), col("doc_id")))
+        .select((col("rn") - 1).cast("long").as("doc_id"), col("text"))
+      SeqPack.pack(reid, groupSize = 256, capacity = 256)
+        .orderBy(col("grp"), col("seq_idx"))
+    }, Some(
+      s"""WITH RECURSIVE reid AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (
+         |      ORDER BY len(string_split(text, ' ')), doc_id) - 1
+         |    AS BIGINT) AS doc_id, text
+         |  FROM documents),
+         |${graft.analysis.SeqPack.oracleCtes("reid", 256, 256)}
+         |${graft.analysis.SeqPack.oracleSelect(256)}""".stripMargin)),
+
+    // Fixed-window document chunking with overlap (the RAG / long-doc
+    // slicing op): 64-token chunks advancing 48, chunk text carried
+    // with exact 1-based inclusive token spans for provenance.
+    // Row-local end to end — split, window starts, slices and joins
+    // all ride the scan; nothing shuffles but the output sort.
+    Q("doc_chunk", (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("nt", size(col("ws")).cast("long"))
+      d.select(col("doc_id"), col("ws"), col("nt"),
+          explode(sequence(lit(1L), col("nt"), lit(ChunkStride)))
+            .as("start_tok"))
+        .withColumn("end_tok",
+          least(col("start_tok") + ChunkSize - 1, col("nt")))
+        .select(col("doc_id"),
+          ((col("start_tok") - 1) / ChunkStride).cast("long")
+            .as("chunk_idx"),
+          col("start_tok"), col("end_tok"),
+          concat_ws(" ", slice(col("ws"), col("start_tok"),
+            col("end_tok") - col("start_tok") + 1)).as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws,
+         |    len(string_split(text, ' ')) AS nt
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, ws, nt,
+         |    unnest(range(1, nt + 1, $ChunkStride)) AS start
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+         |  CAST(start AS BIGINT) AS start_tok,
+         |  CAST(least(start + $ChunkSize - 1, nt) AS BIGINT) AS end_tok,
+         |  array_to_string(ws[start:least(start + $ChunkSize - 1, nt)], ' ')
+         |    AS chunk
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     // Transparent materialized-summary routing: the user query below is
     // written against the BASE orders table; the SummaryRewrite

@@ -49,4 +49,27 @@ class SeqPackSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == Set((1L, 2L, 8L), (2L, 1L, 3L), (3L, 1L, 9L)))
   }
+
+  test("sorted re-id packs tighter where length variance binds") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    // bimodal: lengths alternate 6 / 4 by id. Unsorted next-fit with
+    // capacity 10 sees 6,4,6,4... -> every pair fits exactly BUT the
+    // alternation 6,4 packs pairwise only when adjacent ids pair up;
+    // make it adversarial: 6,5,6,5 -> nothing pairs (11 > 10), every
+    // doc rides alone = 8 sequences. Sorted groups the 5s and 6s:
+    // 5+5 fits, 6 alone -> 4+... = 6 sequences.
+    val docs = (0L until 8L).map(i =>
+        (i, words(if (i % 2 == 0) 6 else 5)))
+      .toDF("doc_id", "text")
+    val unsorted = SeqPack.pack(docs, groupSize = 8, capacity = 10)
+    assert(unsorted.count() == 8) // 6,5 never pair
+
+    val toks = docs.withColumn("tok",
+      size(split(col("text"), " ")).cast("long"))
+    val reid = graft.relational.Scale
+      .globalRowNumber(toks, Seq(col("tok"), col("doc_id")))
+      .select((col("rn") - 1).cast("long").as("doc_id"), col("text"))
+    val sorted = SeqPack.pack(reid, groupSize = 8, capacity = 10)
+    assert(sorted.count() == 6) // 5+5, 5+5, then four lone 6s
+  }
 }
