@@ -218,7 +218,11 @@ object Profile {
           "corpus_tar_publish", "mv_rewrite",
           // chunking (row-local linearity control) + sorted packing
           // (re-id range exchange at 10x)
-          "doc_chunk", "seq_pack_sorted"))
+          "doc_chunk", "seq_pack_sorted",
+          // hard negatives: brute Q x 10xC scoring + the IVF probe
+          // contrast; drift monitor as a scan-linearity control
+          "ann_hard_negatives", "ann_hard_negatives_ivf",
+          "corpus_drift_psi"))
         time(s"$q @10x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
       spark.stop()
       return

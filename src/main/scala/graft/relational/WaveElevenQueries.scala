@@ -335,6 +335,61 @@ object WaveElevenQueries {
          |  max(o_totalprice) AS max_price
          |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
+    // ...and the same contract through the IVF probe — the at-scale
+    // candidate generator (probed clusters only, linear): proof the
+    // documented scale path is implemented, not just cited.
+    Q("ann_hard_negatives_ivf", (s, dir) => {
+      Similarity.ivfHardNegativesTopK(
+          s.read.parquet(t(dir, "embeddings")),
+          AnnQueries, AnnK, HardNegPosThreshold)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(Similarity.ivfHardNegativesOracle(
+      "embeddings", AnnQueries, AnnK, HardNegPosThreshold))),
+
+    // Corpus drift monitor: PSI (population stability index) of the
+    // token-length distribution between two crawl generations (the
+    // doc_id parity split stands in for consecutive snapshots).
+    // Laplace-smoothed per-bucket proportions; each bucket's term
+    // rounds ONCE onto a nano grid and is integer thereafter — the
+    // NgramLm micro-nat discipline (one shared float round per row,
+    // exact integer aggregation). At 100 TB this is one scan + a
+    // 16-row aggregate + one broadcast totals row.
+    Q("corpus_drift_psi", (s, dir) => {
+      val t0 = docs(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .select(least(col("nt") / 8, lit(15L)).cast("long").as("bucket"),
+          (col("doc_id") % 2 === 0).as("isA"))
+      val c = t0.groupBy(col("bucket"))
+        .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("isA"), 1L).otherwise(0L)).as("cb"))
+      val tot = c.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      c.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("ca"), col("cb"),
+          round(((col("ca") + lit(1.0)) / (col("na") + 16)
+              - (col("cb") + lit(1.0)) / (col("nb") + 16))
+            * log(((col("ca") + lit(1.0)) * (col("nb") + 16))
+              / ((col("cb") + lit(1.0)) * (col("na") + 16))) * 1e9)
+            .cast("long").as("term_nano"))
+        .orderBy(col("bucket"))
+    }, Some(
+      s"""WITH t AS (
+         |  SELECT least(CAST(len(string_split(text, ' ')) AS BIGINT) // 8,
+         |      15) AS bucket,
+         |    doc_id % 2 = 0 AS isA
+         |  FROM documents),
+         |c AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN isA THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN NOT isA THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM t GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |  CAST(sum(cb) AS BIGINT) AS nb FROM c)
+         |SELECT bucket, ca, cb,
+         |  CAST(round(((ca + 1.0) / (na + 16) - (cb + 1.0) / (nb + 16))
+         |    * ln(((ca + 1.0) * (nb + 16)) / ((cb + 1.0) * (na + 16)))
+         |    * 1e9) AS BIGINT) AS term_nano
+         |FROM c, tot ORDER BY bucket""".stripMargin)),
+
     // Tar-shard publish manifest: documents hash to TarShards archives
     // by the engine-neutral md5 shard key, each shard written as a REAL
     // deterministic POSIX ustar file by TarShardSink, and the manifest

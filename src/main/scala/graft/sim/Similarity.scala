@@ -423,7 +423,8 @@ object Similarity {
       v: DataFrame,
       cents: DataFrame,
       nQueries: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      maxSimExclusive: Option[Double] = None): DataFrame = {
     val simToCent = v.crossJoin(broadcast(cents))
       .withColumn("csim", round(cosine(col("v"), col("cv")), 4))
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -437,9 +438,13 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") <= IvfProbes)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cent_id"))
-    val scored = probes.join(assigned, Seq("cent_id"))
+    val scored0 = probes.join(assigned, Seq("cent_id"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("sim", round(cosine(col("qv"), col("v")), 4))
+    // hard-negative regime: drop positives BEFORE the ranking window,
+    // so near-dups never occupy negative slots
+    val scored = maxSimExclusive
+      .map(t => scored0.filter(col("sim") < t)).getOrElse(scored0)
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(wRank))
@@ -447,11 +452,36 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id").as("cid"), col("sim"))
   }
 
+  /** Hard-negative mining through the IVF probe — the corpus-scale
+    * candidate generator for [[hardNegativesTopK]]'s contract: per
+    * query, the k most similar PROBED vectors below `posThreshold`.
+    * Candidates are the probed clusters' members only (linear, the
+    * IVF recall contract), which is exactly where the nearest
+    * non-positives live. */
+  def ivfHardNegativesTopK(
+      emb: DataFrame, nQueries: Int, k: Int,
+      posThreshold: Double): DataFrame = {
+    val emb0 = spread(emb)
+    val v = emb0.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = v.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    ivfSearch(v, cents, nQueries, k, Some(posThreshold))
+  }
+
   def ivfTopKOracle(embRel: String, nQueries: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embRel),
        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
        |          WHERE vec_id < $IvfCentroids),
        |${ivfSearchSql(nQueries, k)}""".stripMargin
+
+  /** DuckDB twin of [[ivfHardNegativesTopK]]: the IVF search SQL with
+    * the positive filter applied between scoring and ranking. */
+  def ivfHardNegativesOracle(
+      embRel: String, nQueries: Int, k: Int, posThreshold: Double): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embRel),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |          WHERE vec_id < $IvfCentroids),
+       |${ivfSearchSql(nQueries, k, Some(posThreshold))}""".stripMargin
 
   /** Oracle twin of [[ivfTrainedTopK]]: the unrolled k-means CTE chain
     * feeds a `cents` CTE ((c - shift) / 10^6, list-ordered by dim),
@@ -466,7 +496,10 @@ object Similarity {
        |  FROM c$KMeansIters GROUP BY cid),
        |${ivfSearchSql(nQueries, k)}""".stripMargin
 
-  private def ivfSearchSql(nQueries: Int, k: Int): String =
+  private def ivfSearchSql(
+      nQueries: Int, k: Int,
+      maxSimExclusive: Option[Double] = None): String = {
+    val posFilter = maxSimExclusive.map(t => s" AND sim < $t").getOrElse("")
     s"""sim2c AS (
        |  SELECT e.vec_id, e.v, c.cent_id,
        |    round(list_cosine_similarity(e.v, c.cv), 4) AS csim
@@ -482,16 +515,19 @@ object Similarity {
        |  SELECT vec_id AS qid, v AS qv, cent_id FROM ranked2c
        |  WHERE rn <= $IvfProbes AND vec_id < $nQueries),
        |scored AS (
-       |  SELECT p.qid, a.vec_id AS cid,
-       |    round(list_cosine_similarity(p.qv, a.v), 4) AS sim
-       |  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
-       |  WHERE p.qid != a.vec_id),
+       |  SELECT * FROM (
+       |    SELECT p.qid, a.vec_id AS cid,
+       |      round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+       |    FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+       |    WHERE p.qid != a.vec_id) __sc
+       |  WHERE TRUE$posFilter),
        |rk AS (
        |  SELECT qid, cid, sim,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
        |  FROM scored)
        |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
        |FROM rk WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
 
   // ---- DuckDB oracle builders ---------------------------------------
 
