@@ -85,5 +85,32 @@ class MvMaintainJobSpec extends AnyFunSuite {
     // time travel still works underneath: v1 is s1's aggregation
     assert(asMap(VersionedTable.readVersion(spark, root, 1L)) ==
       asMap(agg(s1)))
+
+    // ---- the quartet composed: CDC -> maintained view -> routed ----
+    // Register the JOB-MAINTAINED view (its latest version directory)
+    // as the summary for the final snapshot; a user aggregate over the
+    // snapshot must route to the view SummaryRewrite never rebuilt.
+    import graft.plans.SummaryRewrite
+    import graft.plans.SummaryRewrite.MaterializedSummary
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val snapPath = s"$base/s2.parquet"
+    s2.toDF("k", "g", "v").write.parquet(snapPath)
+    val viewV2 = s"$root/v=2"
+    SummaryRewrite.enable(spark)
+    SummaryRewrite.register(MaterializedSummary(
+      snapPath, viewV2, Seq("g"),
+      Map(("count", "*") -> "n", ("sum", "v") -> "sv")))
+    val routed = spark.read.parquet(snapPath).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val scans = routed.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toUri.getPath).toSeq
+        case _ => Nil
+      }
+    }.flatten
+    assert(scans == Seq(viewV2)) // reads the maintained view, not facts
+    assert(asMap(routed) == asMap(agg(s2)))
+    SummaryRewrite.deregister(snapPath)
   }
 }
