@@ -31,10 +31,16 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalView {
 
-  /** +1 for rows entering the group, -1 for rows leaving it. */
+  /** +1 for rows entering the group, -1 for rows leaving it. An
+    * unrecognized change_type fails the job loudly — a CDC consumer
+    * that silently drops feed rows it doesn't understand corrupts the
+    * view without a trace (the requireExact discipline). */
   private def sign: Column =
     when(col("change_type").isin("insert", "update_postimage"), 1L)
       .when(col("change_type").isin("delete", "update_preimage"), -1L)
+      .otherwise(raise_error(concat(
+        lit("IncrementalView: unknown change_type '"),
+        col("change_type"), lit("'"))).cast("long"))
 
   /** Apply `changes` (a [[VersionedTable.changes]]-shaped feed: value
     * columns + `change_type`) to the maintained view `mv`.

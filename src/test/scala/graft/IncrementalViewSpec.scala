@@ -80,4 +80,14 @@ class IncrementalViewSpec extends AnyFunSuite {
       agg(v0), feed.limit(0), Seq("g"), "n", Seq("v" -> "sv"))
     assert(resultMap(m) == resultMap(agg(v0)))
   }
+
+  test("an unknown change_type fails loudly, never silently drops") {
+    val bad = Seq((9L, 10L, 1L, "upsert")).toDF("k", "g", "v", "change_type")
+    val ex = intercept[Exception] {
+      IncrementalView.maintain(agg(v0), bad, Seq("g"), "n", Seq("v" -> "sv"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("unknown change_type") ||
+      Option(ex.getCause).exists(_.getMessage.contains("unknown change_type")))
+  }
 }
