@@ -222,8 +222,44 @@ object Profile {
           // hard negatives: brute Q x 10xC scoring + the IVF probe
           // contrast; drift monitor as a scan-linearity control
           "ann_hard_negatives", "ann_hard_negatives_ivf",
-          "corpus_drift_psi"))
+          "corpus_drift_psi",
+          // r13 additions: CDC-fed ANN maintenance (delta-localized
+          // partition rewrite under 10x delta volume; embeddings stay
+          // 1x so the delta itself is the regime) and the roll-up
+          // rewrite (summary-sized re-aggregation; 10x orders base)
+          "ann_incremental_cdc", "mv_rewrite_rollup"))
         time(s"$q @10x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
+      spark.stop()
+      return
+    }
+
+    if (args.contains("canary30")) {
+      // ---- 30x tier (r13, VERDICT #5): the cap-bearing family -------
+      // The brief's bar is 100x scale and the 10x canary proves one
+      // order; this tier re-runs exactly the pair generators whose
+      // caps keep them linear — 30-member exact clusters at 30x the
+      // sweep's largest SF, default heap. Acceptance: sub-quadratic
+      // observed scaling vs the 10x tier rows (a capped operator
+      // should scale ~linearly in corpus size; anything that squares
+      // gets its cap fixed, not its row annotated).
+      val canaryDir = java.nio.file.Files
+        .createTempDirectory("canary30x").toString
+      docs
+        .select(explode(sequence(lit(0L), lit(29L))).as("__i"), col("*"))
+        .select((col("doc_id") * 32 + col("__i")).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .write.parquet(s"$canaryDir/documents.parquet")
+      println(s"[profile] canary30 corpus: " +
+        spark.read.parquet(s"$canaryDir/documents.parquet").count() +
+        " docs (30x, 30-member exact clusters)")
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "embeddings"))
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.parquet(s"$canaryDir/$t.parquet")
+      for (q <- Seq("dedup_multisignal", "simhash_capped",
+          "cross_corpus_dups", "minhash_lsh_capped",
+          "leakage_safe_split", "corpus_ship"))
+        time(s"$q @30x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
       spark.stop()
       return
     }

@@ -46,14 +46,8 @@ object IncrementalDedup {
     * the per-batch probe join exchanges longs. Collisions only add
     * candidates; the exact rescore drops them. */
   private def bandKeys(docs: DataFrame): DataFrame =
-    Dedup.minhashSignaturesFromSets(
-        Dedup.docShingleSets(docs, "doc_id", "text"))
-      .select(col("doc_id"),
-        explode(array((0 until Dedup.Bands).map { b =>
-          val hs = (0 until Dedup.RowsPerBand)
-            .map(r => col(s"h${Dedup.RowsPerBand * b + r}"))
-          xxhash64(lit(b) +: hs: _*)
-        }: _*)).as("bk"))
+    Dedup.minhashBandKeys(Dedup.minhashSignaturesFromSets(
+      Dedup.docShingleSets(docs, "doc_id", "text")))
 
   /** Exact-Jaccard rescore of candidate (da, db) pairs given a combined
     * (doc_id, text) relation covering both sides. */
@@ -73,6 +67,62 @@ object IncrementalDedup {
       .filter(round(col("i").cast("double")
         / (col("na") + col("nb") - col("i")), 4) >= threshold)
       .select(cand.columns.map(col): _*) // pass through tag columns
+  }
+
+  /** The cross-corpus probe in its DEPLOYMENT form —
+    * [[Dedup.minhashLshPairsBetween]]'s contract served from the
+    * PERSISTED store instead of re-banding the published side: the
+    * batch's band keys equi-join the store's band INDEX (the published
+    * corpus is never re-shingled and never self-paired), and only the
+    * MATCHED accepted docs re-shingle for the exact rescore. Returns
+    * (pub_id, new_id, jaccard); read-only — [[processBatch]] is the
+    * mutating twin that also appends accepted docs' bands. Store-side
+    * bucket sizes stay bounded by admission itself (near-dups are
+    * never admitted, so a clone farm cannot pile into one bucket the
+    * way it can in the one-shot generator — which is why the one-shot
+    * [[Dedup.minhashLshPairsBetween]] carries a maxBucket cap and this
+    * probe does not need one). */
+  def probeStorePairs(
+      batch: DataFrame,
+      storeDir: String,
+      threshold: Double = Dedup.JaccardThreshold): DataFrame = {
+    val spark = batch.sparkSession
+    val incoming = batch.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id")
+    if (!exists(spark, bandsPath(storeDir)))
+      return incoming.select(col("doc_id").as("pub_id"),
+        col("doc_id").as("new_id"),
+        lit(0.0).as("jaccard")).limit(0)
+    val index = spark.read.parquet(bandsPath(storeDir))
+    // batch-sized; feeds band keys AND the rescore — pin it so the
+    // incoming docs shingle once
+    val incSets = Dedup.docShingleSets(incoming, "doc_id", "text")
+      .localCheckpoint()
+    val newBands =
+      Dedup.minhashBandKeys(Dedup.minhashSignaturesFromSets(incSets))
+    val cand = newBands
+      .join(index.withColumnRenamed("doc_id", "pub_id"), "bk")
+      .select(col("pub_id"), col("doc_id").as("new_id"))
+      .distinct()
+    // only MATCHED accepted docs fetch through the candidate join and
+    // re-shingle (row-local, candidate-bounded) — the corpus itself is
+    // never re-banded and never free-scanned
+    val pubDocs = spark.read.parquet(docsPath(storeDir))
+      .select(col("doc_id").as("pub_id"), col("text"))
+    cand
+      .join(pubDocs, "pub_id")
+      .withColumn("ssa", array_distinct(Dedup.shingles(col("text"))))
+      .drop("text")
+      .withColumn("na", size(col("ssa")).cast("long"))
+      .join(incSets.select(col("doc_id").as("new_id"),
+        col("ss").as("ssb"), size(col("ss")).cast("long").as("nb")),
+        "new_id")
+      .withColumn("i",
+        size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      .withColumn("jaccard", round(col("i").cast("double")
+        / (col("na") + col("nb") - col("i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("pub_id"), col("new_id"), col("jaccard"))
   }
 
   /** Process one batch of (doc_id, text): rejects near-dups of accepted

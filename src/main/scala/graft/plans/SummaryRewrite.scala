@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, KnownNotNull, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -25,14 +25,21 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * any MV-rewrite system.
   *
   * Matching is deliberately conservative — rewrite only when the
-  * answer is PROVABLY the registered summary:
+  * answer is PROVABLY derivable from the registered summary:
   *  - the aggregate's child is the registered base relation (or a
   *    pure-attribute Project of it — column pruning's shape); any
-  *    Filter/derived projection disqualifies (the summary cannot serve
-  *    a filtered aggregate);
-  *  - grouping expressions are exactly the registered group columns;
+  *    derived projection disqualifies, and a Filter qualifies only
+  *    when it commutes (see below);
+  *  - grouping expressions are exactly the registered group columns
+  *    (direct routing: project the summary), or a NON-EMPTY STRICT
+  *    SUBSET of them (roll-up routing: re-aggregate the summary —
+  *    count(*) re-sums the maintained counts, sum re-sums, min/max
+  *    re-extremize; the daily-view/monthly-query shape). The empty
+  *    grouping (global aggregate) stays disqualified: over an empty
+  *    base, count(*) is 0 but a re-sum of zero summary rows is NULL;
   *  - every output is a group column or an undistinct, unfiltered
-  *    count(*) / sum / min / max over a registered source column.
+  *    count(*) / sum / min / max over a registered source column (avg
+  *    is never served — not re-aggregable without decomposition).
   *
   * The rewrite preserves the original output attribute ids (parents
   * re-bind nothing) and re-asserts non-nullability where the original
@@ -45,20 +52,40 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 object SummaryRewrite extends Rule[LogicalPlan] {
 
   /** One registered summary: `aggCols` maps (function, base column) →
-    * summary column; count(*) is keyed ("count", "*"). */
+    * summary column; count(*) is keyed ("count", "*").
+    *
+    * `rebuildMaintained` declares HOW the summary is kept fresh:
+    * count/sum are self-maintainable off the CDC feed
+    * ([[graft.sinks.IncrementalView.maintain]]), but min/max are NOT
+    * self-maintainable under deletes (a deleted extremum needs a group
+    * rescan the delta rule never performs), so a summary carrying
+    * min/max columns must be recomputed from the base on refresh —
+    * and the registrant must say so, or [[register]] refuses. */
   final case class MaterializedSummary(
       basePath: String,
       summaryPath: String,
       groupCols: Seq[String],
-      aggCols: Map[(String, String), String])
+      aggCols: Map[(String, String), String],
+      rebuildMaintained: Boolean = false)
 
   private val registry =
     new ConcurrentHashMap[String, MaterializedSummary]()
 
   private def normalize(p: String): String = new Path(p).toUri.getPath
 
-  def register(s: MaterializedSummary): Unit =
+  def register(s: MaterializedSummary): Unit = {
+    val extrema = s.aggCols.keys.filter {
+      case (fn, _) => fn == "min" || fn == "max"
+    }
+    require(extrema.isEmpty || s.rebuildMaintained,
+      s"summary for ${s.basePath} maps min/max columns " +
+        s"(${extrema.mkString(", ")}) but is not declared " +
+        "rebuildMaintained: min/max are not self-maintainable under " +
+        "deletes, so IncrementalView.maintain cannot keep them fresh — " +
+        "serve them only from a summary recomputed on refresh " +
+        "(rebuildMaintained = true)")
     registry.put(normalize(s.basePath), s)
+  }
 
   def deregister(basePath: String): Unit =
     registry.remove(normalize(basePath))
@@ -142,13 +169,20 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression],
       conds: Seq[Expression],
       s: MaterializedSummary): Option[LogicalPlan] = {
-    // grouping must be exactly the registered group columns
+    // grouping must be registered group columns: all of them (direct
+    // routing) or a non-empty strict subset (roll-up routing)
     val groupAttrs = groupExprs.map {
       case a: AttributeReference => a
       case _                     => return None
     }
     val groupNames = groupAttrs.map(_.name)
-    if (groupNames.sorted != s.groupCols.sorted) return None
+    if (groupNames.distinct != groupNames) return None
+    val exact = groupNames.sorted == s.groupCols.sorted
+    if (!exact) {
+      if (groupNames.isEmpty ||
+        !groupNames.toSet.subsetOf(s.groupCols.toSet)) return None
+      return rollup(groupAttrs, aggExprs, conds, s)
+    }
     val groupSet = groupNames.toSet
 
     // every scan-side filter must commute with the grouping: a
@@ -198,5 +232,79 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // commuted group-column filters go back on top (they reference the
     // group attrs' exprIds, which projList just re-exposed)
     Some(conds.foldLeft(projected: LogicalPlan)((p, c) => Filter(c, p)))
+  }
+
+  /** Roll-up routing: serve an aggregate grouping by a strict subset of
+    * the registered group columns by RE-AGGREGATING the summary —
+    * count(*) becomes sum of the maintained counts, sum re-sums,
+    * min/max re-extremize. Each base fact lands in exactly one summary
+    * row per fine-grained key, so the re-aggregation partitions the
+    * facts and the algebra is exact; avg never qualifies ([[aggKey]]
+    * rejects it). The plan reads O(summary) and shuffles O(summary)
+    * down to the coarse groups — the fact table still never appears.
+    *
+    * Scan-side filters qualify when deterministic over REGISTERED
+    * group columns (they keep or drop whole summary rows exactly as
+    * they keep or drop the base rows those rows summarize), and are
+    * remapped onto the summary scan BELOW the re-aggregation — which
+    * also serves filters on summary keys the query no longer groups by
+    * (the region-filtered monthly roll-up of a daily view). */
+  private def rollup(
+      groupAttrs: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression],
+      conds: Seq[Expression],
+      s: MaterializedSummary): Option[LogicalPlan] = {
+    val groupSet = groupAttrs.map(_.name).toSet
+    val spark = SparkSession.active
+    val sPlan = spark.read.parquet(s.summaryPath).queryExecution.analyzed
+    val sOut: Map[String, Attribute] = sPlan.output.map(a => a.name -> a).toMap
+
+    val condsOk = conds.forall { c =>
+      c.deterministic && c.references.toSeq.forall {
+        case a: AttributeReference =>
+          s.groupCols.contains(a.name) && sOut.contains(a.name)
+        case _ => false
+      }
+    }
+    if (!condsOk) return None
+    val remapped = conds.map(_.transform {
+      case a: AttributeReference => sOut(a.name)
+    })
+
+    def rolled(ne: NamedExpression): Option[NamedExpression] = ne match {
+      case a: AttributeReference if groupSet.contains(a.name) =>
+        sOut.get(a.name).filter(_.dataType == a.dataType)
+          .map(src => Alias(src, a.name)(exprId = a.exprId))
+      case Alias(a: AttributeReference, name) if groupSet.contains(a.name) =>
+        sOut.get(a.name).filter(_.dataType == ne.dataType)
+          .map(src => Alias(src, name)(exprId = ne.exprId))
+      case al @ Alias(ae: AggregateExpression, name) =>
+        aggKey(ae).flatMap(s.aggCols.get).flatMap(sOut.get).flatMap { src =>
+          val fn: AggregateFunction = aggKey(ae).get._1 match {
+            case "count" | "sum" => Sum(src)
+            case "min"           => Min(src)
+            case "max"           => Max(src)
+          }
+          val re = fn.toAggregateExpression()
+          // re-aggregation must reproduce the original type exactly
+          // (disqualifies e.g. decimal sums, whose re-sum widens)
+          if (re.dataType != al.dataType) None
+          else {
+            // sum over a group's (>= 1, non-null) maintained counts is
+            // never null — restore count(*)'s non-null guarantee
+            val expr: Expression =
+              if (!al.nullable && re.nullable) KnownNotNull(re) else re
+            Some(Alias(expr, name)(exprId = al.exprId))
+          }
+        }
+      case _ => None
+    }
+
+    val outs = aggExprs.map(rolled)
+    if (outs.exists(_.isEmpty)) return None
+    val groupOnSummary: Seq[Expression] =
+      groupAttrs.map(a => sOut.getOrElse(a.name, return None))
+    val child = remapped.foldLeft(sPlan: LogicalPlan)((p, c) => Filter(c, p))
+    Some(Aggregate(groupOnSummary, outs.map(_.get), child))
   }
 }

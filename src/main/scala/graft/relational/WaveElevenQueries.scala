@@ -153,6 +153,11 @@ object WaveElevenQueries {
       val v1 = VersionedTable.commit(b, snapRoot)
       val v2 = VersionedTable.commit(c, snapRoot)
       val cdcDir = s"$base/cdc"
+      // one file per delta is the FEED CONTRACT, not harness
+      // convenience: MvMaintainJob verifies each batch's v_from/v_to
+      // chain, and a delta split across files would split across
+      // micro-batches (see the feed-layout note on MvMaintainJob).
+      // Deltas are change-set-sized, so coalesce(1) costs nothing.
       VersionedTable.changes(s, snapRoot, v0, v1, Seq("o_orderkey"))
         .coalesce(1).write.mode("append").parquet(cdcDir)
       VersionedTable.changes(s, snapRoot, v1, v2, Seq("o_orderkey"))
@@ -315,9 +320,18 @@ object WaveElevenQueries {
     Q("mv_rewrite", (s, dir) => {
       import graft.plans.SummaryRewrite
       import graft.plans.SummaryRewrite.MaterializedSummary
-      val base = t(dir, "orders")
-      val sumPath = java.nio.file.Files
-        .createTempDirectory("mv_rw").resolve("s").toString
+      // the registry is process-global and the rewrite fires at the
+      // CALLER's execution time (after this builder returns), so the
+      // registration cannot be torn down here without killing the
+      // routing it demonstrates. Isolation instead: register a
+      // session-private SNAPSHOT COPY of orders as the base — no other
+      // query ever reads this path, so the standing registration can
+      // route nothing but the query below (the r12 advisor's
+      // global-registry leak, closed by construction).
+      val tmp = java.nio.file.Files.createTempDirectory("mv_rw")
+      val base = tmp.resolve("base").toString
+      val sumPath = tmp.resolve("s").toString
+      s.read.parquet(t(dir, "orders")).write.parquet(base)
       def userQuery = s.read.parquet(base).groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_orderkey")).as("sum_okey"),
@@ -327,7 +341,8 @@ object WaveElevenQueries {
       SummaryRewrite.register(MaterializedSummary(base, sumPath,
         Seq("o_custkey"),
         Map(("count", "*") -> "n_orders", ("sum", "o_orderkey") -> "sum_okey",
-          ("max", "o_totalprice") -> "max_price")))
+          ("max", "o_totalprice") -> "max_price"),
+        rebuildMaintained = true)) // max_price: rebuild-only freshness
       userQuery.orderBy(col("o_custkey"))
     }, Some(
       s"""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,

@@ -1,0 +1,146 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.relational.RelationalQueries.Q
+import graft.relational.TrainingDataQueries.{AnnK, AnnQueries}
+
+/** Twelfth-wave surface: the round-13 closures of the incremental
+  * lifecycle — roll-up routing through the materialized-summary
+  * optimizer rule, and ANN index maintenance fed by the real CDC read.
+  */
+object WaveTwelveQueries {
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Custkey cutoff for the roll-up gate's scan-side filter — below the
+    * smallest SF's customer count (150 at sf0.001), so the filter
+    * demonstrably BINDS at every scale factor. */
+  val RollupCustCap = 100L
+
+  val all: Seq[Q] = Seq(
+
+    // Roll-up routing: the summary is registered on the FINE grouping
+    // (o_custkey, o_orderstatus); the user query below groups by a
+    // strict SUBSET (o_orderstatus) and filters on a summary key it no
+    // longer groups by (o_custkey). SummaryRewrite must serve it by
+    // RE-AGGREGATING the summary — count(*) re-sums the maintained
+    // counts, sum re-sums, min/max re-extremize — with the filter
+    // remapped BELOW the re-aggregation (it keeps or drops whole
+    // summary rows exactly as it keeps or drops the base rows they
+    // summarize). The daily-view/monthly-query shape: the plan reads
+    // O(summary), the fact table never appears. Base is a
+    // session-private snapshot COPY (the mv_rewrite isolation
+    // discipline — the standing registration can route nothing else).
+    // The driver gate pins the SEMANTICS (values equal a DuckDB
+    // recompute from base); SummaryRewriteSpec pins the ROUTING.
+    Q("mv_rewrite_rollup", (s, dir) => {
+      import graft.plans.SummaryRewrite
+      import graft.plans.SummaryRewrite.MaterializedSummary
+      val tmp = java.nio.file.Files.createTempDirectory("mv_ru")
+      val base = tmp.resolve("base").toString
+      val sumPath = tmp.resolve("s").toString
+      s.read.parquet(t(dir, "orders")).write.parquet(base)
+      s.read.parquet(base)
+        .groupBy(col("o_custkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("s_okey"),
+          min(col("o_totalprice")).as("mn_price"),
+          max(col("o_totalprice")).as("mx_price"))
+        .write.parquet(sumPath) // in deployment: recomputed on refresh
+      SummaryRewrite.enable(s)
+      SummaryRewrite.register(MaterializedSummary(base, sumPath,
+        Seq("o_custkey", "o_orderstatus"),
+        Map(("count", "*") -> "n", ("sum", "o_orderkey") -> "s_okey",
+          ("min", "o_totalprice") -> "mn_price",
+          ("max", "o_totalprice") -> "mx_price"),
+        rebuildMaintained = true)) // extrema: rebuild-only freshness
+      s.read.parquet(base)
+        .filter(col("o_custkey") <= RollupCustCap)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("sum_okey"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderstatus"))
+    }, Some(
+      s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+         |  min(o_totalprice) AS min_price,
+         |  max(o_totalprice) AS max_price
+         |FROM orders WHERE o_custkey <= $RollupCustCap
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ANN index maintenance off the REAL CDC feed: embeddings v0
+    // initializes the IVF store (fixed quantizer = the 8 lowest-id v0
+    // vectors), the v0->v1 change feed comes off the real
+    // VersionedTable.changes read (inserts: vec_id ≡ 3 mod 10;
+    // deletes: ≡ 7 mod 10), and applyChanges maintains the index —
+    // inserts probe-assigned to the frozen centroids, deletes removed
+    // by rewriting ONLY the touched inverted-list partitions. The
+    // oracle recomputes the search from the v1 snapshot with the SAME
+    // v0-derived quantizer, so the gate pins maintained-index ==
+    // rebuilt-index, query-for-query: the mv_incremental contract
+    // applied to similarity search.
+    Q("ann_incremental_cdc", (s, dir) => {
+      import graft.sinks.VersionedTable
+      import graft.sim.IncrementalAnnIndex
+      val base = java.nio.file.Files
+        .createTempDirectory("ann_cdc").toString
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val root = s"$base/vt"
+      val v0 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 3), root)
+      val v1 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 7), root)
+      val store = s"$base/ivf"
+      IncrementalAnnIndex.init(
+        VersionedTable.readVersion(s, root, v0), store)
+      IncrementalAnnIndex.applyChanges(
+        VersionedTable.changes(s, root, v0, v1, Seq("vec_id")), store)
+      IncrementalAnnIndex.topK(
+          emb.filter(col("vec_id") < AnnQueries)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          store, AnnK)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(
+      s"""WITH f AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |corpus AS (SELECT vec_id, v FROM f WHERE vec_id % 10 != 7),
+         |cents AS (SELECT vec_id AS cent_id, v AS cv FROM f
+         |          WHERE vec_id % 10 != 3 ORDER BY vec_id
+         |          LIMIT ${graft.sim.Similarity.IvfCentroids}),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM f
+         |      WHERE vec_id < $AnnQueries),
+         |asg AS (
+         |  SELECT vec_id, v, cent_id FROM (
+         |    SELECT c.vec_id, c.v, ct.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY round(list_cosine_similarity(c.v, ct.cv), 4)
+         |          DESC, ct.cent_id) AS rn
+         |    FROM corpus c CROSS JOIN cents ct) x
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, qv, cent_id FROM (
+         |    SELECT q.qid, q.qv, ct.cent_id,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY round(list_cosine_similarity(q.qv, ct.cv), 4)
+         |          DESC, ct.cent_id) AS rn
+         |    FROM q CROSS JOIN cents ct) x
+         |  WHERE rn <= ${graft.sim.Similarity.IvfProbes}),
+         |scored AS (
+         |  SELECT p.qid, a.vec_id AS cid,
+         |    round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+         |  FROM probes p JOIN asg a ON p.cent_id = a.cent_id
+         |  WHERE p.qid != a.vec_id),
+         |rk AS (
+         |  SELECT qid, cid, sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, cid) AS rank
+         |  FROM scored)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
+         |FROM rk WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin)),
+  )
+}

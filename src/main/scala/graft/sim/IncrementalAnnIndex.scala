@@ -29,9 +29,13 @@ import org.apache.spark.sql.functions._
 object IncrementalAnnIndex {
 
   final case class AppendResult(appended: Long, skippedRedelivered: Long)
+  final case class ChangesResult(removed: Long, appended: Long,
+      skippedRedelivered: Long)
 
   private def centroidsPath(store: String) = s"$store/centroids"
   private def listsPath(store: String) = s"$store/lists"
+  private def rewriteTmpPath(store: String) = s"$store/_rewrite_tmp"
+  private def rewriteTrashPath(store: String) = s"$store/_rewrite_trash"
 
   private def exists(spark: SparkSession, p: String): Boolean = {
     val hp = new Path(p)
@@ -86,6 +90,107 @@ object IncrementalAnnIndex {
         .parquet(listsPath(storeDir))
     }
     AppendResult(nFresh, incoming.count() - nFresh)
+  }
+
+  /** Maintain the index off a [[graft.sinks.VersionedTable.changes]]-
+    * shaped feed (vec_id, embedding, change_type, ...): the CDC
+    * consumer form of index maintenance, composing with the versioned
+    * corpus exactly as [[graft.sinks.IncrementalView.maintain]] does
+    * for aggregates. `delete`/`update_preimage` rows REMOVE their
+    * vec_ids; `insert`/`update_postimage` rows append through
+    * [[appendBatch]] (probe-assigned to the FIXED quantizer). Removal
+    * runs first, so an update's postimage re-enters cleanly instead of
+    * being skipped as a redelivered id. An unknown change_type fails
+    * loudly (the IncrementalView requireExact discipline: a consumer
+    * that silently drops feed rows corrupts the index tracelessly).
+    *
+    * Cost is delta-localized: removal rewrites ONLY the inverted-list
+    * partitions holding doomed ids (the Lucene-segment-rewrite shape —
+    * at 100 TB a delta touches a handful of lists, never the index),
+    * and the append is |inserts| work as always. Replay converges: a
+    * redelivered feed finds deletes already gone and inserts already
+    * known (redelivery skip); an update's preimage+postimage re-apply
+    * — removal then re-insert of the same (id, vector) — landing on
+    * identical content. */
+  def applyChanges(feed: DataFrame, storeDir: String): ChangesResult = {
+    val types = feed.select("change_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    val unknown = types --
+      Set("insert", "delete", "update_preimage", "update_postimage")
+    require(unknown.isEmpty,
+      s"IncrementalAnnIndex: unknown change_type(s): ${unknown.mkString(", ")}")
+    val doomed = feed
+      .filter(col("change_type").isin("delete", "update_preimage"))
+      .select("vec_id").distinct()
+    val removed = removeIds(doomed, storeDir)
+    val ar = appendBatch(
+      feed.filter(col("change_type").isin("insert", "update_postimage"))
+        .select(col("vec_id"), col("embedding")),
+      storeDir)
+    ChangesResult(removed, ar.appended, ar.skippedRedelivered)
+  }
+
+  /** Delete `ids` from the inverted lists by rewriting ONLY the
+    * partitions that hold them. Crash-safe single-writer protocol:
+    * survivors land in a tmp dir while the originals are intact, then
+    * each affected partition swaps through a trash dir (orig →
+    * trash, tmp → live) — [[recoverRewrite]] at entry restores any
+    * half-swapped partition from trash, so no crash window loses
+    * rows. Returns the number of removed list entries. */
+  private def removeIds(ids: DataFrame, storeDir: String): Long = {
+    val spark = ids.sparkSession
+    if (!exists(spark, listsPath(storeDir))) return 0L
+    recoverRewrite(spark, storeDir)
+    val idsC = ids.localCheckpoint()
+    val lists = spark.read.parquet(listsPath(storeDir))
+    // which inverted lists hold doomed ids — driver-sized (<= centroids)
+    val affected = lists.join(idsC, Seq("vec_id"), "left_semi")
+      .select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (affected.isEmpty) return 0L
+    val hp = new Path(listsPath(storeDir))
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(rewriteTmpPath(storeDir))
+    val trash = new Path(rewriteTrashPath(storeDir))
+    fs.delete(tmp, true)
+    val touched = lists.filter(col("cid").isin(affected: _*))
+    val nBefore = touched.count()
+    // 1. survivors to tmp — the originals are still fully intact
+    val survivors = touched.join(idsC, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("v"), col("cid"))
+    survivors.write.partitionBy("cid").parquet(tmp.toString)
+    val nAfter = survivors.count() // originals still intact here
+    // 2. originals aside (preserved until the swap lands)...
+    fs.mkdirs(trash)
+    affected.foreach { c =>
+      fs.rename(new Path(hp, s"cid=$c"), new Path(trash, s"cid=$c"))
+    }
+    // 3. ...surviving partitions in (a fully-emptied list simply has
+    // no tmp dir and stays deleted)
+    fs.listStatus(tmp).filter(_.isDirectory).foreach { d =>
+      fs.rename(d.getPath, new Path(hp, d.getPath.getName))
+    }
+    fs.delete(trash, true)
+    fs.delete(tmp, true)
+    nBefore - nAfter
+  }
+
+  /** Restore any partition a crashed [[removeIds]] left half-swapped:
+    * a trash dir whose partition is MISSING from the live lists goes
+    * back (the rerun re-deletes from it); one whose partition is
+    * present was already swapped — drop the stale copy. */
+  private def recoverRewrite(spark: SparkSession, storeDir: String): Unit = {
+    val trash = new Path(rewriteTrashPath(storeDir))
+    val fs = trash.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(trash)) {
+      val hp = new Path(listsPath(storeDir))
+      fs.listStatus(trash).filter(_.isDirectory).foreach { d =>
+        val live = new Path(hp, d.getPath.getName)
+        if (!fs.exists(live)) fs.rename(d.getPath, live)
+      }
+      fs.delete(trash, true)
+    }
+    fs.delete(new Path(rewriteTmpPath(storeDir)), true)
   }
 
   /** Top-k over the store for external queries (qid, embedding):

@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * sides for free: the preimage decrements its old group, the postimage
   * increments the new one.
   *
+  * Maintained aggregates are count + integer sums ONLY — min/max are
+  * deliberately absent because they are NOT self-maintainable under
+  * deletes (removing the current extremum needs a group rescan the
+  * delta rule never performs). A summary carrying extrema must be
+  * recomputed on refresh, and [[graft.plans.SummaryRewrite.register]]
+  * enforces that declaration (`rebuildMaintained`) before it will
+  * route min/max to one.
+  *
   * Deployment note: persist the maintained view with
   * [[VersionedTable.merge]] keyed on the group columns — the delta
   * output here is exactly merge's upsert input.
@@ -58,10 +66,9 @@ object IncrementalView {
       groupCols: Seq[String],
       countName: String,
       sumCols: Seq[(String, String)]): DataFrame = {
-    val keys = groupCols.map(col)
     val delta = changes
       .withColumn("__sign", sign)
-      .groupBy(keys: _*)
+      .groupBy(groupCols.map(col): _*)
       .agg(
         sum(col("__sign")).as("__dcnt"),
         sumCols.map { case (src, out) =>
@@ -69,8 +76,21 @@ object IncrementalView {
         }: _*)
     // keyed full-outer: brand-new groups arrive from the delta side,
     // untouched groups pass through from the view side. Both sides are
-    // view-/delta-sized — never fact-sized.
-    val joined = mv.join(delta, groupCols, "full_outer")
+    // view-/delta-sized — never fact-sized. NULL-SAFE key equality
+    // (<=>): a NULL group key is a legal GROUP BY group, and a plain
+    // equi-join would never match its view row to its delta row —
+    // yielding a stale view row PLUS a delta-only row, a silent
+    // divergence from agg(v1).
+    val joined = mv.as("__mv").join(delta.as("__d"),
+      groupCols.map(g => col(s"__mv.$g") <=> col(s"__d.$g"))
+        .reduce(_ && _),
+      "full_outer")
+    // per key: whichever side is PRESENT carries the group's value
+    // (both NULL only when the group key itself is NULL on the present
+    // side — in which case both agree)
+    val keys = groupCols.map(g =>
+      when(col("__dcnt").isNull, col(s"__mv.$g"))
+        .otherwise(col(s"__d.$g")).as(g))
     val maintainedCnt =
       coalesce(col(countName), lit(0L)) + coalesce(col("__dcnt"), lit(0L))
     val maintainedSums = sumCols.map { case (_, out) =>

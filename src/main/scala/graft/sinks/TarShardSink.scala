@@ -100,12 +100,60 @@ object TarShardSink {
     buf.toSeq
   }
 
+  /** Executor-side body of [[write]]: streams every shard of one
+    * partition into an ATTEMPT-UNIQUE temp dir, then atomically renames
+    * each finished archive into place — the FileOutputCommitter
+    * discipline, so a retried or speculatively re-executed task can
+    * never expose a mid-write shard to a concurrent listing (rename is
+    * atomic on HDFS/POSIX; content is deterministic, so whichever
+    * attempt wins the rename the bytes are identical). A FAILED
+    * attempt leaves only its temp dir, never a visible partial shard;
+    * [[write]] sweeps orphaned temp dirs after the job commits. */
+  private[graft] def writePartition(it: Iterator[Row], outDir: String): Unit = {
+    // executor-side FS handle (picks up the cluster's core-site)
+    val fs = new Path(outDir).getFileSystem(new Configuration())
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(tc => s"${tc.stageId()}-${tc.partitionId()}-${tc.taskAttemptId()}")
+      .getOrElse(s"local-${java.util.UUID.randomUUID()}")
+    val tmpDir = new Path(outDir, s"_tmp-attempt-$attempt")
+    val done = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = -1L
+    var curName: String = null
+    var out: java.io.OutputStream = null
+    def close(): Unit = if (out != null) {
+      out.write(new Array[Byte](2 * Block)); out.close(); out = null
+      done += curName
+    }
+    it.foreach { r =>
+      val shard = r.getLong(0)
+      if (shard != cur) {
+        close(); cur = shard
+        curName = f"shard-$shard%05d.tar"
+        out = fs.create(new Path(tmpDir, curName), true)
+      }
+      writeEntry(out, Entry(r.getString(1), r.getAs[Array[Byte]](2)))
+    }
+    close()
+    // commit: every archive of this partition is complete — rename
+    // into place. A false return means another attempt won the race;
+    // its bytes are identical by determinism, so ours just drop.
+    done.foreach { name =>
+      if (!fs.rename(new Path(tmpDir, name), new Path(outDir, name)))
+        require(fs.exists(new Path(outDir, name)),
+          s"rename of $name failed with no committed shard in place")
+    }
+    fs.delete(tmpDir, true)
+  }
+
   /** Publish `rows` (`shard: BIGINT, name: STRING, data: BINARY`) as
     * `outDir/shard-NNNNN.tar`, one archive per shard, entries sorted by
-    * name. Returns the manifest a training job consumes — per shard:
-    * entry count and payload bytes (from the data), and `tar_bytes`
-    * measured from the files ACTUALLY ON DISK after the write (so a
-    * manifest gate checks the writer, not the writer's intentions). */
+    * name, each committed via the attempt-scoped temp-write + atomic
+    * rename in [[writePartition]]. Returns the manifest a training job
+    * consumes — per shard: entry count and payload bytes (from the
+    * data), and `tar_bytes` measured from the COMMITTED files actually
+    * on disk after the job (so a manifest gate checks the writer, not
+    * the writer's intentions; uncommitted attempt debris never
+    * matches the shard pattern). */
   def write(rows: DataFrame, outDir: String, numShards: Int): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
@@ -113,27 +161,15 @@ object TarShardSink {
       .repartition(math.max(numShards, 1), col("shard"))
       .sortWithinPartitions(col("shard"), col("name"))
       .select(col("shard").cast("long"), col("name"), col("data"))
-      .foreachPartition { it: Iterator[Row] =>
-        // executor-side FS handle (picks up the cluster's core-site)
-        val fs = new Path(outDir).getFileSystem(new Configuration())
-        var cur = -1L
-        var out: java.io.OutputStream = null
-        def close(): Unit = if (out != null) {
-          out.write(new Array[Byte](2 * Block)); out.close(); out = null
-        }
-        it.foreach { r =>
-          val shard = r.getLong(0)
-          if (shard != cur) {
-            close(); cur = shard
-            out = fs.create(
-              new Path(outDir, f"shard-$shard%05d.tar"), true)
-          }
-          writeEntry(out, Entry(r.getString(1), r.getAs[Array[Byte]](2)))
-        }
-        close()
-      }
+      .foreachPartition { it: Iterator[Row] => writePartition(it, outDir) }
     val fs = new Path(outDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // sweep temp dirs orphaned by failed (since-retried) attempts —
+    // every surviving task has already renamed its archives into place
+    fs.listStatus(new Path(outDir)).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("_tmp-attempt-"))
+      .foreach(st => fs.delete(st.getPath, true))
     val ShardRe = "shard-(\\d+)\\.tar".r
     val sizes = fs.listStatus(new Path(outDir)).toSeq
       .flatMap { st =>

@@ -617,7 +617,11 @@ object ContentStreamRasterizer {
       w <- intKey(Seq("Width", "W"))
       h <- intKey(Seq("Height", "H"))
       bpc = intKey(Seq("BitsPerComponent", "BPC")).getOrElse(8)
-      if bpc == 8 && w > 0 && h > 0 &&
+      // same long-arithmetic bound as imageOf: malformed /W /H must not
+      // overflow Int in w*h*(1|3) (a negative product would pass the
+      // data-length check and crash downstream — the forgiving-reader
+      // contract says malformed images read as no image)
+      if bpc == 8 && w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue &&
         data.length >= w * h * (if (gray) 1 else 3)
     } yield PdfImage(w, h, gray, data)
   }

@@ -19,9 +19,27 @@ import graft.sinks.{IncrementalView, VersionedTable}
   * and the checkpoint write) finds `latestVersion >= b+1` and skips —
   * the same replay-window discipline as the engine's other jobs, here
   * enforced by the versioned table's own atomic if-absent markers.
-  * Deltas are order-sensitive (they chain snapshots), which the file
-  * source's modification-time ordering + one-file-per-trigger
-  * preserves for the append-only CDC directory this consumes.
+  *
+  * Deltas are ORDER-SENSITIVE (they chain snapshots), and maintain()'s
+  * count>0 filter makes out-of-order application non-commutative (a
+  * group inserted in delta b and deleted in delta b+1, applied
+  * reversed, resurrects with the insert's sums). The file source's
+  * modification-time ordering is a tie-breaking HEURISTIC, not a
+  * guarantee — so every applied batch is VERIFIED against the feed's
+  * own `v_from`/`v_to` columns: batch b must carry exactly
+  * `v_from = seedSourceVersion + b` and `v_to = v_from + 1`, i.e. the
+  * feed is the contiguous chain of adjacent-version deltas and a
+  * reordered, gapped, or duplicated file FAILS LOUDLY instead of
+  * silently corrupting the view.
+  *
+  * Feed layout (deployment note): land each delta as ONE file (or one
+  * atomically-renamed directory flattened to a file) in arrival order —
+  * `changes(v, v+1).coalesce(1)` is the natural producer at view
+  * scale, since a delta is change-set-sized, not fact-sized. The
+  * coalesce(1) in the gate fixture (WaveElevenQueries `mv_standing`)
+  * is exactly this contract, not harness convenience. A multi-file
+  * delta would split across micro-batches and fail the v_from check
+  * by design.
   *
   * Scale shape per batch: the fact table never appears — one
   * delta-sized aggregation + one view-sized keyed join + a view-sized
@@ -38,7 +56,11 @@ object MvMaintainJob {
   /** Drain every available CDC file (checkpointed AvailableNow), one
     * file per micro-batch. Seeds the view table with `seed` (the base
     * snapshot's aggregation — or an empty aggregate) if it has no
-    * versions yet. */
+    * versions yet.
+    *
+    * @param seedSourceVersion snapshot version the seed aggregates;
+    *   batch b must carry `v_from = seedSourceVersion + b` (see the
+    *   ordering contract in the object doc) */
   def runOnce(
       spark: SparkSession,
       cdcDir: String,
@@ -47,7 +69,8 @@ object MvMaintainJob {
       groupCols: Seq[String],
       countName: String,
       sumCols: Seq[(String, String)],
-      seed: => DataFrame): MaintainSummary = {
+      seed: => DataFrame,
+      seedSourceVersion: Long = 0L): MaintainSummary = {
     if (VersionedTable.latestVersion(spark, viewRoot).isEmpty)
       VersionedTable.commit(seed, viewRoot)
 
@@ -71,6 +94,23 @@ object MvMaintainJob {
         if (latest >= expected) {
           skipped += 1
         } else {
+          // verify the chain BEFORE applying: the feed's own version
+          // stamps, not file mtime, decide whether this delta is the
+          // next link (empty deltas carry no rows to stamp — they
+          // apply as a no-op and still advance the ledger)
+          val stamps = batch.select("v_from", "v_to").distinct()
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          require(stamps.length <= 1,
+            s"CDC batch $id mixes deltas: ${stamps.mkString(", ")} — " +
+              "each delta must land as its own file")
+          stamps.headOption.foreach { case (vf, vt) =>
+            val wantFrom = seedSourceVersion + id
+            require(vf == wantFrom && vt == vf + 1,
+              s"CDC batch $id is out of order: carries v_from=$vf, " +
+                s"v_to=$vt but the view has applied through " +
+                s"v$wantFrom — the feed must be the contiguous chain " +
+                "of adjacent-version deltas, one file per delta")
+          }
           val mv = VersionedTable.readVersion(spark, viewRoot, latest)
           val maintained = IncrementalView.maintain(
             mv, batch, groupCols, countName, sumCols)

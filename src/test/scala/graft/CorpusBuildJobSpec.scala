@@ -71,6 +71,89 @@ class CorpusBuildJobSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap.keySet == Set(1L, 4L, 6L))
   }
 
+  test("cross-corpus probe: stream ≡ batch pairs; index probed, not rescanned") {
+    import graft.dedup.{Dedup, IncrementalDedup}
+    import org.apache.spark.sql.functions.col
+    val base0 =
+      "the quick brown fox jumps over the lazy dog near the riverbank " +
+        "while birds sing in the morning light across the quiet valley"
+    val other =
+      "completely different content about distributed query engines and " +
+        "columnar execution with vectorized readers and shuffle services"
+    val third =
+      "yet another unrelated document discussing perceptual hashing of " +
+        "images audio fingerprints and training corpus quality filters"
+    val novel =
+      "an entirely novel passage about alpine weather stations measuring " +
+        "snowfall drift and wind gusts at high ridgeline observatories"
+
+    val dir = Files.createTempDirectory("xprobe").toString
+    val store = s"$dir/corpus"
+    // published corpus (even ids) — internally dup-free, so the store
+    // admits all of it and equals the batch generator's pub relation
+    val evens = Seq((2L, base0), (4L, other), (6L, third))
+      .toDF("doc_id", "text")
+    assert(IncrementalDedup.processBatch(evens, store).accepted == 3)
+
+    // incoming crawl (odd ids): three cross-parity near-dups, one novel
+    val odds = Seq(
+      (1L, base0.replace("valley", "meadow")),
+      (3L, other.replace("services", "stacks")),
+      (5L, novel),
+      (7L, third.replace("filters", "gates")))
+    val oddsDf = odds.toDF("doc_id", "text")
+
+    // batch truth: the one-shot two-relation generator on the same input
+    val expected = Dedup.minhashLshPairsBetween(
+        evens, oddsDf, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.map(p => (p._1, p._2)) == Set((2L, 1L), (4L, 3L), (6L, 7L)))
+
+    // deployment form: the odd docs STREAM in; each micro-batch probes
+    // the PERSISTED band index read-only (never re-bands the store)
+    val incoming = s"$dir/incoming"
+    writeBatch(incoming, odds.take(2))
+    writeBatch(incoming, odds.drop(2))
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val q = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(incoming)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= IncrementalDedup.probeStorePairs(b, store)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(got.toSet == expected)
+
+    // plan shape: the probe scans the band INDEX once, and the docs
+    // store exactly once — UNDER the candidate join, so only matched
+    // accepted docs ever re-shingle
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val probe = IncrementalDedup.probeStorePairs(oddsDf, store)
+    val plan = probe.queryExecution.optimizedPlan
+    def paths(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath).toSeq
+          case _ => Nil
+        }
+      }.flatten
+    val all = paths(plan)
+    assert(all.count(_.endsWith("/bands")) == 1, s"band index scans: $all")
+    assert(all.count(_.endsWith("/docs")) == 1, s"docs scans: $all")
+    val docsUnderJoin = plan.collect {
+      case j: Join if paths(j).exists(_.endsWith("/docs")) => j
+    }
+    assert(docsUnderJoin.nonEmpty,
+      "the docs scan must sit under the candidate join, not stand free")
+  }
+
   test("the decontamination gate rejects eval-overlapping docs") {
     val base = Files.createTempDirectory("corpusjob2").toString
     val docsDir = s"$base/incoming"

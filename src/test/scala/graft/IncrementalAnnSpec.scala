@@ -89,6 +89,75 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("applyChanges: deletes leave, inserts arrive, updates re-vector") {
+    val store = Files.createTempDirectory("anncdc").toString + "/store"
+    val all = vecs(0 until 200)
+    IncrementalAnnIndex.init(all.filter(col("vec_id") % 10 =!= 3), store)
+    val post = Seq((40L, Array.fill(8)(0.9f))).toDF("vec_id", "embedding")
+    val feed = all.filter(col("vec_id") % 10 === 7)
+      .withColumn("change_type", lit("delete"))
+      .unionByName(all.filter(col("vec_id") % 10 === 3)
+        .withColumn("change_type", lit("insert")))
+      .unionByName(all.filter(col("vec_id") === 40)
+        .withColumn("change_type", lit("update_preimage")))
+      .unionByName(post.withColumn("change_type", lit("update_postimage")))
+    val r = IncrementalAnnIndex.applyChanges(feed, store)
+    assert(r.removed == 21 && r.appended == 21) // 20 dels + pre; 20 ins + post
+    val lists = spark.read.parquet(s"$store/lists")
+    val ids = lists.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0 until 200).map(_.toLong).filter(_ % 10 != 7).toSet)
+    // the updated id carries the POSTIMAGE vector, not the original
+    val v40 = lists.filter(col("vec_id") === 40)
+      .select("v").collect().map(_.getSeq[Double](0))
+    assert(v40.length == 1 && v40.head == Seq.fill(8)(0.9f.toDouble))
+
+    // replaying the same feed converges to identical content
+    val before = lists.select("vec_id", "cid")
+      .collect().map(r0 => (r0.getLong(0), r0.get(1).toString)).toSet
+    IncrementalAnnIndex.applyChanges(feed, store)
+    val after = spark.read.parquet(s"$store/lists").select("vec_id", "cid")
+      .collect().map(r0 => (r0.getLong(0), r0.get(1).toString)).toSet
+    assert(after == before)
+
+    // an unknown change_type fails loudly, never silently drops
+    val bad = post.withColumn("change_type", lit("upsert"))
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalAnnIndex.applyChanges(bad, store)
+    }
+    assert(ex.getMessage.contains("unknown change_type"))
+  }
+
+  test("applyChanges recovery: a half-swapped partition restores first") {
+    val store = Files.createTempDirectory("annrec").toString + "/store"
+    IncrementalAnnIndex.init(vecs(0 until 200), store)
+    val lists = spark.read.parquet(s"$store/lists")
+    val baseline = lists.select("vec_id").collect().map(_.getLong(0)).toSet
+    // simulate a crash between the trash and live renames: one list
+    // partition sits in _rewrite_trash, missing from the live lists
+    val cids = lists.select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val victim = cids.head
+    val other = baseline.find { id =>
+      lists.filter(col("vec_id") === id)
+        .select(col("cid").cast("long")).head().getLong(0) != victim
+    }.get
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$store/_rewrite_trash"))
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$store/lists/cid=$victim"),
+      new org.apache.hadoop.fs.Path(s"$store/_rewrite_trash/cid=$victim")))
+    // next maintenance call must restore the victim partition, then
+    // apply its own delete — no row outside the delete is lost
+    val feed = vecs(other.toInt until other.toInt + 1)
+      .withColumn("change_type", lit("delete"))
+    IncrementalAnnIndex.applyChanges(feed, store)
+    val ids = spark.read.parquet(s"$store/lists")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == baseline - other)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/_rewrite_trash")))
+  }
+
   private def scans(
       p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
     p match {

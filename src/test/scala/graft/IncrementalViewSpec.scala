@@ -81,6 +81,36 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(resultMap(m) == resultMap(agg(v0)))
   }
 
+  test("NULL group key maintains through the null-safe join") {
+    // a NULL group is a legal GROUP BY group; a plain equi-join would
+    // never match its view row to its delta row and the view would
+    // keep a stale NULL row PLUS a delta-only NULL row
+    def aggN(rows: Seq[(Long, Option[Long], Long)]) =
+      rows.toDF("k", "g", "v").groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val v0n = Seq((1L, Option(10L), 100L), (2L, Option.empty[Long], 200L),
+      (3L, Option.empty[Long], 300L))
+    val feedN = Seq(
+      (3L, Option.empty[Long], 300L, "delete"),
+      (2L, Option.empty[Long], 200L, "update_preimage"),
+      (2L, Option.empty[Long], 250L, "update_postimage"))
+      .toDF("k", "g", "v", "change_type")
+    val m = IncrementalView.maintain(
+      aggN(v0n), feedN, Seq("g"), "n", Seq("v" -> "sv"))
+    val rows = m.collect().map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((Some(10L), 1L, 100L), (None, 1L, 250L)))
+    // ...and a NULL group dies like any other when its count hits zero
+    val killAll = Seq((2L, Option.empty[Long], 250L, "delete"))
+      .toDF("k", "g", "v", "change_type")
+    val m2 = IncrementalView.maintain(
+      m.select(col("g"), col("n"), col("sv")), killAll,
+      Seq("g"), "n", Seq("v" -> "sv"))
+    assert(m2.collect().map(_.isNullAt(0)).forall(_ == false) &&
+      m2.count() == 1)
+  }
+
   test("an unknown change_type fails loudly, never silently drops") {
     val bad = Seq((9L, 10L, 1L, "upsert")).toDF("k", "g", "v", "change_type")
     val ex = intercept[Exception] {

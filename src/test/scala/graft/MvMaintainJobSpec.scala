@@ -47,16 +47,18 @@ class MvMaintainJobSpec extends AnyFunSuite {
     df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
 
-  private def writeBatch(rows: Seq[(Long, Long, Long, String)], dir: String)
-      : Unit =
+  private def writeBatch(rows: Seq[(Long, Long, Long, String)], dir: String,
+      vFrom: Long): Unit =
     rows.toDF("k", "g", "v", "change_type")
+      .withColumn("v_from", lit(vFrom))
+      .withColumn("v_to", lit(vFrom + 1))
       .coalesce(1).write.mode("append").parquet(dir)
 
   test("drains maintain the view to the final snapshot's aggregation") {
     val base = java.nio.file.Files.createTempDirectory("mvjob").toString
     val (cdc, root, ckpt) = (s"$base/cdc", s"$base/view", s"$base/ckpt")
 
-    writeBatch(ch1, cdc)
+    writeBatch(ch1, cdc, vFrom = 0L)
     val r1 = MvMaintainJob.runOnce(spark, cdc, root, ckpt,
       Seq("g"), "n", Seq("v" -> "sv"), agg(s0))
     assert(r1.applied == 1 && r1.skippedRedelivered == 0)
@@ -64,7 +66,7 @@ class MvMaintainJobSpec extends AnyFunSuite {
     assert(asMap(MvMaintainJob.view(spark, root)) == asMap(agg(s1)))
 
     // second drain picks up only the new delta file
-    writeBatch(ch2, cdc)
+    writeBatch(ch2, cdc, vFrom = 1L)
     val r2 = MvMaintainJob.runOnce(spark, cdc, root, ckpt,
       Seq("g"), "n", Seq("v" -> "sv"), agg(s0))
     assert(r2.applied == 1 && r2.finalVersion == 2L)
@@ -112,5 +114,40 @@ class MvMaintainJobSpec extends AnyFunSuite {
     assert(scans == Seq(viewV2)) // reads the maintained view, not facts
     assert(asMap(routed) == asMap(agg(s2)))
     SummaryRewrite.deregister(snapPath)
+  }
+
+  test("an out-of-order delta fails loudly instead of corrupting") {
+    val base = java.nio.file.Files.createTempDirectory("mvjob_ooo").toString
+    val (cdc, root, ckpt) = (s"$base/cdc", s"$base/view", s"$base/ckpt")
+    // the v1->v2 delta lands FIRST: batch 0 would apply it against the
+    // v0-seeded view — the exact reorder that resurrects dead groups
+    writeBatch(ch2, cdc, vFrom = 1L)
+    val ex = intercept[Exception] {
+      MvMaintainJob.runOnce(spark, cdc, root, ckpt,
+        Seq("g"), "n", Seq("v" -> "sv"), agg(s0))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("out of order")))
+    // nothing was applied: the view is still just the seed
+    assert(asMap(MvMaintainJob.view(spark, root)) == asMap(agg(s0)))
+  }
+
+  test("a feed file mixing two deltas fails loudly") {
+    val base = java.nio.file.Files.createTempDirectory("mvjob_mix").toString
+    val (cdc, root, ckpt) = (s"$base/cdc", s"$base/view", s"$base/ckpt")
+    (ch1.map(r => (r._1, r._2, r._3, r._4, 0L, 1L)) ++
+        ch2.map(r => (r._1, r._2, r._3, r._4, 1L, 2L)))
+      .toDF("k", "g", "v", "change_type", "v_from", "v_to")
+      .coalesce(1).write.parquet(cdc)
+    val ex = intercept[Exception] {
+      MvMaintainJob.runOnce(spark, cdc, root, ckpt,
+        Seq("g"), "n", Seq("v" -> "sv"), agg(s0))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("mixes deltas")))
   }
 }

@@ -193,6 +193,12 @@ class PdfRasterSpec extends AnyFunSuite {
     // unterminated inline image: the remainder drops, nothing throws
     val (c3, none) = extractInline("1 1 re f BI /W 1 /H 1 ID forever")
     assert(c3.startsWith("1 1 re f") && none.isEmpty)
+    // /W /H that overflow Int in w*h*3 must read as no image, not pass
+    // the length check on a negative product and crash downstream (the
+    // same long-arithmetic bound the XObject path carries)
+    val (_, huge) = extractInline(
+      "BI /W 2000000 /H 2000000 /CS /G /BPC 8 ID " + 0.toChar + " EI")
+    assert(huge.isEmpty, "overflowing dimensions must not produce an image")
     // Do naming a missing resource renders the rest of the page: build
     // a one-page PDF whose stream invokes /Nope before a known box
     val pdf = ("%PDF-1.4\n" +

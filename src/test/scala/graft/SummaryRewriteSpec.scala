@@ -37,7 +37,29 @@ class SummaryRewriteSpec extends AnyFunSuite {
     SummaryRewrite.enable(spark)
     SummaryRewrite.register(MaterializedSummary(
       base, sumP, Seq("g"),
-      Map(("count", "*") -> "n", ("sum", "v") -> "sv", ("max", "d") -> "mx")))
+      Map(("count", "*") -> "n", ("sum", "v") -> "sv", ("max", "d") -> "mx"),
+      rebuildMaintained = true))
+    (base, sumP)
+  }
+
+  /** Two-key fixture for the roll-up path: summary on (g, g2). */
+  private lazy val (base2Path, summary2Path): (String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("sumru").toString
+    val base = s"$dir/base2.parquet"
+    val sumP = s"$dir/summary2.parquet"
+    Seq((1L, 10L, 100L, 1.0), (1L, 10L, 200L, 2.0), (1L, 20L, 300L, 3.0),
+        (2L, 10L, 400L, 4.0), (2L, 20L, 500L, 5.0))
+      .toDF("g", "g2", "v", "d").write.parquet(base)
+    spark.read.parquet(base).groupBy(col("g"), col("g2"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("d")).as("mn"), max(col("d")).as("mx"))
+      .write.parquet(sumP)
+    SummaryRewrite.enable(spark)
+    SummaryRewrite.register(MaterializedSummary(
+      base, sumP, Seq("g", "g2"),
+      Map(("count", "*") -> "n", ("sum", "v") -> "sv",
+        ("min", "d") -> "mn", ("max", "d") -> "mx"),
+      rebuildMaintained = true))
     (base, sumP)
   }
 
@@ -135,7 +157,60 @@ class SummaryRewriteSpec extends AnyFunSuite {
       SummaryRewrite.register(MaterializedSummary(
         tmpBase, summaryPath, Seq("g"),
         Map(("count", "*") -> "n", ("sum", "v") -> "sv",
-          ("max", "d") -> "mx")))
+          ("max", "d") -> "mx"),
+        rebuildMaintained = true))
     }
+  }
+
+  test("register refuses min/max without rebuildMaintained") {
+    val e = intercept[IllegalArgumentException] {
+      SummaryRewrite.register(MaterializedSummary(
+        "/tmp/never-used-base", "/tmp/never-used-summary", Seq("g"),
+        Map(("count", "*") -> "n", ("max", "d") -> "mx")))
+    }
+    assert(e.getMessage.contains("not self-maintainable"))
+    // count/sum-only summaries register fine without the declaration
+    SummaryRewrite.register(MaterializedSummary(
+      "/tmp/never-used-base2", "/tmp/never-used-summary2", Seq("g"),
+      Map(("count", "*") -> "n", ("sum", "v") -> "sv")))
+    SummaryRewrite.deregister("/tmp/never-used-base2")
+  }
+
+  test("subset grouping rolls up: summary scan + re-aggregation") {
+    val df = spark.read.parquet(base2Path).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("d")).as("mn"), max(col("d")).as("mx"))
+    assert(scanPaths(df) == Seq(summary2Path))
+    assert(hasAggregate(df)) // re-aggregation, not a plain projection
+    assert(df.orderBy("g").collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq ==
+      Seq((1L, 3L, 600L, 1.0, 3.0), (2L, 2L, 900L, 4.0, 5.0)))
+  }
+
+  test("roll-up filter on a dropped summary key goes below the re-agg") {
+    val df = spark.read.parquet(base2Path).filter(col("g2") === 10L)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        max(col("d")).as("mx"))
+    assert(scanPaths(df) == Seq(summary2Path))
+    assert(df.orderBy("g").collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq((1L, 2L, 300L, 2.0), (2L, 1L, 400L, 4.0)))
+  }
+
+  test("global aggregate (empty grouping) is NOT rewritten") {
+    val df = spark.read.parquet(base2Path)
+      .agg(count(lit(1)).as("n"))
+    assert(scanPaths(df) == Seq(base2Path))
+  }
+
+  test("non-reaggregable output disqualifies the roll-up") {
+    val df = spark.read.parquet(base2Path).groupBy(col("g"))
+      .agg(avg(col("v")).as("a"))
+    assert(scanPaths(df) == Seq(base2Path))
+    // ...and a filter on a NON-key column disqualifies it too
+    val df2 = spark.read.parquet(base2Path).filter(col("v") > 150)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    assert(scanPaths(df2) == Seq(base2Path))
   }
 }

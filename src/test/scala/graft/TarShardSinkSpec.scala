@@ -93,6 +93,50 @@ class TarShardSinkSpec extends AnyFunSuite {
     assert(new String(shard0.head.data, UTF_8) == "aa")
   }
 
+  test("a failed attempt leaves NO visible shard; the retry converges") {
+    val out = java.nio.file.Files.createTempDirectory("tar_fail").toString
+    val rows = publishRows.orderBy("shard", "name")
+      .select(col("shard").cast("long"), col("name"), col("data"))
+      .collect().toSeq
+    // attempt 1 dies mid-partition (after the writer has opened and
+    // partially filled archives in its temp dir)
+    intercept[RuntimeException] {
+      TarShardSink.writePartition(
+        rows.iterator.map { r =>
+          if (r.getString(1) == "d.txt") sys.error("executor lost")
+          r
+        }, out)
+    }
+    val visible = new java.io.File(out).listFiles().toSeq.map(_.getName)
+    assert(!visible.exists(_.matches("shard-\\d+\\.tar")),
+      s"failed attempt exposed a shard: $visible")
+    // retry (a fresh attempt) commits; bytes equal the direct
+    // serialization of each shard's sorted entries
+    TarShardSink.writePartition(rows.iterator, out)
+    for ((shard, entries) <- Seq(
+        0L -> Seq(Entry("a.txt", "aa".getBytes(UTF_8)),
+          Entry("b.txt", "bbbb".getBytes(UTF_8))),
+        1L -> Seq(Entry("c.bin", ("c" * 600).getBytes(UTF_8))),
+        3L -> Seq(Entry("d.txt", "d".getBytes(UTF_8))))) {
+      val got = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, f"shard-$shard%05d.tar"))
+      assert(java.util.Arrays.equals(got, TarShardSink.tarBytes(entries)),
+        s"shard $shard")
+    }
+    // the loser of a speculative race drops out silently: re-running
+    // the SAME partition against committed shards leaves them intact
+    TarShardSink.writePartition(rows.iterator, out)
+    assert(TarShardSink.untar(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "shard-00000.tar")))
+      .map(_.name) == Seq("a.txt", "b.txt"))
+    // no temp debris survives a committed attempt
+    val left = new java.io.File(out).listFiles().toSeq.map(_.getName)
+      .filter(_.startsWith("_tmp-attempt-"))
+    // the failed attempt's dir remains until write()'s driver sweep —
+    // assert it is the ONLY debris class present
+    assert(left.size <= 1)
+  }
+
   test("write() twice produces byte-identical shards") {
     val o1 = java.nio.file.Files.createTempDirectory("tar_det1").toString
     val o2 = java.nio.file.Files.createTempDirectory("tar_det2").toString
