@@ -4,8 +4,10 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, KnownNotNull, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, KnownNotNull, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Divide}
+import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -38,8 +40,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    grouping (global aggregate) stays disqualified: over an empty
   *    base, count(*) is 0 but a re-sum of zero summary rows is NULL;
   *  - every output is a group column or an undistinct, unfiltered
-  *    count(*) / sum / min / max over a registered source column (avg
-  *    is never served — not re-aggregable without decomposition).
+  *    count(*) / count(col) / sum / min / max over a registered source
+  *    column — or an avg(col) DECOMPOSED onto a registered
+  *    (sum(col), count(col)) pair: sum/cnt directly, re-summed parts
+  *    under roll-up (avg is algebraic, not distributive — the count(*)
+  *    column never licenses it because avg ignores NULLs) — or a
+  *    DETERMINISTIC SCALAR expression over those (CollapseProject puts
+  *    `round(avg(x), 6)`-style post-processing INSIDE the aggregate's
+  *    output list; equal inputs give equal values, so the wrapper
+  *    rebuilds verbatim over the mapped leaves).
   *
   * The rewrite preserves the original output attribute ids (parents
   * re-bind nothing) and re-asserts non-nullability where the original
@@ -125,14 +134,18 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** (function, source column) key for a supported aggregate call. */
+  /** (function, source column) key for a supported aggregate call.
+    * count over a COLUMN keys ("count", col) — the non-null count,
+    * distinct from count(*) — and is also what licenses the avg
+    * decomposition (see [[avgParts]]). */
   private def aggKey(ae: AggregateExpression): Option[(String, String)] =
     if (ae.isDistinct || ae.filter.nonEmpty) None
     else ae.aggregateFunction match {
       case c: Count =>
         c.children match {
-          case Seq(_: Literal) => Some(("count", "*"))
-          case _               => None
+          case Seq(_: Literal)            => Some(("count", "*"))
+          case Seq(a: AttributeReference) => Some(("count", a.name))
+          case _                          => None
         }
       case s: Sum =>
         s.child match {
@@ -149,6 +162,60 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           case a: AttributeReference => Some(("max", a.name))
           case _                     => None
         }
+      case _ => None
+    }
+
+  /** avg(x) decomposed onto summary columns: the (sum over x, non-null
+    * count over x) pair, when BOTH are registered. Exact by algebra —
+    * avg ignores NULLs, which is why the per-column count (never
+    * count(*)) licenses it, and an all-NULL group divides NULL by 0
+    * and stays NULL, matching avg. Only double-typed avg qualifies
+    * (decimal avg carries its own precision arithmetic). Serves the
+    * direct route as sum_x / cnt_x and the roll-up route as
+    * sum(sum_x) / sum(cnt_x) — the classic decomposition that makes
+    * avg algebraic even though it is not distributive. */
+  private def avgParts(
+      ae: AggregateExpression,
+      s: MaterializedSummary): Option[(String, String)] =
+    if (ae.isDistinct || ae.filter.nonEmpty ||
+      ae.dataType != DoubleType) None
+    else ae.aggregateFunction match {
+      case a: Average => a.child match {
+        case c: AttributeReference =>
+          for {
+            sumCol <- s.aggCols.get(("sum", c.name))
+            cntCol <- s.aggCols.get(("count", c.name))
+          } yield (sumCol, cntCol)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** Rebuild a deterministic scalar expression tree over the summary:
+    * aggregate calls map through `aggLeaf` (route-specific — the direct
+    * route projects a summary column, the roll-up route re-aggregates
+    * it), group columns map to their summary attributes, literals pass
+    * through, and any other deterministic node rebuilds over its mapped
+    * children — equal inputs give equal values, so the wrapper is
+    * semantics-preserving by construction. Subquery expressions never
+    * qualify (their value hangs off another plan), and any
+    * non-deterministic node disqualifies the output. */
+  private def mapScalar(
+      e: Expression,
+      groupOk: String => Boolean,
+      sOut: Map[String, Attribute],
+      aggLeaf: AggregateExpression => Option[Expression]): Option[Expression] =
+    e match {
+      case ae: AggregateExpression => aggLeaf(ae)
+      case a: AttributeReference =>
+        if (groupOk(a.name)) sOut.get(a.name).filter(_.dataType == a.dataType)
+        else None
+      case l: Literal           => Some(l)
+      case _: PlanExpression[_] => None
+      case other if other.deterministic =>
+        val kids = other.children.map(mapScalar(_, groupOk, sOut, aggLeaf))
+        if (kids.contains(None)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
       case _ => None
     }
 
@@ -205,14 +272,26 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val sPlan = spark.read.parquet(s.summaryPath).queryExecution.analyzed
     val sOut: Map[String, Attribute] = sPlan.output.map(a => a.name -> a).toMap
 
-    // map every output of the aggregate onto a summary column
-    def summaryCol(ne: NamedExpression): Option[Attribute] = ne match {
-      case a: AttributeReference if groupSet.contains(a.name) =>
-        sOut.get(a.name)
-      case Alias(a: AttributeReference, _) if groupSet.contains(a.name) =>
-        sOut.get(a.name)
-      case Alias(ae: AggregateExpression, _) =>
-        aggKey(ae).flatMap(s.aggCols.get).flatMap(sOut.get)
+    // map every output of the aggregate onto a summary column (or, for
+    // a decomposable avg, the sum/count column pair), rebuilding any
+    // deterministic scalar structure around the aggregate calls
+    def aggLeaf(ae: AggregateExpression): Option[Expression] = {
+      val direct = aggKey(ae).flatMap(s.aggCols.get).flatMap(sOut.get)
+        .filter(_.dataType == ae.dataType)
+        // parquet read-back is nullable; restore guarantees the
+        // original aggregate carried (count(*) is non-null)
+        .map(src => (if (!ae.nullable && src.nullable) KnownNotNull(src)
+          else src): Expression)
+      direct.orElse(avgParts(ae, s).flatMap { case (sc, cc) =>
+        for { sa <- sOut.get(sc); ca <- sOut.get(cc) }
+          yield Divide(Cast(sa, DoubleType), Cast(ca, DoubleType)): Expression
+      })
+    }
+    def summaryCol(ne: NamedExpression): Option[Expression] = ne match {
+      case a: AttributeReference =>
+        mapScalar(a, groupSet.contains, sOut, aggLeaf)
+      case Alias(child, _) =>
+        mapScalar(child, groupSet.contains, sOut, aggLeaf)
       case _ => None
     }
 
@@ -239,8 +318,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * count(*) becomes sum of the maintained counts, sum re-sums,
     * min/max re-extremize. Each base fact lands in exactly one summary
     * row per fine-grained key, so the re-aggregation partitions the
-    * facts and the algebra is exact; avg never qualifies ([[aggKey]]
-    * rejects it). The plan reads O(summary) and shuffles O(summary)
+    * facts and the algebra is exact; avg qualifies only through its
+    * [[avgParts]] decomposition. The plan reads O(summary) and shuffles O(summary)
     * down to the coarse groups — the fact table still never appears.
     *
     * Scan-side filters qualify when deterministic over REGISTERED
@@ -271,15 +350,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference => sOut(a.name)
     })
 
-    def rolled(ne: NamedExpression): Option[NamedExpression] = ne match {
-      case a: AttributeReference if groupSet.contains(a.name) =>
-        sOut.get(a.name).filter(_.dataType == a.dataType)
-          .map(src => Alias(src, a.name)(exprId = a.exprId))
-      case Alias(a: AttributeReference, name) if groupSet.contains(a.name) =>
-        sOut.get(a.name).filter(_.dataType == ne.dataType)
-          .map(src => Alias(src, name)(exprId = ne.exprId))
-      case al @ Alias(ae: AggregateExpression, name) =>
-        aggKey(ae).flatMap(s.aggCols.get).flatMap(sOut.get).flatMap { src =>
+    def aggLeaf(ae: AggregateExpression): Option[Expression] = {
+      val direct = aggKey(ae).flatMap(s.aggCols.get).flatMap(sOut.get)
+        .flatMap { src =>
           val fn: AggregateFunction = aggKey(ae).get._1 match {
             case "count" | "sum" => Sum(src)
             case "min"           => Min(src)
@@ -288,15 +361,30 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           val re = fn.toAggregateExpression()
           // re-aggregation must reproduce the original type exactly
           // (disqualifies e.g. decimal sums, whose re-sum widens)
-          if (re.dataType != al.dataType) None
+          if (re.dataType != ae.dataType) None
           else {
             // sum over a group's (>= 1, non-null) maintained counts is
             // never null — restore count(*)'s non-null guarantee
-            val expr: Expression =
-              if (!al.nullable && re.nullable) KnownNotNull(re) else re
-            Some(Alias(expr, name)(exprId = al.exprId))
+            Some((if (!ae.nullable && re.nullable) KnownNotNull(re)
+              else re): Expression)
           }
         }
+      // decomposed avg re-aggregates BOTH parts: sum(sum_x)/sum(cnt_x)
+      direct.orElse(avgParts(ae, s).flatMap { case (sc, cc) =>
+        for { sa <- sOut.get(sc); ca <- sOut.get(cc) }
+          yield Divide(
+            Cast(Sum(sa).toAggregateExpression(), DoubleType),
+            Cast(Sum(ca).toAggregateExpression(), DoubleType)): Expression
+      })
+    }
+    def rolled(ne: NamedExpression): Option[NamedExpression] = ne match {
+      case a: AttributeReference if groupSet.contains(a.name) =>
+        sOut.get(a.name).filter(_.dataType == a.dataType)
+          .map(src => Alias(src, a.name)(exprId = a.exprId))
+      case al @ Alias(child, name) =>
+        mapScalar(child, groupSet.contains, sOut, aggLeaf)
+          .filter(_.dataType == al.dataType)
+          .map(m => Alias(m, name)(exprId = al.exprId))
       case _ => None
     }
 

@@ -72,6 +72,44 @@ object WaveTwelveQueries {
          |FROM orders WHERE o_custkey <= $RollupCustCap
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // ...and the avg decomposition through the SAME roll-up: avg is
+    // algebraic but not distributive, so the rule serves it only from
+    // a registered (sum(col), count(col)) PAIR — sum(sum_okey) /
+    // sum(cnt_okey) here, where the per-column count (never count(*))
+    // licenses it because avg ignores NULLs. The user query below
+    // groups by a strict subset and never mentions the decomposition;
+    // the gate pins values against DuckDB's avg from base.
+    Q("mv_rewrite_avg", (s, dir) => {
+      import graft.plans.SummaryRewrite
+      import graft.plans.SummaryRewrite.MaterializedSummary
+      val tmp = java.nio.file.Files.createTempDirectory("mv_avg")
+      val base = tmp.resolve("base").toString
+      val sumPath = tmp.resolve("s").toString
+      s.read.parquet(t(dir, "orders")).write.parquet(base)
+      s.read.parquet(base)
+        .groupBy(col("o_custkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderkey")).as("cnt_okey"),
+          sum(col("o_orderkey")).as("sum_okey"))
+        .write.parquet(sumPath)
+      SummaryRewrite.enable(s)
+      SummaryRewrite.register(MaterializedSummary(base, sumPath,
+        Seq("o_custkey", "o_orderstatus"),
+        Map(("count", "*") -> "n", ("count", "o_orderkey") -> "cnt_okey",
+          ("sum", "o_orderkey") -> "sum_okey")))
+      s.read.parquet(base)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          avg(col("o_orderkey")).as("avg_raw"))
+        .select(col("o_orderstatus"), col("n_orders"),
+          round(col("avg_raw"), 6).as("avg_okey"))
+        .orderBy(col("o_orderstatus"))
+    }, Some(
+      s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+         |  round(avg(o_orderkey), 6) AS avg_okey
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin)),
+
     // ANN index maintenance off the REAL CDC feed: embeddings v0
     // initializes the IVF store (fixed quantizer = the 8 lowest-id v0
     // vectors), the v0->v1 change feed comes off the real
@@ -142,5 +180,116 @@ object WaveTwelveQueries {
          |  FROM scored)
          |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
          |FROM rk WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin)),
+
+    // ...and the STREAMING twin: three chained embedding snapshots
+    // commit through the real VersionedTable, the two CDC feeds land
+    // as files, and AnnMaintainJob drains them through a checkpointed
+    // stream — one applyChanges per micro-batch, `_applied_v` markers
+    // as the replay ledger, the v_from chain verified per batch. The
+    // v1->v2 delta RE-INSERTS ids the v0->v1 delta never touched and
+    // deletes ids it inserted is exactly the sequence where unordered
+    // application corrupts (re-insert hits the redelivery skip) — the
+    // gate pins the maintained store ≡ a DuckDB search over the FINAL
+    // snapshot with the v0 quantizer: mv_standing's discipline for
+    // similarity search.
+    Q("ann_standing", (s, dir) => {
+      import graft.sinks.VersionedTable
+      import graft.sim.IncrementalAnnIndex
+      val base = java.nio.file.Files
+        .createTempDirectory("ann_stand").toString
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val root = s"$base/vt"
+      val v0 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 3), root)
+      val v1 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 7), root)
+      val v2 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 9), root)
+      val store = s"$base/ivf"
+      IncrementalAnnIndex.init(
+        VersionedTable.readVersion(s, root, v0), store)
+      val cdcDir = s"$base/cdc"
+      // one file per delta — the MvMaintainJob feed-layout contract
+      VersionedTable.changes(s, root, v0, v1, Seq("vec_id"))
+        .coalesce(1).write.mode("append").parquet(cdcDir)
+      VersionedTable.changes(s, root, v1, v2, Seq("vec_id"))
+        .coalesce(1).write.mode("append").parquet(cdcDir)
+      graft.streaming.AnnMaintainJob.runOnce(
+        s, cdcDir, store, s"$base/ckpt", seedSourceVersion = v0)
+      IncrementalAnnIndex.topK(
+          emb.filter(col("vec_id") < AnnQueries)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          store, AnnK)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(
+      s"""WITH f AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |corpus AS (SELECT vec_id, v FROM f WHERE vec_id % 10 != 9),
+         |cents AS (SELECT vec_id AS cent_id, v AS cv FROM f
+         |          WHERE vec_id % 10 != 3 ORDER BY vec_id
+         |          LIMIT ${graft.sim.Similarity.IvfCentroids}),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM f
+         |      WHERE vec_id < $AnnQueries),
+         |asg AS (
+         |  SELECT vec_id, v, cent_id FROM (
+         |    SELECT c.vec_id, c.v, ct.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY round(list_cosine_similarity(c.v, ct.cv), 4)
+         |          DESC, ct.cent_id) AS rn
+         |    FROM corpus c CROSS JOIN cents ct) x
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, qv, cent_id FROM (
+         |    SELECT q.qid, q.qv, ct.cent_id,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY round(list_cosine_similarity(q.qv, ct.cv), 4)
+         |          DESC, ct.cent_id) AS rn
+         |    FROM q CROSS JOIN cents ct) x
+         |  WHERE rn <= ${graft.sim.Similarity.IvfProbes}),
+         |scored AS (
+         |  SELECT p.qid, a.vec_id AS cid,
+         |    round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+         |  FROM probes p JOIN asg a ON p.cent_id = a.cent_id
+         |  WHERE p.qid != a.vec_id),
+         |rk AS (
+         |  SELECT qid, cid, sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, cid) AS rank
+         |  FROM scored)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
+         |FROM rk WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin)),
+
+    // Tar round-trip: publish the corpus as real ustar shards on disk
+    // (the corpus_tar_publish writer, atomic-commit path included),
+    // then READ THE FILES BACK through the source side and prove every
+    // entry's identity — shard assignment, name, byte length, and the
+    // md5 of the payload — against a DuckDB recompute from the input
+    // table alone. The write gate checks archive geometry; this one
+    // checks CONTENT end to end through the bytes on disk.
+    Q("corpus_tar_roundtrip", (s, dir) => {
+      import graft.dedup.Dedup
+      import graft.sinks.TarShardSink
+      val rows = s.read.parquet(t(dir, "documents")).select(
+        (Dedup.md5Hash32(col("doc_id").cast("string"), "tar:")
+          % WaveElevenQueries.TarShards).as("shard"),
+        concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+        col("text").cast("binary").as("data"))
+      val out = java.nio.file.Files
+        .createTempDirectory("tar_rt").toString
+      TarShardSink.write(rows, out, WaveElevenQueries.TarShards).collect()
+      TarShardSink.read(s, out)
+        .select(col("shard"), col("name"),
+          length(col("data")).cast("long").as("n_bytes"),
+          md5(col("data")).as("h"))
+        .orderBy(col("name"))
+    }, Some(
+      s"""SELECT ${graft.dedup.Dedup.md5Hash32Sql(
+            "CAST(doc_id AS VARCHAR)", "tar:")}
+         |    % ${WaveElevenQueries.TarShards} AS shard,
+         |  concat(CAST(doc_id AS VARCHAR), '.txt') AS name,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |  md5(text) AS h
+         |FROM documents ORDER BY name""".stripMargin)),
   )
 }

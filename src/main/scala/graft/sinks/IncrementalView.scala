@@ -53,27 +53,39 @@ object IncrementalView {
   /** Apply `changes` (a [[VersionedTable.changes]]-shaped feed: value
     * columns + `change_type`) to the maintained view `mv`.
     *
-    * @param mv        current view: `groupCols` ++ (`countName`, sum outputs)
-    * @param changes   CDC feed carrying `groupCols` and every sum source
+    * @param mv        current view: `groupCols` ++ (`countName`, sum and
+    *                  count outputs)
+    * @param changes   CDC feed carrying `groupCols` and every sum/count
+    *                  source
     * @param groupCols grouping key of the view
     * @param countName maintained `count(*)` column name in `mv`
     * @param sumCols   (source column in feed, sum column in view); sum
     *                  sources must be non-null integral (exact deltas)
+    * @param cntCols   (source column in feed, count column in view):
+    *                  maintained per-column NON-NULL counts (`count(x)`
+    *                  semantics — a NULL source row moves no count).
+    *                  Self-maintainable like count(*), and exactly what
+    *                  licenses [[graft.plans.SummaryRewrite]]'s avg
+    *                  decomposition on a CDC-maintained summary
     */
   def maintain(
       mv: DataFrame,
       changes: DataFrame,
       groupCols: Seq[String],
       countName: String,
-      sumCols: Seq[(String, String)]): DataFrame = {
+      sumCols: Seq[(String, String)],
+      cntCols: Seq[(String, String)] = Nil): DataFrame = {
     val delta = changes
       .withColumn("__sign", sign)
       .groupBy(groupCols.map(col): _*)
       .agg(
         sum(col("__sign")).as("__dcnt"),
-        sumCols.map { case (src, out) =>
+        (sumCols.map { case (src, out) =>
           sum(col(src) * col("__sign")).as(s"__d_$out")
-        }: _*)
+        } ++ cntCols.map { case (src, out) =>
+          sum(when(col(src).isNotNull, col("__sign")).otherwise(0L))
+            .as(s"__d_$out")
+        }): _*)
     // keyed full-outer: brand-new groups arrive from the delta side,
     // untouched groups pass through from the view side. Both sides are
     // view-/delta-sized — never fact-sized. NULL-SAFE key equality
@@ -93,7 +105,7 @@ object IncrementalView {
         .otherwise(col(s"__d.$g")).as(g))
     val maintainedCnt =
       coalesce(col(countName), lit(0L)) + coalesce(col("__dcnt"), lit(0L))
-    val maintainedSums = sumCols.map { case (_, out) =>
+    val maintainedSums = (sumCols ++ cntCols).map { case (_, out) =>
       (coalesce(col(out), lit(0L)) + coalesce(col(s"__d_$out"), lit(0L)))
         .as(out)
     }

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets.US_ASCII
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sharded tar publisher — the multimodal/packed-corpus export format
@@ -98,6 +98,28 @@ object TarShardSink {
       off += Block + ((size + Block - 1) / Block) * Block
     }
     buf.toSeq
+  }
+
+  /** Read a published shard directory back as (shard, name, data) rows
+    * — the consumption side of the WebDataset convention (a training
+    * loader maps over shards, streaming entries in archive order). One
+    * task per archive via the binaryFile source: shards are the
+    * parallelism unit on the way IN exactly as they were on the way
+    * OUT, and `untar` walks each archive sequentially with no
+    * random access — the access pattern tar exists for. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "shard-*.tar").load(dir)
+      .select(
+        regexp_extract(col("path"), "shard-(\\d+)\\.tar$", 1)
+          .cast("long").as("shard"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (s, bytes) =>
+        untar(bytes).map(e => (s, e.name, e.data))
+      }
+      .toDF("shard", "name", "data")
   }
 
   /** Executor-side body of [[write]]: streams every shard of one

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sim.IncrementalAnnIndex
+
+/** Streaming ANN-index maintenance — [[MvMaintainJob]]'s twin for the
+  * similarity store: CDC batches ([[graft.sinks.VersionedTable.changes]]-
+  * shaped files over (vec_id, embedding)) stream in, and each
+  * micro-batch applies [[IncrementalAnnIndex.applyChanges]] — deletes
+  * rewrite only the touched inverted-list partitions, inserts
+  * probe-assign to the frozen quantizer.
+  *
+  * Exactly-once without a transaction log: an `_applied_v<N>` marker
+  * (atomic create-if-absent, the VersionedTable commit discipline)
+  * records the snapshot version the store has applied through. A batch
+  * whose `v_to` marker already exists is a redelivery and skips; a
+  * batch whose `v_from` does not equal the applied-through version is
+  * OUT OF ORDER and fails loudly — ordering matters here exactly as in
+  * view maintenance (an id deleted in delta b and re-inserted in b+1,
+  * applied reversed, ends absent: the insert hits the redelivery skip
+  * while the id is still present, then the delete removes it). The
+  * crash window between applyChanges and the marker create is safe:
+  * redelivery re-applies, and applyChanges converges on replay.
+  *
+  * Feed layout contract (same as MvMaintainJob): one file per delta,
+  * non-empty — an empty delta has no rows to stamp, cannot advance the
+  * marker, and would make the NEXT delta's chain check fail loudly
+  * (don't land files for empty change sets).
+  */
+object AnnMaintainJob {
+
+  final case class AnnMaintainSummary(
+      batches: Int, applied: Int, skippedRedelivered: Int,
+      removed: Long, appended: Long, appliedThrough: Long)
+
+  private val MarkerRe = "_applied_v(\\d+)".r
+
+  private def appliedThrough(
+      spark: SparkSession, storeDir: String, seed: Long): Long = {
+    val p = new Path(storeDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) seed
+    else fs.listStatus(p).toSeq
+      .collect { case f if f.isFile =>
+        f.getPath.getName match {
+          case MarkerRe(n) => Some(n.toLong)
+          case _           => None
+        }
+      }.flatten.foldLeft(seed)(math.max)
+  }
+
+  private def mark(
+      spark: SparkSession, storeDir: String, v: Long): Unit = {
+    val p = new Path(storeDir, s"_applied_v$v")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(p, false).close() // atomic if-absent
+  }
+
+  /** Drain every available CDC file (checkpointed AvailableNow), one
+    * file per micro-batch, into the index at `storeDir` (already
+    * initialized via [[IncrementalAnnIndex.init]] from snapshot
+    * `seedSourceVersion`). */
+  def runOnce(
+      spark: SparkSession,
+      cdcDir: String,
+      storeDir: String,
+      checkpointDir: String,
+      seedSourceVersion: Long = 0L): AnnMaintainSummary = {
+    @volatile var batches = 0
+    @volatile var applied = 0
+    @volatile var skipped = 0
+    @volatile var removed = 0L
+    @volatile var appended = 0L
+
+    val schema = spark.read.parquet(cdcDir).schema
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(cdcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches += 1
+        val stamps = batch.select("v_from", "v_to").distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        require(stamps.length == 1,
+          s"ANN CDC batch $id carries ${stamps.length} (v_from, v_to) " +
+            "stamps — each delta must land as its own non-empty file")
+        val (vf, vt) = stamps.head
+        val through = appliedThrough(spark, storeDir, seedSourceVersion)
+        if (vt <= through) {
+          skipped += 1
+        } else {
+          require(vf == through,
+            s"ANN CDC batch $id is out of order: carries v_from=$vf " +
+              s"but the store has applied through v$through — the feed " +
+              "must be the contiguous chain of adjacent-version deltas")
+          val r = IncrementalAnnIndex.applyChanges(batch, storeDir)
+          removed += r.removed
+          appended += r.appended
+          mark(spark, storeDir, vt)
+          applied += 1
+        }
+      }
+      .start()
+    q.awaitTermination()
+    AnnMaintainSummary(batches, applied, skipped, removed, appended,
+      appliedThrough(spark, storeDir, seedSourceVersion))
+  }
+}

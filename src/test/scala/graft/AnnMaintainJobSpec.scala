@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sim.IncrementalAnnIndex
+import graft.sinks.VersionedTable
+import graft.streaming.AnnMaintainJob
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream≡batch for CDC-driven ANN-index maintenance: checkpointed
+  * drains of chained delta files leave the store equal to a direct
+  * applyChanges composition, replay skips via the applied-version
+  * markers, and out-of-order deltas fail loudly (the delete-then-
+  * reinsert sequence is NOT order-commutative through the redelivery
+  * skip). */
+class AnnMaintainJobSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** Deterministic synthetic embeddings, dim 8 (IncrementalAnnSpec's). */
+  private def vecs(ids: Seq[Int]) = ids.map { i =>
+    (i.toLong, (0 until 8).map(d =>
+      (((i * 31 + d * 7) % 13) - 6).toFloat / 6f).toArray)
+  }.toDF("vec_id", "embedding")
+
+  private def listedIds(store: String): Set[Long] =
+    spark.read.parquet(s"$store/lists")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+  test("drains maintain the store to the final snapshot; replay skips") {
+    val base = Files.createTempDirectory("annjob").toString
+    val root = s"$base/vt"
+    // v0: 0..149; v1: drop multiples of 10; v2: multiples of 10 are
+    // BACK and multiples of 15 leave — the delete-then-reinsert
+    // sequence whose order matters
+    val v0 = VersionedTable.commit(vecs(0 until 150), root)
+    val v1 = VersionedTable.commit(
+      vecs((0 until 150).filterNot(_ % 10 == 0)), root)
+    val v2 = VersionedTable.commit(
+      vecs((0 until 150).filterNot(_ % 15 == 0)), root)
+    val store = s"$base/ivf"
+    IncrementalAnnIndex.init(VersionedTable.readVersion(spark, root, v0), store)
+    val cdc = s"$base/cdc"
+    VersionedTable.changes(spark, root, v0, v1, Seq("vec_id"))
+      .coalesce(1).write.mode("append").parquet(cdc)
+    VersionedTable.changes(spark, root, v1, v2, Seq("vec_id"))
+      .coalesce(1).write.mode("append").parquet(cdc)
+
+    val r = AnnMaintainJob.runOnce(spark, cdc, store, s"$base/ckpt",
+      seedSourceVersion = v0)
+    assert(r.applied == 2 && r.skippedRedelivered == 0)
+    assert(r.appliedThrough == v2)
+    assert(listedIds(store) ==
+      (0 until 150).filterNot(_ % 15 == 0).map(_.toLong).toSet)
+
+    // idle re-drain: nothing new
+    val r2 = AnnMaintainJob.runOnce(spark, cdc, store, s"$base/ckpt",
+      seedSourceVersion = v0)
+    assert(r2.batches == 0)
+
+    // wholesale redelivery (fresh checkpoint): both batches skip via
+    // the applied-version markers — re-applying delta v0->v1 against
+    // the v2 store would wrongly delete the re-inserted ids
+    val r3 = AnnMaintainJob.runOnce(spark, cdc, store, s"$base/ckpt2",
+      seedSourceVersion = v0)
+    assert(r3.batches == 2 && r3.applied == 0 && r3.skippedRedelivered == 2)
+    assert(listedIds(store) ==
+      (0 until 150).filterNot(_ % 15 == 0).map(_.toLong).toSet)
+
+    // the maintained store answers exactly like a direct applyChanges
+    // composition over the same feed
+    val store2 = s"$base/ivf2"
+    IncrementalAnnIndex.init(VersionedTable.readVersion(spark, root, v0), store2)
+    IncrementalAnnIndex.applyChanges(
+      VersionedTable.changes(spark, root, v0, v1, Seq("vec_id")), store2)
+    IncrementalAnnIndex.applyChanges(
+      VersionedTable.changes(spark, root, v1, v2, Seq("vec_id")), store2)
+    val q = vecs(0 until 5).select(col("vec_id").as("qid"), col("embedding"))
+    val a = IncrementalAnnIndex.topK(q, store, 3)
+    val b = IncrementalAnnIndex.topK(q, store2, 3)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("an out-of-order delta fails loudly; the store is untouched") {
+    val base = Files.createTempDirectory("annjob_ooo").toString
+    val root = s"$base/vt"
+    val v0 = VersionedTable.commit(vecs(0 until 100), root)
+    val v1 = VersionedTable.commit(
+      vecs((0 until 100).filterNot(_ % 10 == 0)), root)
+    val v2 = VersionedTable.commit(vecs(0 until 100), root)
+    val store = s"$base/ivf"
+    IncrementalAnnIndex.init(VersionedTable.readVersion(spark, root, v0), store)
+    val cdc = s"$base/cdc"
+    // the v1->v2 delta lands FIRST
+    VersionedTable.changes(spark, root, v1, v2, Seq("vec_id"))
+      .coalesce(1).write.mode("append").parquet(cdc)
+    val ex = intercept[Exception] {
+      AnnMaintainJob.runOnce(spark, cdc, store, s"$base/ckpt",
+        seedSourceVersion = v0)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("out of order")))
+    assert(listedIds(store) == (0 until 100).map(_.toLong).toSet)
+  }
+}

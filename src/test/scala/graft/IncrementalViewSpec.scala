@@ -111,6 +111,31 @@ class IncrementalViewSpec extends AnyFunSuite {
       m2.count() == 1)
   }
 
+  test("per-column non-null counts maintain (the avg-summary pair)") {
+    // w is nullable; count(w) must move only on non-null rows — the
+    // (sum, count) pair SummaryRewrite's avg decomposition consumes
+    def aggW(rows: Seq[(Long, Long, Option[Long])]) =
+      rows.toDF("k", "g", "w").groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), count(col("w")).as("cnt_w"))
+    val v0w = Seq((1L, 10L, Option(5L)), (2L, 10L, Option.empty[Long]),
+      (3L, 20L, Option(7L)))
+    // delete the null-w row (count(*) moves, count(w) does not),
+    // insert a null-w row into 20 (same asymmetry, other direction),
+    // update 3's w from non-null to NULL (count(w) decrements in place)
+    val feedW = Seq(
+      (2L, 10L, Option.empty[Long], "delete"),
+      (4L, 20L, Option.empty[Long], "insert"),
+      (3L, 20L, Option(7L), "update_preimage"),
+      (3L, 20L, Option.empty[Long], "update_postimage"))
+      .toDF("k", "g", "w", "change_type")
+    val v1w = Seq((1L, 10L, Option(5L)), (3L, 20L, Option.empty[Long]),
+      (4L, 20L, Option.empty[Long]))
+    val m = IncrementalView.maintain(
+      aggW(v0w), feedW, Seq("g"), "n", Nil, Seq("w" -> "cnt_w"))
+    assert(resultMap(m) == resultMap(aggW(v1w)))
+    assert(resultMap(m) == Map(10L -> ((1L, 1L)), 20L -> ((2L, 0L))))
+  }
+
   test("an unknown change_type fails loudly, never silently drops") {
     val bad = Seq((9L, 10L, 1L, "upsert")).toDF("k", "g", "v", "change_type")
     val ex = intercept[Exception] {

@@ -162,6 +162,99 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
   }
 
+  /** Nullable-value fixture for the avg decomposition: summary on
+    * (g, g2) carrying count(*), count(v) AND sum(v). */
+  private lazy val (base3Path, summary3Path): (String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("sumavg").toString
+    val base = s"$dir/base3.parquet"
+    val sumP = s"$dir/summary3.parquet"
+    Seq((1L, 10L, Option(10L)), (1L, 10L, Option.empty[Long]),
+        (1L, 20L, Option(20L)), (2L, 10L, Option.empty[Long]),
+        (2L, 20L, Option.empty[Long]), (3L, 10L, Option(7L)),
+        (3L, 10L, Option(9L)))
+      .toDF("g", "g2", "v").write.parquet(base)
+    spark.read.parquet(base).groupBy(col("g"), col("g2"))
+      .agg(count(lit(1)).as("n"), count(col("v")).as("cnt_v"),
+        sum(col("v")).as("sv"))
+      .write.parquet(sumP)
+    SummaryRewrite.enable(spark)
+    SummaryRewrite.register(MaterializedSummary(
+      base, sumP, Seq("g", "g2"),
+      Map(("count", "*") -> "n", ("count", "v") -> "cnt_v",
+        ("sum", "v") -> "sv")))
+    (base, sumP)
+  }
+
+  test("avg decomposes onto (sum, count) and honors NULLs — direct") {
+    val df = spark.read.parquet(base3Path).groupBy(col("g"), col("g2"))
+      .agg(count(col("v")).as("cnt_v"), avg(col("v")).as("a"))
+    assert(scanPaths(df) == Seq(summary3Path))
+    val got = df.orderBy("g", "g2").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == Seq(
+      (1L, 10L, 1L, Some(10.0)), (1L, 20L, 1L, Some(20.0)),
+      (2L, 10L, 0L, None), (2L, 20L, 0L, None),
+      (3L, 10L, 2L, Some(8.0))))
+  }
+
+  test("avg rolls up as sum(sum)/sum(count); count(col) re-sums") {
+    val df = spark.read.parquet(base3Path).groupBy(col("g"))
+      .agg(count(col("v")).as("cnt_v"), avg(col("v")).as("a"))
+    assert(scanPaths(df) == Seq(summary3Path))
+    assert(hasAggregate(df))
+    val got = df.orderBy("g").collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got == Seq((1L, 2L, Some(15.0)), (2L, 0L, None),
+      (3L, 2L, Some(8.0))))
+  }
+
+  test("scalar wrappers route: round(avg) direct, arithmetic roll-up") {
+    // CollapseProject folds a post-aggregation select INTO the
+    // aggregate's output list — `round(avg(v), 6)` arrives as
+    // Alias(Round(AggregateExpression)) and must still route
+    val direct = spark.read.parquet(base3Path)
+      .groupBy(col("g"), col("g2"))
+      .agg(avg(col("v")).as("a_raw"), count(lit(1)).as("n_raw"))
+      .select(col("g"), col("g2"), round(col("a_raw"), 6).as("a"),
+        (col("n_raw") * 2 + col("g")).as("n2g"))
+    assert(scanPaths(direct) == Seq(summary3Path))
+    val gotD = direct.orderBy("g", "g2").collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getLong(3))).toSeq
+    assert(gotD == Seq(
+      (1L, 10L, Some(10.0), 5L), (1L, 20L, Some(20.0), 3L),
+      (2L, 10L, None, 4L), (2L, 20L, None, 4L),
+      (3L, 10L, Some(8.0), 7L)))
+
+    val rolledUp = spark.read.parquet(base3Path).groupBy(col("g"))
+      .agg(avg(col("v")).as("a_raw"))
+      .select(col("g"), round(col("a_raw"), 6).as("a"))
+    assert(scanPaths(rolledUp) == Seq(summary3Path))
+    assert(hasAggregate(rolledUp))
+    val gotR = rolledUp.orderBy("g").collect().map(r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    assert(gotR == Seq((1L, Some(15.0)), (2L, None), (3L, Some(8.0))))
+  }
+
+  test("a non-deterministic wrapper never routes") {
+    val df = spark.read.parquet(base3Path).groupBy(col("g"), col("g2"))
+      .agg(count(lit(1)).as("n_raw"))
+      .select(col("g"), (col("n_raw") + rand()).as("x"))
+    assert(scanPaths(df) == Seq(base3Path))
+  }
+
+  test("count(*) never licenses avg: no (count, col) mapping, no route") {
+    // summary2 registers count(*) and sum(v) but NOT count(v) — with a
+    // nullable-blind decomposition this would silently mis-serve avg
+    val df = spark.read.parquet(base2Path).groupBy(col("g"), col("g2"))
+      .agg(avg(col("v")).as("a"))
+    assert(scanPaths(df) == Seq(base2Path))
+  }
+
   test("register refuses min/max without rebuildMaintained") {
     val e = intercept[IllegalArgumentException] {
       SummaryRewrite.register(MaterializedSummary(

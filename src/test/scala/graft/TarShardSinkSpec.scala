@@ -137,6 +137,17 @@ class TarShardSinkSpec extends AnyFunSuite {
     assert(left.size <= 1)
   }
 
+  test("read() round-trips the published directory, one task per shard") {
+    val out = java.nio.file.Files.createTempDirectory("tar_read").toString
+    TarShardSink.write(publishRows, out, 4).collect()
+    val back = TarShardSink.read(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        new String(r.getAs[Array[Byte]](2), UTF_8))).toSet
+    assert(back == Set(
+      (0L, "a.txt", "aa"), (0L, "b.txt", "bbbb"),
+      (1L, "c.bin", "c" * 600), (3L, "d.txt", "d")))
+  }
+
   test("write() twice produces byte-identical shards") {
     val o1 = java.nio.file.Files.createTempDirectory("tar_det1").toString
     val o2 = java.nio.file.Files.createTempDirectory("tar_det2").toString
