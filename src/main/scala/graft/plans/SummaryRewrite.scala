@@ -68,8 +68,11 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * ([[graft.sinks.IncrementalView.maintain]]), but min/max are NOT
     * self-maintainable under deletes (a deleted extremum needs a group
     * rescan the delta rule never performs), so a summary carrying
-    * min/max columns must be recomputed from the base on refresh —
-    * and the registrant must say so, or [[register]] refuses. */
+    * min/max columns must be refreshed by a rebuild — full, or the
+    * bounded dirty-group form
+    * ([[graft.sinks.IncrementalView.maintainWithExtrema]], which
+    * rescans exactly the delete-touched groups) — and the registrant
+    * must say so, or [[register]] refuses. */
   final case class MaterializedSummary(
       basePath: String,
       summaryPath: String,
@@ -91,8 +94,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         s"(${extrema.mkString(", ")}) but is not declared " +
         "rebuildMaintained: min/max are not self-maintainable under " +
         "deletes, so IncrementalView.maintain cannot keep them fresh — " +
-        "serve them only from a summary recomputed on refresh " +
-        "(rebuildMaintained = true)")
+        "serve them only from a summary refreshed by rebuild (full, or " +
+        "IncrementalView.maintainWithExtrema's dirty-group rescan) and " +
+        "declare rebuildMaintained = true")
     registry.put(normalize(s.basePath), s)
   }
 

@@ -20,13 +20,18 @@ import org.apache.spark.sql.functions._
   * sides for free: the preimage decrements its old group, the postimage
   * increments the new one.
   *
-  * Maintained aggregates are count + integer sums ONLY — min/max are
-  * deliberately absent because they are NOT self-maintainable under
-  * deletes (removing the current extremum needs a group rescan the
-  * delta rule never performs). A summary carrying extrema must be
-  * recomputed on refresh, and [[graft.plans.SummaryRewrite.register]]
-  * enforces that declaration (`rebuildMaintained`) before it will
-  * route min/max to one.
+  * [[maintain]] handles count + integer sums ONLY — min/max are NOT
+  * self-maintainable under deletes (removing the current extremum
+  * needs a group rescan the delta rule never performs). They ARE
+  * maintainable with a bounded rescan: [[maintainWithExtrema]] folds
+  * insert-side extrema for free and recomputes extrema from the base
+  * table for exactly the DIRTY groups (those a delete or update
+  * preimage touched) — cost O(facts of dirty groups), never a full
+  * rescan. That partial rebuild satisfies the `rebuildMaintained`
+  * declaration [[graft.plans.SummaryRewrite.register]] demands before
+  * routing min/max to a summary. Count-distinct is likewise not
+  * self-maintainable directly but becomes so through an auxiliary
+  * view that is — see [[maintainDistinctAux]].
   *
   * Deployment note: persist the maintained view with
   * [[VersionedTable.merge]] keyed on the group columns — the delta
@@ -113,4 +118,135 @@ object IncrementalView {
       .select(keys ++ (maintainedCnt.as(countName) +: maintainedSums): _*)
       .filter(col(countName) > 0)
   }
+
+  /** [[maintain]] extended with min/max columns — the delta rule where
+    * it is exact, a DIRTY-GROUP rescan where it cannot be.
+    *
+    * Extrema are self-maintainable under INSERTS alone (the new
+    * extremum is the fold of the old one with the arriving rows'), but
+    * a delete may remove the current extremum, and only the base table
+    * knows what the runner-up was. So groups split three ways:
+    *  - untouched: extrema pass through from the view;
+    *  - insert-only touched: `least`/`greatest` of the old value and
+    *    the arriving rows' extremum (both sides NULL-skipping, matching
+    *    min/max semantics);
+    *  - DIRTY (any delete or update preimage): extrema recomputed from
+    *    `base` — the post-change snapshot — restricted to the dirty
+    *    keys by a semi-join. The dirty set is delta-sized, so the
+    *    rescan reads O(facts of dirty groups): with the base
+    *    partitioned or bucketed on the group key this is the classic
+    *    dirty-partition rescan, never a 100 TB pass.
+    *
+    * Counts and sums go through [[maintain]] unchanged and define which
+    * groups survive. A surviving group whose values are all NULL keeps
+    * NULL extrema, exactly as min/max over the base would.
+    *
+    * @param base  CURRENT (post-change) base table carrying `groupCols`
+    *              and every min/max source column; read ONLY for dirty
+    *              groups
+    */
+  def maintainWithExtrema(
+      mv: DataFrame,
+      changes: DataFrame,
+      base: DataFrame,
+      groupCols: Seq[String],
+      countName: String,
+      sumCols: Seq[(String, String)],
+      minCols: Seq[(String, String)],
+      maxCols: Seq[(String, String)],
+      cntCols: Seq[(String, String)] = Nil): DataFrame = {
+    val exCols = minCols ++ maxCols
+    require(exCols.nonEmpty,
+      "maintainWithExtrema without extrema columns — use maintain()")
+    val rExprs =
+      minCols.map { case (src, out) => min(col(src)).as(s"__r_$out") } ++
+        maxCols.map { case (src, out) => max(col(src)).as(s"__r_$out") }
+    val counts = maintain(
+      mv.drop(exCols.map(_._2): _*), changes, groupCols,
+      countName, sumCols, cntCols)
+
+    // one delta pass: per-group dirty flag + insert-side extrema
+    // (keys renamed so the three left joins below stay unambiguous)
+    val deltaEx = changes
+      .withColumn("__sign", sign)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max(when(col("__sign") < 0, 1).otherwise(0)).as("__dirty"),
+        (minCols.map { case (src, out) =>
+          min(when(col("__sign") > 0, col(src))).as(s"__i_$out")
+        } ++ maxCols.map { case (src, out) =>
+          max(when(col("__sign") > 0, col(src))).as(s"__i_$out")
+        }): _*)
+      .withColumnsRenamed(groupCols.map(g => g -> s"__dk_$g").toMap)
+
+    // dirty keys are delta-sized; the base reads only their facts
+    val dirtyKeys = deltaEx.filter(col("__dirty") === 1)
+      .select(groupCols.map(g => col(s"__dk_$g")): _*)
+    val recomputed = base
+      .join(dirtyKeys,
+        groupCols.map(g => base(g) <=> dirtyKeys(s"__dk_$g"))
+          .reduce(_ && _),
+        "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(rExprs.head, rExprs.tail: _*)
+      .withColumnsRenamed(groupCols.map(g => g -> s"__rk_$g").toMap)
+
+    val oldEx = mv.select(
+      groupCols.map(g => col(g).as(s"__ok_$g")) ++
+        exCols.map { case (_, out) => col(out).as(s"__old_$out") }: _*)
+
+    val joined = counts
+      .join(oldEx,
+        groupCols.map(g => col(g) <=> col(s"__ok_$g")).reduce(_ && _),
+        "left")
+      .join(deltaEx,
+        groupCols.map(g => col(g) <=> col(s"__dk_$g")).reduce(_ && _),
+        "left")
+      .join(recomputed,
+        groupCols.map(g => col(g) <=> col(s"__rk_$g")).reduce(_ && _),
+        "left")
+
+    val passThrough =
+      (groupCols ++ (countName +: (sumCols ++ cntCols).map(_._2))).map(col)
+    val extrema = minCols.map { case (_, out) =>
+      when(col("__dirty") === 1, col(s"__r_$out"))
+        .otherwise(least(col(s"__old_$out"), col(s"__i_$out"))).as(out)
+    } ++ maxCols.map { case (_, out) =>
+      when(col("__dirty") === 1, col(s"__r_$out"))
+        .otherwise(greatest(col(s"__old_$out"), col(s"__i_$out"))).as(out)
+    }
+    joined.select(passThrough ++ extrema: _*)
+  }
+
+  /** Count-distinct through the auxiliary view that IS
+    * self-maintainable: `aux` keys (groupCols, valueCol) and counts the
+    * rows behind each distinct value, so it maintains with the plain
+    * delta rule — this call is literally [[maintain]] with the value
+    * column adjoined to the key. Values die with their last row (the
+    * count>0 filter), values are born from the delta side, and an
+    * update that CHANGES the value moves its row between aux keys via
+    * the pre/post pair. [[distinctCounts]] then derives
+    * `count(distinct valueCol)` per group as a view-sized
+    * re-aggregation — the fact table never rescans, which is the whole
+    * point: count(distinct) itself is not self-maintainable (a delete
+    * cannot tell you whether another row still carries the value), but
+    * the aux view remembers exactly that. */
+  def maintainDistinctAux(
+      aux: DataFrame,
+      changes: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      countName: String = "n_rows"): DataFrame =
+    maintain(aux, changes, groupCols :+ valueCol, countName, Nil)
+
+  /** Derive per-group distinct counts from a [[maintainDistinctAux]]
+    * view. NULL values are excluded, matching `count(distinct x)`. */
+  def distinctCounts(
+      aux: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      outName: String): DataFrame =
+    aux.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(outName))
 }

@@ -136,6 +136,88 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(resultMap(m) == Map(10L -> ((1L, 1L)), 20L -> ((2L, 0L))))
   }
 
+  test("maintainWithExtrema == agg(v1): dirty groups recompute, " +
+      "insert-only groups fold") {
+    val mv0 = v0.toDF("k", "g", "v").groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val m = IncrementalView.maintainWithExtrema(
+      mv0, feed, v1.toDF("k", "g", "v"), Seq("g"), "n",
+      Seq("v" -> "sv"), Seq("v" -> "mn"), Seq("v" -> "mx"))
+    val got = m.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // g10 and g30 are DIRTY (update preimages) -> recomputed from base;
+    // g40 is insert-only -> folded; g20 dies with its count
+    assert(got == Map(
+      10L -> ((3L, 375L, 50L, 225L)),
+      30L -> ((1L, 400L, 400L, 400L)),
+      40L -> ((1L, 600L, 600L, 600L))))
+  }
+
+  test("extrema honor NULLs: skip in folds, survive all-NULL groups, " +
+      "pass through untouched groups") {
+    // g1 loses its max to a delete (dirty recompute), g2 is untouched,
+    // g3 takes a NULL-valued insert (fold must skip it), g4 is born,
+    // g5's only non-NULL value is deleted (extrema go NULL, group lives)
+    def aggN(rows: Seq[(Long, Long, Option[Long])]) =
+      rows.toDF("k", "g", "v").groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val n0 = Seq((1L, 1L, Option(10L)), (2L, 1L, Option(30L)),
+      (3L, 2L, Option(5L)), (4L, 2L, Option(7L)),
+      (5L, 3L, Option.empty[Long]), (6L, 3L, Option(50L)),
+      (9L, 5L, Option(1L)), (10L, 5L, Option.empty[Long]))
+    val n1 = Seq((1L, 1L, Option(10L)),
+      (3L, 2L, Option(5L)), (4L, 2L, Option(7L)),
+      (5L, 3L, Option.empty[Long]), (6L, 3L, Option(50L)),
+      (7L, 3L, Option.empty[Long]), (8L, 4L, Option(20L)),
+      (10L, 5L, Option.empty[Long]))
+    val feedN = Seq(
+      (2L, 1L, Option(30L), "delete"),
+      (7L, 3L, Option.empty[Long], "insert"),
+      (8L, 4L, Option(20L), "insert"),
+      (9L, 5L, Option(1L), "delete"))
+      .toDF("k", "g", "v", "change_type")
+    val m = IncrementalView.maintainWithExtrema(
+      aggN(n0), feedN, n1.toDF("k", "g", "v"), Seq("g"), "n",
+      Nil, Seq("v" -> "mn"), Seq("v" -> "mx"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(asMap(m) == asMap(aggN(n1)))
+    assert(asMap(m) == Map(
+      1L -> ((1L, Some(10L), Some(10L))),
+      2L -> ((2L, Some(5L), Some(7L))),
+      3L -> ((3L, Some(50L), Some(50L))),
+      4L -> ((1L, Some(20L), Some(20L))),
+      5L -> ((1L, None, None))))
+  }
+
+  test("count-distinct maintains through the auxiliary view") {
+    // two rows share value 5 in g1; deleting one must NOT drop the
+    // value; an update collapsing 6 onto 5 must
+    def aux(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("k", "g", "v").groupBy(col("g"), col("v"))
+        .agg(count(lit(1)).as("n_rows"))
+    val d0 = Seq((1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 6L), (4L, 2L, 9L))
+    val feedD = Seq(
+      (2L, 1L, 5L, "delete"),
+      (3L, 1L, 6L, "update_preimage"), (3L, 1L, 5L, "update_postimage"),
+      (4L, 2L, 9L, "delete"))
+      .toDF("k", "g", "v", "change_type")
+    val a1 = IncrementalView.maintainDistinctAux(
+      aux(d0), feedD, Seq("g"), "v")
+    val dc = IncrementalView.distinctCounts(a1, Seq("g"), "v", "nd")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // g1: values {5}, g2 died with its last row
+    assert(dc == Map(1L -> 1L))
+    // the aux view itself carries the surviving multiplicity
+    val rows = a1.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows == Map((1L, 5L) -> 2L))
+  }
+
   test("an unknown change_type fails loudly, never silently drops") {
     val bad = Seq((9L, 10L, 1L, "upsert")).toDF("k", "g", "v", "change_type")
     val ex = intercept[Exception] {
