@@ -255,6 +255,23 @@ class SummaryRewriteSpec extends AnyFunSuite {
     assert(scanPaths(df) == Seq(base2Path))
   }
 
+  test("HAVING and SQL-path aggregates route too (same plan shape)") {
+    // HAVING is a Filter ABOVE the Aggregate — the rule matches the
+    // Aggregate node itself, so the filter rides on the routed result
+    val having = spark.read.parquet(base3Path).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 2)
+    assert(scanPaths(having) == Seq(summary3Path))
+    assert(having.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet == Set((1L, 3L)))
+
+    // the SQL front end plans to the same Aggregate shape
+    spark.read.parquet(base3Path).createOrReplaceTempView("sr_base3")
+    val viaSql = spark.sql(
+      "SELECT g, g2, round(avg(v), 6) AS a FROM sr_base3 GROUP BY g, g2")
+    assert(scanPaths(viaSql) == Seq(summary3Path))
+  }
+
   test("register refuses min/max without rebuildMaintained") {
     val e = intercept[IllegalArgumentException] {
       SummaryRewrite.register(MaterializedSummary(
