@@ -208,4 +208,53 @@ object CorpusMix {
        |  CAST(max(rate) AS BIGINT) AS rate_ppm,
        |  count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tokens_kept
        |FROM k GROUP BY source ORDER BY source""".stripMargin
+
+  /** EPOCH-REPETITION mixing — the UP-sampling half of a mix recipe
+    * ([[sample]] clamps rates at 1.0 by design). A Dolma/LLaMA-style
+    * recipe names epochs per source ("wiki x2.5, web x0.4"): each doc
+    * is emitted `floor(epochs)` times unconditionally, plus one more
+    * copy admitted by the deterministic per-DOC hash draw
+    * `md5("ep:" + id) % 10^6 < epochs_ppm % 10^6` — so a 2.5-epoch
+    * source repeats every doc twice and half its docs (a fixed,
+    * reproducible half) a third time. Epochs below 1.0 degenerate to a
+    * plain hash-sample, 0 drops the source, and an integral epoch
+    * count emits exactly that many copies (the fractional draw is
+    * against 0 and never fires).
+    *
+    * Row-local end to end: one `sequence` fan-out per row, no shuffle,
+    * no per-source state beyond the broadcast-free CASE on the weight
+    * map. `copy_idx` rides along so downstream shuffling/packing can
+    * distinguish copies ((id, copy_idx) is the unique row key) and so
+    * repetition stays auditable in the published corpus. */
+  def epochMix(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      epochsPpm: Map[String, Long],
+      defaultPpm: Long): DataFrame = {
+    val full = expr(s"__eps div $Ppm")
+    docs
+      .withColumn("__eps",
+        weightCol(col(sourceCol), epochsPpm, defaultPpm))
+      .withColumn("copy_idx", explode(sequence(lit(0L), full)))
+      .filter(col("copy_idx") < full ||
+        Dedup.md5Hash32(col(idCol).cast("string"), "ep:") % Ppm <
+          col("__eps") % Ppm)
+      .drop("__eps")
+  }
+
+  /** DuckDB twin of [[epochMix]] (projects id, source, copy_idx).
+    * `epochsCaseSql` must mirror the epochs map. */
+  def epochMixSql(docsRel: String, epochsCaseSql: String): String =
+    s"""WITH e AS (
+       |  SELECT doc_id, source, $epochsCaseSql AS eps FROM $docsRel),
+       |x AS (
+       |  SELECT doc_id, source, eps,
+       |    unnest(range(0, eps // $Ppm + 1)) AS copy_idx
+       |  FROM e)
+       |SELECT doc_id, source, CAST(copy_idx AS BIGINT) AS copy_idx
+       |FROM x
+       |WHERE copy_idx < eps // $Ppm
+       |   OR ${Dedup.md5Hash32Sql("CAST(doc_id AS VARCHAR)", "ep:")}
+       |     % $Ppm < eps % $Ppm""".stripMargin
 }

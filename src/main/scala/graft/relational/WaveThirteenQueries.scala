@@ -13,6 +13,8 @@ import graft.relational.RelationalQueries.Q
   */
 object WaveThirteenQueries {
 
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
   /** Modulus for the distinct gate's value class: wide enough that
     * classes are informative, narrow enough that same-group collisions
     * exist at every SF (the case where a naive distinct-count delta
@@ -105,5 +107,83 @@ object WaveThirteenQueries {
          |  CAST(count(DISTINCT price_cents % $DistinctMod) AS BIGINT)
          |    AS nd
          |FROM b GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // ...and the composition the two halves exist for: the extrema
+    // summary is maintained INCREMENTALLY across the real CDC feed
+    // (dirty-group rescan included), persisted, registered
+    // rebuildMaintained — and then a min/max roll-up over the BASE
+    // table is served from it transparently by the optimizer rule.
+    // The user query never mentions the summary; the oracle recomputes
+    // from the v1 derivation, and the PLANS capture shows the
+    // summary-only plan. Registration is against a session-private
+    // temp base copy (the mv_rewrite pattern — registry leak inert).
+    Q("mv_rewrite_extrema_cdc", (s, dir) => {
+      import graft.plans.SummaryRewrite
+      import graft.plans.SummaryRewrite.MaterializedSummary
+      import graft.sinks.{IncrementalView, VersionedTable}
+      val tmp = java.nio.file.Files.createTempDirectory("mv_excdc")
+      val root = tmp.resolve("t").toString
+      val basePath = tmp.resolve("base").toString
+      val sumPath = tmp.resolve("s").toString
+      val (a, b) = WaveNineQueries.snapshots(s, dir)
+      val v0 = VersionedTable.commit(a, root)
+      val v1 = VersionedTable.commit(b, root)
+      val mv0 = VersionedTable.readVersion(s, root, v0)
+        .groupBy(col("o_custkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_price"),
+          min(col("price_cents")).as("min_price"),
+          max(col("price_cents")).as("max_price"))
+      val ch = VersionedTable.changes(s, root, v0, v1, Seq("o_orderkey"))
+      val snapV1 = VersionedTable.readVersion(s, root, v1)
+      IncrementalView.maintainWithExtrema(
+          mv0, ch, snapV1, Seq("o_custkey", "o_orderstatus"), "n",
+          Seq("price_cents" -> "sum_price"),
+          Seq("price_cents" -> "min_price"),
+          Seq("price_cents" -> "max_price"))
+        .write.parquet(sumPath)
+      snapV1.write.parquet(basePath)
+      SummaryRewrite.enable(s)
+      SummaryRewrite.register(MaterializedSummary(basePath, sumPath,
+        Seq("o_custkey", "o_orderstatus"),
+        Map(("count", "*") -> "n", ("sum", "price_cents") -> "sum_price",
+          ("min", "price_cents") -> "min_price",
+          ("max", "price_cents") -> "max_price"),
+        rebuildMaintained = true))
+      s.read.parquet(basePath)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("price_cents")).as("min_price"),
+          max(col("price_cents")).as("max_price"))
+        .orderBy(col("o_orderstatus"))
+    }, Some(
+      s"""$snapshotCtes,
+         |b2 AS (
+         |  SELECT b.*, o.o_orderstatus FROM b
+         |  JOIN orders o USING (o_orderkey))
+         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+         |  min(price_cents) AS min_price, max(price_cents) AS max_price
+         |FROM b2 GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin)),
+
+    // Epoch-repetition mixing: the UP-sampling half of a Dolma/LLaMA
+    // mix recipe (corpus_mix's rates clamp at 1.0 by design). src0
+    // repeats 2.5 epochs (two full copies + a deterministic half of
+    // its docs a third time), src1 exactly once, the tail hash-samples
+    // at 0.4 — full-copy, integral, and fractional regimes all bind.
+    // Row-local: one sequence fan-out, no shuffle, copy_idx auditable.
+    Q("corpus_mix_epochs", (s, dir) => {
+      graft.analysis.CorpusMix.epochMix(
+          s.read.parquet(t(dir, "documents")),
+          "doc_id", "source",
+          Map("src0" -> 2500000L, "src1" -> 1000000L),
+          defaultPpm = 400000L)
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }, Some(
+      graft.analysis.CorpusMix.epochMixSql("documents",
+        "CASE source WHEN 'src0' THEN 2500000 WHEN 'src1' THEN 1000000" +
+          " ELSE 400000 END") +
+        "\nORDER BY doc_id, copy_idx")),
   )
 }
