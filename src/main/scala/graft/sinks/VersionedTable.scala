@@ -91,6 +91,17 @@ object VersionedTable {
     spark.read.parquet(dataPath(rootP, v).toString)
   }
 
+  /** The immutable data directory of one COMMITTED version — commit
+    * writes it ErrorIfExists and marks it atomically, so the path can
+    * be handed out as a stable snapshot (e.g. registered as a
+    * materialized-summary source) without copying. */
+  def versionDataPath(spark: SparkSession, root: String, v: Long): String = {
+    val (fs, rootP) = fsOf(spark, root)
+    require(fs.exists(markerPath(rootP, v)),
+      s"version $v of $root is not committed (or was vacuumed)")
+    dataPath(rootP, v).toString
+  }
+
   /** Read the latest committed snapshot. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = latestVersion(spark, root).getOrElse(

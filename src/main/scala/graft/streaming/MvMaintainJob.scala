@@ -130,4 +130,32 @@ object MvMaintainJob {
   /** The maintained view as of the latest version. */
   def view(spark: SparkSession, viewRoot: String): DataFrame =
     VersionedTable.read(spark, viewRoot)
+
+  /** Publish the latest maintained version to the optimizer: register
+    * its own immutable data directory with
+    * [[graft.plans.SummaryRewrite]] as the summary serving `basePath`,
+    * and return the served version. Freshness is the registrant's
+    * contract — this is the registrant, called after each [[runOnce]]
+    * drain. Zero copy: a committed version directory never changes
+    * (commit is ErrorIfExists + an atomic marker), so serving is an
+    * atomic pointer swap in the registry — a concurrent query routes
+    * to the previous snapshot or the new one, never a half-state, and
+    * in-flight scans of the old directory stay valid until a
+    * vacuum-by-age retires it, exactly like any MVCC table. */
+  def serve(
+      spark: SparkSession,
+      viewRoot: String,
+      basePath: String,
+      groupCols: Seq[String],
+      aggCols: Map[(String, String), String],
+      rebuildMaintained: Boolean = false): Long = {
+    import graft.plans.SummaryRewrite
+    val v = VersionedTable.latestVersion(spark, viewRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"$viewRoot has no committed version to serve"))
+    SummaryRewrite.register(SummaryRewrite.MaterializedSummary(
+      basePath, VersionedTable.versionDataPath(spark, viewRoot, v),
+      groupCols, aggCols, rebuildMaintained))
+    v
+  }
 }

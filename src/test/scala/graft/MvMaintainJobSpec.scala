@@ -116,6 +116,47 @@ class MvMaintainJobSpec extends AnyFunSuite {
     SummaryRewrite.deregister(snapPath)
   }
 
+  test("serve() publishes the latest version; re-serving swaps it") {
+    val base = java.nio.file.Files.createTempDirectory("mvserve").toString
+    val (cdc, root, ckpt) = (s"$base/cdc", s"$base/view", s"$base/ckpt")
+    import graft.plans.SummaryRewrite
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scans(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath).toSeq
+          case _ => Nil
+        }
+      }.flatten
+
+    writeBatch(ch1, cdc, vFrom = 0L)
+    MvMaintainJob.runOnce(spark, cdc, root, ckpt,
+      Seq("g"), "n", Seq("v" -> "sv"), agg(s0))
+    val snapPath = s"$base/facts.parquet"
+    s1.toDF("k", "g", "v").write.parquet(snapPath)
+    SummaryRewrite.enable(spark)
+    val aggCols = Map(("count", "*") -> "n", ("sum", "v") -> "sv")
+    assert(MvMaintainJob.serve(
+      spark, root, snapPath, Seq("g"), aggCols) == 1L)
+    def routed = spark.read.parquet(snapPath).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(scans(routed) == Seq(s"$root/v=1")) // zero-copy: v1's own dir
+    assert(asMap(routed) == asMap(agg(s1)))
+
+    // the facts advance, the drain catches the view up, and re-serving
+    // swaps the registration to v=2 — the freshness loop closed
+    writeBatch(ch2, cdc, vFrom = 1L)
+    MvMaintainJob.runOnce(spark, cdc, root, ckpt,
+      Seq("g"), "n", Seq("v" -> "sv"), agg(s0))
+    s2.toDF("k", "g", "v").write.mode("overwrite").parquet(snapPath)
+    assert(MvMaintainJob.serve(
+      spark, root, snapPath, Seq("g"), aggCols) == 2L)
+    assert(scans(routed) == Seq(s"$root/v=2"))
+    assert(asMap(routed) == asMap(agg(s2)))
+    SummaryRewrite.deregister(snapPath)
+  }
+
   test("an out-of-order delta fails loudly instead of corrupting") {
     val base = java.nio.file.Files.createTempDirectory("mvjob_ooo").toString
     val (cdc, root, ckpt) = (s"$base/cdc", s"$base/view", s"$base/ckpt")
