@@ -232,6 +232,12 @@ object CorpusMix {
       sourceCol: String,
       epochsPpm: Map[String, Long],
       defaultPpm: Long): DataFrame = {
+    // a negative epoch count would make `sequence` count DOWN (Spark
+    // infers step -1) and emit phantom negative copy indexes before the
+    // admission filter drops them — refuse it at the API instead
+    require((epochsPpm.values.toSeq :+ defaultPpm).forall(_ >= 0L),
+      s"epochs must be non-negative ppm (got $epochsPpm, " +
+        s"default $defaultPpm)")
     val full = expr(s"__eps div $Ppm")
     docs
       .withColumn("__eps",

@@ -69,9 +69,14 @@ object IncrementalView {
     * @param cntCols   (source column in feed, count column in view):
     *                  maintained per-column NON-NULL counts (`count(x)`
     *                  semantics — a NULL source row moves no count).
-    *                  Self-maintainable like count(*), and exactly what
+    *                  Self-maintainable like count(*), and what
     *                  licenses [[graft.plans.SummaryRewrite]]'s avg
-    *                  decomposition on a CDC-maintained summary
+    *                  decomposition on a CDC-maintained summary — note
+    *                  the pair is only maintainable for NON-NULL
+    *                  sources (sumCols requires them; a nullable
+    *                  column's count maintains here, but its sum — and
+    *                  therefore its avg — needs a rebuild-maintained
+    *                  summary)
     */
   def maintain(
       mv: DataFrame,

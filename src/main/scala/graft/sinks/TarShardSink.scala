@@ -106,7 +106,12 @@ object TarShardSink {
     * task per archive via the binaryFile source: shards are the
     * parallelism unit on the way IN exactly as they were on the way
     * OUT, and `untar` walks each archive sequentially with no
-    * random access — the access pattern tar exists for. */
+    * random access — the access pattern tar exists for.
+    *
+    * Ceiling: the binaryFile source materializes one archive per row,
+    * so a shard must fit the 2 GB byte-array bound (and executor
+    * memory). Size `shards` so archives land well under it — the
+    * WebDataset convention's ~1 GB shards exist for exactly this. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
