@@ -2,6 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Incremental materialized-view maintenance over a CDC change feed.
   *
@@ -65,7 +66,14 @@ object IncrementalView {
     * @param groupCols grouping key of the view
     * @param countName maintained `count(*)` column name in `mv`
     * @param sumCols   (source column in feed, sum column in view); sum
-    *                  sources must be non-null integral (exact deltas)
+    *                  sources must be non-null integral (exact deltas).
+    *                  Integrality is ENFORCED (require below);
+    *                  non-nullness stays the producer's contract — a
+    *                  NULL source row contributes no sum delta (sum
+    *                  skips NULLs) while still moving the count, the
+    *                  same divergence sum(x) itself has, so maintain
+    *                  nullable sums only via a rebuild-maintained
+    *                  summary
     * @param cntCols   (source column in feed, count column in view):
     *                  maintained per-column NON-NULL counts (`count(x)`
     *                  semantics — a NULL source row moves no count).
@@ -85,6 +93,27 @@ object IncrementalView {
       countName: String,
       sumCols: Seq[(String, String)],
       cntCols: Seq[(String, String)] = Nil): DataFrame = {
+    // the delta rule is exact only in exact arithmetic: a double-typed
+    // sum source would accumulate floating drift across deltas (each
+    // +x then -x round-trip can leave a residue), silently diverging
+    // from a recompute. ENFORCED, not just documented — keep money in
+    // integer cents (the engine-wide discipline) or maintain the
+    // summary by rebuild instead.
+    val integral: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    sumCols.foreach { case (src, out) =>
+      val t = changes.schema(src).dataType
+      require(integral.contains(t),
+        s"maintain: sum source '$src' is ${t.simpleString} — non-" +
+          "integral sums accumulate floating drift across deltas; use " +
+          "an exact integer encoding (e.g. decimal cents as BIGINT) " +
+          "or refresh this summary by rebuild")
+      mv.schema.find(_.name == out).foreach { f =>
+        require(integral.contains(f.dataType),
+          s"maintain: view sum column '$out' is ${f.dataType.simpleString}" +
+            " — the maintained sum must stay integral (exact) end to end")
+      }
+    }
     val delta = changes
       .withColumn("__sign", sign)
       .groupBy(groupCols.map(col): _*)

@@ -25,10 +25,12 @@ import graft.sim.IncrementalAnnIndex
   * crash window between applyChanges and the marker create is safe:
   * redelivery re-applies, and applyChanges converges on replay.
   *
-  * Feed layout contract (same as MvMaintainJob): one file per delta,
-  * non-empty — an empty delta has no rows to stamp, cannot advance the
-  * marker, and would make the NEXT delta's chain check fail loudly
-  * (don't land files for empty change sets).
+  * Feed layout contract (same as MvMaintainJob): one file per delta.
+  * An EMPTY delta (a producer's no-op commit) is tolerated as the next
+  * chain link — it has no rows to stamp, so its position derives from
+  * the checkpointed batch id; it applies as a no-op and advances the
+  * marker, keeping the two maintenance jobs' producer contracts
+  * aligned.
   */
 object AnnMaintainJob {
 
@@ -87,10 +89,20 @@ object AnnMaintainJob {
         batches += 1
         val stamps = batch.select("v_from", "v_to").distinct()
           .collect().map(r => (r.getLong(0), r.getLong(1)))
-        require(stamps.length == 1,
+        require(stamps.length <= 1,
           s"ANN CDC batch $id carries ${stamps.length} (v_from, v_to) " +
-            "stamps — each delta must land as its own non-empty file")
-        val (vf, vt) = stamps.head
+            "stamps — each delta must land as its own file")
+        // an EMPTY delta (a producer's no-op commit) carries no rows
+        // to stamp: the one-file-per-delta contract pins its chain
+        // position by the checkpointed batch id, so it applies as a
+        // no-op and still advances the marker — a no-op commit can
+        // never wedge the chain, and MvMaintainJob's producer contract
+        // (empty deltas tolerated) holds here too. The through-check
+        // below still skips a REDELIVERED empty file (its id, and so
+        // its derived v_to, is stable across replays) instead of
+        // re-advancing the marker.
+        val (vf, vt) = stamps.headOption.getOrElse(
+          (seedSourceVersion + id, seedSourceVersion + id + 1))
         val through = appliedThrough(spark, storeDir, seedSourceVersion)
         if (vt <= through) {
           skipped += 1
@@ -99,9 +111,11 @@ object AnnMaintainJob {
             s"ANN CDC batch $id is out of order: carries v_from=$vf " +
               s"but the store has applied through v$through — the feed " +
               "must be the contiguous chain of adjacent-version deltas")
-          val r = IncrementalAnnIndex.applyChanges(batch, storeDir)
-          removed += r.removed
-          appended += r.appended
+          if (stamps.nonEmpty) {
+            val r = IncrementalAnnIndex.applyChanges(batch, storeDir)
+            removed += r.removed
+            appended += r.appended
+          }
           mark(spark, storeDir, vt)
           applied += 1
         }

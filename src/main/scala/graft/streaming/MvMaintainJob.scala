@@ -94,6 +94,18 @@ object MvMaintainJob {
         if (latest >= expected) {
           skipped += 1
         } else {
+          // the view table's own ledger, not the checkpoint's batch
+          // numbering, is the applied-through truth: a reused
+          // checkpoint over a reset/restored view root would otherwise
+          // read a LAGGING view, apply this delta over missing
+          // predecessors, and durably commit a corrupt version before
+          // any check fired — fail loudly with ZERO commits instead
+          require(latest == id,
+            s"view ledger lags the checkpoint: batch $id expects the " +
+              s"view applied through v$id but $viewRoot is at " +
+              s"v$latest — reused checkpoint over a reset or restored " +
+              "view table? Re-seed the view (or reset the checkpoint) " +
+              "so the ledgers agree; nothing was committed")
           // verify the chain BEFORE applying: the feed's own version
           // stamps, not file mtime, decide whether this delta is the
           // next link (empty deltas carry no rows to stamp — they

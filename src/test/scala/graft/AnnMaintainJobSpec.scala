@@ -89,6 +89,36 @@ class AnnMaintainJobSpec extends AnyFunSuite {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("an empty delta (producer no-op commit) advances the chain") {
+    val base = Files.createTempDirectory("annjob_noop").toString
+    val root = s"$base/vt"
+    val v0 = VersionedTable.commit(vecs(0 until 100), root)
+    val v1 = VersionedTable.commit(vecs(0 until 100), root) // no-op commit
+    val v2 = VersionedTable.commit(vecs(0 until 120), root)
+    val store = s"$base/ivf"
+    IncrementalAnnIndex.init(
+      VersionedTable.readVersion(spark, root, v0), store)
+    val cdc = s"$base/cdc"
+    // changes(v0, v1) is EMPTY — the producer landed a file for a
+    // no-op commit; the chain must absorb it, not wedge permanently
+    VersionedTable.changes(spark, root, v0, v1, Seq("vec_id"))
+      .coalesce(1).write.mode("append").parquet(cdc)
+    VersionedTable.changes(spark, root, v1, v2, Seq("vec_id"))
+      .coalesce(1).write.mode("append").parquet(cdc)
+    val r = AnnMaintainJob.runOnce(spark, cdc, store, s"$base/ckpt",
+      seedSourceVersion = v0)
+    assert(r.applied == 2 && r.appliedThrough == v2)
+    assert(listedIds(store) == (0 until 120).map(_.toLong).toSet)
+
+    // wholesale redelivery (fresh checkpoint): the empty file's
+    // id-derived v_to is stable across replays, so it SKIPS — the
+    // marker never re-advances past the true chain head
+    val r2 = AnnMaintainJob.runOnce(spark, cdc, store, s"$base/ckpt2",
+      seedSourceVersion = v0)
+    assert(r2.applied == 0 && r2.skippedRedelivered == 2)
+    assert(r2.appliedThrough == v2)
+  }
+
   test("an out-of-order delta fails loudly; the store is untouched") {
     val base = Files.createTempDirectory("annjob_ooo").toString
     val root = s"$base/vt"

@@ -227,4 +227,27 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("unknown change_type") ||
       Option(ex.getCause).exists(_.getMessage.contains("unknown change_type")))
   }
+
+  test("maintain refuses non-integral sum sources (floating drift)") {
+    // a double-typed sum source would accumulate rounding residue
+    // across +x/-x delta round-trips — refused at the API, not
+    // documented away
+    val mv = Seq((10L, 1L, 100L)).toDF("g", "n", "sv")
+    val chD = Seq((1L, 10L, 1.5, "insert"))
+      .toDF("k", "g", "v", "change_type")
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalView.maintain(mv, chD, Seq("g"), "n", Seq("v" -> "sv"))
+    }
+    assert(ex.getMessage.contains("floating drift"))
+
+    // ...and a non-integral maintained VIEW column is refused too —
+    // the exactness contract holds end to end, not just on the delta
+    val mvD = Seq((10L, 1L, 100.0)).toDF("g", "n", "sv")
+    val chL = Seq((1L, 10L, 5L, "insert"))
+      .toDF("k", "g", "v", "change_type")
+    val ex2 = intercept[IllegalArgumentException] {
+      IncrementalView.maintain(mvD, chL, Seq("g"), "n", Seq("v" -> "sv"))
+    }
+    assert(ex2.getMessage.contains("must stay integral"))
+  }
 }

@@ -175,6 +175,37 @@ class MvMaintainJobSpec extends AnyFunSuite {
     assert(asMap(MvMaintainJob.view(spark, root)) == asMap(agg(s0)))
   }
 
+  test("a reused checkpoint over a restored view fails BEFORE any commit") {
+    val base = java.nio.file.Files.createTempDirectory("mvjob_lag").toString
+    val (cdc, root, ckpt) = (s"$base/cdc", s"$base/view", s"$base/ckpt")
+    writeBatch(ch1, cdc, vFrom = 0L)
+    writeBatch(ch2, cdc, vFrom = 1L)
+    MvMaintainJob.runOnce(spark, cdc, root, ckpt,
+      Seq("g"), "n", Seq("v" -> "sv"), agg(s0))
+    assert(VersionedTable.latestVersion(spark, root).contains(2L))
+
+    // restore scenario: the view table rolls back to v1 (backup
+    // restore) while the checkpoint keeps its batch numbering — the
+    // next delta must fail against the lagging ledger with ZERO
+    // commits, not durably commit a corrupt version first
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(rootP, "_commit_v2"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(rootP, "v=2"), true)
+    writeBatch(Seq((2L, 10L, 250L, "delete")), cdc, vFrom = 2L)
+    val ex = intercept[Exception] {
+      MvMaintainJob.runOnce(spark, cdc, root, ckpt,
+        Seq("g"), "n", Seq("v" -> "sv"), agg(s0))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("view ledger lags")))
+    // zero corrupt commits: the view is exactly where the restore left it
+    assert(VersionedTable.latestVersion(spark, root).contains(1L))
+    assert(asMap(MvMaintainJob.view(spark, root)) == asMap(agg(s1)))
+  }
+
   test("a feed file mixing two deltas fails loudly") {
     val base = java.nio.file.Files.createTempDirectory("mvjob_mix").toString
     val (cdc, root, ckpt) = (s"$base/cdc", s"$base/view", s"$base/ckpt")
