@@ -252,14 +252,87 @@ object Profile {
       println(s"[profile] canary30 corpus: " +
         spark.read.parquet(s"$canaryDir/documents.parquet").count() +
         " docs (30x, 30-member exact clusters)")
+      // orders replicated with remapped keys, custkey kept: the CDC
+      // maintenance entries see 30x DELTA volume against the same
+      // group count (the 10x branch's scheme, one tier up); embeddings
+      // likewise so the ANN maintenance delta (ids %10 in {3,7}) is
+      // 30x while the quantizer stays fixed-size
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(explode(sequence(lit(0L), lit(29L))).as("__i"), col("*"))
+        .withColumn("o_orderkey", col("o_orderkey") * 32 + col("__i"))
+        .drop("__i")
+        .write.parquet(s"$canaryDir/orders.parquet")
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(explode(sequence(lit(0L), lit(29L))).as("__i"), col("*"))
+        .withColumn("vec_id", col("vec_id") * 32 + col("__i"))
+        .drop("__i")
+        .write.parquet(s"$canaryDir/embeddings.parquet")
       for (t <- Seq("region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "embeddings"))
+          "lineitem", "events"))
         spark.read.parquet(s"$sfDir/$t.parquet")
           .write.parquet(s"$canaryDir/$t.parquet")
       for (q <- Seq("dedup_multisignal", "simhash_capped",
           "cross_corpus_dups", "minhash_lsh_capped",
-          "leakage_safe_split", "corpus_ship"))
+          "leakage_safe_split", "corpus_ship",
+          // r14 additions (VERDICT #7): the maintenance classes at 30x
+          // delta volume — the dirty-group rescan and the
+          // partition-rewrite + ledger-probe path must stay delta-linear
+          "mv_rewrite_extrema_cdc", "ann_incremental_cdc"))
         time(s"$q @30x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
+      spark.stop()
+      return
+    }
+
+    if (args.contains("annledger")) {
+      // ---- index-growth axis (r14, VERDICT #1) ----------------------
+      // Maintenance cost as the INDEX grows 10x/30x with the DELTA held
+      // constant — the ledger-sidecar acceptance run. Pre-ledger, the
+      // per-delta id discovery scanned O(index); with the hash-bucketed
+      // ledger both lookups prune to the delta's buckets, so the
+      // applyChanges wall time must stay ~flat across the index tiers
+      // (the touched-partition rewrite is delta-sized by construction).
+      import graft.sim.IncrementalAnnIndex
+      import graft.sinks.VersionedTable
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val n1 = emb.count()
+      for (mult <- Seq(1, 10, 30)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"annledger$mult").toString
+        val corpus =
+          (if (mult == 1) emb
+           else emb
+             .select(explode(sequence(lit(0L), lit(mult - 1L))).as("__i"),
+               col("vec_id"), col("embedding"))
+             .select((col("vec_id") * 32 + col("__i")).as("vec_id"),
+               col("embedding"))).localCheckpoint()
+        println(s"[profile] annledger index x$mult: ${corpus.count()} " +
+          s"vectors (delta fixed at ~${n1 / 5} rows)")
+        val root = s"$dir/vt"
+        // v0 = corpus; v1 = the SAME fixed-size change set at every
+        // tier: the base-1x ids %10==7 leave, %10==3 of a fresh id
+        // range arrive — delta size is ~n1/5 regardless of mult
+        val inBase = col("vec_id") < n1 * 40 // base-1x id space ceiling
+        val leavers = corpus.filter(inBase && col("vec_id") % 10 === 7)
+          .limit((n1 / 10).toInt)
+        val arrivals = emb.filter(col("vec_id") % 10 === 3)
+          .select((col("vec_id") + 100000000L).as("vec_id"),
+            col("embedding"))
+        VersionedTable.commit(corpus, root)
+        VersionedTable.commit(
+          corpus.join(leavers.select("vec_id"), Seq("vec_id"), "left_anti")
+            .unionByName(arrivals), root)
+        val store = s"$dir/ivf"
+        time(s"init @x$mult")(
+          IncrementalAnnIndex.init(
+            VersionedTable.readVersion(spark, root, 0L), store,
+            ledgerBuckets = 256))
+        val feed = VersionedTable
+          .changes(spark, root, 0L, 1L, Seq("vec_id")).localCheckpoint()
+        println(s"[profile]   delta rows: ${feed.count()}")
+        time(s"applyChanges @x$mult (fixed delta)")(
+          IncrementalAnnIndex.applyChanges(feed, store))
+      }
       spark.stop()
       return
     }

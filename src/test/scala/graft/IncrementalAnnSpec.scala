@@ -119,6 +119,13 @@ class IncrementalAnnSpec extends AnyFunSuite {
       .collect().map(r0 => (r0.getLong(0), r0.get(1).toString)).toSet
     assert(after == before)
 
+    // the ledger sidecar mirrors the lists exactly — same (id -> list)
+    // map after deletes, inserts, updates, and the replay
+    val ledger = spark.read.parquet(s"$store/ledger")
+      .select(col("vec_id"), col("cid").cast("string"))
+      .collect().map(r0 => (r0.getLong(0), r0.getString(1))).toSet
+    assert(ledger == after)
+
     // an unknown change_type fails loudly, never silently drops
     val bad = post.withColumn("change_type", lit("upsert"))
     val ex = intercept[IllegalArgumentException] {
@@ -143,10 +150,11 @@ class IncrementalAnnSpec extends AnyFunSuite {
     }.get
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$store/_rewrite_trash"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$store/_rewrite_trash/lists"))
     assert(fs.rename(
       new org.apache.hadoop.fs.Path(s"$store/lists/cid=$victim"),
-      new org.apache.hadoop.fs.Path(s"$store/_rewrite_trash/cid=$victim")))
+      new org.apache.hadoop.fs.Path(
+        s"$store/_rewrite_trash/lists/cid=$victim")))
     // next maintenance call must restore the victim partition, then
     // apply its own delete — no row outside the delete is lost
     val feed = vecs(other.toInt until other.toInt + 1)
@@ -159,17 +167,87 @@ class IncrementalAnnSpec extends AnyFunSuite {
   }
 
   private def scans(
-      p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p: org.apache.spark.sql.execution.SparkPlan,
+      loc: String = "lists"): Seq[FileSourceScanExec] =
     p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan, loc)
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        scans(q.plan)
+        scans(q.plan, loc)
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        scans(r.child)
+        scans(r.child, loc)
       case f: FileSourceScanExec =>
-        if (f.metadata("Location").contains("lists")) Seq(f) else Nil
-      case other => other.children.flatMap(scans)
+        if (f.metadata("Location").contains(loc)) Seq(f) else Nil
+      case other => other.children.flatMap(scans(_, loc))
     }
+
+  test("maintenance id discovery reads only the delta's ledger buckets") {
+    val store = Files.createTempDirectory("annledg").toString + "/store"
+    // 16 buckets over 400 ids: every bucket populated, so pruning to a
+    // one-id delta's bucket is visible in the file counts
+    IncrementalAnnIndex.init(vecs(0 until 400), store, ledgerBuckets = 16)
+    val ledgerDirs = spark.read.parquet(s"$store/ledger")
+      .select("b").distinct().count()
+    assert(ledgerDirs == 16L, s"want all 16 buckets populated: $ledgerDirs")
+    // the bucket a one-id delta hashes to, computed the store's way
+    val b7 = spark.range(1)
+      .select(pmod(hash(lit(7L)), lit(16))).head().getInt(0)
+    val probe = IncrementalAnnIndex.ledgerFor(spark, store, Seq(b7))
+    // execute THIS DataFrame so its own scan metrics populate
+    assert(probe.collect().map(_.getLong(0)).contains(7L))
+    val filesRead = scans(probe.queryExecution.executedPlan, "ledger")
+      .map(_.metrics("numFiles").value).sum
+    val totalFiles = scans(
+      spark.read.parquet(s"$store/ledger").queryExecution.executedPlan,
+      "ledger").map(_.relation.location.inputFiles.length).sum
+    assert(filesRead > 0 && filesRead <= totalFiles / 16,
+      s"discovery must prune to the delta's buckets: " +
+        s"read $filesRead of $totalFiles ledger files")
+  }
+
+  test("a marked staged append publishes on the next maintenance call") {
+    val store = Files.createTempDirectory("annstage").toString + "/store"
+    IncrementalAnnIndex.init(vecs(0 until 100), store)
+    // craft the staging exactly as a crash AFTER the _ok marker but
+    // BEFORE the publish would leave it: both layouts staged, marker on
+    val staged = s"$store/_append_staged"
+    val newRows = vecs(500 until 510)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cid", lit(0L))
+    newRows.repartition(col("cid"))
+      .write.partitionBy("cid").parquet(s"$staged/lists")
+    newRows.select(col("vec_id"), col("cid"),
+        pmod(hash(col("vec_id")), lit(64)).as("b"))
+      .repartition(col("b")).write.partitionBy("b").parquet(s"$staged/ledger")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(s"$staged/_ok"), false).close()
+    // redelivery of the same ids: recovery must publish the staging
+    // FIRST, then the (now-current) ledger skips every id
+    val r = IncrementalAnnIndex.appendBatch(vecs(500 until 510), store)
+    assert(r.appended == 0 && r.skippedRedelivered == 10)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staged)))
+    val ids = spark.read.parquet(s"$store/lists")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((500L until 510L).forall(ids.contains) && ids.size == 110)
+    // and the two trees agree
+    val ledgerIds = spark.read.parquet(s"$store/ledger")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ledgerIds == ids)
+  }
+
+  test("an unmarked staging (crash mid-stage) is discarded wholesale") {
+    val store = Files.createTempDirectory("annstage2").toString + "/store"
+    IncrementalAnnIndex.init(vecs(0 until 100), store)
+    val staged = s"$store/_append_staged"
+    vecs(500 until 505)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cid", lit(0L))
+      .write.partitionBy("cid").parquet(s"$staged/lists")
+    // no _ok marker: nothing of this staging may ever become live
+    val r = IncrementalAnnIndex.appendBatch(vecs(500 until 505), store)
+    assert(r.appended == 5 && r.skippedRedelivered == 0)
+    assert(spark.read.parquet(s"$store/lists").count() == 105)
+  }
 
   test("probe reads only the probed list partitions") {
     val store = Files.createTempDirectory("annidx").toString + "/store"
