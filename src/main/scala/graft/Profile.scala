@@ -283,6 +283,61 @@ object Profile {
       return
     }
 
+    if (args.contains("anncdc")) {
+      // ---- ann_incremental_cdc / ann_standing stage attribution -----
+      // (r15, VERDICT #1): the two queries regressed ~2x when the
+      // ledger sidecar landed; this times every stage in isolation so
+      // the maintenance protocol's own cost is separable from the
+      // fixture cost (VersionedTable commits, init, the streaming
+      // harness) that both queries pay identically.
+      import graft.sim.IncrementalAnnIndex
+      import graft.sinks.VersionedTable
+      val base = java.nio.file.Files
+        .createTempDirectory("anncdcprof").toString
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val root = s"$base/vt"
+      val v0 = time("commit v0")(
+        VersionedTable.commit(emb.filter(col("vec_id") % 10 =!= 3), root))
+      val v1 = time("commit v1")(
+        VersionedTable.commit(emb.filter(col("vec_id") % 10 =!= 7), root))
+      val v2 = time("commit v2")(
+        VersionedTable.commit(emb.filter(col("vec_id") % 10 =!= 9), root))
+      val store = s"$base/ivf"
+      time("init (v0 corpus)")(IncrementalAnnIndex.init(
+        VersionedTable.readVersion(spark, root, v0), store))
+      val feed01 = time("changes v0->v1 (plan+ckpt)")(
+        VersionedTable.changes(spark, root, v0, v1, Seq("vec_id"))
+          .localCheckpoint())
+      time("applyChanges v0->v1")(
+        IncrementalAnnIndex.applyChanges(feed01, store))
+      val feed12 = time("changes v1->v2 (plan+ckpt)")(
+        VersionedTable.changes(spark, root, v1, v2, Seq("vec_id"))
+          .localCheckpoint())
+      time("applyChanges v1->v2")(
+        IncrementalAnnIndex.applyChanges(feed12, store))
+      val q = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      time("topK")(noop(
+        IncrementalAnnIndex.topK(q, store, 10).orderBy(col("qid"),
+          col("rank"))))
+      // the standing twin's extra fixture: cdc files + streaming drain
+      val store2 = s"$base/ivf2"
+      time("init (store2)")(IncrementalAnnIndex.init(
+        VersionedTable.readVersion(spark, root, v0), store2))
+      val cdcDir = s"$base/cdc"
+      time("write cdc files")(Seq((v0, v1), (v1, v2)).foreach {
+        case (a, b) =>
+          VersionedTable.changes(spark, root, a, b, Seq("vec_id"))
+            .coalesce(1).write.mode("append").parquet(cdcDir)
+      })
+      time("AnnMaintainJob.runOnce (2 batches)")(
+        graft.streaming.AnnMaintainJob.runOnce(
+          spark, cdcDir, store2, s"$base/ckpt", seedSourceVersion = v0))
+      spark.stop()
+      return
+    }
+
     if (args.contains("annledger")) {
       // ---- index-growth axis (r14, VERDICT #1) ----------------------
       // Maintenance cost as the INDEX grows 10x/30x with the DELTA held

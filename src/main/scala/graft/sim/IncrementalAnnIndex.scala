@@ -1,5 +1,7 @@
 package graft.sim
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -34,14 +36,28 @@ import org.apache.spark.sql.functions._
   * Re-delivered vec_ids are skipped (bucket-pruned anti-join against
   * the ledger), so replaying a batch is a no-op.
   *
-  * Lists and ledger commit TOGETHER: an append stages both layouts
-  * under `_append_staged/`, marks the staging complete (`_ok`), then
-  * publishes by per-file rename with existing targets skipped — a
-  * crash at any point either discards an unmarked staging wholesale or
-  * finishes a marked one idempotently on the next call ([[recover]]),
-  * so the ledger can never lie about list membership. Deletes rewrite
-  * the touched list partitions AND the touched ledger buckets through
-  * one shared trash-swap transaction ([[removeIds]]).
+  * Every maintenance call (append, delete, or a CDC delta mixing both)
+  * is ONE transaction: the full new content of every touched partition
+  * — delete-survivors merged with fresh appends, in BOTH trees — is
+  * staged under `_txn/`, a manifest records which live partitions are
+  * to be swapped out or dropped, and an `_ok` marker commits. Nothing
+  * live moves before the marker exists, so a crash before it discards
+  * the staging wholesale; after it, [[recover]] replays the publish
+  * forward to completion (every step is idempotent), so the lists and
+  * the ledger can never diverge durably — the swap is all-or-nothing
+  * across both trees, including partitions a delete fully empties
+  * (recorded as explicit `drop` manifest entries, never inferred from
+  * what survived a crash).
+  *
+  * Filesystem contract (deployment note): the protocol's atomicity
+  * unit is `FileSystem.rename` — atomic on HDFS and local filesystems,
+  * which is what "a crash either discards or finishes" relies on. On
+  * S3-class object stores rename is a non-atomic copy+delete, so this
+  * layout must sit behind an HDFS-semantics layer (HBoss/EMRFS-style
+  * locking) or be replaced by a manifest-commit table format (the
+  * VersionedTable discipline: immutable data files + an atomic
+  * pointer) — the store doc's "can never lie about list membership"
+  * claim is only as strong as the rename underneath it.
   */
 object IncrementalAnnIndex {
 
@@ -52,19 +68,40 @@ object IncrementalAnnIndex {
   /** Default ledger bucket count — recorded in the store at creation
     * (`ledger/_buckets_<n>`), immutable thereafter (the bucket of an id
     * must be stable for the life of the store; re-bucketing is a
-    * rebuild). Size it so |index| / buckets rows of (vec_id, cid) fit
-    * one comfortable scan task: 64 covers the gate scales; a 10B-vector
-    * deployment would init with O(1000). */
-  val DefaultLedgerBuckets = 64
+    * rebuild). Two forces size it: each bucket holds |index| /
+    * buckets rows of (vec_id, cid) and must fit one comfortable scan
+    * task (more buckets), while every
+    * maintenance transaction writes one staged file PER TOUCHED
+    * BUCKET, so an oversized bucket count taxes small deltas with
+    * near-empty files (fewer buckets). 16 suits the gate scales; a
+    * 10B-vector deployment would init with O(1000) — at that scale
+    * deltas are large and the per-file constant is noise next to the
+    * scan width it buys. */
+  val DefaultLedgerBuckets = 16
+
+  /** Below this many fresh rows, a pure append stages each tree as ONE
+    * write task instead of hash-distributing: a tiny delta otherwise
+    * fans out into one near-empty file per populated bucket. The
+    * delete path never coalesces — survivor partitions are
+    * index-partition-sized and must keep their write parallelism. */
+  private val CoalescedAppendRows = 100000L
 
   private def centroidsPath(store: String) = s"$store/centroids"
   private def listsPath(store: String) = s"$store/lists"
   private def ledgerPath(store: String) = s"$store/ledger"
-  private def rewriteTmpPath(store: String) = s"$store/_rewrite_tmp"
-  private def rewriteTrashPath(store: String) = s"$store/_rewrite_trash"
-  private def appendStagedPath(store: String) = s"$store/_append_staged"
+  private def txnPath(store: String) = s"$store/_txn"
 
   private val BucketsRe = "_buckets_(\\d+)".r
+
+  /** Stage timing for the maintenance path, printed only when
+    * SPARK_GRAFT_ANN_PROFILE is set (the Profile `anncdc` axis). */
+  private def timed[A](label: String)(f: => A): A =
+    if (sys.env.contains("SPARK_GRAFT_ANN_PROFILE")) {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[annprof] $label%-24s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    } else f
 
   private def fsOf(spark: SparkSession, p: String): (FileSystem, Path) = {
     val hp = new Path(p)
@@ -107,7 +144,7 @@ object IncrementalAnnIndex {
       buckets: Seq[Int]): DataFrame =
     spark.read.parquet(ledgerPath(store))
       .filter(col("b").isin(buckets: _*)) // static partition pruning
-      .select(col("vec_id"), col("cid"), col("b"))
+      .select(col("vec_id"), col("ref_cid").as("cid"), col("b"))
 
   /** Create the ledger if missing and return its bucket count. A
     * pre-ledger store (lists without a ledger) backfills from the
@@ -123,7 +160,7 @@ object IncrementalAnnIndex {
       fs.delete(tmp, true)
       if (hasData(spark, listsPath(store), "cid")) {
         spark.read.parquet(listsPath(store))
-          .select(col("vec_id"), col("cid").cast("long").as("cid"),
+          .select(col("vec_id"), col("cid").cast("long").as("ref_cid"),
             bucketOf(col("vec_id"), requested).as("b"))
           .repartition(col("b"))
           .write.partitionBy("b").parquet(tmp.toString)
@@ -137,18 +174,67 @@ object IncrementalAnnIndex {
       requested
     }
 
+  /** Above this many centroids the inlined-literal argmax would bloat
+    * the generated code (|centroids| cosine expressions per row), so
+    * assignment falls back to the broadcast-join form. IVF quantizers
+    * are small by design; the gate scales sit far under this. */
+  private val InlineQuantizerMax = 64
+
+  /** The quantizer collected to the driver: it is driver-sized BY
+    * DESIGN (classic IVF — lists grow, the quantizer doesn't), and
+    * FIXED after [[init]], so one read per store per JVM suffices —
+    * cached by store path, invalidated by the only writer (init's
+    * overwrite). */
+  private val centroidCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[(Long, Seq[Double])]]
+
+  private def centroidsOf(spark: SparkSession,
+      store: String): Array[(Long, Seq[Double])] =
+    centroidCache.getOrElseUpdate(centroidsPath(store),
+      spark.read.parquet(centroidsPath(store))
+        .select(col("cent_id"), col("cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))))
+
+  /** Per-centroid scored struct array for `vec`: (csim, -cent_id), so
+    * lexicographic struct ORDER encodes ivfTopK's rank discipline —
+    * similarity rounded to 4 decimals first, ties to the LOWER
+    * cent_id. One narrow expression per row: no crossJoin against the
+    * quantizer, no repartitioning window — at any corpus size the
+    * assignment is map-only and rides the surrounding stage. */
+  private def centScores(vec: Column,
+      cents: Array[(Long, Seq[Double])]): Column =
+    array(cents.map { case (cid, cv) =>
+      struct(
+        round(Similarity.cosine(vec, typedLit(cv)), 4).as("csim"),
+        lit(-cid).as("ncid"))
+    }: _*)
+
   /** Nearest-centroid assignment, identical to ivfTopK's: similarity
     * rounded to 4 decimals BEFORE the argmax, ties to the lower
-    * cent_id. Input (vec_id, v); output (vec_id, v, cid). */
-  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id"))
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("csim", round(Similarity.cosine(col("v"), col("cv")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cid"))
-  }
+    * cent_id. Input: (vec_id, v) plus carried columns; output adds
+    * `cid` and preserves the rest. Small
+    * quantizers (the normal case) assign via [[centScores]] +
+    * array_max — a shuffle-free projection; oversized ones fall back
+    * to the broadcast crossJoin + window form. */
+  private def assign(vecs: DataFrame,
+      cents: Array[(Long, Seq[Double])]): DataFrame =
+    if (cents.length <= InlineQuantizerMax) {
+      val best = array_max(centScores(col("v"), cents))
+      vecs.withColumn("cid", -best.getField("ncid"))
+    } else {
+      val spark = vecs.sparkSession
+      import spark.implicits._
+      val centsDf = cents.toSeq.toDF("cent_id", "cv")
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cent_id"))
+      vecs.crossJoin(broadcast(centsDf))
+        .withColumn("csim",
+          round(Similarity.cosine(col("v"), col("cv")), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("cid", col("cent_id"))
+        .drop("cent_id", "cv", "csim", "rn")
+    }
 
   private def vecsOf(batch: DataFrame): DataFrame =
     batch.select(col("vec_id"),
@@ -164,6 +250,7 @@ object IncrementalAnnIndex {
       .orderBy(col("vec_id")).limit(nCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     cents.write.mode("overwrite").parquet(centroidsPath(storeDir))
+    centroidCache.remove(centroidsPath(storeDir))
     appendBatch(batch, storeDir, ledgerBuckets)
   }
 
@@ -172,246 +259,333 @@ object IncrementalAnnIndex {
     * buckets the batch's ids hash to, never the index. */
   def appendBatch(batch: DataFrame, storeDir: String,
       ledgerBuckets: Int = DefaultLedgerBuckets): AppendResult = {
-    val spark = batch.sparkSession
-    recover(spark, storeDir)
-    val nb = ensureLedger(spark, storeDir, ledgerBuckets)
-    val incoming = vecsOf(batch).dropDuplicates("vec_id").localCheckpoint()
-    val fresh =
-      if (!hasData(spark, listsPath(storeDir), "cid")) incoming
-      else {
-        val buckets = incoming
-          .select(bucketOf(col("vec_id"), nb).as("b")).distinct()
-          .collect().map(_.getInt(0)).toSeq // ≤ nb values: driver-sized
-        val known = ledgerFor(spark, storeDir, buckets).select("vec_id")
-        incoming.join(known, Seq("vec_id"), "left_anti").localCheckpoint()
-      }
-    val nFresh = fresh.count()
-    if (nFresh > 0) {
-      val cents = spark.read.parquet(centroidsPath(storeDir))
-      val assigned = assign(fresh, cents)
-        .withColumn("b", bucketOf(col("vec_id"), nb))
-        .localCheckpoint() // one assignment feeds both staged layouts
-      stageAndPublish(spark, storeDir, assigned)
-    }
-    AppendResult(nFresh, incoming.count() - nFresh)
+    // per-id dedup with an arbitrary-pick vector (dropDuplicates
+    // semantics), shaped as an insert-only delta
+    val delta = vecsOf(batch)
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"),
+        lit(false).as("is_del"), lit(true).as("is_ins"),
+        lit(null).cast("string").as("bad_type"))
+    val r = applyDelta(batch.sparkSession, storeDir, ledgerBuckets, delta,
+      hasDeletes = false)
+    AppendResult(r.appended, r.skippedRedelivered)
   }
-
-  /** Stage the assigned rows in BOTH layouts (lists by cid, ledger by
-    * bucket) under one staging root, mark it complete, publish by
-    * per-file rename. The `_ok` marker is the commit point: before it,
-    * recovery discards the staging; after it, recovery finishes the
-    * publish — renames whose target exists are skipped, so replaying
-    * the publish is idempotent file by file and the two layouts can
-    * never diverge durably. */
-  private def stageAndPublish(spark: SparkSession, store: String,
-      assigned: DataFrame): Unit = {
-    val (fs, stagedP) = fsOf(spark, appendStagedPath(store))
-    fs.delete(stagedP, true)
-    assigned.select(col("vec_id"), col("v"), col("cid"))
-      .repartition(col("cid"))
-      .write.partitionBy("cid").parquet(s"$stagedP/lists")
-    assigned.select(col("vec_id"), col("cid").cast("long").as("cid"),
-        col("b"))
-      .repartition(col("b"))
-      .write.partitionBy("b").parquet(s"$stagedP/ledger")
-    val mk = fs.create(new Path(stagedP, "_ok"), false)
-    mk.close()
-    publishStaged(fs, stagedP, store)
-    fs.delete(stagedP, true)
-  }
-
-  /** Move every staged partition file into the live trees; targets
-    * that already exist were published by a previous (crashed) attempt
-    * of the SAME staging and are skipped. */
-  private def publishStaged(fs: FileSystem, stagedP: Path,
-      store: String): Unit =
-    Seq("lists" -> listsPath(store), "ledger" -> ledgerPath(store))
-      .foreach { case (sub, liveRoot) =>
-        val sp = new Path(stagedP, sub)
-        if (fs.exists(sp)) {
-          fs.listStatus(sp).filter(_.isDirectory).foreach { pd =>
-            val liveDir = new Path(liveRoot, pd.getPath.getName)
-            fs.mkdirs(liveDir)
-            fs.listStatus(pd.getPath)
-              .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-              .foreach { f =>
-                val dst = new Path(liveDir, f.getPath.getName)
-                if (!fs.exists(dst))
-                  require(fs.rename(f.getPath, dst),
-                    s"staged publish rename failed: ${f.getPath} -> $dst")
-              }
-          }
-        }
-      }
 
   /** Maintain the index off a [[graft.sinks.VersionedTable.changes]]-
     * shaped feed (vec_id, embedding, change_type, ...): the CDC
     * consumer form of index maintenance, composing with the versioned
     * corpus exactly as [[graft.sinks.IncrementalView.maintain]] does
     * for aggregates. `delete`/`update_preimage` rows REMOVE their
-    * vec_ids; `insert`/`update_postimage` rows append through
-    * [[appendBatch]] (probe-assigned to the FIXED quantizer). Removal
-    * runs first, so an update's postimage re-enters cleanly instead of
-    * being skipped as a redelivered id. An unknown change_type fails
-    * loudly (the IncrementalView requireExact discipline: a consumer
-    * that silently drops feed rows corrupts the index tracelessly).
+    * vec_ids; `insert`/`update_postimage` rows append (probe-assigned
+    * to the FIXED quantizer). Removal and append are ONE transaction —
+    * a doomed id's exit and an update postimage's re-entry land in the
+    * same staged swap, so no crash can observe the delete without the
+    * insert. An unknown change_type fails loudly (the IncrementalView
+    * requireExact discipline: a consumer that silently drops feed rows
+    * corrupts the index tracelessly).
     *
-    * Cost is delta-localized END TO END: discovery probes only the
-    * delta's ledger buckets, removal rewrites ONLY the inverted-list
-    * partitions and ledger buckets holding doomed ids (the
-    * Lucene-segment-rewrite shape — at 100 TB a delta touches a
-    * handful of lists, never the index), and the append is |inserts|
-    * work as always. Replay converges: a redelivered feed finds
-    * deletes already gone and inserts already known (redelivery skip);
-    * an update's preimage+postimage re-apply — removal then re-insert
-    * of the same (id, vector) — landing on identical content. */
-  def applyChanges(feed: DataFrame, storeDir: String): ChangesResult = {
-    val types = feed.select("change_type").distinct()
-      .collect().map(_.getString(0)).toSet
-    val unknown = types --
-      Set("insert", "delete", "update_preimage", "update_postimage")
-    require(unknown.isEmpty,
-      s"IncrementalAnnIndex: unknown change_type(s): ${unknown.mkString(", ")}")
-    val doomed = feed
-      .filter(col("change_type").isin("delete", "update_preimage"))
-      .select("vec_id").distinct()
-    val removed = removeIds(doomed, storeDir)
-    val ar = appendBatch(
-      feed.filter(col("change_type").isin("insert", "update_postimage"))
-        .select(col("vec_id"), col("embedding")),
-      storeDir)
-    ChangesResult(removed, ar.appended, ar.skippedRedelivered)
+    * Cost is delta-localized END TO END: the feed (often an expensive
+    * CDC-diff plan) is scanned ONCE into a per-id delta checkpoint;
+    * ONE bucket-pruned ledger probe serves discovery, the redelivery
+    * skip, the removed-count, and the skipped-count; the rewrite
+    * touches ONLY the inverted-list partitions and ledger buckets
+    * holding doomed ids (the Lucene-segment-rewrite shape — at 100 TB
+    * a delta touches a handful of lists, never the index); the append
+    * is |inserts| work as always. Replay converges: a redelivered feed
+    * finds deletes already gone and inserts already known (redelivery
+    * skip); an update's preimage+postimage re-apply — removal and
+    * re-insert of the same (id, vector) — landing on identical
+    * content. */
+  def applyChanges(feed: DataFrame, storeDir: String,
+      ledgerBuckets: Int = DefaultLedgerBuckets): ChangesResult = {
+    val isDel = col("change_type").isin("delete", "update_preimage")
+    val isIns = col("change_type").isin("insert", "update_postimage")
+    // ONE scan of the feed: per-id role flags, the insert-side vector,
+    // and any unknown change_type captured for the loud failure (the
+    // check itself runs on the checkpoint, not a second feed scan)
+    val delta = feed
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        col("change_type"))
+      .groupBy(col("vec_id"))
+      .agg(
+        (max(when(isDel, 1).otherwise(0)) === 1).as("is_del"),
+        (max(when(isIns, 1).otherwise(0)) === 1).as("is_ins"),
+        first(when(isIns, col("v")), ignoreNulls = true).as("v"),
+        max(when(!(isDel || isIns), col("change_type"))).as("bad_type"))
+      .select(col("vec_id"), col("v"), col("is_del"), col("is_ins"),
+        col("bad_type"))
+    applyDelta(feed.sparkSession, storeDir, ledgerBuckets, delta,
+      hasDeletes = true)
   }
 
-  /** Delete `ids` from the store by rewriting ONLY the list partitions
-    * and ledger buckets that hold them. Discovery is bucket-pruned:
-    * the doomed ids' (bucket, cid) pairs come from a ledger probe of
-    * the delta's buckets — the index itself is read only for the
-    * touched partitions' rewrite. Crash-safe single-writer protocol:
-    * survivors land in a tmp dir while the originals are intact, then
-    * each affected partition (both trees) swaps through a trash dir —
-    * [[recoverRewrite]] at entry restores any half-swapped partition
-    * from trash, so no crash window loses rows. Every rename's result
-    * is require()d: a filesystem that REFUSES a rename (returns false
-    * instead of throwing) aborts loudly before the store can be left
-    * inconsistent without a trace. Returns the number of removed list
-    * entries. */
-  private def removeIds(ids: DataFrame, storeDir: String): Long = {
-    val spark = ids.sparkSession
-    recover(spark, storeDir)
-    if (!hasData(spark, listsPath(storeDir), "cid")) return 0L
-    val nb = ensureLedger(spark, storeDir, DefaultLedgerBuckets)
-    val idsB = ids
-      .select(col("vec_id"), bucketOf(col("vec_id"), nb).as("b"))
-      .localCheckpoint()
-    val doomedBuckets = idsB.select("b").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    // delta-localized discovery: (bucket, list) pairs actually holding
-    // doomed ids — a probe of the delta's ledger buckets only, and
-    // driver-sized output (≤ |buckets| × |centroids| pairs)
-    val hit = ledgerFor(spark, storeDir, doomedBuckets)
-      .join(idsB.select("vec_id"), Seq("vec_id"), "left_semi")
-      .select(col("b"), col("cid").cast("long").as("cid")).distinct()
-      .collect()
-    if (hit.isEmpty) return 0L
-    val affectedCids = hit.map(_.getLong(1)).distinct.sorted
-    val affectedBuckets = hit.map(_.getInt(0)).distinct.sorted
+  /** The one maintenance primitive: remove the delta's `is_del` ids
+    * and append its `is_ins` vectors, as a single staged transaction
+    * over both trees.
+    *
+    * Planned for minimum fixed overhead as much as minimum I/O — a
+    * CDC consumer runs this on EVERY delta, so constant per-call cost
+    * is the throughput at high delta rates. Exactly four substantial
+    * jobs run per call: (1) the delta checkpoint (one scan of the
+    * feed), (2) the bucket-pruned ledger probe joined with the delta's
+    * flags (delta-bounded, checkpointed), (3+4) the two staged-tree
+    * writes. Everything else is a driver-sized collect over a
+    * checkpoint: one summary (insert count + unknown-type check +
+    * the delta's bucket set) and one probe aggregation that yields the
+    * affected (bucket, list) pairs, the removed total, AND the
+    * redelivered count — so no standalone count job ever runs against
+    * the index or the staged output. */
+  private def applyDelta(spark: SparkSession, store: String,
+      requestedBuckets: Int, deltaRaw: DataFrame,
+      hasDeletes: Boolean): ChangesResult = {
+    timed("recover")(recover(spark, store))
+    val nb = timed("ensureLedger")(
+      ensureLedger(spark, store, requestedBuckets))
+    val delta = timed("delta ckpt")(deltaRaw
+      .withColumn("b", bucketOf(col("vec_id"), nb))
+      .localCheckpoint())
+    // one driver-sized pass over the checkpoint: loud unknown-type
+    // failure, the insert count, and the delta's hash-bucket set
+    val summary = timed("summary collect")(delta.agg(
+      sum(when(col("is_ins"), 1L).otherwise(0L)).as("n_incoming"),
+      collect_set(col("bad_type")).as("bad"),
+      collect_set(col("b")).as("buckets")).head())
+    val bad = summary.getSeq[String](1)
+    require(bad.isEmpty,
+      s"IncrementalAnnIndex: unknown change_type(s): ${bad.mkString(", ")}")
+    val nIncoming = Option(summary.get(0)).map(_.asInstanceOf[Long])
+      .getOrElse(0L)
+    val buckets = summary.getSeq[Int](2)
 
-    val idsC = idsB.select("vec_id")
-    val (fs, _) = fsOf(spark, storeDir)
-    val listsRoot = new Path(listsPath(storeDir))
-    val ledgerRoot = new Path(ledgerPath(storeDir))
-    val tmp = new Path(rewriteTmpPath(storeDir))
-    val trash = new Path(rewriteTrashPath(storeDir))
-    fs.delete(tmp, true)
+    // ONE bucket-pruned ledger probe, the delta's flags joined in:
+    // delta-bounded, so every downstream id decision is local
+    val probe: Option[DataFrame] =
+      if (buckets.isEmpty || !hasData(spark, ledgerPath(store), "b")) None
+      else Some(timed("probe ckpt")(ledgerFor(spark, store, buckets)
+        .select(col("vec_id"), col("cid").cast("long").as("cid"), col("b"))
+        .join(delta.select(col("vec_id"), col("is_del"), col("is_ins")),
+          Seq("vec_id"))
+        .localCheckpoint()))
 
-    val touched = spark.read.parquet(listsPath(storeDir))
-      .filter(col("cid").isin(affectedCids: _*))
-    val nBefore = touched.count()
-    // 1. survivors to tmp — the originals are still fully intact
-    val survivors = touched.join(idsC, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("v"), col("cid"))
-    survivors.write.partitionBy("cid").parquet(s"$tmp/lists")
-    ledgerFor(spark, storeDir, affectedBuckets)
-      .join(idsC, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("cid"), col("b"))
-      .write.partitionBy("b").parquet(s"$tmp/ledger")
-    val nAfter = survivors.count() // originals still intact here
-    // 2. originals aside (preserved until the swap lands)...
-    fs.mkdirs(new Path(trash, "lists"))
-    fs.mkdirs(new Path(trash, "ledger"))
-    affectedCids.foreach { c =>
-      val src = new Path(listsRoot, s"cid=$c")
-      val dst = new Path(trash, s"lists/cid=$c")
-      require(fs.rename(src, dst), s"rewrite rename failed: $src -> $dst")
+    // one driver-sized aggregation of the probe: the affected
+    // (bucket, list) pairs and doomed-row counts (removed), plus the
+    // already-known insert count (skipped) — ≤ |buckets| x |lists| x 4
+    val stats: Array[(Int, Long, Boolean, Boolean, Long)] = probe match {
+      case Some(p) if hasDeletes || nIncoming > 0 =>
+        timed("stats collect")(
+          p.groupBy(col("b"), col("cid"), col("is_del"), col("is_ins"))
+            .count().collect()
+            .map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2),
+              r.getBoolean(3), r.getLong(4))))
+      case _ => Array.empty
     }
-    affectedBuckets.foreach { k =>
-      val src = new Path(ledgerRoot, s"b=$k")
-      val dst = new Path(trash, s"ledger/b=$k")
-      require(fs.rename(src, dst), s"rewrite rename failed: $src -> $dst")
+    val removed = stats.filter(_._3).map(_._5).sum
+    val skipped = stats.filter(t => t._4 && !t._3).map(_._5).sum
+    val affectedCids = stats.filter(_._3).map(_._2).distinct.sorted.toSeq
+    val affectedBuckets = stats.filter(_._3).map(_._1).distinct.sorted.toSeq
+    val nFresh = nIncoming - skipped
+    if (nFresh == 0 && affectedCids.isEmpty)
+      return ChangesResult(0L, 0L, skipped)
+
+    // fresh inserts: not known to the ledger unless doomed this delta
+    // (an update's postimage re-enters). Narrow recomputation over the
+    // two checkpoints — no materialization of its own.
+    val incoming = delta.filter(col("is_ins"))
+      .select(col("vec_id"), col("v"), col("b"))
+    val fresh = probe match {
+      case None => incoming
+      case Some(p) => incoming.join(
+        p.filter(!col("is_del")).select("vec_id"), Seq("vec_id"),
+        "left_anti")
     }
-    // 3. ...surviving partitions in (a fully-emptied partition simply
-    // has no tmp dir and stays deleted)
-    Seq("lists" -> listsRoot, "ledger" -> ledgerRoot).foreach {
-      case (sub, liveRoot) =>
-        val tp = new Path(tmp, sub)
-        if (fs.exists(tp))
-          fs.listStatus(tp).filter(_.isDirectory).foreach { d =>
-            val dst = new Path(liveRoot, d.getPath.getName)
-            require(fs.rename(d.getPath, dst),
-              s"rewrite rename failed: ${d.getPath} -> $dst")
+    val cents = centroidsOf(spark, store)
+    val assigned = assign(fresh, cents)
+    val doomedIds = delta.filter(col("is_del")).select("vec_id")
+
+    val newLists = assigned
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    val listsOut =
+      if (affectedCids.isEmpty) newLists
+      else spark.read.parquet(listsPath(store))
+        .filter(col("cid").isin(affectedCids: _*)) // static pruning
+        .join(doomedIds, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+        .unionByName(newLists)
+    val newLedger = assigned
+      .select(col("vec_id"), col("cid").cast("long").as("cid"), col("b"))
+    val ledgerOut =
+      if (affectedBuckets.isEmpty) newLedger
+      else ledgerFor(spark, store, affectedBuckets)
+        .join(doomedIds, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cid").cast("long").as("cid"), col("b"))
+        .unionByName(newLedger)
+
+    timed("commitTxn")(commitTxn(spark, store, listsOut, ledgerOut,
+      affectedCids, affectedBuckets,
+      coalesce = affectedCids.isEmpty && nFresh <= CoalescedAppendRows))
+    ChangesResult(removed, nFresh, skipped)
+  }
+
+  /** Stage both trees under `_txn/`, record the manifest, mark `_ok`,
+    * publish. Before the marker nothing live has moved (a crash
+    * discards the staging wholesale); the marker commits the
+    * transaction and [[publishTxn]] is forward-idempotent from any
+    * crash point after it. */
+  private def commitTxn(spark: SparkSession, store: String,
+      listsOut: DataFrame, ledgerOut: DataFrame,
+      replaceCids: Seq[Long], replaceBuckets: Seq[Int],
+      coalesce: Boolean): Unit = {
+    val (fs, txnP) = fsOf(spark, txnPath(store))
+    fs.delete(txnP, true)
+    // ONE write action stages BOTH trees: rows union under
+    // (tree, pk) hive partitioning — publish translates `pk=<n>` to
+    // the live `cid=<n>` / `b=<n>` dir names. The list id is stored
+    // as `ref_cid` so a lists FILE never carries a data column named
+    // like its partition column (ledger reads alias it back to cid;
+    // lists reads never select it).
+    val vType = listsOut.schema("v").dataType
+    val combined = listsOut
+      .select(col("vec_id"), col("v"),
+        col("cid").cast("long").as("ref_cid"),
+        lit("lists").as("tree"), col("cid").cast("long").as("pk"))
+      .unionByName(ledgerOut.select(col("vec_id"),
+        lit(null).cast(vType).as("v"),
+        col("cid").cast("long").as("ref_cid"),
+        lit("ledger").as("tree"), col("b").cast("long").as("pk")))
+    val shaped =
+      if (coalesce) combined.repartition(1)
+      else combined.repartition(col("tree"), col("pk"))
+    timed("  staged write")(shaped
+      .write.partitionBy("tree", "pk").parquet(s"$txnP/data"))
+    // manifest: every live partition this transaction replaces. A
+    // replaced partition with staged survivors swaps; one a delete
+    // fully emptied is an explicit `drop` — never inferred from what a
+    // crash left behind (the inference is exactly what a half-swapped
+    // recovery cannot do safely).
+    def stagedParts(sub: String): Set[Long] = {
+      val p = new Path(txnP, s"data/tree=$sub")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("pk=").toLong).toSet
+    }
+    val stagedLists = stagedParts("lists")
+    val stagedLedger = stagedParts("ledger")
+    val manifest =
+      replaceCids.map(c =>
+        s"${if (stagedLists(c)) "swap" else "drop"} lists cid=$c") ++
+      replaceBuckets.map(k =>
+        s"${if (stagedLedger(k.toLong)) "swap" else "drop"} ledger b=$k")
+    val mf = fs.create(new Path(txnP, "_manifest"), true)
+    mf.write(manifest.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    mf.close()
+    val mk = fs.create(new Path(txnP, "_ok"), false)
+    mk.close()
+    timed("  publish")(publishTxn(fs, txnP, store))
+    fs.delete(txnP, true)
+  }
+
+  private def readManifest(fs: FileSystem,
+      p: Path): Seq[(String, String, String)] = {
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      line.split(" ") match {
+        case Array(action, sub, part) => (action, sub, part)
+        case _ => throw new IllegalStateException(
+          s"corrupt txn manifest line: '$line'")
+      }
+    }
+  }
+
+  /** Publish a marked transaction into the live trees — forward-only
+    * and idempotent from any crash point. Per tree: manifest `swap`s
+    * move the live partition aside (into the txn's own trash, gone
+    * with the txn dir) and rename the staged partition in; `drop`s
+    * move the live partition aside; everything still staged after the
+    * swaps is an APPEND — a whole-directory rename when the live
+    * partition doesn't exist yet (init and new lists publish as one
+    * rename per partition), else per-file renames skipping names
+    * already published, resolved against ONE listing of the live
+    * partition. Staged partitions are named `pk=<n>` (both trees ride
+    * one staged write); the rename maps them to the live `cid=<n>` /
+    * `b=<n>` names. */
+  private def publishTxn(fs: FileSystem, txnP: Path,
+      store: String): Unit = {
+    val manifest = readManifest(fs, new Path(txnP, "_manifest"))
+    Seq(("lists", "cid", new Path(listsPath(store))),
+        ("ledger", "b", new Path(ledgerPath(store)))).foreach {
+      case (sub, livePrefix, liveRoot) =>
+        val stagedSub = new Path(txnP, s"data/tree=$sub")
+        fs.mkdirs(liveRoot)
+        manifest.filter(_._2 == sub).foreach { case (action, _, part) =>
+          val stagedDir = new Path(stagedSub,
+            "pk=" + part.substring(part.indexOf('=') + 1))
+          val liveDir = new Path(liveRoot, part)
+          val trashDir = new Path(txnP, s"_trash/$sub/$part")
+          action match {
+            case "swap" =>
+              // staged dir already gone ⇒ this swap was published by
+              // a crashed attempt — nothing to do
+              if (fs.exists(stagedDir)) {
+                if (fs.exists(liveDir)) {
+                  fs.mkdirs(trashDir.getParent)
+                  require(fs.rename(liveDir, trashDir),
+                    s"txn publish rename failed: $liveDir -> $trashDir")
+                }
+                require(fs.rename(stagedDir, liveDir),
+                  s"txn publish rename failed: $stagedDir -> $liveDir")
+              }
+            case "drop" =>
+              if (fs.exists(liveDir)) {
+                fs.mkdirs(trashDir.getParent)
+                require(fs.rename(liveDir, trashDir),
+                  s"txn publish rename failed: $liveDir -> $trashDir")
+              }
+            case other => throw new IllegalStateException(
+              s"corrupt txn manifest action: '$other'")
           }
-    }
-    fs.delete(trash, true)
-    fs.delete(tmp, true)
-    nBefore - nAfter
-  }
-
-  /** Finish whatever a crashed maintenance call left behind, in the
-    * only order that can arise (operations are sequential, so at most
-    * one is pending): a half-swapped rewrite restores, then a marked
-    * staged append publishes. Both are idempotent. */
-  private def recover(spark: SparkSession, storeDir: String): Unit = {
-    recoverRewrite(spark, storeDir)
-    recoverAppend(spark, storeDir)
-  }
-
-  /** Restore any partition a crashed [[removeIds]] left half-swapped:
-    * a trash dir whose partition is MISSING from the live tree goes
-    * back (the rerun re-deletes from it); one whose partition is
-    * present was already swapped — drop the stale copy. */
-  private def recoverRewrite(spark: SparkSession, storeDir: String): Unit = {
-    val (fs, trash) = fsOf(spark, rewriteTrashPath(storeDir))
-    if (fs.exists(trash)) {
-      Seq("lists" -> new Path(listsPath(storeDir)),
-          "ledger" -> new Path(ledgerPath(storeDir))).foreach {
-        case (sub, liveRoot) =>
-          val tp = new Path(trash, sub)
-          if (fs.exists(tp)) {
-            fs.mkdirs(liveRoot)
-            fs.listStatus(tp).filter(_.isDirectory).foreach { d =>
-              val live = new Path(liveRoot, d.getPath.getName)
-              if (!fs.exists(live))
-                require(fs.rename(d.getPath, live),
-                  s"rewrite recovery rename failed: ${d.getPath} -> $live")
+        }
+        if (fs.exists(stagedSub)) {
+          fs.listStatus(stagedSub).filter(_.isDirectory).foreach { pd =>
+            val liveName =
+              livePrefix + "=" + pd.getPath.getName.stripPrefix("pk=")
+            val liveDir = new Path(liveRoot, liveName)
+            if (!fs.exists(liveDir)) {
+              require(fs.rename(pd.getPath, liveDir),
+                s"txn publish rename failed: ${pd.getPath} -> $liveDir")
+            } else {
+              val have = fs.listStatus(liveDir)
+                .map(_.getPath.getName).toSet
+              fs.listStatus(pd.getPath)
+                .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+                .foreach { f =>
+                  if (!have(f.getPath.getName))
+                    require(fs.rename(f.getPath,
+                      new Path(liveDir, f.getPath.getName)),
+                      s"txn publish rename failed: ${f.getPath}")
+                }
             }
           }
-      }
-      fs.delete(trash, true)
+        }
     }
-    fs.delete(new Path(rewriteTmpPath(storeDir)), true)
   }
 
-  /** Finish or discard a crashed [[stageAndPublish]]: a staging with
-    * the `_ok` marker publishes (file renames skip existing targets);
-    * one without is incomplete and nothing of it was ever live —
-    * discard it wholesale. */
-  private def recoverAppend(spark: SparkSession, storeDir: String): Unit = {
-    val (fs, stagedP) = fsOf(spark, appendStagedPath(storeDir))
-    if (fs.exists(stagedP)) {
-      if (fs.exists(new Path(stagedP, "_ok")))
-        publishStaged(fs, stagedP, storeDir)
-      fs.delete(stagedP, true)
+  /** Finish whatever a crashed maintenance call left behind: a marked
+    * transaction publishes forward (idempotent), an unmarked one never
+    * touched the live trees and discards wholesale. */
+  private def recover(spark: SparkSession, storeDir: String): Unit = {
+    val (fs, txnP) = fsOf(spark, txnPath(storeDir))
+    if (fs.exists(txnP)) {
+      if (fs.exists(new Path(txnP, "_ok")))
+        publishTxn(fs, txnP, storeDir)
+      fs.delete(txnP, true)
     }
   }
 
@@ -425,17 +599,31 @@ object IncrementalAnnIndex {
   def topK(queries: DataFrame, storeDir: String, k: Int,
       nProbe: Int = Similarity.IvfProbes): DataFrame = {
     val spark = queries.sparkSession
-    val cents = spark.read.parquet(centroidsPath(storeDir))
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("csim").desc, col("cent_id"))
-    val probes = queries
+    val cents = centroidsOf(spark, storeDir)
+    // probe selection over the driver-sized quantizer is a narrow
+    // sort-and-slice per query row (same (round, desc, lower-id)
+    // ordering as the window form — struct order encodes it), not a
+    // crossJoin + repartitioning window; oversized quantizers fall
+    // back to the join form, like [[assign]]
+    val qv = queries
       .select(col("qid"), col("embedding").cast("array<double>").as("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", round(Similarity.cosine(col("qv"), col("cv")), 4))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nProbe)
-      .select(col("qid"), col("qv"), col("cent_id").as("cid"))
-      .localCheckpoint()
+    val probes = (if (cents.length <= InlineQuantizerMax) {
+      qv.select(col("qid"), col("qv"),
+          explode(slice(sort_array(centScores(col("qv"), cents),
+            asc = false), 1, nProbe)).as("p"))
+        .select(col("qid"), col("qv"), (-col("p.ncid")).as("cid"))
+    } else {
+      import spark.implicits._
+      val centsDf = cents.toSeq.toDF("cent_id", "cv")
+      val wProbe = Window.partitionBy(col("qid"))
+        .orderBy(col("csim").desc, col("cent_id"))
+      qv.crossJoin(broadcast(centsDf))
+        .withColumn("csim",
+          round(Similarity.cosine(col("qv"), col("cv")), 4))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= nProbe)
+        .select(col("qid"), col("qv"), col("cent_id").as("cid"))
+    }).localCheckpoint()
     val probedCids = probes.select("cid").distinct()
       .collect().map(_.getLong(0)).toSeq
     val lists = spark.read.parquet(listsPath(storeDir))

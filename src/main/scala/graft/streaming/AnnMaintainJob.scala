@@ -25,12 +25,19 @@ import graft.sim.IncrementalAnnIndex
   * crash window between applyChanges and the marker create is safe:
   * redelivery re-applies, and applyChanges converges on replay.
   *
-  * Feed layout contract (same as MvMaintainJob): one file per delta.
-  * An EMPTY delta (a producer's no-op commit) is tolerated as the next
-  * chain link — it has no rows to stamp, so its position derives from
-  * the checkpointed batch id; it applies as a no-op and advances the
-  * marker, keeping the two maintenance jobs' producer contracts
-  * aligned.
+  * Feed layout contract (same as MvMaintainJob): one file per delta,
+  * landed in version order. Every batch occupies exactly ONE chain
+  * slot, pinned by the stable checkpointed batch id — and a STAMPED
+  * batch must AGREE with its slot, so a feed whose file-source
+  * (mtime) ordering disagrees with the version stamps fails loudly
+  * before anything applies. That agreement is what makes EMPTY deltas
+  * (a producer's no-op commit) safe to tolerate: an empty file has no
+  * rows to stamp, so its slot derives from the batch id alone — if an
+  * empty file ever sorted ahead of a real neighbor, the neighbor's
+  * own stamps would contradict ITS slot and abort the drain, instead
+  * of the marker silently advancing past an unapplied delta (the
+  * failure mode a bare `v_to <= applied-through` skip cannot
+  * distinguish from a true redelivery).
   */
 object AnnMaintainJob {
 
@@ -92,17 +99,29 @@ object AnnMaintainJob {
         require(stamps.length <= 1,
           s"ANN CDC batch $id carries ${stamps.length} (v_from, v_to) " +
             "stamps — each delta must land as its own file")
-        // an EMPTY delta (a producer's no-op commit) carries no rows
-        // to stamp: the one-file-per-delta contract pins its chain
-        // position by the checkpointed batch id, so it applies as a
-        // no-op and still advances the marker — a no-op commit can
+        // every batch occupies exactly one chain slot, pinned by the
+        // stable checkpointed batch id. A STAMPED batch must agree
+        // with its slot — this is what catches a feed whose mtime
+        // ordering put an EMPTY delta ahead of a real one (the empty
+        // file would claim the real delta's slot, and the real delta's
+        // own stamps then contradict its shifted slot HERE, aborting
+        // the drain before the marker can silently advance past it).
+        // An empty delta (a producer's no-op commit) carries no rows
+        // to stamp, so its slot derives from the id alone: it applies
+        // as a no-op and advances the marker — a no-op commit can
         // never wedge the chain, and MvMaintainJob's producer contract
         // (empty deltas tolerated) holds here too. The through-check
-        // below still skips a REDELIVERED empty file (its id, and so
-        // its derived v_to, is stable across replays) instead of
-        // re-advancing the marker.
-        val (vf, vt) = stamps.headOption.getOrElse(
-          (seedSourceVersion + id, seedSourceVersion + id + 1))
+        // below still skips a REDELIVERED file (its id, and so its
+        // slot, is stable across replays) instead of re-applying.
+        val slotFrom = seedSourceVersion + id
+        val (vf, vt) = stamps.headOption.getOrElse((slotFrom, slotFrom + 1))
+        require(vf == slotFrom && vt == slotFrom + 1,
+          s"ANN CDC batch $id is out of order: carries v_from=$vf, " +
+            s"v_to=$vt but its chain slot is v$slotFrom -> " +
+            s"v${slotFrom + 1} — the feed must land as the contiguous " +
+            "chain of adjacent-version deltas, one file per delta, in " +
+            "version order (a mis-sorted empty delta shifts every " +
+            "later slot and is caught here)")
         val through = appliedThrough(spark, storeDir, seedSourceVersion)
         if (vt <= through) {
           skipped += 1

@@ -119,6 +119,41 @@ class AnnMaintainJobSpec extends AnyFunSuite {
     assert(r2.appliedThrough == v2)
   }
 
+  test("a mis-sorted empty delta fails loudly instead of masking a real one") {
+    // the silent-loss scenario: the v1->v2 EMPTY delta's file sorts
+    // (by mtime) BEFORE the real v0->v1 delta. The empty file claims
+    // chain slot 0 and advances the marker; under a bare
+    // `v_to <= applied-through` skip the real delta would then be
+    // silently dropped as a redelivery. The slot check instead sees
+    // the real delta's own stamps contradict its shifted slot and
+    // aborts the drain with the store untouched.
+    val base = Files.createTempDirectory("annjob_missort").toString
+    val root = s"$base/vt"
+    val v0 = VersionedTable.commit(vecs(0 until 100), root)
+    val v1 = VersionedTable.commit(vecs(0 until 120), root)
+    val v2 = VersionedTable.commit(vecs(0 until 120), root) // no-op commit
+    val store = s"$base/ivf"
+    IncrementalAnnIndex.init(VersionedTable.readVersion(spark, root, v0), store)
+    val cdc = s"$base/cdc"
+    // the EMPTY v1->v2 delta lands first (earlier mtime) ...
+    VersionedTable.changes(spark, root, v1, v2, Seq("vec_id"))
+      .coalesce(1).write.mode("append").parquet(cdc)
+    Thread.sleep(1100) // distinct mtimes: file-source order is pinned
+    // ... the REAL v0->v1 delta (inserts 100..119) lands second
+    VersionedTable.changes(spark, root, v0, v1, Seq("vec_id"))
+      .coalesce(1).write.mode("append").parquet(cdc)
+    val ex = intercept[Exception] {
+      AnnMaintainJob.runOnce(spark, cdc, store, s"$base/ckpt",
+        seedSourceVersion = v0)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("out of order")))
+    assert(listedIds(store) == (0 until 100).map(_.toLong).toSet,
+      "the real delta must NOT be silently skipped nor applied")
+  }
+
   test("an out-of-order delta fails loudly; the store is untouched") {
     val base = Files.createTempDirectory("annjob_ooo").toString
     val root = s"$base/vt"

@@ -23,7 +23,7 @@ class IncrementalAnnSpec extends AnyFunSuite {
   import spark.implicits._
 
   /** Deterministic synthetic embeddings, dim 8. */
-  private def vecs(ids: Range) = ids.map { i =>
+  private def vecs(ids: Seq[Int]) = ids.map { i =>
     (i.toLong, (0 until 8).map(d =>
       (((i * 31 + d * 7) % 13) - 6).toFloat / 6f).toArray)
   }.toDF("vec_id", "embedding")
@@ -122,7 +122,7 @@ class IncrementalAnnSpec extends AnyFunSuite {
     // the ledger sidecar mirrors the lists exactly — same (id -> list)
     // map after deletes, inserts, updates, and the replay
     val ledger = spark.read.parquet(s"$store/ledger")
-      .select(col("vec_id"), col("cid").cast("string"))
+      .select(col("vec_id"), col("ref_cid").cast("string"))
       .collect().map(r0 => (r0.getLong(0), r0.getString(1))).toSet
     assert(ledger == after)
 
@@ -134,36 +134,67 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("unknown change_type"))
   }
 
-  test("applyChanges recovery: a half-swapped partition restores first") {
-    val store = Files.createTempDirectory("annrec").toString + "/store"
-    IncrementalAnnIndex.init(vecs(0 until 200), store)
+  test("a marked txn with an emptied partition stays dropped in BOTH trees") {
+    // the crash window that breaks per-partition recovery rules: a
+    // delete fully empties a list partition (no staged survivor), the
+    // process dies right after the commit marker. Recovery must finish
+    // the drop in BOTH trees — restoring the lists partition while the
+    // ledger drops its rows would leave the doomed ids queryable
+    // forever AND let a re-insert pass the redelivery skip into
+    // duplicate rows. The manifest's explicit `drop` entries make the
+    // publish forward-only, so neither can happen.
+    val store = Files.createTempDirectory("anndrop").toString + "/store"
+    IncrementalAnnIndex.init(vecs(0 until 100), store)
     val lists = spark.read.parquet(s"$store/lists")
-    val baseline = lists.select("vec_id").collect().map(_.getLong(0)).toSet
-    // simulate a crash between the trash and live renames: one list
-    // partition sits in _rewrite_trash, missing from the live lists
-    val cids = lists.select(col("cid").cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    val victim = cids.head
-    val other = baseline.find { id =>
-      lists.filter(col("vec_id") === id)
-        .select(col("cid").cast("long")).head().getLong(0) != victim
-    }.get
+    val victim = lists.select(col("cid").cast("long")).distinct()
+      .orderBy("cid").head().getLong(0)
+    val doomed = lists.filter(col("cid") === victim)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(doomed.nonEmpty)
+    val ledger = spark.read.parquet(s"$store/ledger")
+    val buckets = ledger.filter(col("vec_id").isin(doomed: _*))
+      .select("b").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // craft the zero-publish-progress state of a crashed
+    // applyChanges(delete all of the victim list's ids): staged
+    // survivors (none for the lists tree — the partition empties;
+    // bucket survivors for the ledger tree), manifest, _ok marker
+    val txn = s"$store/_txn"
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$store/_rewrite_trash/lists"))
-    assert(fs.rename(
-      new org.apache.hadoop.fs.Path(s"$store/lists/cid=$victim"),
-      new org.apache.hadoop.fs.Path(
-        s"$store/_rewrite_trash/lists/cid=$victim")))
-    // next maintenance call must restore the victim partition, then
-    // apply its own delete — no row outside the delete is lost
-    val feed = vecs(other.toInt until other.toInt + 1)
-      .withColumn("change_type", lit("delete"))
-    IncrementalAnnIndex.applyChanges(feed, store)
-    val ids = spark.read.parquet(s"$store/lists")
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(ids == baseline - other)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/_rewrite_trash")))
+    ledger.filter(col("b").isin(buckets: _*))
+      .filter(!col("vec_id").isin(doomed: _*))
+      .select(col("vec_id"),
+        lit(null).cast("array<double>").as("v"),
+        col("ref_cid").cast("long").as("ref_cid"),
+        lit("ledger").as("tree"), col("b").cast("long").as("pk"))
+      .write.partitionBy("tree", "pk").parquet(s"$txn/data")
+    val stagedB = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$txn/data/tree=ledger"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    val manifest = (Seq(s"drop lists cid=$victim") ++
+      buckets.map(k =>
+        s"${if (stagedB(s"pk=$k")) "swap" else "drop"} ledger b=$k"))
+      .mkString("\n")
+    val mf = fs.create(new org.apache.hadoop.fs.Path(s"$txn/_manifest"), true)
+    mf.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    mf.close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$txn/_ok"), false).close()
+    // re-deliver the doomed ids: recovery finishes the drop FIRST, so
+    // every one of them is a FRESH append (not redelivery-skipped), and
+    // the store ends with no duplicates and agreeing trees
+    val r = IncrementalAnnIndex.appendBatch(vecs(doomed.map(_.toInt)), store)
+    assert(r.appended == doomed.size && r.skippedRedelivered == 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(txn)))
+    val after = spark.read.parquet(s"$store/lists")
+      .select(col("vec_id"), col("cid").cast("string"))
+      .collect().map(r0 => (r0.getLong(0), r0.getString(1)))
+    assert(after.length == 100, s"no duplicate rows: ${after.length}")
+    assert(after.map(_._1).toSet == (0 until 100).map(_.toLong).toSet)
+    val ledgerAfter = spark.read.parquet(s"$store/ledger")
+      .select(col("vec_id"), col("ref_cid").cast("string"))
+      .collect().map(r0 => (r0.getLong(0), r0.getString(1)))
+    assert(ledgerAfter.sorted.toSeq == after.sorted.toSeq,
+      "ledger must mirror the lists exactly after recovery")
   }
 
   private def scans(
@@ -207,19 +238,28 @@ class IncrementalAnnSpec extends AnyFunSuite {
   test("a marked staged append publishes on the next maintenance call") {
     val store = Files.createTempDirectory("annstage").toString + "/store"
     IncrementalAnnIndex.init(vecs(0 until 100), store)
-    // craft the staging exactly as a crash AFTER the _ok marker but
-    // BEFORE the publish would leave it: both layouts staged, marker on
-    val staged = s"$store/_append_staged"
+    // craft the txn exactly as a crash AFTER the _ok marker but BEFORE
+    // the publish would leave it: both trees staged, empty manifest (a
+    // pure append replaces nothing), marker on
+    val staged = s"$store/_txn"
     val newRows = vecs(500 until 510)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("cid", lit(0L))
-    newRows.repartition(col("cid"))
-      .write.partitionBy("cid").parquet(s"$staged/lists")
-    newRows.select(col("vec_id"), col("cid"),
-        pmod(hash(col("vec_id")), lit(64)).as("b"))
-      .repartition(col("b")).write.partitionBy("b").parquet(s"$staged/ledger")
+    newRows
+      .select(col("vec_id"), col("v"), col("cid").as("ref_cid"),
+        lit("lists").as("tree"), col("cid").as("pk"))
+      .unionByName(newRows.select(col("vec_id"),
+        lit(null).cast("array<double>").as("v"), col("cid").as("ref_cid"),
+        lit("ledger").as("tree"),
+        pmod(hash(col("vec_id")),
+          lit(IncrementalAnnIndex.DefaultLedgerBuckets))
+          .cast("long").as("pk")))
+      .repartition(1)
+      .write.partitionBy("tree", "pk").parquet(s"$staged/data")
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(s"$staged/_manifest"), true)
+      .close()
     fs.create(new org.apache.hadoop.fs.Path(s"$staged/_ok"), false).close()
     // redelivery of the same ids: recovery must publish the staging
     // FIRST, then the (now-current) ledger skips every id
@@ -238,11 +278,11 @@ class IncrementalAnnSpec extends AnyFunSuite {
   test("an unmarked staging (crash mid-stage) is discarded wholesale") {
     val store = Files.createTempDirectory("annstage2").toString + "/store"
     IncrementalAnnIndex.init(vecs(0 until 100), store)
-    val staged = s"$store/_append_staged"
+    val staged = s"$store/_txn"
     vecs(500 until 505)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("cid", lit(0L))
-      .write.partitionBy("cid").parquet(s"$staged/lists")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        lit(0L).as("ref_cid"), lit("lists").as("tree"), lit(0L).as("pk"))
+      .write.partitionBy("tree", "pk").parquet(s"$staged/data")
     // no _ok marker: nothing of this staging may ever become live
     val r = IncrementalAnnIndex.appendBatch(vecs(500 until 505), store)
     assert(r.appended == 5 && r.skippedRedelivered == 0)
