@@ -61,6 +61,39 @@ object SeqPack {
         floor(col("n_tokens") * 10000.0 / capacity).cast("long"))
   }
 
+  /** Per-document packing ASSIGNMENT — [[pack]]'s greedy loop emitting
+    * (grp, seq_idx, doc_id, tok) per input row instead of the
+    * per-sequence rollup, for funnels whose manifest must audit
+    * row-level provenance (e.g. which packed rows are epoch-repetition
+    * copies in `corpus_ship_epochs`). Same bounded-sequential-per-group
+    * scale shape: one hash exchange, O(groupSize) per group. */
+  def packDocs(docs: DataFrame, groupSize: Int, capacity: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = graft.relational.Scale.spreadIfNarrow(docs)
+      .select((col("doc_id") / groupSize).cast("long").as("grp"),
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .as[(Long, Long, Long)]
+    toks.groupByKey(_._1)
+      .flatMapGroups { (grp: Long, it: Iterator[(Long, Long, Long)]) =>
+        val ds = it.toArray.sortBy(_._2)
+        val out = Seq.newBuilder[(Long, Long, Long, Long)]
+        var seq = 0L; var fill = 0L; var nDocs = 0L
+        for ((_, id, tok) <- ds) {
+          if (nDocs == 0L || fill + tok > capacity) {
+            seq += 1; fill = tok; nDocs = 1
+          } else { fill += tok; nDocs += 1 }
+          out += ((grp, seq, id, tok))
+        }
+        out.result()
+      }
+      .toDF("grp", "seq_idx", "doc_id", "tok")
+  }
+
+  /** [[packDocs]] rolled up per sequence must equal [[pack]] — pinned
+    * by SeqPackSpec, so the two emissions of the same greedy loop can
+    * never drift. */
   /** The packing CTE chain alone (goes after a `WITH RECURSIVE`, so it
     * composes inside a larger WITH — corpus_ship appends it to the
     * funnel chain). `docsRel` is any relation carrying (doc_id, text).

@@ -54,6 +54,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * re-bind nothing) and re-asserts non-nullability where the original
   * aggregate guaranteed it (count(*)).
   *
+  * Scope and selection: registrations are SESSION-scoped (one
+  * session's summaries never route another's queries), and a base may
+  * carry SEVERAL summaries at once — e.g. a fine daily view and a
+  * coarse monthly one. Candidates are tried coarsest-first, so a query
+  * the coarse summary can answer reads the smaller table (direct
+  * route) while finer queries fall through to the fine summary's
+  * roll-up; selection never changes semantics, only which qualifying
+  * summary pays the scan.
+  *
   * Wire-up: session-wide via `SparkSessionExtensions.injectOptimizerRule`
   * ([[graft.GraftExtensions]]) or on a live session via the public
   * `spark.experimental.extraOptimizations` hook ([[SummaryRewrite.enable]]).
@@ -80,10 +89,45 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       aggCols: Map[(String, String), String],
       rebuildMaintained: Boolean = false)
 
+  /** Registrations are SESSION-SCOPED — keyed (session UUID, base
+    * path) — so one session's summary can never route another
+    * session's query (the process-global registry was an isolation
+    * leak: any co-tenant session touching the same base path silently
+    * inherited the routing and its freshness contract). Each key holds
+    * a LIST of summaries over the same base (e.g. a fine daily view
+    * and a coarse monthly one), kept coarsest-first so routing picks
+    * the cheapest qualifying summary. */
   private val registry =
-    new ConcurrentHashMap[String, MaterializedSummary]()
+    new ConcurrentHashMap[(String, String), List[MaterializedSummary]]()
+
+  /** Analyzed summary scans, resolved ONCE per summary directory: a
+    * served version directory is immutable (VersionedTable commit
+    * discipline), so the file listing + schema resolution happen at
+    * first routing instead of on every matched Aggregate. Entries die
+    * with their registration (register's replacement, deregister). */
+  private val planCache = new ConcurrentHashMap[String, LogicalPlan]()
 
   private def normalize(p: String): String = new Path(p).toUri.getPath
+
+  /** Session-conf key carrying the session's registry identity. SQL
+    * conf is the natural per-session store: `newSession()` gets a
+    * fresh conf (no inherited registrations), while a streaming
+    * micro-batch's CLONED session keeps its parent's id — a stream
+    * the session owns routes like the session. */
+  private val SessionIdKey = "spark.graft.summaryRewrite.sessionId"
+
+  private def sessionKey(spark: SparkSession): String =
+    spark.conf.getOption(SessionIdKey).getOrElse(synchronized {
+      spark.conf.getOption(SessionIdKey).getOrElse {
+        val id = java.util.UUID.randomUUID().toString
+        spark.conf.set(SessionIdKey, id)
+        id
+      }
+    })
+
+  /** Cached analyzed-plan count — spec hook pinning that routing
+    * resolves each served summary once, not once per query. */
+  private[graft] def cachedSummaryPlanCount: Int = planCache.size()
 
   def register(s: MaterializedSummary): Unit = {
     val extrema = s.aggCols.keys.filter {
@@ -97,11 +141,25 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         "serve them only from a summary refreshed by rebuild (full, or " +
         "IncrementalView.maintainWithExtrema's dirty-group rescan) and " +
         "declare rebuildMaintained = true")
-    registry.put(normalize(s.basePath), s)
+    val key = (sessionKey(SparkSession.active), normalize(s.basePath))
+    registry.compute(key, (_, old) => {
+      // a re-registration of the same summary SHAPE (the maintenance
+      // jobs serving version N+1) replaces its predecessor — an atomic
+      // pointer swap; a different shape joins the candidate list
+      val prev = Option(old).getOrElse(Nil)
+      val (replaced, kept) = prev.partition(e =>
+        e.groupCols == s.groupCols && e.aggCols == s.aggCols)
+      replaced.foreach(e => planCache.remove(e.summaryPath))
+      (kept :+ s).sortBy(_.groupCols.size) // coarsest-first = cheapest
+    })
   }
 
-  def deregister(basePath: String): Unit =
-    registry.remove(normalize(basePath))
+  /** Drop every summary the ACTIVE session registered over `basePath`. */
+  def deregister(basePath: String): Unit = {
+    val old = registry.remove(
+      (sessionKey(SparkSession.active), normalize(basePath)))
+    Option(old).getOrElse(Nil).foreach(e => planCache.remove(e.summaryPath))
+  }
 
   /** Activate on a live session (idempotent). */
   def enable(spark: SparkSession): Unit =
@@ -109,16 +167,30 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
 
-  /** The registered summary serving this base relation, if any. */
-  private def summaryFor(rel: LogicalRelation): Option[MaterializedSummary] =
+  /** The ACTIVE session's registered summaries over this base
+    * relation, coarsest-first (register keeps the order). */
+  private def summariesFor(
+      rel: LogicalRelation): Seq[MaterializedSummary] =
     rel.relation match {
       case fs: HadoopFsRelation =>
         fs.location.rootPaths.toSeq match {
-          case Seq(single) => Option(registry.get(single.toUri.getPath))
-          case _           => None
+          case Seq(single) =>
+            SparkSession.getActiveSession.toSeq.flatMap(sp =>
+              Option(registry.get(
+                (sessionKey(sp), single.toUri.getPath)))
+                .getOrElse(Nil))
+          case _ => Nil
         }
-      case _ => None
+      case _ => Nil
     }
+
+  /** The cached analyzed scan of an (immutable) summary directory,
+    * re-instanced per use so two routed subtrees in one query plan
+    * never share attribute ids. */
+  private def summaryPlan(spark: SparkSession, path: String): LogicalPlan =
+    planCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).queryExecution.analyzed)
+      .transformUp { case r: LogicalRelation => r.newInstance() }
 
   /** Base relation under any stack of pure-attribute Projects (column
     * pruning's shape) and Filters — the filters are RETURNED, not
@@ -174,7 +246,19 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * avg ignores NULLs, which is why the per-column count (never
     * count(*)) licenses it, and an all-NULL group divides NULL by 0
     * and stays NULL, matching avg. Only double-typed avg qualifies
-    * (decimal avg carries its own precision arithmetic). Serves the
+    * (decimal avg carries its own precision arithmetic).
+    *
+    * Float bound, stated honestly: "exact by algebra" holds in real
+    * arithmetic, not IEEE754. Spark's native Average over integral
+    * inputs accumulates its sum in DOUBLE, so once a group's running
+    * sum passes 2^53 the UNROUTED plan itself rounds intermediate
+    * sums; the routed form divides an exactly-maintained integral sum
+    * instead. Below 2^53 both sums are exact and the quotients are
+    * bit-identical; beyond it they can differ past the last ulp — with
+    * the routed answer the CLOSER one (one correctly-rounded division
+    * of exact operands vs. a drifted accumulation). The divergence is
+    * bounded by the native accumulation's own error, never introduced
+    * by the rewrite. Serves the
     * direct route as sum_x / cnt_x and the roll-up route as
     * sum(sum_x) / sum(cnt_x) — the classic decomposition that makes
     * avg algebraic even though it is not distributive. */
@@ -226,11 +310,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (registry.isEmpty) return plan
     plan.transformUp {
-      case agg @ Aggregate(groupExprs, aggExprs, child, _)
-          if baseOf(child).map(_._1).flatMap(summaryFor).isDefined =>
-        val (_, conds) = baseOf(child).get
-        val s = baseOf(child).map(_._1).flatMap(summaryFor).get
-        rewrite(agg, groupExprs, aggExprs, conds, s).getOrElse(agg)
+      case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
+        (for {
+          (rel, conds) <- baseOf(child).iterator
+          s <- summariesFor(rel).iterator // coarsest candidate first
+          routed <- rewrite(agg, groupExprs, aggExprs, conds, s).iterator
+        } yield routed).nextOption().getOrElse(agg)
     }
   }
 
@@ -271,9 +356,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     if (!conds.forall(c => c.deterministic &&
         c.references.subsetOf(passThroughGroupAttrs))) return None
 
-    // summary scan (analyzed; summary-sized, already minimal columns)
+    // summary scan (analyzed once per registration, cached; summary-
+    // sized, already minimal columns)
     val spark = SparkSession.active
-    val sPlan = spark.read.parquet(s.summaryPath).queryExecution.analyzed
+    val sPlan = summaryPlan(spark, s.summaryPath)
     val sOut: Map[String, Attribute] = sPlan.output.map(a => a.name -> a).toMap
 
     // map every output of the aggregate onto a summary column (or, for
@@ -339,7 +425,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       s: MaterializedSummary): Option[LogicalPlan] = {
     val groupSet = groupAttrs.map(_.name).toSet
     val spark = SparkSession.active
-    val sPlan = spark.read.parquet(s.summaryPath).queryExecution.analyzed
+    val sPlan = summaryPlan(spark, s.summaryPath)
     val sOut: Map[String, Attribute] = sPlan.output.map(a => a.name -> a).toMap
 
     val condsOk = conds.forall { c =>

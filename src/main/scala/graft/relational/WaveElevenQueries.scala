@@ -320,14 +320,13 @@ object WaveElevenQueries {
     Q("mv_rewrite", (s, dir) => {
       import graft.plans.SummaryRewrite
       import graft.plans.SummaryRewrite.MaterializedSummary
-      // the registry is process-global and the rewrite fires at the
-      // CALLER's execution time (after this builder returns), so the
-      // registration cannot be torn down here without killing the
-      // routing it demonstrates. Isolation instead: register a
-      // session-private SNAPSHOT COPY of orders as the base — no other
-      // query ever reads this path, so the standing registration can
-      // route nothing but the query below (the r12 advisor's
-      // global-registry leak, closed by construction).
+      // the registry is session-scoped (this session's queries only)
+      // and the rewrite fires at the CALLER's execution time (after
+      // this builder returns), so the registration cannot be torn
+      // down here without killing the routing it demonstrates.
+      // Within-session isolation: register a SNAPSHOT COPY of orders
+      // as the base — no other query ever reads this path, so the
+      // standing registration can route nothing but the query below.
       val tmp = java.nio.file.Files.createTempDirectory("mv_rw")
       val base = tmp.resolve("base").toString
       val sumPath = tmp.resolve("s").toString
@@ -434,5 +433,51 @@ object WaveElevenQueries {
          |  CAST(1024 + sum(512 + 512 * ((len + 511) // 512)) AS BIGINT)
          |    AS tar_bytes
          |FROM sh GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // Multi-summary routing CHOICE: the base carries TWO registered
+    // summaries — fine (o_custkey, o_orderstatus) and coarse
+    // (o_orderstatus) — and the user query groups by the coarse key,
+    // so BOTH qualify (the coarse directly, the fine via roll-up).
+    // The optimizer must pick the coarse one: candidates are tried
+    // coarsest-first, so the query reads |statuses| summary rows
+    // instead of re-aggregating |customers x statuses|. The driver
+    // gate pins the VALUES (equal a DuckDB recompute from base);
+    // SummaryRewriteSpec pins the CHOICE on the optimized plan (the
+    // scan's path is the coarse directory, with the fine-only
+    // fallback negative), and the PLANS capture shows the coarse
+    // scan. Same session-private snapshot-copy isolation as
+    // mv_rewrite.
+    Q("mv_rewrite_choice", (s, dir) => {
+      import graft.plans.SummaryRewrite
+      import graft.plans.SummaryRewrite.MaterializedSummary
+      val tmp = java.nio.file.Files.createTempDirectory("mv_rwc")
+      val base = tmp.resolve("base").toString
+      val finePath = tmp.resolve("fine").toString
+      val coarsePath = tmp.resolve("coarse").toString
+      s.read.parquet(t(dir, "orders")).write.parquet(base)
+      def agg(df: org.apache.spark.sql.RelationalGroupedDataset) =
+        df.agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("sum_okey"))
+      agg(s.read.parquet(base)
+        .groupBy(col("o_custkey"), col("o_orderstatus")))
+        .write.parquet(finePath)
+      agg(s.read.parquet(base).groupBy(col("o_orderstatus")))
+        .write.parquet(coarsePath)
+      SummaryRewrite.enable(s)
+      SummaryRewrite.register(MaterializedSummary(base, finePath,
+        Seq("o_custkey", "o_orderstatus"),
+        Map(("count", "*") -> "n_orders",
+          ("sum", "o_orderkey") -> "sum_okey")))
+      SummaryRewrite.register(MaterializedSummary(base, coarsePath,
+        Seq("o_orderstatus"),
+        Map(("count", "*") -> "n_orders",
+          ("sum", "o_orderkey") -> "sum_okey")))
+      agg(s.read.parquet(base).groupBy(col("o_orderstatus")))
+        .orderBy(col("o_orderstatus"))
+    }, Some(
+      s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin)),
   )
 }

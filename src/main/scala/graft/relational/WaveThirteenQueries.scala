@@ -185,5 +185,87 @@ object WaveThirteenQueries {
         "CASE source WHEN 'src0' THEN 2500000 WHEN 'src1' THEN 1000000" +
           " ELSE 400000 END") +
         "\nORDER BY doc_id, copy_idx")),
+
+    // Epoch mixing COMPOSED INTO THE PUBLISH FUNNEL: the mix recipe's
+    // repeated copies flow through sequence packing and deterministic
+    // sharding, keyed (doc_id, copy_idx) — encoded as one packing key
+    // sid = doc_id * 4 + copy_idx (bijective: the recipe's copies stay
+    // under 4), so copies of a document pack ADJACENTLY and
+    // deterministically, and a re-publish is byte-identical. The
+    // manifest AUDITS the repetition: per packed sequence, `n_copies`
+    // counts the rows that are epoch copies (copy_idx > 0), so the
+    // shipped corpus discloses exactly where up-sampling landed. Scale
+    // shape: the mix is row-local, packing is the bounded
+    // per-group loop, sharding is one hash exchange — the funnel's
+    // cost is the sum of its stages.
+    Q("corpus_ship_epochs", (s, dir) => {
+      import graft.analysis.{CorpusMix, SeqPack}
+      import graft.dedup.Dedup
+      val keyed = CorpusMix.epochMix(
+          s.read.parquet(t(dir, "documents"))
+            .select(col("doc_id"), col("source"), col("text")),
+          "doc_id", "source",
+          Map("src0" -> 2500000L, "src1" -> 1000000L),
+          defaultPpm = 400000L)
+        .select((col("doc_id") * 4 + col("copy_idx")).as("doc_id"),
+          col("text"))
+      val perDoc = SeqPack.packDocs(keyed, 256, 256)
+      val seqs = perDoc.groupBy(col("grp"), col("seq_idx"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+          sum(when(col("doc_id") % 4 > 0, 1L).otherwise(0L))
+            .as("n_copies"))
+      // CorpusShard.assign's deterministic hash permutation, inlined
+      // over the audited rollup (same engine-neutral primitive)
+      val h = Dedup.md5Hash32(
+        concat_ws(":", col("grp").cast("string"),
+          col("seq_idx").cast("string")), "shard:")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard"))
+        .orderBy(col("h"), col("grp"), col("seq_idx"))
+      seqs.withColumn("h", h)
+        .withColumn("shard", col("h") % 16)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("shard"), col("pos"), col("grp"), col("seq_idx"),
+          col("n_docs"), col("n_tokens"), col("n_copies"))
+        .orderBy(col("shard"), col("pos"))
+    }, Some {
+      import graft.dedup.Dedup
+      s"""WITH RECURSIVE ep0 AS (
+         |  SELECT doc_id, text,
+         |    CASE source WHEN 'src0' THEN 2500000
+         |      WHEN 'src1' THEN 1000000 ELSE 400000 END AS eps
+         |  FROM documents),
+         |epx AS (
+         |  SELECT doc_id, text, eps,
+         |    unnest(range(0, eps // 1000000 + 1)) AS copy_idx
+         |  FROM ep0),
+         |epk AS (
+         |  SELECT doc_id * 4 + copy_idx AS sid, text FROM epx
+         |  WHERE copy_idx < eps // 1000000
+         |     OR ${Dedup.md5Hash32Sql("CAST(doc_id AS VARCHAR)", "ep:")}
+         |       % 1000000 < eps % 1000000),
+         |ep AS MATERIALIZED (SELECT sid AS doc_id, text FROM epk),
+         |${graft.analysis.SeqPack.oracleCtes("ep", 256, 256)},
+         |pd AS (
+         |  SELECT p.grp, p.seq_idx, d.doc_id, p.tok
+         |  FROM pk p JOIN docs_o d ON d.grp = p.grp AND d.rn = p.rn),
+         |sq AS (
+         |  SELECT grp, CAST(seq_idx AS BIGINT) AS seq_idx,
+         |    count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN doc_id % 4 > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_copies
+         |  FROM pd GROUP BY grp, seq_idx),
+         |shrd AS (
+         |  SELECT h % 16 AS shard, h, grp, seq_idx, n_docs, n_tokens,
+         |    n_copies
+         |  FROM (SELECT *, ${Dedup.md5Hash32Sql(
+               "(grp::VARCHAR || ':' || seq_idx::VARCHAR)", "shard:")} AS h
+         |        FROM sq) __h)
+         |SELECT shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY h, grp, seq_idx) AS BIGINT) AS pos,
+         |  grp, seq_idx, n_docs, n_tokens, n_copies
+         |FROM shrd ORDER BY shard, pos""".stripMargin
+    }),
   )
 }

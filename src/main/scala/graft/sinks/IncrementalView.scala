@@ -98,7 +98,12 @@ object IncrementalView {
     // +x then -x round-trip can leave a residue), silently diverging
     // from a recompute. ENFORCED, not just documented — keep money in
     // integer cents (the engine-wide discipline) or maintain the
-    // summary by rebuild instead.
+    // summary by rebuild instead. DecimalType is excluded on different
+    // grounds: decimal arithmetic is exact (no drift), but Spark
+    // widens sum(decimal(p, s)) to decimal(p+10, s), so a maintained
+    // decimal sum would drift the view SCHEMA across maintenance
+    // generations (seed vs v1 vs vN types diverge) — the integer-cents
+    // policy sidesteps both problems with one encoding.
     val integral: Set[DataType] =
       Set(ByteType, ShortType, IntegerType, LongType)
     sumCols.foreach { case (src, out) =>

@@ -2,6 +2,7 @@ package graft
 
 import graft.analysis.SeqPack
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Analytic truth for sequence packing: hand-packed groups covering
@@ -39,6 +40,28 @@ class SeqPackSpec extends AnyFunSuite {
       (1L, 1L) -> ((1L, 12L, 12000L)),
       (1L, 2L) -> ((2L, 10L, 10000L)),
       (1L, 3L) -> ((1L, 1L, 1000L))))
+  }
+
+  test("packDocs is the per-doc emission of the same greedy loop") {
+    val docs = Seq(
+      (0L, words(4)), (1L, words(4)), (2L, words(3)), (3L, words(9)),
+      (4L, words(12)), (5L, words(5)), (6L, words(5)), (7L, words(1)))
+      .toDF("doc_id", "text")
+    val perDoc = SeqPack.packDocs(docs, groupSize = 4, capacity = 10)
+    // doc-level assignment: each doc lands where pack's loop put it
+    val asg = perDoc.collect()
+      .map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1)))).toMap
+    assert(asg == Map(
+      0L -> ((0L, 1L)), 1L -> ((0L, 1L)), 2L -> ((0L, 2L)),
+      3L -> ((0L, 3L)), 4L -> ((1L, 1L)), 5L -> ((1L, 2L)),
+      6L -> ((1L, 2L)), 7L -> ((1L, 3L))))
+    // ...and its per-sequence rollup equals pack() exactly
+    val rolled = perDoc.groupBy(col("grp"), col("seq_idx"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .withColumn("fill_bp",
+        floor(col("n_tokens") * 10000.0 / 10).cast("long"))
+    val packed = SeqPack.pack(docs, groupSize = 4, capacity = 10)
+    assert(rolled.except(packed).isEmpty && packed.except(rolled).isEmpty)
   }
 
   test("packing is doc_id-ordered regardless of input partition order") {

@@ -286,6 +286,107 @@ class SummaryRewriteSpec extends AnyFunSuite {
     SummaryRewrite.deregister("/tmp/never-used-base2")
   }
 
+  /** Fine + coarse summaries over ONE base, for the selection tests. */
+  private lazy val (base4Path, fine4Path, coarse4Path)
+      : (String, String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("sumsel").toString
+    val base = s"$dir/base4.parquet"
+    val fine = s"$dir/fine4.parquet"
+    val coarse = s"$dir/coarse4.parquet"
+    Seq((1L, 10L, 100L), (1L, 10L, 200L), (1L, 20L, 300L),
+        (2L, 10L, 400L), (2L, 20L, 500L))
+      .toDF("g", "g2", "v").write.parquet(base)
+    spark.read.parquet(base).groupBy(col("g"), col("g2"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .write.parquet(fine)
+    spark.read.parquet(base).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .write.parquet(coarse)
+    SummaryRewrite.enable(spark)
+    val aggs: Map[(String, String), String] =
+      Map(("count", "*") -> "n", ("sum", "v") -> "sv")
+    SummaryRewrite.register(MaterializedSummary(
+      base, fine, Seq("g", "g2"), aggs))
+    SummaryRewrite.register(MaterializedSummary(
+      base, coarse, Seq("g"), aggs))
+    (base, fine, coarse)
+  }
+
+  test("multi-summary: the coarse query reads the COARSE summary") {
+    // both candidates qualify (coarse directly, fine via roll-up);
+    // coarsest-first selection must pick the direct route — a plain
+    // projection of the smaller table, no re-aggregation at all
+    val df = spark.read.parquet(base4Path).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(scanPaths(df) == Seq(coarse4Path))
+    assert(!hasAggregate(df))
+    assert(df.orderBy("g").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, 600L), (2L, 2L, 900L)))
+  }
+
+  test("multi-summary: the fine query falls through to the FINE summary") {
+    val df = spark.read.parquet(base4Path).groupBy(col("g"), col("g2"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(scanPaths(df) == Seq(fine4Path))
+    assert(!hasAggregate(df))
+    assert(df.orderBy("g", "g2").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 10L, 2L, 300L), (1L, 20L, 1L, 300L),
+        (2L, 10L, 1L, 400L), (2L, 20L, 1L, 500L)))
+  }
+
+  test("registrations are session-scoped: another session never routes") {
+    val p = base4Path // force fixture registration on `spark` first
+    val s2 = spark.newSession()
+    SummaryRewrite.enable(s2)
+    val df = s2.read.parquet(p).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(scanPaths(df) == Seq(p),
+      "a summary registered in one session must not route another's query")
+    assert(hasAggregate(df))
+  }
+
+  test("summary plans resolve once per registration, not per query") {
+    val df0 = spark.read.parquet(base4Path).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"))
+    assert(scanPaths(df0) == Seq(coarse4Path)) // cache warmed
+    val n0 = SummaryRewrite.cachedSummaryPlanCount
+    (1 to 3).foreach { _ =>
+      val df = spark.read.parquet(base4Path).groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(scanPaths(df) == Seq(coarse4Path))
+    }
+    assert(SummaryRewrite.cachedSummaryPlanCount == n0,
+      "repeated routed queries must reuse the cached analyzed plan")
+  }
+
+  test("re-registering the same shape swaps the served version") {
+    val dir = java.nio.file.Files.createTempDirectory("sumswap").toString
+    val base = s"$dir/base5.parquet"
+    Seq((1L, 5L), (2L, 7L)).toDF("g", "v").write.parquet(base)
+    def mkSummary(path: String, rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("g", "n", "sv").write.parquet(path)
+    val v1 = s"$dir/s_v1.parquet"
+    val v2 = s"$dir/s_v2.parquet"
+    mkSummary(v1, Seq((1L, 1L, 5L), (2L, 1L, 7L)))
+    mkSummary(v2, Seq((1L, 1L, 5L), (2L, 1L, 7L), (3L, 1L, 9L)))
+    SummaryRewrite.enable(spark)
+    val aggs: Map[(String, String), String] =
+      Map(("count", "*") -> "n", ("sum", "v") -> "sv")
+    SummaryRewrite.register(MaterializedSummary(base, v1, Seq("g"), aggs))
+    def q = spark.read.parquet(base).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(scanPaths(q) == Seq(v1))
+    // the maintenance job serves version 2: same shape, new path —
+    // REPLACES the candidate (no stale sibling) and drops v1's cached
+    // plan with it
+    SummaryRewrite.register(MaterializedSummary(base, v2, Seq("g"), aggs))
+    assert(scanPaths(q) == Seq(v2))
+    assert(q.count() == 3) // proves the v2 data actually serves
+    SummaryRewrite.deregister(base)
+  }
+
   test("subset grouping rolls up: summary scan + re-aggregation") {
     val df = spark.read.parquet(base2Path).groupBy(col("g"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
