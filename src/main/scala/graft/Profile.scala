@@ -277,7 +277,12 @@ object Profile {
           // r14 additions (VERDICT #7): the maintenance classes at 30x
           // delta volume — the dirty-group rescan and the
           // partition-rewrite + ledger-probe path must stay delta-linear
-          "mv_rewrite_extrema_cdc", "ann_incremental_cdc"))
+          "mv_rewrite_extrema_cdc", "ann_incremental_cdc",
+          // r15 additions: the epoch-mix publish funnel (packing +
+          // sharding under 30x, copies included) and the rebuild
+          // (O(index) by definition — its row is the honest cost of
+          // re-training, not a regression to explain)
+          "corpus_ship_epochs", "ann_rebuild"))
         time(s"$q @30x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
       spark.stop()
       return

@@ -260,6 +260,79 @@ object WaveTwelveQueries {
          |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
          |FROM rk WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin)),
 
+    // ...and the lifecycle's third act: REBUILD. A store maintained
+    // off the CDC feed (init on v0, applyChanges to v1) re-trains its
+    // quantizer over its own CURRENT content into a fresh destination
+    // — the operation IVF cannot do incrementally, run as an MVCC
+    // cutover (readers keep the old store until the pointer swap).
+    // The oracle recomputes the search from the v1 snapshot with a
+    // V1-TRAINED quantizer (first-8 rule over the v1 corpus), so the
+    // gate pins rebuilt-after-maintenance == built-fresh-from-current,
+    // quantizer INCLUDED — the drift a maintained index accumulates
+    // against its frozen v0 centroids is exactly what the rebuild
+    // must erase.
+    Q("ann_rebuild", (s, dir) => {
+      import graft.sinks.VersionedTable
+      import graft.sim.IncrementalAnnIndex
+      val base = java.nio.file.Files
+        .createTempDirectory("ann_rb").toString
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val root = s"$base/vt"
+      val v0 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 3), root)
+      val v1 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 7), root)
+      val store = s"$base/ivf"
+      IncrementalAnnIndex.init(
+        VersionedTable.readVersion(s, root, v0), store)
+      IncrementalAnnIndex.applyChanges(
+        VersionedTable.changes(s, root, v0, v1, Seq("vec_id")), store)
+      val store2 = s"$base/ivf_rebuilt"
+      IncrementalAnnIndex.rebuild(s, store, store2)
+      IncrementalAnnIndex.topK(
+          emb.filter(col("vec_id") < AnnQueries)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          store2, AnnK)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(
+      s"""WITH f AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |corpus AS (SELECT vec_id, v FROM f WHERE vec_id % 10 != 7),
+         |cents AS (SELECT vec_id AS cent_id, v AS cv FROM corpus
+         |          ORDER BY vec_id
+         |          LIMIT ${graft.sim.Similarity.IvfCentroids}),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM f
+         |      WHERE vec_id < $AnnQueries),
+         |asg AS (
+         |  SELECT vec_id, v, cent_id FROM (
+         |    SELECT c.vec_id, c.v, ct.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY round(list_cosine_similarity(c.v, ct.cv), 4)
+         |          DESC, ct.cent_id) AS rn
+         |    FROM corpus c CROSS JOIN cents ct) x
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, qv, cent_id FROM (
+         |    SELECT q.qid, q.qv, ct.cent_id,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY round(list_cosine_similarity(q.qv, ct.cv), 4)
+         |          DESC, ct.cent_id) AS rn
+         |    FROM q CROSS JOIN cents ct) x
+         |  WHERE rn <= ${graft.sim.Similarity.IvfProbes}),
+         |scored AS (
+         |  SELECT p.qid, a.vec_id AS cid,
+         |    round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+         |  FROM probes p JOIN asg a ON p.cent_id = a.cent_id
+         |  WHERE p.qid != a.vec_id),
+         |rk AS (
+         |  SELECT qid, cid, sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, cid) AS rank
+         |  FROM scored)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
+         |FROM rk WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin)),
+
     // Tar round-trip: publish the corpus as real ustar shards on disk
     // (the corpus_tar_publish writer, atomic-commit path included),
     // then READ THE FILES BACK through the source side and prove every

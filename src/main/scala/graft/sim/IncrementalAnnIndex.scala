@@ -589,6 +589,41 @@ object IncrementalAnnIndex {
     }
   }
 
+  /** REBUILD — the one operation IVF cannot do incrementally, made
+    * explicit: re-train the quantizer over the store's CURRENT
+    * vectors (init's deterministic lowest-vec_id rule) and re-assign
+    * every list into a fresh store at `destDir`. Rebuild is O(index)
+    * by definition (that is WHY the quantizer stays fixed between
+    * rebuilds); it runs as init into an empty destination, so it
+    * inherits init's transactional publish wholesale. The destination
+    * is a NEW directory, never an in-place swap — the MVCC discipline
+    * the engine uses everywhere (VersionedTable versions,
+    * MvMaintainJob.serve): readers keep the old store until the
+    * caller's pointer cutover, and a failed rebuild leaves nothing to
+    * repair. The `_applied_v` CDC chain markers carry over (content is
+    * unchanged by a rebuild, so the rebuilt store resumes the SAME
+    * feed position under [[graft.streaming.AnnMaintainJob]]). */
+  def rebuild(spark: SparkSession, storeDir: String, destDir: String,
+      nCentroids: Int = Similarity.IvfCentroids,
+      ledgerBuckets: Int = DefaultLedgerBuckets): AppendResult = {
+    recover(spark, storeDir)
+    val (fs, destP) = fsOf(spark, destDir)
+    require(!fs.exists(destP),
+      s"rebuild destination already exists: $destDir — rebuilds land " +
+        "in fresh directories (MVCC cutover), never over a live store")
+    val current = spark.read.parquet(listsPath(storeDir))
+      .select(col("vec_id"), col("v").as("embedding"))
+    val r = init(current, destDir, nCentroids, ledgerBuckets)
+    val (sfs, storeP) = fsOf(spark, storeDir)
+    sfs.listStatus(storeP)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("_applied_v"))
+      .foreach { m =>
+        val out = fs.create(new Path(destP, m.getPath.getName), false)
+        out.close()
+      }
+    r
+  }
+
   /** Top-k over the store for external queries (qid, embedding):
     * `nProbe` nearest lists per query, exact rescore inside them. The
     * probed cid set (≤ |queries| x nProbe distinct values, bounded by

@@ -197,6 +197,67 @@ class IncrementalAnnSpec extends AnyFunSuite {
       "ledger must mirror the lists exactly after recovery")
   }
 
+  test("rebuild re-trains the quantizer over current content, MVCC dest") {
+    val base = Files.createTempDirectory("annrebuild").toString
+    val store = s"$base/store"
+    // maintained store: init on 8..199 (quantizer = first 8 of THAT
+    // content: ids 8..15), then a delta inserts 0..7 — the maintained
+    // store keeps the stale quantizer; a rebuild must re-train on the
+    // union (quantizer becomes ids 0..7)
+    IncrementalAnnIndex.init(vecs(8 until 200), store)
+    IncrementalAnnIndex.applyChanges(
+      vecs(0 until 8).withColumn("change_type", lit("insert")), store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(s"$store/_applied_v7"), false)
+      .close()
+    val dest = s"$base/rebuilt"
+    val r = IncrementalAnnIndex.rebuild(spark, store, dest)
+    assert(r.appended == 200 && r.skippedRedelivered == 0)
+    // the rebuilt store answers exactly like a FRESH build over the
+    // current content (v1-trained quantizer included)...
+    val queries = vecs(0 until 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val got = IncrementalAnnIndex.topK(queries, dest, 5)
+    val expected = Similarity.ivfTopK(vecs(0 until 200), 10, 5)
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+    // ...the old store is untouched (readers keep it until cutover),
+    // the CDC chain marker carried, and a taken destination refuses
+    assert(spark.read.parquet(s"$store/lists").count() == 200)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dest/_applied_v7")))
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalAnnIndex.rebuild(spark, store, dest)
+    }
+    assert(ex.getMessage.contains("destination already exists"))
+  }
+
+  test("oversized quantizer falls back to the join path, same answers") {
+    // 80 centroids > the inline-literal threshold (64): assignment and
+    // probe selection take the broadcast-join + window fallback. The
+    // incremental build must still equal the one-shot build, and the
+    // trees must still mirror.
+    val base = Files.createTempDirectory("annbig").toString
+    val oneShot = s"$base/oneshot"
+    val incr = s"$base/incr"
+    IncrementalAnnIndex.init(vecs(0 until 200), oneShot, nCentroids = 80)
+    IncrementalAnnIndex.init(vecs(0 until 120), incr, nCentroids = 80)
+    val r = IncrementalAnnIndex.appendBatch(vecs(120 until 200), incr)
+    assert(r.appended == 80 && r.skippedRedelivered == 0)
+    val queries = vecs(0 until 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val a = IncrementalAnnIndex.topK(queries, oneShot, 5)
+    val b = IncrementalAnnIndex.topK(queries, incr, 5)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "fallback-path incremental build must answer like one-shot")
+    val lists = spark.read.parquet(s"$incr/lists")
+      .select(col("vec_id"), col("cid").cast("string"))
+      .collect().map(r0 => (r0.getLong(0), r0.getString(1))).toSet
+    val ledger = spark.read.parquet(s"$incr/ledger")
+      .select(col("vec_id"), col("ref_cid").cast("string"))
+      .collect().map(r0 => (r0.getLong(0), r0.getString(1))).toSet
+    assert(ledger == lists)
+  }
+
   private def scans(
       p: org.apache.spark.sql.execution.SparkPlan,
       loc: String = "lists"): Seq[FileSourceScanExec] =
