@@ -333,6 +333,137 @@ object WaveTwelveQueries {
          |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
          |FROM rk WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin)),
 
+    // Small-file compaction under the CDC lifecycle: the maintained
+    // store's partitions fragment (init + every delta appends one
+    // file per touched partition); compact(maxFiles = 1) rewrites
+    // every fragmented partition in BOTH trees through the same
+    // staged-transaction protocol, and the search afterwards must be
+    // bit-identical — the oracle is ann_incremental_cdc's exactly, so
+    // the gate pins content preservation through the rewrite.
+    Q("ann_compact", (s, dir) => {
+      import graft.sinks.VersionedTable
+      import graft.sim.IncrementalAnnIndex
+      val base = java.nio.file.Files
+        .createTempDirectory("ann_cp").toString
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val root = s"$base/vt"
+      val v0 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 3), root)
+      val v1 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 7), root)
+      val store = s"$base/ivf"
+      IncrementalAnnIndex.init(
+        VersionedTable.readVersion(s, root, v0), store)
+      IncrementalAnnIndex.applyChanges(
+        VersionedTable.changes(s, root, v0, v1, Seq("vec_id")), store)
+      IncrementalAnnIndex.compact(s, store, maxFiles = 1)
+      IncrementalAnnIndex.topK(
+          emb.filter(col("vec_id") < AnnQueries)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          store, AnnK)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(
+      s"""WITH f AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |corpus AS (SELECT vec_id, v FROM f WHERE vec_id % 10 != 7),
+         |cents AS (SELECT vec_id AS cent_id, v AS cv FROM f
+         |          WHERE vec_id % 10 != 3 ORDER BY vec_id
+         |          LIMIT ${graft.sim.Similarity.IvfCentroids}),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM f
+         |      WHERE vec_id < $AnnQueries),
+         |asg AS (
+         |  SELECT vec_id, v, cent_id FROM (
+         |    SELECT c.vec_id, c.v, ct.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY round(list_cosine_similarity(c.v, ct.cv), 4)
+         |          DESC, ct.cent_id) AS rn
+         |    FROM corpus c CROSS JOIN cents ct) x
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, qv, cent_id FROM (
+         |    SELECT q.qid, q.qv, ct.cent_id,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY round(list_cosine_similarity(q.qv, ct.cv), 4)
+         |          DESC, ct.cent_id) AS rn
+         |    FROM q CROSS JOIN cents ct) x
+         |  WHERE rn <= ${graft.sim.Similarity.IvfProbes}),
+         |scored AS (
+         |  SELECT p.qid, a.vec_id AS cid,
+         |    round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+         |  FROM probes p JOIN asg a ON p.cent_id = a.cent_id
+         |  WHERE p.qid != a.vec_id),
+         |rk AS (
+         |  SELECT qid, cid, sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, cid) AS rank
+         |  FROM scored)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
+         |FROM rk WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin)),
+
+    // Filtered vector search — "top-k WHERE metadata predicate", the
+    // production retrieval shape (search only English documents): the
+    // allowlist (doc ids with lang = 'en') semi-joins the PROBED
+    // candidates before ranking, so each query's top-k is dense
+    // within the permitted set. Probing and partition pruning are
+    // topK's unchanged; the filter costs |probed lists| join rows,
+    // never the index.
+    Q("ann_topk_filtered", (s, dir) => {
+      import graft.sim.IncrementalAnnIndex
+      val base = java.nio.file.Files
+        .createTempDirectory("ann_flt").toString
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val store = s"$base/ivf"
+      IncrementalAnnIndex.init(emb, store)
+      val allowed = s.read.parquet(t(dir, "documents"))
+        .filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      IncrementalAnnIndex.topKAmong(
+          emb.filter(col("vec_id") < AnnQueries)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          store, AnnK, allowed)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(
+      s"""WITH f AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, v AS cv FROM f
+         |          ORDER BY vec_id
+         |          LIMIT ${graft.sim.Similarity.IvfCentroids}),
+         |allowed AS (SELECT doc_id AS vec_id FROM documents
+         |            WHERE lang = 'en'),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM f
+         |      WHERE vec_id < $AnnQueries),
+         |asg AS (
+         |  SELECT vec_id, v, cent_id FROM (
+         |    SELECT c.vec_id, c.v, ct.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY round(list_cosine_similarity(c.v, ct.cv), 4)
+         |          DESC, ct.cent_id) AS rn
+         |    FROM f c CROSS JOIN cents ct) x
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, qv, cent_id FROM (
+         |    SELECT q.qid, q.qv, ct.cent_id,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY round(list_cosine_similarity(q.qv, ct.cv), 4)
+         |          DESC, ct.cent_id) AS rn
+         |    FROM q CROSS JOIN cents ct) x
+         |  WHERE rn <= ${graft.sim.Similarity.IvfProbes}),
+         |scored AS (
+         |  SELECT p.qid, a.vec_id AS cid,
+         |    round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+         |  FROM probes p JOIN asg a ON p.cent_id = a.cent_id
+         |  JOIN allowed w ON w.vec_id = a.vec_id
+         |  WHERE p.qid != a.vec_id),
+         |rk AS (
+         |  SELECT qid, cid, sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, cid) AS rank
+         |  FROM scored)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
+         |FROM rk WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin)),
+
     // Tar round-trip: publish the corpus as real ustar shards on disk
     // (the corpus_tar_publish writer, atomic-commit path included),
     // then READ THE FILES BACK through the source side and prove every

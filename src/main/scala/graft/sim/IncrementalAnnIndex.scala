@@ -589,6 +589,65 @@ object IncrementalAnnIndex {
     }
   }
 
+  /** Small-file COMPACTION — the housekeeping a long-lived store needs
+    * at 100 TB: every maintenance transaction appends one file per
+    * touched partition, so hot lists and ledger buckets fragment into
+    * many small files over months of deltas. compact() rewrites every
+    * partition (in BOTH trees) holding more than `maxFiles` data files
+    * back to its minimal count, through the SAME staged transaction as
+    * maintenance (manifest swaps + `_ok` marker) — content-identical,
+    * crash-safe, and scoped to the FRAGMENTED partitions only, never
+    * the index (discovery is pure directory listing, no data I/O).
+    * Returns (list partitions, ledger buckets) rewritten. */
+  def compact(spark: SparkSession, storeDir: String,
+      maxFiles: Int = 4): (Int, Int) = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
+    recover(spark, storeDir)
+    val (fs, _) = fsOf(spark, storeDir)
+    def fragmented(root: String, prefix: String): Seq[String] = {
+      val rp = new Path(root)
+      if (!fs.exists(rp)) Nil
+      else fs.listStatus(rp).toSeq.filter(d =>
+          d.isDirectory && d.getPath.getName.startsWith(prefix + "="))
+        .filter(d => fs.listStatus(d.getPath).count(f =>
+          f.isFile && !f.getPath.getName.startsWith("_")) > maxFiles)
+        .map(_.getPath.getName.stripPrefix(prefix + "="))
+    }
+    val cids = fragmented(listsPath(storeDir), "cid").map(_.toLong).sorted
+    val buckets = fragmented(ledgerPath(storeDir), "b").map(_.toInt).sorted
+    if (cids.isEmpty && buckets.isEmpty) return (0, 0)
+    val lists = spark.read.parquet(listsPath(storeDir))
+    val listsOut =
+      (if (cids.isEmpty) lists.filter(lit(false)) // schema-only: no swaps
+       else lists.filter(col("cid").isin(cids: _*)))
+        .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    val ledgerOut =
+      (if (buckets.isEmpty)
+         ledgerFor(spark, storeDir, Seq(-1)) // never-matching: schema-only
+       else ledgerFor(spark, storeDir, buckets))
+        .select(col("vec_id"), col("cid"), col("b"))
+    commitTxn(spark, storeDir, listsOut, ledgerOut,
+      replaceCids = cids, replaceBuckets = buckets, coalesce = false)
+    (cids.size, buckets.size)
+  }
+
+  /** Filtered vector search — top-k WITHIN an allowlist of ids (the
+    * production "vector search + metadata predicate" shape: the caller
+    * derives `allowed` (vec_id) from any predicate over its metadata
+    * tables). Probing and partition pruning are [[topK]]'s exactly;
+    * the allowlist semi-join restricts CANDIDATES before ranking, so
+    * each query's top-k is computed over the permitted ids only —
+    * ranks are dense within the filtered set, not holes in the
+    * unfiltered ranking. The allowlist joins on the probed candidates
+    * (|probed lists| rows, never the index); AQE broadcasts a small
+    * one and shuffles a huge one. */
+  def topKAmong(queries: DataFrame, storeDir: String, k: Int,
+      allowed: DataFrame,
+      nProbe: Int = Similarity.IvfProbes): DataFrame =
+    topKImpl(queries, storeDir, k, nProbe,
+      restrict = l => l.join(allowed.select("vec_id"),
+        Seq("vec_id"), "left_semi"))
+
   /** REBUILD — the one operation IVF cannot do incrementally, made
     * explicit: re-train the quantizer over the store's CURRENT
     * vectors (init's deterministic lowest-vec_id rule) and re-assign
@@ -632,7 +691,11 @@ object IncrementalAnnIndex {
     * scan — query cost is the probed lists, never the index. Self-hits
     * (qid == vec_id) are excluded, matching ivfTopK. */
   def topK(queries: DataFrame, storeDir: String, k: Int,
-      nProbe: Int = Similarity.IvfProbes): DataFrame = {
+      nProbe: Int = Similarity.IvfProbes): DataFrame =
+    topKImpl(queries, storeDir, k, nProbe, restrict = identity)
+
+  private def topKImpl(queries: DataFrame, storeDir: String, k: Int,
+      nProbe: Int, restrict: DataFrame => DataFrame): DataFrame = {
     val spark = queries.sparkSession
     val cents = centroidsOf(spark, storeDir)
     // probe selection over the driver-sized quantizer is a narrow
@@ -661,8 +724,8 @@ object IncrementalAnnIndex {
     }).localCheckpoint()
     val probedCids = probes.select("cid").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val lists = spark.read.parquet(listsPath(storeDir))
-      .filter(col("cid").isin(probedCids: _*)) // static partition pruning
+    val lists = restrict(spark.read.parquet(listsPath(storeDir))
+      .filter(col("cid").isin(probedCids: _*))) // static partition pruning
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id"))
     probes.join(lists, Seq("cid"))

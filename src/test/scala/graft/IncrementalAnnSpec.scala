@@ -231,6 +231,69 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("destination already exists"))
   }
 
+  test("compact rewrites only fragmented partitions; content identical") {
+    val store = Files.createTempDirectory("anncompact").toString + "/store"
+    IncrementalAnnIndex.init(vecs(0 until 100), store)
+    // three more appends fragment the touched partitions
+    IncrementalAnnIndex.appendBatch(vecs(100 until 140), store)
+    IncrementalAnnIndex.appendBatch(vecs(140 until 180), store)
+    IncrementalAnnIndex.appendBatch(vecs(180 until 220), store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(dir: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).count(f =>
+        f.isFile && !f.getPath.getName.startsWith("_"))
+    def maxFilesPerPart(root: String, prefix: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+        .filter(d => d.isDirectory &&
+          d.getPath.getName.startsWith(prefix + "="))
+        .map(d => dataFiles(d.getPath.toString)).max
+    assert(maxFilesPerPart(s"$store/lists", "cid") > 1,
+      "fixture must be fragmented for the compaction to bind")
+    def snapshot() = (
+      spark.read.parquet(s"$store/lists")
+        .select(col("vec_id"), col("cid").cast("string"))
+        .collect().map(r0 => (r0.getLong(0), r0.getString(1))).toSet,
+      spark.read.parquet(s"$store/ledger")
+        .select(col("vec_id"), col("ref_cid").cast("string"))
+        .collect().map(r0 => (r0.getLong(0), r0.getString(1))).toSet)
+    val (listsBefore, ledgerBefore) = snapshot()
+    val (nc, nb) = IncrementalAnnIndex.compact(spark, store, maxFiles = 1)
+    assert(nc > 0 && nb > 0)
+    val (listsAfter, ledgerAfter) = snapshot()
+    assert(listsAfter == listsBefore && ledgerAfter == ledgerBefore,
+      "compaction must be content-identical in both trees")
+    assert(maxFilesPerPart(s"$store/lists", "cid") == 1)
+    assert(maxFilesPerPart(s"$store/ledger", "b") == 1)
+    // a second compact is a no-op; the redelivery skip still works
+    assert(IncrementalAnnIndex.compact(spark, store, maxFiles = 1) == (0, 0))
+    val replay = IncrementalAnnIndex.appendBatch(vecs(0 until 50), store)
+    assert(replay.appended == 0 && replay.skippedRedelivered == 50)
+  }
+
+  test("filtered search ranks densely within the allowlist") {
+    val store = Files.createTempDirectory("annfilter").toString + "/store"
+    IncrementalAnnIndex.init(vecs(0 until 200), store)
+    val allowed = vecs(0 until 200).filter(col("vec_id") % 2 === 0)
+      .select("vec_id")
+    val queries = vecs(0 until 4)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val got = IncrementalAnnIndex.topKAmong(queries, store, 5, allowed)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.forall { case (_, _, cid) => cid % 2 == 0 },
+      "only allowlisted ids may appear")
+    // dense ranks 1..k within the filtered set, not holes
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // and the filtered ranking equals filtering topK's candidate pool
+    // only when the allowlist keeps every probed candidate
+    val all = IncrementalAnnIndex.topKAmong(queries, store, 5,
+      vecs(0 until 200).select("vec_id"))
+    val plain = IncrementalAnnIndex.topK(queries, store, 5)
+    assert(all.except(plain).isEmpty && plain.except(all).isEmpty)
+  }
+
   test("oversized quantizer falls back to the join path, same answers") {
     // 80 centroids > the inline-literal threshold (64): assignment and
     // probe selection take the broadcast-join + window fallback. The
