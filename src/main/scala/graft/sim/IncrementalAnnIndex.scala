@@ -326,16 +326,17 @@ object IncrementalAnnIndex {
     *
     * Planned for minimum fixed overhead as much as minimum I/O — a
     * CDC consumer runs this on EVERY delta, so constant per-call cost
-    * is the throughput at high delta rates. Exactly four substantial
+    * is the throughput at high delta rates. Exactly three substantial
     * jobs run per call: (1) the delta checkpoint (one scan of the
     * feed), (2) the bucket-pruned ledger probe joined with the delta's
-    * flags (delta-bounded, checkpointed), (3+4) the two staged-tree
-    * writes. Everything else is a driver-sized collect over a
-    * checkpoint: one summary (insert count + unknown-type check +
-    * the delta's bucket set) and one probe aggregation that yields the
-    * affected (bucket, list) pairs, the removed total, AND the
-    * redelivered count — so no standalone count job ever runs against
-    * the index or the staged output. */
+    * flags (delta-bounded, checkpointed), (3) the ONE staged write
+    * carrying both trees ([[commitTxn]]'s tree/pk union). Everything
+    * else is a driver-sized collect over a checkpoint: one summary
+    * (insert count + unknown-type check + the delta's bucket set) and
+    * one probe aggregation that yields the affected (bucket, list)
+    * pairs, the removed total, AND the redelivered count — so no
+    * standalone count job ever runs against the index or the staged
+    * output. */
   private def applyDelta(spark: SparkSession, store: String,
       requestedBuckets: Int, deltaRaw: DataFrame,
       hasDeletes: Boolean): ChangesResult = {
