@@ -116,6 +116,11 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * the session owns routes like the session. */
   private val SessionIdKey = "spark.graft.summaryRewrite.sessionId"
 
+  /** Mint-on-first-use id — called only by the WRITE paths
+    * (register/deregister). The lookup path uses [[sessionKeyIfAny]]:
+    * a session that never registered has no id and therefore no
+    * registrations, and the optimizer must never mutate session conf
+    * mid-optimization just to discover that. */
   private def sessionKey(spark: SparkSession): String =
     spark.conf.getOption(SessionIdKey).getOrElse(synchronized {
       spark.conf.getOption(SessionIdKey).getOrElse {
@@ -124,6 +129,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         id
       }
     })
+
+  private def sessionKeyIfAny(spark: SparkSession): Option[String] =
+    spark.conf.getOption(SessionIdKey)
 
   /** Cached analyzed-plan count — spec hook pinning that routing
     * resolves each served summary once, not once per query. */
@@ -175,10 +183,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case fs: HadoopFsRelation =>
         fs.location.rootPaths.toSeq match {
           case Seq(single) =>
-            SparkSession.getActiveSession.toSeq.flatMap(sp =>
-              Option(registry.get(
-                (sessionKey(sp), single.toUri.getPath)))
-                .getOrElse(Nil))
+            (for {
+              sp <- SparkSession.getActiveSession.toSeq
+              sk <- sessionKeyIfAny(sp).toSeq
+              ss <- Option(registry.get((sk, single.toUri.getPath)))
+                .getOrElse(Nil)
+            } yield ss)
           case _ => Nil
         }
       case _ => Nil
