@@ -66,7 +66,10 @@ object SeqPack {
     * per-sequence rollup, for funnels whose manifest must audit
     * row-level provenance (e.g. which packed rows are epoch-repetition
     * copies in `corpus_ship_epochs`). Same bounded-sequential-per-group
-    * scale shape: one hash exchange, O(groupSize) per group. */
+    * scale shape: one hash exchange, O(groupSize) per group. Invariant
+    * (pinned by SeqPackSpec, so the two emissions of the same greedy
+    * loop can never drift): this output rolled up per sequence must
+    * equal [[pack]]. */
   def packDocs(docs: DataFrame, groupSize: Int, capacity: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -91,9 +94,6 @@ object SeqPack {
       .toDF("grp", "seq_idx", "doc_id", "tok")
   }
 
-  /** [[packDocs]] rolled up per sequence must equal [[pack]] — pinned
-    * by SeqPackSpec, so the two emissions of the same greedy loop can
-    * never drift. */
   /** The packing CTE chain alone (goes after a `WITH RECURSIVE`, so it
     * composes inside a larger WITH — corpus_ship appends it to the
     * funnel chain). `docsRel` is any relation carrying (doc_id, text).
