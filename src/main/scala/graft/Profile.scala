@@ -331,10 +331,14 @@ object Profile {
       time("init (store2)")(IncrementalAnnIndex.init(
         VersionedTable.readVersion(spark, root, v0), store2))
       val cdcDir = s"$base/cdc"
+      // landDelta stamps strictly increasing mtimes so a same-
+      // timestamp tie can never mis-order the burst writes and trip
+      // the drain's slot check mid-profile
       time("write cdc files")(Seq((v0, v1), (v1, v2)).foreach {
         case (a, b) =>
-          VersionedTable.changes(spark, root, a, b, Seq("vec_id"))
-            .coalesce(1).write.mode("append").parquet(cdcDir)
+          graft.streaming.AnnMaintainJob.landDelta(spark,
+            VersionedTable.changes(spark, root, a, b, Seq("vec_id")),
+            cdcDir)
       })
       time("AnnMaintainJob.runOnce (2 batches)")(
         graft.streaming.AnnMaintainJob.runOnce(

@@ -210,11 +210,14 @@ object WaveTwelveQueries {
       IncrementalAnnIndex.init(
         VersionedTable.readVersion(s, root, v0), store)
       val cdcDir = s"$base/cdc"
-      // one file per delta — the MvMaintainJob feed-layout contract
-      VersionedTable.changes(s, root, v0, v1, Seq("vec_id"))
-        .coalesce(1).write.mode("append").parquet(cdcDir)
-      VersionedTable.changes(s, root, v1, v2, Seq("vec_id"))
-        .coalesce(1).write.mode("append").parquet(cdcDir)
+      // one file per delta, mtimes stamped in landing order — the
+      // MvMaintainJob feed-layout contract (a same-timestamp tie
+      // between the two burst writes would otherwise let the file
+      // source mis-order them and trip the drain's slot check)
+      graft.streaming.AnnMaintainJob.landDelta(s,
+        VersionedTable.changes(s, root, v0, v1, Seq("vec_id")), cdcDir)
+      graft.streaming.AnnMaintainJob.landDelta(s,
+        VersionedTable.changes(s, root, v1, v2, Seq("vec_id")), cdcDir)
       graft.streaming.AnnMaintainJob.runOnce(
         s, cdcDir, store, s"$base/ckpt", seedSourceVersion = v0)
       IncrementalAnnIndex.topK(

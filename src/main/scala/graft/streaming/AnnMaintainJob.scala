@@ -41,6 +41,36 @@ import graft.sim.IncrementalAnnIndex
   */
 object AnnMaintainJob {
 
+  /** Land one CDC delta into the feed directory with a file mtime
+    * STRICTLY ABOVE every file already there. The file stream source
+    * orders unseen files by modification time, and the slot check
+    * below rejects a feed whose mtime order disagrees with the version
+    * stamps — correct, but it turns a same-timestamp tie between two
+    * back-to-back producer writes into an intermittent abort. A real
+    * producer lands deltas seconds apart; a test fixture (or a
+    * replaying backfill) lands them in one burst, so this helper makes
+    * the landing order explicit in the mtimes instead of sleeping
+    * across the filesystem's timestamp granularity. */
+  def landDelta(spark: SparkSession, delta: org.apache.spark.sql.DataFrame,
+      cdcDir: String): Unit = {
+    val p = new Path(cdcDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(f =>
+        f.isFile && !f.getPath.getName.startsWith("_"))
+    val before = dataFiles()
+    val beforeNames = before.map(_.getPath.getName).toSet
+    val floor = before.map(_.getModificationTime)
+      .foldLeft(0L)(math.max)
+    delta.coalesce(1).write.mode("append").parquet(cdcDir)
+    dataFiles().filterNot(f => beforeNames(f.getPath.getName))
+      .foreach { f =>
+        val t = math.max(floor + 2000L, f.getModificationTime)
+        fs.setTimes(f.getPath, t, -1)
+      }
+  }
+
   final case class AnnMaintainSummary(
       batches: Int, applied: Int, skippedRedelivered: Int,
       removed: Long, appended: Long, appliedThrough: Long)
