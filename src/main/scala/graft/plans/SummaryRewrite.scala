@@ -100,12 +100,41 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   private val registry =
     new ConcurrentHashMap[(String, String), List[MaterializedSummary]]()
 
-  /** Analyzed summary scans, resolved ONCE per summary directory: a
-    * served version directory is immutable (VersionedTable commit
-    * discipline), so the file listing + schema resolution happen at
-    * first routing instead of on every matched Aggregate. Entries die
-    * with their registration (register's replacement, deregister). */
-  private val planCache = new ConcurrentHashMap[String, LogicalPlan]()
+  /** Weak handles on every session that ever registered, keyed by its
+    * minted UUID. The registry itself must not hold the session (that
+    * would pin it forever); the weak reference is how [[reap]] notices
+    * a session was abandoned WITHOUT deregistering — once the JVM
+    * collects it, every registry and plan-cache entry under its UUID
+    * is unreachable garbage and is swept. Long-lived multi-session
+    * servers stop accreting, and the registry.isEmpty fast path comes
+    * back once the last live registration is gone. */
+  private val sessionRefs = new ConcurrentHashMap[
+    String, java.lang.ref.WeakReference[SparkSession]]()
+
+  /** Analyzed summary scans, resolved ONCE per summary directory PER
+    * REGISTRATION — keyed (session UUID, path): a served version
+    * directory is immutable (VersionedTable commit discipline), so the
+    * file listing + schema resolution happen at first routing instead
+    * of on every matched Aggregate. Entries die with THEIR OWN
+    * registration (register's same-shape replacement, deregister,
+    * reap) — two sessions registering the same summary path each hold
+    * their own entry, so one session's deregister never evicts a plan
+    * the other still serves. */
+  private val planCache =
+    new ConcurrentHashMap[(String, String), LogicalPlan]()
+
+  /** Sweep every entry owned by a session the JVM has collected. Runs
+    * at each register/deregister and on the optimizer's lookup path —
+    * cost is one scan of the (registration-count-sized) session map,
+    * nothing data-sized. */
+  private def reap(): Unit =
+    sessionRefs.forEach { (uuid, ref) =>
+      if (ref.get() == null) {
+        sessionRefs.remove(uuid)
+        registry.keySet.removeIf(_._1 == uuid)
+        planCache.keySet.removeIf(_._1 == uuid)
+      }
+    }
 
   private def normalize(p: String): String = new Path(p).toUri.getPath
 
@@ -137,7 +166,17 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * resolves each served summary once, not once per query. */
   private[graft] def cachedSummaryPlanCount: Int = planCache.size()
 
-  def register(s: MaterializedSummary): Unit = {
+  /** Spec hooks for the reaping contract. */
+  private[graft] def registrySize: Int = registry.size()
+  private[graft] def reapNow(): Unit = reap()
+
+  /** Register `s` for `session` (defaults to the thread's active
+    * session — callers building queries against an EXPLICIT session,
+    * as the Wave builders do everywhere else, should pass it rather
+    * than rely on the thread-local being the one they mean). */
+  def register(s: MaterializedSummary,
+      session: SparkSession = SparkSession.active): Unit = {
+    reap()
     val extrema = s.aggCols.keys.filter {
       case (fn, _) => fn == "min" || fn == "max"
     }
@@ -149,7 +188,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         "serve them only from a summary refreshed by rebuild (full, or " +
         "IncrementalView.maintainWithExtrema's dirty-group rescan) and " +
         "declare rebuildMaintained = true")
-    val key = (sessionKey(SparkSession.active), normalize(s.basePath))
+    val sk = sessionKey(session)
+    sessionRefs.putIfAbsent(sk,
+      new java.lang.ref.WeakReference(session))
+    val key = (sk, normalize(s.basePath))
     registry.compute(key, (_, old) => {
       // a re-registration of the same summary SHAPE (the maintenance
       // jobs serving version N+1) replaces its predecessor — an atomic
@@ -157,16 +199,20 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       val prev = Option(old).getOrElse(Nil)
       val (replaced, kept) = prev.partition(e =>
         e.groupCols == s.groupCols && e.aggCols == s.aggCols)
-      replaced.foreach(e => planCache.remove(e.summaryPath))
+      replaced.foreach(e => planCache.remove((sk, e.summaryPath)))
       (kept :+ s).sortBy(_.groupCols.size) // coarsest-first = cheapest
     })
   }
 
-  /** Drop every summary the ACTIVE session registered over `basePath`. */
-  def deregister(basePath: String): Unit = {
-    val old = registry.remove(
-      (sessionKey(SparkSession.active), normalize(basePath)))
-    Option(old).getOrElse(Nil).foreach(e => planCache.remove(e.summaryPath))
+  /** Drop every summary `session` (default: the thread's active
+    * session) registered over `basePath`. */
+  def deregister(basePath: String,
+      session: SparkSession = SparkSession.active): Unit = {
+    reap()
+    val sk = sessionKey(session)
+    val old = registry.remove((sk, normalize(basePath)))
+    Option(old).getOrElse(Nil)
+      .foreach(e => planCache.remove((sk, e.summaryPath)))
   }
 
   /** Activate on a live session (idempotent). */
@@ -198,8 +244,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * re-instanced per use so two routed subtrees in one query plan
     * never share attribute ids. */
   private def summaryPlan(spark: SparkSession, path: String): LogicalPlan =
-    planCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).queryExecution.analyzed)
+    // the lookup path only reaches here for a session with
+    // registrations, which therefore has an id; "" can never collide
+    // with a minted UUID
+    planCache.computeIfAbsent(
+      (sessionKeyIfAny(spark).getOrElse(""), path),
+      { case (_, p) => spark.read.parquet(p).queryExecution.analyzed })
       .transformUp { case r: LogicalRelation => r.newInstance() }
 
   /** Base relation under any stack of pure-attribute Projects (column
@@ -318,7 +368,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (registry.isEmpty) return plan
+    if (!sessionRefs.isEmpty) reap() // abandoned sessions: sweep, so an
+    if (registry.isEmpty) return plan // empty registry fast-paths again
     plan.transformUp {
       case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
         (for {

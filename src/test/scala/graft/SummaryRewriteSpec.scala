@@ -424,4 +424,76 @@ class SummaryRewriteSpec extends AnyFunSuite {
       .groupBy(col("g")).agg(count(lit(1)).as("n"))
     assert(scanPaths(df2) == Seq(base2Path))
   }
+
+  /** Register a summary for a THROWAWAY session in its own stack
+    * frame, so no strong reference to the session survives the
+    * return (register takes the session explicitly — the thread's
+    * active session is never switched). */
+  private def registerFromAbandonedSession(
+      base: String, sumP: String): Unit = {
+    val s = spark.newSession()
+    SummaryRewrite.register(MaterializedSummary(base, sumP, Seq("g"),
+      Map(("count", "*") -> "n", ("sum", "v") -> "sv")), s)
+  }
+
+  test("abandoned sessions are reaped; no registry entries survive") {
+    val p = basePath // fixture registered on the long-lived session
+    val dir = java.nio.file.Files.createTempDirectory("sumreap").toString
+    val base = s"$dir/base6.parquet"
+    val sumP = s"$dir/s6.parquet"
+    Seq((1L, 5L)).toDF("g", "v").write.parquet(base)
+    Seq((1L, 1L, 5L)).toDF("g", "n", "sv").write.parquet(sumP)
+    val before = SummaryRewrite.registrySize
+    (1 to 3).foreach(_ => registerFromAbandonedSession(base, sumP))
+    assert(SummaryRewrite.registrySize == before + 3)
+    // the throwaway sessions are unreachable; once the JVM collects
+    // them the next reap (register/deregister/lookup all run it) must
+    // sweep their entries. GC is advisory, so nudge it in a loop.
+    var tries = 0
+    while (SummaryRewrite.registrySize > before && tries < 50) {
+      System.gc()
+      Thread.sleep(100)
+      SummaryRewrite.reapNow()
+      tries += 1
+    }
+    assert(SummaryRewrite.registrySize == before,
+      s"abandoned sessions must be reaped (still " +
+        s"${SummaryRewrite.registrySize - before} extra after $tries gcs)")
+    // the long-lived session's own registrations survive the sweep
+    val df = spark.read.parquet(p).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"))
+    assert(scanPaths(df) == Seq(summaryPath))
+  }
+
+  test("deregister in one session never evicts a co-registered plan") {
+    val dir = java.nio.file.Files.createTempDirectory("sumshare").toString
+    val base = s"$dir/base7.parquet"
+    val sumP = s"$dir/s7.parquet"
+    Seq((1L, 5L), (2L, 7L)).toDF("g", "v").write.parquet(base)
+    Seq((1L, 1L, 5L), (2L, 1L, 7L)).toDF("g", "n", "sv")
+      .write.parquet(sumP)
+    val aggs: Map[(String, String), String] =
+      Map(("count", "*") -> "n", ("sum", "v") -> "sv")
+    val s2 = spark.newSession()
+    SummaryRewrite.enable(spark)
+    SummaryRewrite.enable(s2)
+    SummaryRewrite.register(
+      MaterializedSummary(base, sumP, Seq("g"), aggs), spark)
+    SummaryRewrite.register(
+      MaterializedSummary(base, sumP, Seq("g"), aggs), s2)
+    def q(s: SparkSession) = s.read.parquet(base).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(scanPaths(q(spark)) == Seq(sumP)) // warms spark's cache entry
+    assert(scanPaths(q(s2)) == Seq(sumP))    // warms s2's own entry
+    val n0 = SummaryRewrite.cachedSummaryPlanCount
+    SummaryRewrite.deregister(base, s2) // drops ONLY s2's entry
+    assert(SummaryRewrite.cachedSummaryPlanCount == n0 - 1)
+    assert(scanPaths(q(spark)) == Seq(sumP),
+      "the surviving registration must still route")
+    assert(SummaryRewrite.cachedSummaryPlanCount == n0 - 1,
+      "…from its own cached plan, without re-resolving")
+    assert(scanPaths(q(s2)) == Seq(base),
+      "the deregistered session must stop routing")
+    SummaryRewrite.deregister(base, spark)
+  }
 }
