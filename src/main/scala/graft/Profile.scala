@@ -343,6 +343,16 @@ object Profile {
       time("AnnMaintainJob.runOnce (2 batches)")(
         graft.streaming.AnnMaintainJob.runOnce(
           spark, cdcDir, store2, s"$base/ckpt", seedSourceVersion = v0))
+      // auto-compaction canary: the same drain with compact() after
+      // every applied batch — the delta between this row and the plain
+      // drain above is the steady-state housekeeping cost
+      val store3 = s"$base/ivf3"
+      time("init (store3)")(IncrementalAnnIndex.init(
+        VersionedTable.readVersion(spark, root, v0), store3))
+      time("runOnce + autoCompact")(
+        graft.streaming.AnnMaintainJob.runOnce(
+          spark, cdcDir, store3, s"$base/ckpt3", seedSourceVersion = v0,
+          autoCompactEvery = 1, autoCompactMaxFiles = 4))
       spark.stop()
       return
     }

@@ -89,9 +89,29 @@ object IncrementalAnnIndex {
   private def centroidsPath(store: String) = s"$store/centroids"
   private def listsPath(store: String) = s"$store/lists"
   private def ledgerPath(store: String) = s"$store/ledger"
+  private def booksPath(store: String) = s"$store/pqbooks"
   private def txnPath(store: String) = s"$store/_txn"
 
+  /** PQ geometry for compressed stores: [[IvfPq]]'s segment count (the
+    * per-segment codebook size too) with the segment width derived
+    * from the store's own vector dimension at init. */
+  val PqSegments: Int = IvfPq.Segments
+  val PqCodes: Int = IvfPq.Codes
+  val PqIters: Int = IvfPq.PqIters
+
   private val BucketsRe = "_buckets_(\\d+)".r
+
+  /** Store format stamp. Format 2 = the single-staged-transaction
+    * protocol (`_txn` staging, ledger data column `ref_cid`); the
+    * retired format 1 staged under `_append_staged`/`_rewrite_trash`
+    * and named the ledger column `cid`. The stamp is created the first
+    * time a format-2 maintenance call verifies the store (new stores
+    * verify trivially); a store that FAILS the verification — legacy
+    * staging dirs present, or an old-schema ledger — fails loudly with
+    * migration guidance instead of half-reading it (the v1 ledger's
+    * missing `ref_cid` would otherwise surface as an analysis error
+    * deep inside the first probe). */
+  private val FormatMarker = "_format_2"
 
   /** Stage timing for the maintenance path, printed only when
     * SPARK_GRAFT_ANN_PROFILE is set (the Profile `anncdc` axis). */
@@ -152,7 +172,7 @@ object IncrementalAnnIndex {
     * at migration; the commit point is a single atomic directory
     * rename, so a crashed backfill simply reruns. */
   private def ensureLedger(spark: SparkSession, store: String,
-      requested: Int): Int =
+      requested: Int): Int = {
     ledgerBucketsOf(spark, store).getOrElse {
       require(requested > 0, s"ledgerBuckets must be positive: $requested")
       val (fs, lp) = fsOf(spark, ledgerPath(store))
@@ -173,6 +193,34 @@ object IncrementalAnnIndex {
         s"ledger backfill commit failed: $tmp -> $lp")
       requested
     }
+  }
+
+  /** Fail loudly on a format-1 store; stamp [[FormatMarker]] once a
+    * store verifies as format 2. Runs before every maintenance call's
+    * first ledger access; the marker makes every later call one
+    * `exists` probe. */
+  private def checkFormat(spark: SparkSession, store: String): Unit = {
+    val (fs, sp) = fsOf(spark, store)
+    if (fs.exists(new Path(sp, FormatMarker))) return
+    Seq("_append_staged", "_rewrite_trash").foreach { d =>
+      require(!fs.exists(new Path(sp, d)),
+        s"store $store carries the retired format-1 staging dir '$d' " +
+          "(possibly an in-flight v1 recovery): finish or discard it " +
+          "with the code that wrote it, or rebuild the store — the " +
+          "format-2 recover() cannot interpret v1 staging safely")
+    }
+    if (hasData(spark, ledgerPath(store), "b")) {
+      val fields =
+        spark.read.parquet(ledgerPath(store)).schema.fieldNames.toSet
+      require(fields.contains("ref_cid"),
+        s"store $store has a format-1 ledger (columns " +
+          s"${fields.mkString(", ")} — no ref_cid): delete the ledger " +
+          "directory so the next maintenance call re-backfills it from " +
+          "the lists (one columnar scan), or rebuild the store")
+    }
+    try fs.create(new Path(sp, FormatMarker), false).close()
+    catch { case _: java.io.IOException => () } // concurrent stamp: fine
+  }
 
   /** Above this many centroids the inlined-literal argmax would bloat
     * the generated code (|centroids| cosine expressions per row), so
@@ -240,17 +288,183 @@ object IncrementalAnnIndex {
     batch.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
 
+  // ------------------------------------------------------------------
+  // PQ-compressed layout — the 100 TB cost story for the MAINTAINED
+  // store. A store initialized with `pq = true` additionally trains
+  // [[PqSegments]] per-segment codebooks over the init corpus's
+  // RESIDUALS (vector − assigned centroid, in KMeans' shifted integer
+  // micro-units — IVFADC's discipline, [[IvfPq]]) and stores each
+  // row's codes as a `pq: array<long>` COLUMN of the lists tree. The
+  // column IS the "codes tree": it rides the same staged transaction
+  // as the vector (codes and content can never diverge), and parquet's
+  // columnar layout is the code/raw separation — the ADC search path
+  // reads ONLY (vec_id, pq) from the probed partitions (spec-asserted
+  // on the scan's ReadSchema), while the raw `v` column is the rerank
+  // sidecar paid only for shortlist rows. At 10B vectors the hot
+  // search I/O is Segments longs per candidate, not the float64
+  // vector; a deployment that wants the STORAGE win too drops `v` at
+  // the file level (the ADC-only form — same plans, no rerank stage),
+  // which this layout reaches by writing the lists projection without
+  // `v`. Codebooks are FIXED at init like the coarse quantizer
+  // (re-training is a rebuild — [[rebuild]] re-trains both).
+  // ------------------------------------------------------------------
+
+  /** Residual re-shift keeping every coordinate non-negative —
+    * [[IvfPq.RShift]]'s precondition for exact-integer training. */
+  private val PqRShift = IvfPq.RShift
+
+  /** Shifted-micro-unit quantization of a double array column — the
+    * [[KMeans.quantized]] rule as a reusable expression. */
+  private def quantizeExpr(v: Column): Column =
+    transform(v, e => round(e * KMeans.Micro).cast("long") + KMeans.Shift)
+
+  /** Quantized centroid of the row's assigned `cid` — a literal
+    * when-chain over the driver-sized quantizer (quantization happens
+    * IN the expression, so it is Spark's own round semantics). */
+  private def qcentExpr(cents: Array[(Long, Seq[Double])],
+      cid: Column): Column = {
+    def qlit(cv: Seq[Double]): Column = quantizeExpr(typedLit(cv))
+    cents.tail.foldLeft(when(cid === cents.head._1, qlit(cents.head._2))) {
+      case (acc, (c, cv)) => acc.when(cid === c, qlit(cv))
+    }
+  }
+
+  /** Exact integer squared L2 between two long-array columns. */
+  private def sqDistL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Per-segment codebooks collected to the driver (model-sized:
+    * Segments x Codes x segDim longs), cached per store path like the
+    * quantizer — fixed after init, invalidated by init's overwrite.
+    * None ⇔ the store was not initialized with pq. */
+  private val booksCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[Seq[(Long, Seq[Long])]]]
+
+  private def booksOf(spark: SparkSession,
+      store: String): Option[Seq[Seq[(Long, Seq[Long])]]] = {
+    val bp = booksPath(store)
+    booksCache.get(bp).orElse {
+      val (fs, p) = fsOf(spark, bp)
+      if (!fs.exists(p)) None
+      else {
+        val books = spark.read.parquet(bp)
+          .select(col("seg"), col("cid"), col("dim"), col("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (_, segRows) =>
+            segRows.groupBy(_._2).toSeq
+              .map { case (c, rs) => c -> rs.sortBy(_._3).map(_._4).toSeq }
+              .sortBy(_._1)
+          }
+        booksCache.put(bp, books)
+        Some(books)
+      }
+    }
+  }
+
+  /** Re-key so the `k` LOWEST vec_ids become 0..k−1 (everyone else
+    * shifts up by k, collision-free for non-negative ids) —
+    * [[KMeans.fitQ]] seeds its clusters from vec_ids 0..k−1, and a
+    * real corpus's ids are arbitrary (hashes, snowflakes), so the
+    * store supplies the deterministic first-k-by-lowest-id rule
+    * itself. The seed set is driver-known (k rows) and the remap is a
+    * row-local when-chain; an oracle mirrors it with a LIMIT-k
+    * row_number join. Training-only: codes never see the remapped
+    * ids. */
+  private def rekeyLowestIds(df: DataFrame, k: Int): DataFrame = {
+    val seeds = df.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getLong(0))
+    require(seeds.length == k,
+      s"PQ training needs at least $k distinct vec_ids, found " +
+        s"${seeds.length}")
+    require(seeds.head >= 0,
+      s"PQ training re-key requires non-negative vec_ids, found " +
+        s"${seeds.head}")
+    val seedMap = seeds.zipWithIndex
+      .foldLeft(lit(null).cast("long")) { case (acc, (id, i)) =>
+        when(col("vec_id") === id, lit(i.toLong)).otherwise(acc)
+      }
+    df.withColumn("vec_id", coalesce(seedMap, col("vec_id") + k))
+  }
+
+  /** Residual of the assigned row: quantized vector − quantized
+    * centroid + re-shift, every coordinate a non-negative long. Input
+    * must carry (v, cid). */
+  private def residualExpr(cents: Array[(Long, Seq[Double])]): Column =
+    zip_with(quantizeExpr(col("v")), qcentExpr(cents, col("cid")),
+      (a, b) => a - b + lit(PqRShift))
+
+  /** The lists-tree row shape: (vec_id, v, cid) plus the `pq` codes
+    * column when the source carries one (PQ stores) — the one place
+    * that decides which columns survive a rewrite, so the survivor
+    * merge, compaction, and the staged write can never drop codes. */
+  private def listsProjection(lists: DataFrame): DataFrame =
+    lists.select(Seq(col("vec_id"), col("v"),
+      col("cid").cast("long").as("cid")) ++
+      (if (lists.columns.contains("pq")) Seq(col("pq")) else Nil): _*)
+
+  /** Add the `pq` codes column to assigned rows (vec_id, v, cid, …):
+    * one row-local projection — slice the residual per segment, argmin
+    * against that segment's codebook ([[KMeans.assignExpr]]'s exact
+    * tiebreak). */
+  private def withPqCodes(assigned: DataFrame,
+      cents: Array[(Long, Seq[Double])],
+      books: Seq[Seq[(Long, Seq[Long])]]): DataFrame = {
+    val segDim = books.head.head._2.size
+    val rq = residualExpr(cents)
+    assigned.withColumn("pq",
+      array((0 until books.size).map { s =>
+        KMeans.assignExpr(books(s), slice(rq, s * segDim + 1, segDim))
+      }: _*))
+  }
+
   /** Initialize the store: the quantizer is the `nCentroids`
     * lowest-vec_id vectors of the init batch (deterministic, like
-    * ivfTopK's first-k rule), then the whole batch is appended. */
+    * ivfTopK's first-k rule), then the whole batch is appended.
+    *
+    * `pq = true` initializes the COMPRESSED layout: [[PqSegments]]
+    * per-segment codebooks are trained over the init batch's residuals
+    * ([[KMeans.fitQ]], seeded from the [[PqCodes]] lowest vec_ids via
+    * [[rekeyLowestIds]] — ids stay arbitrary) and every row ever
+    * appended carries its `pq` codes column. The vector dimension must
+    * divide evenly into [[PqSegments]] segments. */
   def init(batch: DataFrame, storeDir: String,
       nCentroids: Int = Similarity.IvfCentroids,
-      ledgerBuckets: Int = DefaultLedgerBuckets): AppendResult = {
+      ledgerBuckets: Int = DefaultLedgerBuckets,
+      pq: Boolean = false): AppendResult = {
     val cents = vecsOf(batch)
       .orderBy(col("vec_id")).limit(nCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     cents.write.mode("overwrite").parquet(centroidsPath(storeDir))
     centroidCache.remove(centroidsPath(storeDir))
+    if (pq) {
+      val spark = batch.sparkSession
+      val centsArr = centroidsOf(spark, storeDir)
+      val dim = centsArr.head._2.size
+      require(dim % PqSegments == 0,
+        s"vector dim $dim must divide into $PqSegments PQ segments")
+      val segDim = dim / PqSegments
+      // training input deduped per id (appendBatch's arbitrary-pick
+      // rule) — the codebooks must see each vector once
+      val deduped = vecsOf(batch)
+        .groupBy(col("vec_id")).agg(first(col("v")).as("v"))
+      val resid = rekeyLowestIds(
+        assign(deduped, centsArr)
+          .select(col("vec_id"), residualExpr(centsArr).as("rq")),
+        PqCodes).localCheckpoint()
+      val books = (0 until PqSegments).map { s =>
+        KMeans.fitQ(
+            resid.select(col("vec_id"),
+              slice(col("rq"), s * segDim + 1, segDim).as("q")),
+            PqCodes, PqIters)
+          .select(lit(s).as("seg"), col("cid"), col("dim"), col("c"))
+      }.reduce(_ unionByName _)
+      books.coalesce(1).write.mode("overwrite").parquet(booksPath(storeDir))
+      booksCache.remove(booksPath(storeDir))
+    }
     appendBatch(batch, storeDir, ledgerBuckets)
   }
 
@@ -336,7 +550,16 @@ object IncrementalAnnIndex {
     * one probe aggregation that yields the affected (bucket, list)
     * pairs, the removed total, AND the redelivered count — so no
     * standalone count job ever runs against the index or the staged
-    * output. */
+    * output.
+    *
+    * Sizing contract: the delta checkpoint pins the WHOLE delta —
+    * insert vectors included — in the block manager for the call's
+    * duration. That is the design point (CDC deltas are small next to
+    * the index, and the checkpoint is what keeps the call at three
+    * jobs), but it means a bulk-load-sized "delta" pays corpus-scale
+    * block-manager residency for no benefit: route bulk ingestion
+    * through [[init]] (an empty store) or [[rebuild]] (a re-trained
+    * one), which stream the corpus straight into the staged write. */
   private def applyDelta(spark: SparkSession, store: String,
       requestedBuckets: Int, deltaRaw: DataFrame,
       hasDeletes: Boolean): ChangesResult = {
@@ -401,17 +624,19 @@ object IncrementalAnnIndex {
         "left_anti")
     }
     val cents = centroidsOf(spark, store)
-    val assigned = assign(fresh, cents)
+    val books = booksOf(spark, store)
+    val assigned0 = assign(fresh, cents)
+    // a PQ store encodes every insert against the FIXED codebooks —
+    // one more row-local projection riding the same staged write
+    val assigned = books.fold(assigned0)(withPqCodes(assigned0, cents, _))
     val doomedIds = delta.filter(col("is_del")).select("vec_id")
 
-    val newLists = assigned
-      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    val newLists = listsProjection(assigned)
     val listsOut =
       if (affectedCids.isEmpty) newLists
-      else spark.read.parquet(listsPath(store))
-        .filter(col("cid").isin(affectedCids: _*)) // static pruning
-        .join(doomedIds, Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+      else listsProjection(spark.read.parquet(listsPath(store))
+          .filter(col("cid").isin(affectedCids: _*)) // static pruning
+          .join(doomedIds, Seq("vec_id"), "left_anti"))
         .unionByName(newLists)
     val newLedger = assigned
       .select(col("vec_id"), col("cid").cast("long").as("cid"), col("b"))
@@ -444,16 +669,23 @@ object IncrementalAnnIndex {
     // the live `cid=<n>` / `b=<n>` dir names. The list id is stored
     // as `ref_cid` so a lists FILE never carries a data column named
     // like its partition column (ledger reads alias it back to cid;
-    // lists reads never select it).
+    // lists reads never select it). Lists-only columns beyond the
+    // fixed trio (the PQ codes) ride the union with the ledger side
+    // null-padded — parquet stores the nulls as column metadata, so
+    // the ledger files stay two longs per row.
+    val extras = listsOut.schema.fields
+      .filterNot(f => Set("vec_id", "v", "cid")(f.name))
     val vType = listsOut.schema("v").dataType
     val combined = listsOut
-      .select(col("vec_id"), col("v"),
-        col("cid").cast("long").as("ref_cid"),
-        lit("lists").as("tree"), col("cid").cast("long").as("pk"))
-      .unionByName(ledgerOut.select(col("vec_id"),
+      .select(Seq(col("vec_id"), col("v"),
+        col("cid").cast("long").as("ref_cid")) ++
+        extras.map(f => col(f.name)) ++
+        Seq(lit("lists").as("tree"), col("cid").cast("long").as("pk")): _*)
+      .unionByName(ledgerOut.select(Seq(col("vec_id"),
         lit(null).cast(vType).as("v"),
-        col("cid").cast("long").as("ref_cid"),
-        lit("ledger").as("tree"), col("b").cast("long").as("pk")))
+        col("cid").cast("long").as("ref_cid")) ++
+        extras.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+        Seq(lit("ledger").as("tree"), col("b").cast("long").as("pk")): _*))
     val shaped =
       if (coalesce) combined.repartition(1)
       else combined.repartition(col("tree"), col("pk"))
@@ -582,6 +814,7 @@ object IncrementalAnnIndex {
     * transaction publishes forward (idempotent), an unmarked one never
     * touched the live trees and discards wholesale. */
   private def recover(spark: SparkSession, storeDir: String): Unit = {
+    checkFormat(spark, storeDir)
     val (fs, txnP) = fsOf(spark, txnPath(storeDir))
     if (fs.exists(txnP)) {
       if (fs.exists(new Path(txnP, "_ok")))
@@ -618,10 +851,9 @@ object IncrementalAnnIndex {
     val buckets = fragmented(ledgerPath(storeDir), "b").map(_.toInt).sorted
     if (cids.isEmpty && buckets.isEmpty) return (0, 0)
     val lists = spark.read.parquet(listsPath(storeDir))
-    val listsOut =
-      (if (cids.isEmpty) lists.filter(lit(false)) // schema-only: no swaps
-       else lists.filter(col("cid").isin(cids: _*)))
-        .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    val listsOut = listsProjection(
+      if (cids.isEmpty) lists.filter(lit(false)) // schema-only: no swaps
+      else lists.filter(col("cid").isin(cids: _*)))
     val ledgerOut =
       (if (buckets.isEmpty)
          ledgerFor(spark, storeDir, Seq(-1)) // never-matching: schema-only
@@ -673,7 +905,11 @@ object IncrementalAnnIndex {
         "in fresh directories (MVCC cutover), never over a live store")
     val current = spark.read.parquet(listsPath(storeDir))
       .select(col("vec_id"), col("v").as("embedding"))
-    val r = init(current, destDir, nCentroids, ledgerBuckets)
+    // a PQ store rebuilds as a PQ store: the codebooks re-train over
+    // the current content alongside the quantizer (code drift against
+    // init-time books is erased by the same cutover)
+    val r = init(current, destDir, nCentroids, ledgerBuckets,
+      pq = booksOf(spark, storeDir).isDefined)
     val (sfs, storeP) = fsOf(spark, storeDir)
     sfs.listStatus(storeP)
       .filter(f => f.isFile && f.getPath.getName.startsWith("_applied_v"))
@@ -682,6 +918,79 @@ object IncrementalAnnIndex {
         out.close()
       }
     r
+  }
+
+  // ------------------------------------------------------------------
+  // Serve-latest pointer — rebuild composed into the standing
+  // lifecycle. A store ROOT holds generation directories `gen=<g>`
+  // (each a complete store) and `_serve_<g>` marker files; the highest
+  // marker is the served generation (MvMaintainJob.serve's discipline
+  // for ANN: readers and the standing drain resolve the pointer, a
+  // rebuild lands in gen+1 and CUTS OVER by creating the next marker —
+  // one atomic create, so there is no moment with no served store and
+  // no torn one). The `_applied_v` chain markers carry through rebuild,
+  // so the drain resumes the SAME feed position against the new
+  // generation: drain → rebuild → cutover → keep draining needs no
+  // coordination beyond the pointer.
+  // ------------------------------------------------------------------
+
+  private def genDir(root: String, g: Long) = s"$root/gen=$g"
+  private val ServeRe = "_serve_(\\d+)".r
+
+  /** The served generation: the highest `_serve_<g>` marker, if any. */
+  def servedGen(spark: SparkSession, root: String): Option[Long] = {
+    val (fs, rp) = fsOf(spark, root)
+    if (!fs.exists(rp)) None
+    else fs.listStatus(rp).toSeq.flatMap { f =>
+      f.getPath.getName match {
+        case ServeRe(g) if f.isFile => Some(g.toLong)
+        case _                      => None
+      }
+    }.maxOption
+  }
+
+  /** The served store directory under `root`; fails if [[initServed]]
+    * never ran. */
+  def servedStore(spark: SparkSession, root: String): String =
+    genDir(root, servedGen(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root has no served ANN store generation — run initServed")))
+
+  /** Initialize generation 0 under `root` and publish the pointer. */
+  def initServed(batch: DataFrame, root: String,
+      nCentroids: Int = Similarity.IvfCentroids,
+      ledgerBuckets: Int = DefaultLedgerBuckets,
+      pq: Boolean = false): AppendResult = {
+    val spark = batch.sparkSession
+    require(servedGen(spark, root).isEmpty,
+      s"$root already serves a generation — rebuildServed rotates it")
+    val r = init(batch, genDir(root, 0), nCentroids, ledgerBuckets, pq)
+    val (fs, rp) = fsOf(spark, root)
+    fs.create(new Path(rp, "_serve_0"), false).close()
+    r
+  }
+
+  /** Rebuild the served generation into the next one and cut the
+    * pointer over. A crashed earlier attempt (a gen+1 directory with
+    * no marker — readers never saw it) is discarded and redone; the
+    * marker create is the cutover, after which [[servedStore]] — and
+    * therefore the next standing-drain batch and every new reader —
+    * resolves to the re-trained store at the same applied-through feed
+    * position. Returns the new generation number. */
+  def rebuildServed(spark: SparkSession, root: String,
+      nCentroids: Int = Similarity.IvfCentroids,
+      ledgerBuckets: Int = DefaultLedgerBuckets): Long = {
+    val g = servedGen(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root has no served ANN store generation — run initServed"))
+    val (fs, rp) = fsOf(spark, root)
+    val destG = g + 1
+    val dest = genDir(root, destG)
+    val (dfs, dp) = fsOf(spark, dest)
+    if (dfs.exists(dp)) dfs.delete(dp, true) // unmarked ⇒ crashed attempt
+    rebuild(spark, genDir(root, g), dest, nCentroids, ledgerBuckets)
+    fs.create(new Path(rp, s"_serve_$destG"), false).close() // cutover
+    destG
   }
 
   /** Top-k over the store for external queries (qid, embedding):
@@ -695,15 +1004,18 @@ object IncrementalAnnIndex {
       nProbe: Int = Similarity.IvfProbes): DataFrame =
     topKImpl(queries, storeDir, k, nProbe, restrict = identity)
 
-  private def topKImpl(queries: DataFrame, storeDir: String, k: Int,
-      nProbe: Int, restrict: DataFrame => DataFrame): DataFrame = {
+  /** Probe selection over the driver-sized quantizer: a narrow
+    * sort-and-slice per query row (same (round, desc, lower-id)
+    * ordering as the window form — struct order encodes it), not a
+    * crossJoin + repartitioning window; oversized quantizers fall
+    * back to the join form, like [[assign]]. Returns the checkpointed
+    * (qid, qv, cid) probes and the distinct probed cid set (driver-
+    * sized — bounded by the centroid count) for the scans' static
+    * partition pruning. */
+  private def probeSelection(queries: DataFrame,
+      cents: Array[(Long, Seq[Double])],
+      nProbe: Int): (DataFrame, Seq[Long]) = {
     val spark = queries.sparkSession
-    val cents = centroidsOf(spark, storeDir)
-    // probe selection over the driver-sized quantizer is a narrow
-    // sort-and-slice per query row (same (round, desc, lower-id)
-    // ordering as the window form — struct order encodes it), not a
-    // crossJoin + repartitioning window; oversized quantizers fall
-    // back to the join form, like [[assign]]
     val qv = queries
       .select(col("qid"), col("embedding").cast("array<double>").as("qv"))
     val probes = (if (cents.length <= InlineQuantizerMax) {
@@ -725,12 +1037,113 @@ object IncrementalAnnIndex {
     }).localCheckpoint()
     val probedCids = probes.select("cid").distinct()
       .collect().map(_.getLong(0)).toSeq
+    (probes, probedCids)
+  }
+
+  private def topKImpl(queries: DataFrame, storeDir: String, k: Int,
+      nProbe: Int, restrict: DataFrame => DataFrame): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = centroidsOf(spark, storeDir)
+    val (probes, probedCids) = probeSelection(queries, cents, nProbe)
     val lists = restrict(spark.read.parquet(listsPath(storeDir))
       .filter(col("cid").isin(probedCids: _*))) // static partition pruning
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id"))
     probes.join(lists, Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
+      .withColumn("sim", round(Similarity.cosine(col("qv"), col("v")), 4))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("cid"), col("sim"))
+  }
+
+  /** Compressed search over a PQ store (IVFADC + exact re-ranking —
+    * Jégou et al. 2011, the [[IvfPq.topKRerank]] math applied to the
+    * MAINTAINED store): probing and partition pruning are [[topK]]'s
+    * exactly; candidate scoring reads ONLY the (vec_id, pq) columns of
+    * the probed partitions — the raw vector column never enters the
+    * scan (columnar pruning IS the code/raw separation) — ranks by
+    * exact-integer asymmetric distance against per-query lookup
+    * tables, keeps a `shortlist` per query, and re-ranks the shortlist
+    * alone with exact cosine over the raw vectors. At scale the hot
+    * path's I/O is Segments longs per candidate; full vectors are paid
+    * for shortlist·|queries| rows only. Output (qid, rank, cid, sim)
+    * with sim the EXACT rounded cosine, ranks dense in 1..k. */
+  def topKPq(queries: DataFrame, storeDir: String, k: Int,
+      shortlist: Int, nProbe: Int = Similarity.IvfProbes): DataFrame =
+    topKPqImpl(queries, storeDir, k, shortlist, nProbe,
+      restrict = identity)
+
+  /** [[topKPq]] within an allowlist of ids — the filtered-search form
+    * over the COMPRESSED path: the allowlist semi-joins the probed
+    * CANDIDATES before ADC ranking, so the shortlist, and therefore
+    * the final ranks, are dense within the permitted set. */
+  def topKPqAmong(queries: DataFrame, storeDir: String, k: Int,
+      shortlist: Int, allowed: DataFrame,
+      nProbe: Int = Similarity.IvfProbes): DataFrame =
+    topKPqImpl(queries, storeDir, k, shortlist, nProbe,
+      restrict = l => l.join(allowed.select("vec_id"),
+        Seq("vec_id"), "left_semi"))
+
+  private def topKPqImpl(queries: DataFrame, storeDir: String, k: Int,
+      shortlist: Int, nProbe: Int,
+      restrict: DataFrame => DataFrame): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k = $k")
+    val spark = queries.sparkSession
+    val cents = centroidsOf(spark, storeDir)
+    val books = booksOf(spark, storeDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$storeDir is not a PQ store (no pqbooks) — init(pq = true) " +
+          "or rebuild into a PQ layout, or use topK for exact search"))
+    val segDim = books.head.head._2.size
+    val (probes, probedCids) = probeSelection(queries, cents, nProbe)
+
+    // per-(query, probed list) ADC tables: the query's residual
+    // AGAINST THAT LIST's centroid; per segment an array of exact
+    // integer distances to each codebook entry in books(s) order —
+    // query-side-sized (|queries| x nProbe rows), broadcast below
+    val qr = zip_with(quantizeExpr(col("qv")),
+      qcentExpr(cents, col("cid")), (a, b) => a - b + lit(PqRShift))
+    val tabs = probes
+      .withColumn("qr", qr)
+      .select(col("qid") +: col("qv") +: col("cid") +:
+        books.indices.map { s =>
+          val qseg = slice(col("qr"), s * segDim + 1, segDim)
+          array(books(s).map { case (_, arr) =>
+            sqDistL(qseg, array(arr.map(lit): _*))
+          }: _*).as(s"dt$s")
+        }: _*)
+
+    // candidate scoring: codes columns ONLY (ReadSchema excludes v),
+    // probed partitions only; code -> table position maps explicitly
+    // because a training cluster can empty and leave sparse cids
+    val codes = restrict(spark.read.parquet(listsPath(storeDir))
+      .filter(col("cid").isin(probedCids: _*)) // static partition pruning
+      .select(col("vec_id"), col("cid"), col("pq")))
+    def lookup(s: Int): Column =
+      books(s).zipWithIndex.foldLeft(lit(null).cast("long")) {
+        case (acc, ((c, _), i)) =>
+          when(element_at(col("pq"), s + 1) === c,
+            element_at(col(s"dt$s"), i + 1)).otherwise(acc)
+      }
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("vec_id"))
+    val short = codes.join(broadcast(tabs), Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adc", books.indices.map(lookup).reduce(_ + _))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select(col("qid"), col("qv"), col("vec_id"))
+
+    // exact re-rank of the shortlist alone: the raw-vector column is
+    // read here and only here, for the probed partitions, joined to
+    // the broadcast (query, candidate) shortlist
+    val fulls = spark.read.parquet(listsPath(storeDir))
+      .filter(col("cid").isin(probedCids: _*))
+      .select(col("vec_id"), col("v"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    fulls.join(broadcast(short), Seq("vec_id"))
       .withColumn("sim", round(Similarity.cosine(col("qv"), col("v")), 4))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)

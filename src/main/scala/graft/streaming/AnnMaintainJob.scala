@@ -107,7 +107,54 @@ object AnnMaintainJob {
       cdcDir: String,
       storeDir: String,
       checkpointDir: String,
-      seedSourceVersion: Long = 0L): AnnMaintainSummary = {
+      seedSourceVersion: Long = 0L,
+      autoCompactEvery: Int = 0,
+      autoCompactMaxFiles: Int = 4): AnnMaintainSummary =
+    runOnceImpl(spark, cdcDir, () => storeDir, checkpointDir,
+      seedSourceVersion, autoCompactEvery, autoCompactMaxFiles)
+
+  /** [[runOnce]] against a SERVE-LATEST store root
+    * ([[IncrementalAnnIndex.initServed]]'s layout): the pointer is
+    * re-resolved PER BATCH, so a rebuild cutover between (or amid)
+    * drains redirects the very next delta to the new generation. The
+    * `_applied_v` markers carried through the rebuild keep the chain
+    * position — the slot check holds across the cutover with the same
+    * checkpoint, which is what makes drain → rebuild → cutover →
+    * keep-draining a composition instead of an operator's manual
+    * re-seeding job. */
+  def runOnceServed(
+      spark: SparkSession,
+      cdcDir: String,
+      storeRoot: String,
+      checkpointDir: String,
+      seedSourceVersion: Long = 0L,
+      autoCompactEvery: Int = 0,
+      autoCompactMaxFiles: Int = 4): AnnMaintainSummary =
+    runOnceImpl(spark, cdcDir,
+      () => IncrementalAnnIndex.servedStore(spark, storeRoot),
+      checkpointDir, seedSourceVersion, autoCompactEvery,
+      autoCompactMaxFiles)
+
+  /** `autoCompactEvery > 0` runs [[IncrementalAnnIndex.compact]]
+    * (bounding each partition to `autoCompactMaxFiles` data files)
+    * after every N applied batches — the housekeeping a long-lived
+    * drain otherwise defers to an operator who must remember it: each
+    * delta appends one file per touched partition, so a store draining
+    * for months fragments without this. Compaction runs BETWEEN
+    * batches through the same staged-transaction protocol as the
+    * maintenance itself (content-identical, crash-safe — a crash mid-
+    * compaction recovers exactly like a crashed delta), and its cost
+    * is bounded by the fragmented partitions only, so a compacting
+    * drain's steady state is flat: every partition stays within the
+    * bound and most compaction calls find nothing to do. */
+  private def runOnceImpl(
+      spark: SparkSession,
+      cdcDir: String,
+      storeOf: () => String,
+      checkpointDir: String,
+      seedSourceVersion: Long,
+      autoCompactEvery: Int = 0,
+      autoCompactMaxFiles: Int = 4): AnnMaintainSummary = {
     @volatile var batches = 0
     @volatile var applied = 0
     @volatile var skipped = 0
@@ -124,6 +171,7 @@ object AnnMaintainJob {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         batches += 1
+        val storeDir = storeOf() // serve pointer resolved per batch
         val stamps = batch.select("v_from", "v_to").distinct()
           .collect().map(r => (r.getLong(0), r.getLong(1)))
         require(stamps.length <= 1,
@@ -167,11 +215,16 @@ object AnnMaintainJob {
           }
           mark(spark, storeDir, vt)
           applied += 1
+          if (autoCompactEvery > 0 && applied % autoCompactEvery == 0) {
+            IncrementalAnnIndex.compact(spark, storeDir,
+              autoCompactMaxFiles)
+            ()
+          }
         }
       }
       .start()
     q.awaitTermination()
     AnnMaintainSummary(batches, applied, skipped, removed, appended,
-      appliedThrough(spark, storeDir, seedSourceVersion))
+      appliedThrough(spark, storeOf(), seedSourceVersion))
   }
 }

@@ -154,6 +154,115 @@ class AnnMaintainJobSpec extends AnyFunSuite {
       "the real delta must NOT be silently skipped nor applied")
   }
 
+  test("drain -> rebuild -> cutover -> drain continues the same feed") {
+    val base = Files.createTempDirectory("annjob_cut").toString
+    val root = s"$base/vt"
+    val v0 = VersionedTable.commit(vecs(8 until 150), root)
+    val v1 = VersionedTable.commit(vecs(0 until 150), root)
+    val v2 = VersionedTable.commit(
+      vecs((0 until 150).filterNot(_ % 10 == 0)), root)
+    val annRoot = s"$base/ann"
+    IncrementalAnnIndex.initServed(
+      VersionedTable.readVersion(spark, root, v0), annRoot)
+    assert(IncrementalAnnIndex.servedStore(spark, annRoot)
+      .endsWith("gen=0"))
+    val cdc = s"$base/cdc"
+    val ckpt = s"$base/ckpt"
+    AnnMaintainJob.landDelta(spark,
+      VersionedTable.changes(spark, root, v0, v1, Seq("vec_id")), cdc)
+    val r1 = AnnMaintainJob.runOnceServed(spark, cdc, annRoot, ckpt,
+      seedSourceVersion = v0)
+    assert(r1.applied == 1 && r1.appliedThrough == v1)
+    // rebuild + cutover: gen 1 re-trains the quantizer on the v1
+    // content (ids 0..7 arrived after init, so the quantizer moves)
+    val g = IncrementalAnnIndex.rebuildServed(spark, annRoot)
+    assert(g == 1)
+    val served = IncrementalAnnIndex.servedStore(spark, annRoot)
+    assert(served.endsWith("gen=1"))
+    // the SAME checkpoint keeps draining: the next delta applies to
+    // the new generation at the carried feed position
+    AnnMaintainJob.landDelta(spark,
+      VersionedTable.changes(spark, root, v1, v2, Seq("vec_id")), cdc)
+    val r2 = AnnMaintainJob.runOnceServed(spark, cdc, annRoot, ckpt,
+      seedSourceVersion = v0)
+    assert(r2.applied == 1 && r2.appliedThrough == v2)
+    assert(listedIds(served) ==
+      (0 until 150).filterNot(_ % 10 == 0).map(_.toLong).toSet)
+    // gen 0 is untouched at its own position (readers that resolved
+    // before the cutover keep a consistent store)
+    assert(listedIds(s"$annRoot/gen=0") == (0 until 150).map(_.toLong).toSet)
+    // the final store answers like a fresh build over v1 content
+    // maintained with the same last delta
+    val twin = s"$base/twin"
+    IncrementalAnnIndex.init(
+      VersionedTable.readVersion(spark, root, v1), twin)
+    IncrementalAnnIndex.applyChanges(
+      VersionedTable.changes(spark, root, v1, v2, Seq("vec_id")), twin)
+    val q = vecs(0 until 5).select(col("vec_id").as("qid"), col("embedding"))
+    val a = IncrementalAnnIndex.topK(q, served, 3)
+    val b = IncrementalAnnIndex.topK(q, twin, 3)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // a crashed rebuild attempt (unmarked gen=2 junk) is discarded and
+    // redone; the pointer only ever advances on a completed rebuild
+    val fs = new org.apache.hadoop.fs.Path(annRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$annRoot/gen=2/lists"))
+    val g2 = IncrementalAnnIndex.rebuildServed(spark, annRoot)
+    assert(g2 == 2)
+    assert(listedIds(s"$annRoot/gen=2") == listedIds(served))
+    // initServed refuses a root that already serves
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalAnnIndex.initServed(vecs(0 until 10), annRoot)
+    }
+    assert(ex.getMessage.contains("already serves"))
+  }
+
+  test("auto-compaction keeps a long drain's file counts bounded") {
+    val base = Files.createTempDirectory("annjob_ac").toString
+    val root = s"$base/vt"
+    // five chained insert deltas, each touching every inverted list —
+    // an uncompacted drain accretes one file per delta per partition
+    val tiers = (0 to 5).map(n => vecs(0 until 60 + n * 30))
+    val versions = tiers.map(t => VersionedTable.commit(t, root))
+    val cdc = s"$base/cdc"
+    versions.sliding(2).foreach { w =>
+      AnnMaintainJob.landDelta(spark,
+        VersionedTable.changes(spark, root, w(0), w(1), Seq("vec_id")), cdc)
+    }
+    def maxFilesPerPart(store: String): Int = {
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/lists")).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cid="))
+        .map(d => fs.listStatus(d.getPath).count(f =>
+          f.isFile && !f.getPath.getName.startsWith("_"))).max
+    }
+    // control: no auto-compaction — fragmentation grows with the drain
+    val plain = s"$base/plain"
+    IncrementalAnnIndex.init(
+      VersionedTable.readVersion(spark, root, versions.head), plain)
+    AnnMaintainJob.runOnce(spark, cdc, plain, s"$base/ckpt_p",
+      seedSourceVersion = versions.head)
+    assert(maxFilesPerPart(plain) > 2,
+      "fixture must fragment for the bound to mean anything")
+    // compacting drain: every partition stays within the bound with no
+    // manual compact() call anywhere
+    val ac = s"$base/ac"
+    IncrementalAnnIndex.init(
+      VersionedTable.readVersion(spark, root, versions.head), ac)
+    val r = AnnMaintainJob.runOnce(spark, cdc, ac, s"$base/ckpt_a",
+      seedSourceVersion = versions.head,
+      autoCompactEvery = 2, autoCompactMaxFiles = 1)
+    assert(r.applied == 5)
+    assert(maxFilesPerPart(ac) <= 2, // one delta may land after the
+      "auto-compaction must bound fragmentation") // last compact tick
+    // content identical to the uncompacted twin, replay still skips
+    assert(listedIds(ac) == listedIds(plain))
+    val r2 = AnnMaintainJob.runOnce(spark, cdc, ac, s"$base/ckpt_a2",
+      seedSourceVersion = versions.head)
+    assert(r2.applied == 0 && r2.skippedRedelivered == 5)
+  }
+
   test("an out-of-order delta fails loudly; the store is untouched") {
     val base = Files.createTempDirectory("annjob_ooo").toString
     val root = s"$base/vt"

@@ -413,6 +413,176 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/lists").count() == 105)
   }
 
+  test("PQ store: a full shortlist makes topKPq equal exact topK") {
+    // the ADC stage only ORDERS candidates; with a shortlist covering
+    // every probed candidate the exact cosine re-rank computes exactly
+    // what topK computes — so the whole compressed pipeline (codes at
+    // init, codes at append, tables, lookup, rerank join) is pinned
+    // against the exact path without any quantization tolerance
+    val store = Files.createTempDirectory("annpq").toString + "/store"
+    IncrementalAnnIndex.init(vecs(0 until 120), store, pq = true)
+    IncrementalAnnIndex.appendBatch(vecs(120 until 200), store)
+    val queries = vecs(0 until 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val exact = IncrementalAnnIndex.topK(queries, store, 5)
+    val viaPq = IncrementalAnnIndex.topKPq(queries, store, 5,
+      shortlist = 1000)
+    assert(viaPq.except(exact).isEmpty && exact.except(viaPq).isEmpty,
+      "full-shortlist PQ search must equal the exact probed search")
+    // a small shortlist still returns dense 1..k ranks per query
+    val tight = IncrementalAnnIndex.topKPq(queries, store, 5, shortlist = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    tight.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // a non-PQ store refuses compressed search loudly
+    val plain = Files.createTempDirectory("annpq2").toString + "/store"
+    IncrementalAnnIndex.init(vecs(0 until 50), plain)
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalAnnIndex.topKPq(queries, plain, 5, shortlist = 10)
+    }
+    assert(ex.getMessage.contains("not a PQ store"))
+  }
+
+  test("PQ store: ADC candidates scan reads codes, never raw vectors") {
+    val store = Files.createTempDirectory("annpqcol").toString + "/store"
+    IncrementalAnnIndex.init(vecs(0 until 200), store, pq = true)
+    val queries = vecs(0 until 3)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val res = IncrementalAnnIndex.topKPq(queries, store, 5, shortlist = 8)
+    assert(res.collect().nonEmpty)
+    val listScans = scans(res.queryExecution.executedPlan)
+    assert(listScans.nonEmpty)
+    val schemas = listScans.map(_.requiredSchema.fieldNames.toSet)
+    assert(schemas.exists(s => s.contains("pq") && !s.contains("v")),
+      s"the ADC scan must read only the code columns, got $schemas")
+    assert(schemas.forall(!_.contains("pq")) == false)
+    // the raw-vector column is read by the RERANK scan only
+    assert(schemas.count(_.contains("v")) == 1,
+      s"exactly one scan (the rerank) may read v, got $schemas")
+  }
+
+  test("PQ store: CDC maintenance converges on replay, codes intact") {
+    val store = Files.createTempDirectory("annpqcdc").toString + "/store"
+    val all = vecs(0 until 200)
+    IncrementalAnnIndex.init(all.filter(col("vec_id") % 10 =!= 3), store,
+      pq = true)
+    val feed = all.filter(col("vec_id") % 10 === 7)
+      .withColumn("change_type", lit("delete"))
+      .unionByName(all.filter(col("vec_id") % 10 === 3)
+        .withColumn("change_type", lit("insert")))
+    val r = IncrementalAnnIndex.applyChanges(feed, store)
+    assert(r.removed == 20 && r.appended == 20)
+    def snapshot() = spark.read.parquet(s"$store/lists")
+      .select(col("vec_id"), col("cid").cast("string"),
+        col("pq").cast("string"))
+      .collect().map(r0 => (r0.getLong(0), r0.getString(1),
+        r0.getString(2))).toSet
+    val before = snapshot()
+    assert(before.forall(_._3 != null), "every row must carry codes")
+    IncrementalAnnIndex.applyChanges(feed, store) // replay
+    assert(snapshot() == before,
+      "replay must converge to identical content, codes included")
+    // maintained codes equal init-time codes: re-inserting a vector
+    // the store has seen produces the same encoding (fixed books)
+    val survivors = (0 until 200)
+      .filter(i => i % 10 != 7 && i % 10 != 3).map(_.toLong).toSet
+    assert(before.map(_._1) == survivors ++
+      (0 until 200).filter(_ % 10 == 3).map(_.toLong).toSet)
+  }
+
+  test("PQ store: a delete emptying a partition drops it, codes tree too") {
+    val store = Files.createTempDirectory("annpqdrop").toString + "/store"
+    IncrementalAnnIndex.init(vecs(0 until 100), store, pq = true)
+    val lists = spark.read.parquet(s"$store/lists")
+    val victim = lists.select(col("cid").cast("long")).distinct()
+      .orderBy("cid").head().getLong(0)
+    val doomed = lists.filter(col("cid") === victim)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(doomed.nonEmpty)
+    val feed = vecs(doomed.map(_.toInt))
+      .withColumn("change_type", lit("delete"))
+    IncrementalAnnIndex.applyChanges(feed, store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/lists/cid=$victim")),
+      "the emptied partition (vectors AND codes — one tree) must drop")
+    val after = spark.read.parquet(s"$store/lists")
+    assert(after.count() == 100L - doomed.size)
+    assert(after.filter(col("pq").isNull).count() == 0)
+    // re-insert converges: fresh appends (not redelivery-skips), coded
+    val r = IncrementalAnnIndex.applyChanges(
+      vecs(doomed.map(_.toInt)).withColumn("change_type", lit("insert")),
+      store)
+    assert(r.appended == doomed.size && r.skippedRedelivered == 0)
+  }
+
+  test("rebuild of a PQ store re-trains books; dest answers like fresh") {
+    val base = Files.createTempDirectory("annpqrb").toString
+    val store = s"$base/store"
+    IncrementalAnnIndex.init(vecs(8 until 200), store, pq = true)
+    IncrementalAnnIndex.applyChanges(
+      vecs(0 until 8).withColumn("change_type", lit("insert")), store)
+    val dest = s"$base/rebuilt"
+    IncrementalAnnIndex.rebuild(spark, store, dest)
+    // the rebuilt store is a PQ store whose books were trained on the
+    // CURRENT content — bit-equal to a fresh pq init over the union
+    val fresh = s"$base/fresh"
+    IncrementalAnnIndex.init(vecs(0 until 200), fresh, pq = true)
+    val queries = vecs(0 until 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val a = IncrementalAnnIndex.topKPq(queries, dest, 5, shortlist = 12)
+    val b = IncrementalAnnIndex.topKPq(queries, fresh, 5, shortlist = 12)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "rebuilt PQ store must answer like a fresh build over the union")
+  }
+
+  test("a format-1 store fails loudly instead of half-reading") {
+    // legacy staging dirs (possibly an in-flight v1 recovery) must
+    // abort maintenance with migration guidance, not be silently
+    // ignored; same for a v1-schema ledger (data column `cid`, no
+    // `ref_cid`) — ensureLedger would otherwise skip the backfill on
+    // the `_buckets_` marker and the first probe would fail deep
+    // inside an analysis error
+    val base = Files.createTempDirectory("annfmt").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    val store1 = s"$base/legacy_staging"
+    IncrementalAnnIndex.init(vecs(0 until 50), store1)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store1/_format_2"), false)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$store1/_append_staged"))
+    val ex1 = intercept[IllegalArgumentException] {
+      IncrementalAnnIndex.appendBatch(vecs(50 until 60), store1)
+    }
+    assert(ex1.getMessage.contains("format-1 staging dir"))
+
+    // a v1 ledger: `cid` data column, bucket marker present, no stamp
+    val store2 = s"$base/legacy_ledger"
+    IncrementalAnnIndex.init(vecs(0 until 50), store2)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store2/_format_2"), false)
+    val oldLedger = spark.read.parquet(s"$store2/ledger")
+      .select(col("vec_id"), col("ref_cid").as("cid"), col("b"))
+    val tmpLedger = s"$base/v1ledger"
+    oldLedger.write.partitionBy("b").parquet(tmpLedger)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store2/ledger"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpLedger),
+      new org.apache.hadoop.fs.Path(s"$store2/ledger"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$store2/ledger/_buckets_${IncrementalAnnIndex.DefaultLedgerBuckets}"),
+      false).close()
+    val ex2 = intercept[IllegalArgumentException] {
+      IncrementalAnnIndex.appendBatch(vecs(50 until 60), store2)
+    }
+    assert(ex2.getMessage.contains("format-1 ledger"))
+    // deleting the ledger dir (the message's remedy) heals the store:
+    // the backfill re-runs and maintenance proceeds
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store2/ledger"), true)
+    val r = IncrementalAnnIndex.appendBatch(vecs(50 until 60), store2)
+    assert(r.appended == 10 && r.skippedRedelivered == 0)
+  }
+
   test("probe reads only the probed list partitions") {
     val store = Files.createTempDirectory("annidx").toString + "/store"
     IncrementalAnnIndex.init(vecs(0 until 200), store)
