@@ -253,8 +253,6 @@ object WaveFourteenQueries {
         emb.filter(col("vec_id") % 10 =!= 7), root)
       val v2 = VersionedTable.commit(
         emb.filter(col("vec_id") % 10 =!= 9), root)
-      val v3 = VersionedTable.commit(
-        emb.filter(col("vec_id") % 10 =!= 1), root)
       val annRoot = s"$base/ann"
       IncrementalAnnIndex.initServed(
         VersionedTable.readVersion(s, root, v0), annRoot)
@@ -267,10 +265,8 @@ object WaveFourteenQueries {
       IncrementalAnnIndex.rebuildServed(s, annRoot) // cutover to gen 1
       AnnMaintainJob.landDelta(s,
         VersionedTable.changes(s, root, v1, v2, Seq("vec_id")), cdcDir)
-      AnnMaintainJob.landDelta(s,
-        VersionedTable.changes(s, root, v2, v3, Seq("vec_id")), cdcDir)
       AnnMaintainJob.runOnceServed(s, cdcDir, annRoot, ckpt,
-        seedSourceVersion = v0) // same checkpoint: drains deltas 2..3
+        seedSourceVersion = v0) // same checkpoint: drains delta 2
       IncrementalAnnIndex.topK(
           emb.filter(col("vec_id") < AnnQueries)
             .select(col("vec_id").as("qid"), col("embedding")),
@@ -279,7 +275,7 @@ object WaveFourteenQueries {
     }, Some(
       s"""WITH f AS (SELECT vec_id, embedding::DOUBLE[] AS v
          |           FROM embeddings),
-         |corpus AS (SELECT vec_id, v FROM f WHERE vec_id % 10 != 1),
+         |corpus AS (SELECT vec_id, v FROM f WHERE vec_id % 10 != 9),
          |cents AS (SELECT vec_id AS cent_id, v AS cv FROM f
          |          WHERE vec_id % 10 != 7 ORDER BY vec_id
          |          LIMIT ${Similarity.IvfCentroids}),
