@@ -227,7 +227,10 @@ object Profile {
           // partition rewrite under 10x delta volume; embeddings stay
           // 1x so the delta itself is the regime) and the roll-up
           // rewrite (summary-sized re-aggregation; 10x orders base)
-          "ann_incremental_cdc", "mv_rewrite_rollup"))
+          "ann_incremental_cdc", "mv_rewrite_rollup",
+          // r16: compressed-store maintenance + the serve-pointer
+          // lifecycle under 10x
+          "ann_incremental_pq", "ann_rebuild_standing"))
         time(s"$q @10x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
       spark.stop()
       return
@@ -282,7 +285,12 @@ object Profile {
           // sharding under 30x, copies included) and the rebuild
           // (O(index) by definition — its row is the honest cost of
           // re-training, not a regression to explain)
-          "corpus_ship_epochs", "ann_rebuild"))
+          "corpus_ship_epochs", "ann_rebuild",
+          // r16: the COMPRESSED store's CDC maintenance at 30x delta —
+          // the encode projection must ride the staged write without
+          // changing the delta-linear shape (init's codebook training
+          // is O(index) by design, like rebuild's row)
+          "ann_incremental_pq"))
         time(s"$q @30x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
       spark.stop()
       return

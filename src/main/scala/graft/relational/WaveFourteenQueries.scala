@@ -29,7 +29,7 @@ object WaveFourteenQueries {
     * training corpus), `curFilter` the searched content; `allowed`
     * optionally restricts candidates before ADC ranking. */
   private def pqOracle(initFilter: String, curFilter: String,
-      allowed: Option[String]): String = {
+      allowed: Option[String], adcOnly: Boolean = false): String = {
     val nC = Similarity.IvfCentroids
     val nP = Similarity.IvfProbes
     val kc = IncrementalAnnIndex.PqCodes
@@ -172,23 +172,33 @@ object WaveFourteenQueries {
        |    CAST($adcSum AS BIGINT) AS adc
        |  FROM asgc a $codeJoins $qdJoins $allowedJoin
        |  WHERE q0.qid != a.vec_id),
-       |short AS (
-       |  SELECT qid, cid FROM (
-       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
-       |      ORDER BY adc, cid) AS rn
-       |    FROM adc) xs WHERE rn <= $PqShortlist),
-       |rer AS (
-       |  SELECT s.qid, s.cid,
-       |    round(list_cosine_similarity(qq.qv, c.v), 4) AS sim
-       |  FROM short s JOIN q qq ON qq.qid = s.qid
-       |  JOIN corpus c ON c.vec_id = s.cid),
-       |rk AS (
-       |  SELECT qid, cid, sim,
-       |    row_number() OVER (PARTITION BY qid
-       |      ORDER BY sim DESC, cid) AS rank
-       |  FROM rer)
-       |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
-       |FROM rk WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin
+       |${if (adcOnly)
+            s"""rk AS (
+               |  SELECT qid, cid, adc,
+               |    row_number() OVER (PARTITION BY qid
+               |      ORDER BY adc, cid) AS rank
+               |  FROM adc)
+               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, adc
+               |FROM rk WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin
+          else
+            s"""short AS (
+               |  SELECT qid, cid FROM (
+               |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+               |      ORDER BY adc, cid) AS rn
+               |    FROM adc) xs WHERE rn <= $PqShortlist),
+               |rer AS (
+               |  SELECT s.qid, s.cid,
+               |    round(list_cosine_similarity(qq.qv, c.v), 4) AS sim
+               |  FROM short s JOIN q qq ON qq.qid = s.qid
+               |  JOIN corpus c ON c.vec_id = s.cid),
+               |rk AS (
+               |  SELECT qid, cid, sim,
+               |    row_number() OVER (PARTITION BY qid
+               |      ORDER BY sim DESC, cid) AS rank
+               |  FROM rer)
+               |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
+               |FROM rk WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin
+          }""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -227,6 +237,36 @@ object WaveFourteenQueries {
           store, AnnK, PqShortlist)
         .orderBy(col("qid"), col("rank"))
     }, Some(pqOracle("vec_id % 10 != 7", "vec_id % 10 != 4", None))),
+
+    // ...and the ADC-ONLY search over the same maintained compressed
+    // store: ranks ARE the integer asymmetric distances — no rerank,
+    // so no scan in the whole query reads the raw vector column (the
+    // deployment form where `v` is dropped from the files entirely
+    // and the store's footprint is Segments longs per vector). The
+    // oracle is ann_incremental_pq's chain cut at the ADC ranking.
+    Q("ann_incremental_pq_adc", (s, dir) => {
+      import graft.sinks.VersionedTable
+      val base = java.nio.file.Files
+        .createTempDirectory("ann_ipqa").toString
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val root = s"$base/vt"
+      val v0 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 7), root)
+      val v1 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 4), root)
+      val store = s"$base/ivfpq"
+      IncrementalAnnIndex.init(
+        VersionedTable.readVersion(s, root, v0), store, pq = true)
+      IncrementalAnnIndex.applyChanges(
+        VersionedTable.changes(s, root, v0, v1, Seq("vec_id")), store)
+      IncrementalAnnIndex.topKPqAdc(
+          emb.filter(col("vec_id") < AnnQueries)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          store, AnnK)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(pqOracle("vec_id % 10 != 7", "vec_id % 10 != 4", None,
+      adcOnly = true))),
 
     // The production REBUILD lifecycle, composed: a serve-latest store
     // root drains the CDC feed (gen 0), rebuilds into gen 1 (quantizer

@@ -1085,10 +1085,60 @@ object IncrementalAnnIndex {
       restrict = l => l.join(allowed.select("vec_id"),
         Seq("vec_id"), "left_semi"))
 
+  /** Pure-ADC search over a PQ store — the rank is the integer
+    * asymmetric distance itself, no exact re-rank, so NO scan in the
+    * whole query reads the raw vector column (the ADC-only deployment
+    * form: a store that drops `v` at the file level serves this
+    * search unchanged). Trades the rerank's recall recovery for
+    * codes-only I/O end to end. Output (qid, rank, cid, adc). */
+  def topKPqAdc(queries: DataFrame, storeDir: String, k: Int,
+      nProbe: Int = Similarity.IvfProbes): DataFrame = {
+    val (scored, _) = pqScored(queries, storeDir, nProbe, identity)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("cid"), col("adc"))
+  }
+
   private def topKPqImpl(queries: DataFrame, storeDir: String, k: Int,
       shortlist: Int, nProbe: Int,
       restrict: DataFrame => DataFrame): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k = $k")
+    val spark = queries.sparkSession
+    val (scored, probedCids) = pqScored(queries, storeDir, nProbe, restrict)
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("vec_id"))
+    val short = scored
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select(col("qid"), col("qv"), col("vec_id"))
+
+    // exact re-rank of the shortlist alone: the raw-vector column is
+    // read here and only here, for the probed partitions, joined to
+    // the broadcast (query, candidate) shortlist
+    val fulls = spark.read.parquet(listsPath(storeDir))
+      .filter(col("cid").isin(probedCids: _*)) // static partition pruning
+      .select(col("vec_id"), col("v"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    fulls.join(broadcast(short), Seq("vec_id"))
+      .withColumn("sim", round(Similarity.cosine(col("qv"), col("v")), 4))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("cid"), col("sim"))
+  }
+
+  /** Shared ADC candidate scoring for the PQ search forms: probe,
+    * per-(query, probed list) integer distance tables, codes-only
+    * candidate scan (probed partitions, (vec_id, cid, pq) columns —
+    * ReadSchema never includes the raw vector), explicit
+    * code→table-position lookup. Returns the scored candidates
+    * (qid, qv, vec_id, adc) and the probed cid set for downstream
+    * partition pruning. */
+  private def pqScored(queries: DataFrame, storeDir: String,
+      nProbe: Int,
+      restrict: DataFrame => DataFrame): (DataFrame, Seq[Long]) = {
     val spark = queries.sparkSession
     val cents = centroidsOf(spark, storeDir)
     val books = booksOf(spark, storeDir).getOrElse(
@@ -1126,27 +1176,10 @@ object IncrementalAnnIndex {
           when(element_at(col("pq"), s + 1) === c,
             element_at(col(s"dt$s"), i + 1)).otherwise(acc)
       }
-    val wShort = Window.partitionBy(col("qid"))
-      .orderBy(col("adc"), col("vec_id"))
-    val short = codes.join(broadcast(tabs), Seq("cid"))
+    val scored = codes.join(broadcast(tabs), Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("adc", books.indices.map(lookup).reduce(_ + _))
-      .withColumn("srank", row_number().over(wShort))
-      .filter(col("srank") <= shortlist)
-      .select(col("qid"), col("qv"), col("vec_id"))
-
-    // exact re-rank of the shortlist alone: the raw-vector column is
-    // read here and only here, for the probed partitions, joined to
-    // the broadcast (query, candidate) shortlist
-    val fulls = spark.read.parquet(listsPath(storeDir))
-      .filter(col("cid").isin(probedCids: _*))
-      .select(col("vec_id"), col("v"))
-    val wRank = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    fulls.join(broadcast(short), Seq("vec_id"))
-      .withColumn("sim", round(Similarity.cosine(col("qv"), col("v")), 4))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id").as("cid"), col("sim"))
+      .select(col("qid"), col("qv"), col("vec_id"), col("adc"))
+    (scored, probedCids)
   }
 }

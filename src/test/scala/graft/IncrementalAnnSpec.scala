@@ -462,6 +462,33 @@ class IncrementalAnnSpec extends AnyFunSuite {
       s"exactly one scan (the rerank) may read v, got $schemas")
   }
 
+  test("PQ store: ADC-only search never reads the raw vector column") {
+    val store = Files.createTempDirectory("annpqadc").toString + "/store"
+    IncrementalAnnIndex.init(vecs(0 until 200), store, pq = true)
+    val queries = vecs(0 until 4)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val res = IncrementalAnnIndex.topKPqAdc(queries, store, 5)
+    val rows = res.collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq,
+        "ADC ranks must be dense 1..k per query")
+    }
+    val schemas = scans(res.queryExecution.executedPlan)
+      .map(_.requiredSchema.fieldNames.toSet)
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("v")),
+      s"no scan in the ADC-only query may read v, got $schemas")
+    // ADC ordering agrees with the rerank form's CANDIDATE set: the
+    // full-shortlist rerank re-orders exactly the same candidates
+    val viaRerank = IncrementalAnnIndex
+      .topKPq(queries, store, 1000, shortlist = 1000)
+      .select("qid", "cid")
+    val viaAdc = IncrementalAnnIndex.topKPqAdc(queries, store, 1000)
+      .select("qid", "cid")
+    assert(viaAdc.except(viaRerank).isEmpty &&
+      viaRerank.except(viaAdc).isEmpty)
+  }
+
   test("PQ store: CDC maintenance converges on replay, codes intact") {
     val store = Files.createTempDirectory("annpqcdc").toString + "/store"
     val all = vecs(0 until 200)
