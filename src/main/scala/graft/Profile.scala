@@ -365,6 +365,42 @@ object Profile {
       return
     }
 
+    if (args.contains("dedupstore")) {
+      // ---- dedup-store index-growth axis (r16) ----------------------
+      // processBatch/probeStorePairs cost as the ACCEPTED CORPUS grows
+      // 10x/30x with the batch held fixed — the bucketed-store
+      // acceptance run (the dedup twin of annledger). Pre-bucketing,
+      // the redelivery skip and the band probe scanned O(corpus); with
+      // both trees hash-bucketed every store read prunes to the
+      // batch's buckets, so batch wall time must stay ~flat across the
+      // corpus tiers. Index filler is md5-derived pseudo-random text
+      // (no near-dups, so admission keeps the index AT size and the
+      // probe's candidate set stays batch-bounded).
+      import graft.dedup.IncrementalDedup
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val n1 = docs0.count()
+      val batch = docs0.limit(200).localCheckpoint()
+      for (mult <- Seq(1, 10, 30)) {
+        val store = java.nio.file.Files
+          .createTempDirectory(s"dedupstore$mult").toString + "/corpus"
+        val filler = spark.range(n1 * mult)
+          .select((col("id") + 1000000000L).as("doc_id"),
+            concat_ws(" ", transform(sequence(lit(1), lit(20)),
+              i => md5(concat(col("id").cast("string"), lit("-"),
+                i.cast("string"))))).as("text"))
+        println(s"[profile] dedupstore corpus x$mult: " +
+          s"${n1 * mult} accepted docs (batch fixed at 200)")
+        IncrementalDedup.processBatch(filler, store, threshold = 1.01)
+        time(s"processBatch @x$mult (fixed batch)")(
+          IncrementalDedup.processBatch(batch, store))
+        time(s"probeStorePairs @x$mult (fixed batch)")(
+          noop(IncrementalDedup.probeStorePairs(batch, store)))
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("annledger")) {
       // ---- index-growth axis (r14, VERDICT #1) ----------------------
       // Maintenance cost as the INDEX grows 10x/30x with the DELTA held

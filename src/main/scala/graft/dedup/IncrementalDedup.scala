@@ -1,7 +1,7 @@
 package graft.dedup
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental near-duplicate filtering — the production shape of corpus
@@ -12,11 +12,25 @@ import org.apache.spark.sql.functions._
   *   - `docs`:  (doc_id, text) — accepted documents
   *   - `bands`: (bk, doc_id)  — MinHash-LSH band index over them
   *
+  * Both stores are HASH-BUCKETED hive partitions (`b=<k>`, Murmur3 of
+  * the key mod the store's bucket count, recorded once in a
+  * `_buckets_<n>` marker — the ANN ledger's discipline,
+  * [[graft.sim.IncrementalAnnIndex]]): docs bucket on doc_id, bands on
+  * the band key. Every store-side read a batch performs — the
+  * redelivery skip, the band-index probe, the matched-docs fetch for
+  * the rescore — statically prunes to the buckets the BATCH's keys
+  * hash to, so per-batch I/O is |batch's buckets| x (|corpus| /
+  * buckets), never a corpus scan; at 10B docs a deployment inits with
+  * O(1000) buckets and a batch touches a sliver. A legacy FLAT store
+  * (no marker) backfills into the bucketed layout on first touch —
+  * one columnar scan per tree, committed by an atomic directory
+  * rename, re-runnable after a crash.
+  *
   * Per batch, candidate generation touches only band-key matches (an
-  * equi-join of the batch's band keys against the index — at 100 TB this
-  * is the difference between probing an index and re-shingling the
-  * corpus), and the exact-Jaccard rescore re-shingles just the matched
-  * accepted docs. In-batch near-dups resolve by sequential-greedy
+  * equi-join of the batch's band keys against the PRUNED index — at
+  * 100 TB this is the difference between probing an index and
+  * re-shingling the corpus), and the exact-Jaccard rescore re-shingles
+  * just the matched accepted docs. In-batch near-dups resolve by sequential-greedy
   * semantics (identical to processing the docs one at a time in id
   * order, so batching never changes the accepted set — see
   * processBatch). Re-delivered doc_ids are recognized and skipped, so
@@ -35,9 +49,122 @@ object IncrementalDedup {
   private def docsPath(store: String) = s"$store/docs"
   private def bandsPath(store: String) = s"$store/bands"
 
+  /** Default store bucket count — like the ANN ledger's: enough that a
+    * small batch prunes most of the corpus, few enough that per-batch
+    * appends don't shatter into near-empty files. Fixed at store
+    * creation by the `_buckets_<n>` marker; re-bucketing is a rebuild. */
+  val DefaultStoreBuckets = 16
+
+  private val BucketsRe = "_buckets_(\\d+)".r
+
   private def exists(spark: SparkSession, p: String): Boolean = {
     val hp = new Path(p)
     hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+  }
+
+  /** Stable key→bucket map (Murmur3 mod n — engine-internal, never
+    * oracle-compared). */
+  private def bucketCol(key: Column, nb: Int): Column =
+    pmod(hash(key), lit(nb))
+
+  /** The batch's bucket set under `key` — driver-sized (≤ nb ints),
+    * pushed as an IN-filter so store reads statically prune. */
+  private def bucketSet(df: DataFrame, key: Column, nb: Int): Seq[Int] =
+    df.select(bucketCol(key, nb).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+  /** A store tree pruned to `buckets` (package-visible so the spec can
+    * assert the static pruning on the physical plan). */
+  private[graft] def treeFor(spark: SparkSession, path: String,
+      buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(path).filter(col("b").isin(buckets: _*))
+
+  /** Bucket count from the store marker, if the store is bucketed. */
+  private def bucketsOf(spark: SparkSession, store: String): Option[Int] = {
+    val hp = new Path(store)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hp)) None
+    else fs.listStatus(hp).toSeq.flatMap { f =>
+      f.getPath.getName match {
+        case BucketsRe(n) if f.isFile => Some(n.toInt)
+        case _                        => None
+      }
+    }.headOption
+  }
+
+  /** Tree holds FLAT legacy data: parquet files directly under the
+    * root instead of `b=` partitions. */
+  private def hasFlatData(spark: SparkSession, p: String): Boolean = {
+    val hp = new Path(p)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(hp) && fs.listStatus(hp).exists(f =>
+      f.isFile && !f.getPath.getName.startsWith("_"))
+  }
+
+  /** Bucket the store (create the marker; backfill any legacy flat
+    * tree into `b=` partitions first — one columnar scan per tree).
+    * The per-tree swap is crash-safe through two sibling dirs:
+    * `<tree>.bktmp` (the bucketed copy being written) and
+    * `<tree>.flat` (the retired flat tree, moved aside by one rename);
+    * [[recoverBackfill]] finishes or unwinds any crash point, so the
+    * tree is never lost and the backfill simply re-runs. Returns the
+    * store's bucket count. */
+  private def ensureBuckets(spark: SparkSession, store: String): Int = {
+    recoverBackfill(spark, store)
+    bucketsOf(spark, store).getOrElse {
+      val nb = DefaultStoreBuckets
+      val hp = new Path(store)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      def backfill(path: String, key: String): Unit =
+        if (hasFlatData(spark, path)) {
+          val live = new Path(path)
+          val tmp = new Path(path + ".bktmp")
+          val retired = new Path(path + ".flat")
+          fs.delete(tmp, true)
+          spark.read.parquet(path)
+            .withColumn("b", bucketCol(col(key), nb))
+            .repartition(col("b"))
+            .write.partitionBy("b").parquet(tmp.toString)
+          require(fs.rename(live, retired),
+            s"store bucket backfill retire failed: $path")
+          require(fs.rename(tmp, live),
+            s"store bucket backfill commit failed: $path")
+          fs.delete(retired, true)
+        }
+      backfill(docsPath(store), "doc_id")
+      backfill(bandsPath(store), "bk")
+      fs.mkdirs(hp)
+      try fs.create(new Path(hp, s"_buckets_$nb"), false).close()
+      catch { case _: java.io.IOException => () } // concurrent stamp
+      nb
+    }
+  }
+
+  /** Finish or unwind a crashed backfill swap: a retired flat tree
+    * with the live dir missing either completes forward (bucketed copy
+    * fully staged) or restores the flat tree (copy incomplete — it
+    * re-runs); leftover staging beside a live tree is discarded. */
+  private def recoverBackfill(spark: SparkSession, store: String): Unit = {
+    val hp = new Path(store)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(docsPath(store), bandsPath(store)).foreach { path =>
+      val live = new Path(path)
+      val tmp = new Path(path + ".bktmp")
+      val retired = new Path(path + ".flat")
+      if (fs.exists(retired)) {
+        if (fs.exists(live)) fs.delete(retired, true) // finished swap
+        else if (fs.exists(tmp)) { // crashed between the two renames
+          require(fs.rename(tmp, live),
+            s"store bucket backfill recovery failed: $path")
+          fs.delete(retired, true)
+        } else {
+          require(fs.rename(retired, live), // unwind: re-run later
+            s"store bucket backfill restore failed: $path")
+        }
+      } else if (fs.exists(tmp)) {
+        fs.delete(tmp, true) // crashed mid-write: staging discards
+      }
+    }
   }
 
   /** (doc_id, bk) band keys via the module's MinHash signatures. Fused
@@ -69,6 +196,11 @@ object IncrementalDedup {
       .select(cand.columns.map(col): _*) // pass through tag columns
   }
 
+  /** The accepted corpus as (doc_id, text) — the store's read API
+    * (consumers should not depend on the layout's bucket column). */
+  def readDocs(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(docsPath(storeDir)).select("doc_id", "text")
+
   /** The cross-corpus probe in its DEPLOYMENT form —
     * [[Dedup.minhashLshPairsBetween]]'s contract served from the
     * PERSISTED store instead of re-banding the published side: the
@@ -93,24 +225,34 @@ object IncrementalDedup {
       return incoming.select(col("doc_id").as("pub_id"),
         col("doc_id").as("new_id"),
         lit(0.0).as("jaccard")).limit(0)
-    val index = spark.read.parquet(bandsPath(storeDir))
+    // first touch of a legacy flat store migrates it (marker-gated,
+    // crash-safe) — every read below then prunes on the bucket column
+    val nb = ensureBuckets(spark, storeDir)
     // batch-sized; feeds band keys AND the rescore — pin it so the
     // incoming docs shingle once
     val incSets = Dedup.docShingleSets(incoming, "doc_id", "text")
       .localCheckpoint()
-    val newBands =
-      Dedup.minhashBandKeys(Dedup.minhashSignaturesFromSets(incSets))
+    val newBands = Dedup.minhashBandKeys(
+      Dedup.minhashSignaturesFromSets(incSets)).localCheckpoint()
+    // the index probe reads ONLY the buckets the batch's band keys
+    // hash to — |batch's buckets| / nb of the index, never all of it
+    val index = treeFor(spark, bandsPath(storeDir),
+      bucketSet(newBands, col("bk"), nb))
     val cand = newBands
       .join(index.withColumnRenamed("doc_id", "pub_id"), "bk")
       .select(col("pub_id"), col("doc_id").as("new_id"))
       .distinct()
     // only MATCHED accepted docs fetch through the candidate join and
     // re-shingle (row-local, candidate-bounded) — the corpus itself is
-    // never re-banded and never free-scanned
+    // never re-banded and never free-scanned. The join carries the
+    // BUCKET key alongside the id (b is a pure function of pub_id), so
+    // the docs scan's partitions prune dynamically off the candidate
+    // side (DPP) while the probe stays one lazy plan.
     val pubDocs = spark.read.parquet(docsPath(storeDir))
-      .select(col("doc_id").as("pub_id"), col("text"))
+      .select(col("doc_id").as("pub_id"), col("text"), col("b"))
     cand
-      .join(pubDocs, "pub_id")
+      .withColumn("b", bucketCol(col("pub_id"), nb))
+      .join(pubDocs, Seq("pub_id", "b"))
       .withColumn("ssa", array_distinct(Dedup.shingles(col("text"))))
       .drop("text")
       .withColumn("na", size(col("ssa")).cast("long"))
@@ -133,6 +275,7 @@ object IncrementalDedup {
       storeDir: String,
       threshold: Double = Dedup.JaccardThreshold): BatchResult = {
     val spark = batch.sparkSession
+    val nb = ensureBuckets(spark, storeDir)
     val incoming = batch.select(col("doc_id"), col("text"))
       .dropDuplicates("doc_id").localCheckpoint()
     // one existence probe per batch (each is a FileSystem RPC); the
@@ -143,7 +286,9 @@ object IncrementalDedup {
     val (fresh, nRedelivered) =
       if (!storeExists) (incoming, 0L)
       else {
-        val known = spark.read.parquet(docsPath(storeDir)).select("doc_id")
+        // redelivery skip probes only the batch's id buckets
+        val known = treeFor(spark, docsPath(storeDir),
+          bucketSet(incoming, col("doc_id"), nb)).select("doc_id")
         val f = incoming.join(known, Seq("doc_id"), "left_anti")
           .localCheckpoint()
         (f, incoming.count() - f.count())
@@ -153,14 +298,17 @@ object IncrementalDedup {
 
     // candidates vs the ACCEPTED corpus: equi-join on the band index
     val vsStore =
-      if (!storeExists)
+      (if (!storeExists)
         fresh.select(col("doc_id").as("da"), col("doc_id").as("db")).limit(0)
       else {
-        val index = spark.read.parquet(bandsPath(storeDir))
+        // the index probe reads only the batch's band-key buckets
+        val index = treeFor(spark, bandsPath(storeDir),
+          bucketSet(newBands, col("bk"), nb))
         newBands.join(index.withColumnRenamed("doc_id", "da"), "bk")
           .select(col("da"), col("doc_id").as("db"))
           .distinct()
-      }
+      }).localCheckpoint() // candidate-sized; feeds the rescore AND
+                           // the matched-docs bucket set
 
     // in-batch candidates: band self-join, lower id survives
     val inBatch = newBands.as("a")
@@ -174,7 +322,9 @@ object IncrementalDedup {
     val storeTexts =
       if (!storeExists)
         fresh.limit(0)
-      else spark.read.parquet(docsPath(storeDir)).select("doc_id", "text")
+      else treeFor(spark, docsPath(storeDir),
+          bucketSet(vsStore, col("da"), nb)) // matched buckets only
+        .select("doc_id", "text")
         .join(vsStore.select(col("da").as("doc_id")).distinct(), "doc_id")
     val texts = fresh.select("doc_id", "text").unionByName(storeTexts)
 
@@ -251,8 +401,14 @@ object IncrementalDedup {
       // Band rows come from the checkpointed newBands (a semi-join),
       // not a second full shingle+MinHash pass over the text.
       newBands.join(accepted.select("doc_id"), Seq("doc_id"), "left_semi")
-        .write.mode(SaveMode.Append).parquet(bandsPath(storeDir))
-      accepted.write.mode(SaveMode.Append).parquet(docsPath(storeDir))
+        .withColumn("b", bucketCol(col("bk"), nb))
+        .repartition(col("b"))
+        .write.partitionBy("b").mode(SaveMode.Append)
+        .parquet(bandsPath(storeDir))
+      accepted.withColumn("b", bucketCol(col("doc_id"), nb))
+        .repartition(col("b"))
+        .write.partitionBy("b").mode(SaveMode.Append)
+        .parquet(docsPath(storeDir))
     }
     BatchResult(nAccepted, fresh.count() - nAccepted, nRedelivered)
   }

@@ -374,5 +374,37 @@ object WaveFourteenQueries {
         .orderBy(col("qid"), col("rank"))
     }, Some(pqOracle("TRUE", "TRUE",
       Some("SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'")))),
+
+    // The persisted dedup store exercised END TO END through the gate:
+    // the published corpus (even doc_ids) ingests in TWO batches
+    // through processBatch (threshold > 1 admits everything — the
+    // ingest-all-then-probe deployment shape; the index still builds,
+    // the redelivery skip still binds), then the incoming crawl (odd
+    // ids) probes the BUCKETED store. probeStorePairs serves
+    // minhashLshPairsBetween's contract from the persisted index —
+    // same candidates by construction — so the oracle is
+    // cross_corpus_dups's single-relation LSH chain restricted to
+    // cross-parity pairs, now pinning the store's bucketed layout, the
+    // pruned band probe, and the bucket-keyed rescore fetch.
+    Q("cross_corpus_dups_store", (s, dir) => {
+      import graft.dedup.IncrementalDedup
+      val store = java.nio.file.Files
+        .createTempDirectory("xdup_store").toString + "/corpus"
+      val d = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      IncrementalDedup.processBatch(
+        d.filter(col("doc_id") % 4 === 0), store, threshold = 1.01)
+      IncrementalDedup.processBatch(
+        d.filter(col("doc_id") % 4 === 2), store, threshold = 1.01)
+      IncrementalDedup.probeStorePairs(
+          d.filter(col("doc_id") % 2 =!= 0), store)
+        .orderBy(col("pub_id"), col("new_id"))
+    }, Some(
+      s"""WITH ${graft.dedup.Dedup.minhashLshCtes("documents",
+            graft.dedup.Dedup.JaccardThreshold)}
+         |SELECT CASE WHEN da % 2 = 0 THEN da ELSE db END AS pub_id,
+         |  CASE WHEN da % 2 = 0 THEN db ELSE da END AS new_id, jaccard
+         |FROM lshpairs WHERE (da % 2 = 0) <> (db % 2 = 0)
+         |ORDER BY pub_id, new_id""".stripMargin)),
   )
 }

@@ -49,7 +49,7 @@ class CorpusBuildJobSpec extends AnyFunSuite {
       s"near-dup of doc 1 must be rejected in-batch: $r1")
 
     val stored = spark.read.parquet(s"$store/docs")
-      .as[(Long, String)].collect().toMap
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(stored.keySet == Set(1L, 4L))
     assert(stored(4L).contains("<EMAIL>") && stored(4L).contains("<URL>"))
     assert(!stored(4L).contains("bob@example.com"))
@@ -68,7 +68,7 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     assert(r3.arrived == 2 && r3.accepted == 1 && r3.rejectedNearDup == 1,
       s"store probe must reject the near-dup: $r3")
     assert(spark.read.parquet(s"$store/docs")
-      .as[(Long, String)].collect().toMap.keySet == Set(1L, 4L, 6L))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap.keySet == Set(1L, 4L, 6L))
   }
 
   test("cross-corpus probe: stream ≡ batch pairs; index probed, not rescanned") {
@@ -174,7 +174,7 @@ class CorpusBuildJobSpec extends AnyFunSuite {
       r.accepted == 1 && r.filteredOut == 0,
       s"leaked doc must be decontaminated away: $r")
     assert(spark.read.parquet(s"$store/docs")
-      .as[(Long, String)].collect().toMap.keySet == Set(11L))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap.keySet == Set(11L))
 
     // replay: checkpoint drains nothing, counts stay zero
     val r2 = CorpusBuildJob.runOnce(spark, docsDir, store, ckpt,
@@ -235,9 +235,9 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     val rb = IncrementalDedup.processBatch(kept, batchStore)
 
     val streamDocs = spark.read.parquet(s"$streamStore/docs")
-      .as[(Long, String)].collect().toMap
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
     val batchDocs = spark.read.parquet(s"$batchStore/docs")
-      .as[(Long, String)].collect().toMap
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(streamDocs == batchDocs,
       s"stream corpus ${streamDocs.keySet} != batch ${batchDocs.keySet}")
     assert(stream.accepted == rb.accepted)
@@ -287,7 +287,7 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     assert(r1.accepted == 2 && r1.rejectedNearDup == 1,
       s"in-batch near-dup of doc 1 must be rejected: $r1")
     val admitted = spark.read.parquet(s"$store/docs")
-      .as[(Long, String)].collect().toMap
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(admitted.keySet == Set(1L, 6L))
     assert(admitted(1L) == a, "the collapsed variant must not change doc 1")
 
@@ -306,6 +306,6 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     assert(r3.arrived == 2 && r3.accepted == 1 && r3.rejectedNearDup == 1,
       s"store probe must reject the near-dup: $r3")
     assert(spark.read.parquet(s"$store/docs")
-      .as[(Long, String)].collect().toMap.keySet == Set(1L, 6L, 8L))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap.keySet == Set(1L, 6L, 8L))
   }
 }

@@ -109,6 +109,78 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(ids == Set(3L, 9L), "the LOWER id of the near-dup pair survives")
   }
 
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan,
+      loc: String): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan, loc)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan, loc)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child, loc)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        if (f.metadata("Location").contains(loc)) Seq(f) else Nil
+      case other => other.children.flatMap(scans(_, loc))
+    }
+
+  test("store probes read only the batch's buckets") {
+    val store = Files.createTempDirectory("incdedupb").toString + "/corpus"
+    // 400 distinct docs so every one of the 16 buckets populates in
+    // both trees
+    val many = (0 until 400).map(i =>
+      (i.toLong, s"$other unique token$i marker${i * 7} tail${i % 13}"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.processBatch(many, store)
+    val docBuckets = spark.read.parquet(s"$store/docs")
+      .select("b").distinct().count()
+    assert(docBuckets == 16L, s"want all 16 doc buckets: $docBuckets")
+    // a one-doc batch's id bucket, computed the store's way
+    val b7 = spark.range(1)
+      .select(org.apache.spark.sql.functions
+        .pmod(org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.lit(7L)),
+          org.apache.spark.sql.functions.lit(16))).head().getInt(0)
+    val probe = IncrementalDedup.treeFor(spark, s"$store/docs", Seq(b7))
+      .select("doc_id")
+    assert(probe.collect().map(_.getLong(0)).contains(7L))
+    val filesRead = scans(probe.queryExecution.executedPlan, "docs")
+      .map(_.metrics("numFiles").value).sum
+    val totalFiles = scans(spark.read.parquet(s"$store/docs")
+      .queryExecution.executedPlan, "docs")
+      .map(_.relation.location.inputFiles.length).sum
+    assert(filesRead > 0 && filesRead <= totalFiles / 16,
+      s"store probes must prune: read $filesRead of $totalFiles")
+  }
+
+  test("a legacy flat store migrates on first touch, content intact") {
+    val store = Files.createTempDirectory("incdedupm").toString + "/corpus"
+    // craft the retired flat layout: parquet files directly under
+    // docs/ and bands/, no bucket column, no marker
+    val docs = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    docs.write.parquet(s"$store/docs")
+    graft.dedup.Dedup.minhashBandKeys(
+        graft.dedup.Dedup.minhashSignaturesFromSets(
+          graft.dedup.Dedup.docShingleSets(docs, "doc_id", "text")))
+      .write.parquet(s"$store/bands")
+    // first touch: near-dup of doc 1 must be rejected against the
+    // MIGRATED index; doc 2 redelivered skips; one novel doc lands
+    val r = IncrementalDedup.processBatch(
+      Seq((10L, base.replace("valley", "meadow")), (11L, third),
+        (2L, other)).toDF("doc_id", "text"), store)
+    assert(r == IncrementalDedup.BatchResult(1, 1, 1), s"$r")
+    val after = spark.read.parquet(s"$store/docs")
+    assert(after.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 11L))
+    assert(after.columns.contains("b"), "migrated tree must be bucketed")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$store/_buckets_16")))
+    // replay is still a no-op through the migrated store
+    val r2 = IncrementalDedup.processBatch(
+      Seq((11L, third)).toDF("doc_id", "text"), store)
+    assert(r2 == IncrementalDedup.BatchResult(0, 0, 1), s"$r2")
+  }
+
   test("streaming corpus construction: processBatch as a foreachBatch sink") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
