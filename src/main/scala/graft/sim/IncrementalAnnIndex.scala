@@ -993,6 +993,39 @@ object IncrementalAnnIndex {
     destG
   }
 
+  /** Retention for the serve-latest root: keep the newest `keep`
+    * SERVED generations (the current one always survives), delete
+    * older generations' markers and directories —
+    * [[graft.sinks.VersionedTable.vacuum]]'s discipline applied to
+    * store generations, so a root that rebuilds monthly doesn't
+    * accrete every store it ever served. Marker goes FIRST per
+    * generation (a concurrent resolver never sees a marker whose
+    * store is mid-delete; deleting OLD markers can never change the
+    * max, so the served pointer is untouched). Generations ABOVE the
+    * served one are left alone — an unmarked one is a possibly
+    * in-flight rebuild, and [[rebuildServed]] discards its own debris.
+    * Returns the removed generation numbers. */
+  def vacuumGenerations(spark: SparkSession, root: String,
+      keep: Int = 1): Seq[Long] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val served = servedGen(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root has no served ANN store generation — run initServed"))
+    val (fs, rp) = fsOf(spark, root)
+    val marked = fs.listStatus(rp).toSeq.flatMap { f =>
+      f.getPath.getName match {
+        case ServeRe(g) if f.isFile => Some(g.toLong)
+        case _                      => None
+      }
+    }.filter(_ <= served).sorted
+    val drop = marked.dropRight(keep)
+    drop.foreach { g =>
+      fs.delete(new Path(rp, s"_serve_$g"), false)
+      fs.delete(new Path(genDir(root, g)), true)
+    }
+    drop
+  }
+
   /** Top-k over the store for external queries (qid, embedding):
     * `nProbe` nearest lists per query, exact rescore inside them. The
     * probed cid set (≤ |queries| x nProbe distinct values, bounded by

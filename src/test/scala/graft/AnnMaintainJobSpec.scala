@@ -215,6 +215,17 @@ class AnnMaintainJobSpec extends AnyFunSuite {
       IncrementalAnnIndex.initServed(vecs(0 until 10), annRoot)
     }
     assert(ex.getMessage.contains("already serves"))
+    // retention: gens 0..2 served along the way; keep=1 drops the two
+    // retired generations (marker first), the served one stays
+    // resolvable and intact, and a re-vacuum is a no-op
+    val dropped = IncrementalAnnIndex.vacuumGenerations(spark, annRoot)
+    assert(dropped == Seq(0L, 1L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$annRoot/gen=0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$annRoot/_serve_0")))
+    assert(IncrementalAnnIndex.servedStore(spark, annRoot)
+      .endsWith("gen=2"))
+    assert(listedIds(s"$annRoot/gen=2").nonEmpty)
+    assert(IncrementalAnnIndex.vacuumGenerations(spark, annRoot).isEmpty)
   }
 
   test("auto-compaction keeps a long drain's file counts bounded") {
