@@ -116,21 +116,13 @@ object IncrementalDedup {
       val hp = new Path(store)
       val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
       def backfill(path: String, key: String): Unit =
-        if (hasFlatData(spark, path)) {
-          val live = new Path(path)
-          val tmp = new Path(path + ".bktmp")
-          val retired = new Path(path + ".flat")
-          fs.delete(tmp, true)
-          spark.read.parquet(path)
-            .withColumn("b", bucketCol(col(key), nb))
-            .repartition(col("b"))
-            .write.partitionBy("b").parquet(tmp.toString)
-          require(fs.rename(live, retired),
-            s"store bucket backfill retire failed: $path")
-          require(fs.rename(tmp, live),
-            s"store bucket backfill commit failed: $path")
-          fs.delete(retired, true)
-        }
+        if (hasFlatData(spark, path))
+          swapTree(spark, path) { tmp =>
+            spark.read.parquet(path)
+              .withColumn("b", bucketCol(col(key), nb))
+              .repartition(col("b"))
+              .write.partitionBy("b").parquet(tmp)
+          }
       backfill(docsPath(store), "doc_id")
       backfill(bandsPath(store), "bk")
       fs.mkdirs(hp)
@@ -140,10 +132,67 @@ object IncrementalDedup {
     }
   }
 
-  /** Finish or unwind a crashed backfill swap: a retired flat tree
-    * with the live dir missing either completes forward (bucketed copy
-    * fully staged) or restores the flat tree (copy incomplete — it
-    * re-runs); leftover staging beside a live tree is discarded. */
+  /** Rewrite a whole store tree through the crash-safe two-rename
+    * swap: `stage` writes the COMPLETE replacement at the tmp
+    * location, the live tree moves aside in one rename, the staged
+    * tree moves in with another, the retired copy deletes last.
+    * [[recoverBackfill]] finishes or unwinds every crash point
+    * (retired present ⇒ the staged copy had finished writing, so
+    * forward completion is always safe). */
+  private def swapTree(spark: SparkSession, path: String)(
+      stage: String => Unit): Unit = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(path + ".bktmp")
+    val retired = new Path(path + ".flat")
+    fs.delete(tmp, true)
+    stage(tmp.toString)
+    require(fs.rename(hp, retired), s"store tree retire failed: $path")
+    require(fs.rename(tmp, hp), s"store tree swap failed: $path")
+    fs.delete(retired, true)
+  }
+
+  /** Small-file compaction — the bucketed store's housekeeping twin
+    * of [[graft.sim.IncrementalAnnIndex.compact]]: every batch appends
+    * one file per touched bucket, so a long-lived store fragments.
+    * Each tree holding a bucket with more than `maxFiles` data files
+    * is rewritten to its minimal layout through the SAME crash-safe
+    * staged swap as the flat-store migration — content-identical, and
+    * the rewrite is one columnar scan of that tree (run at rebuild
+    * cadence, not per batch). Returns (docs rewritten, bands
+    * rewritten). */
+  def compactStore(spark: SparkSession, storeDir: String,
+      maxFiles: Int = 4): (Boolean, Boolean) = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
+    ensureBuckets(spark, storeDir)
+    val fs = new Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def fragmented(path: String): Boolean = {
+      val hp = new Path(path)
+      fs.exists(hp) && fs.listStatus(hp).exists(d =>
+        d.isDirectory && d.getPath.getName.startsWith("b=") &&
+          fs.listStatus(d.getPath).count(f =>
+            f.isFile && !f.getPath.getName.startsWith("_")) > maxFiles)
+    }
+    def rewrite(path: String): Boolean =
+      if (!fragmented(path)) false
+      else {
+        swapTree(spark, path) { tmp =>
+          spark.read.parquet(path)
+            .repartition(col("b"))
+            .write.partitionBy("b").parquet(tmp)
+        }
+        true
+      }
+    (rewrite(docsPath(storeDir)), rewrite(bandsPath(storeDir)))
+  }
+
+  /** Finish or unwind a crashed staged tree swap ([[swapTree]] — the
+    * flat-store migration and [[compactStore]] share it): a retired
+    * tree with the live dir missing either completes forward (staged
+    * replacement fully written) or restores the retired tree (staging
+    * incomplete — the operation re-runs); leftover staging beside a
+    * live tree is discarded. */
   private def recoverBackfill(spark: SparkSession, store: String): Unit = {
     val hp = new Path(store)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())

@@ -152,6 +152,46 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"store probes must prune: read $filesRead of $totalFiles")
   }
 
+  test("compaction bounds per-bucket files; content identical") {
+    val store = Files.createTempDirectory("incdedupc").toString + "/corpus"
+    // four batches of distinct docs fragment every touched bucket
+    (0 until 4).foreach { k =>
+      val batch = (k * 100 until (k + 1) * 100).map(i =>
+        (i.toLong, s"$other unique token$i tag${i * 3} z${i % 11}"))
+        .toDF("doc_id", "text")
+      IncrementalDedup.processBatch(batch, store)
+    }
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def maxFilesPerBucket(path: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("b="))
+        .map(d => fs.listStatus(d.getPath).count(f =>
+          f.isFile && !f.getPath.getName.startsWith("_"))).max
+    assert(maxFilesPerBucket(s"$store/docs") > 1,
+      "fixture must fragment for compaction to bind")
+    def snapshot() = (
+      spark.read.parquet(s"$store/docs").select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet,
+      spark.read.parquet(s"$store/bands").select("bk", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val before = snapshot()
+    val (d, b) = IncrementalDedup.compactStore(spark, store, maxFiles = 1)
+    assert(d && b)
+    assert(snapshot() == before,
+      "compaction must be content-identical in both trees")
+    assert(maxFilesPerBucket(s"$store/docs") == 1)
+    assert(maxFilesPerBucket(s"$store/bands") == 1)
+    // a second compact is a no-op; the redelivery skip still works
+    assert(IncrementalDedup.compactStore(spark, store, maxFiles = 1) ==
+      (false, false))
+    val batch0 = (0 until 50).map(i =>
+      (i.toLong, s"$other unique token$i tag${i * 3} z${i % 11}"))
+      .toDF("doc_id", "text")
+    val r = IncrementalDedup.processBatch(batch0, store)
+    assert(r.accepted == 0 && r.skippedRedelivered == 50, s"$r")
+  }
+
   test("a legacy flat store migrates on first touch, content intact") {
     val store = Files.createTempDirectory("incdedupm").toString + "/corpus"
     // craft the retired flat layout: parquet files directly under
