@@ -397,6 +397,28 @@ object Profile {
         time(s"probeStorePairs @x$mult (fixed batch)")(
           noop(IncrementalDedup.probeStorePairs(batch, store)))
       }
+      // the non-default bucket count at the top tier: 64 buckets give
+      // 4x narrower per-bucket scans, so the fixed batch should cost
+      // AT MOST the 16-bucket x30 row (the r16 VERDICT's
+      // parameterization bar)
+      locally {
+        val mult = 30
+        val store = java.nio.file.Files
+          .createTempDirectory("dedupstore64").toString + "/corpus"
+        val filler = spark.range(n1 * mult)
+          .select((col("id") + 1000000000L).as("doc_id"),
+            concat_ws(" ", transform(sequence(lit(1), lit(20)),
+              i => md5(concat(col("id").cast("string"), lit("-"),
+                i.cast("string"))))).as("text"))
+        println(s"[profile] dedupstore corpus x$mult @64 buckets: " +
+          s"${n1 * mult} accepted docs (batch fixed at 200)")
+        IncrementalDedup.processBatch(filler, store, threshold = 1.01,
+          storeBuckets = 64)
+        time(s"processBatch @x$mult buckets=64 (fixed batch)")(
+          IncrementalDedup.processBatch(batch, store))
+        time(s"probeStorePairs @x$mult buckets=64 (fixed batch)")(
+          noop(IncrementalDedup.probeStorePairs(batch, store)))
+      }
       spark.stop()
       return
     }

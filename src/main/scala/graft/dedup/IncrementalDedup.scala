@@ -52,10 +52,15 @@ object IncrementalDedup {
   /** Default store bucket count — like the ANN ledger's: enough that a
     * small batch prunes most of the corpus, few enough that per-batch
     * appends don't shatter into near-empty files. Fixed at store
-    * creation by the `_buckets_<n>` marker; re-bucketing is a rebuild. */
+    * CREATION by the `_buckets_<n>` marker (the first
+    * [[processBatch]]/[[probeStorePairs]] call's `storeBuckets`
+    * argument); 16 suits the gate scales, a 10B-doc deployment inits
+    * with O(1000). A live store re-buckets through [[rebucketStore]] —
+    * an explicit O(store) rewrite, never a silent reinterpretation. */
   val DefaultStoreBuckets = 16
 
   private val BucketsRe = "_buckets_(\\d+)".r
+  private val RebucketRe = "_rebucket_(\\d+)".r
 
   private def exists(spark: SparkSession, p: String): Boolean = {
     val hp = new Path(p)
@@ -63,9 +68,14 @@ object IncrementalDedup {
   }
 
   /** Stable key→bucket map (Murmur3 mod n — engine-internal, never
-    * oracle-compared). */
+    * oracle-compared). The key is CANONICALIZED to long before
+    * hashing: Spark's hash() is type-sensitive (hash(7) != hash(7L)),
+    * so a batch whose doc_id arrived as int would otherwise hash to
+    * the wrong buckets and silently miss redeliveries and candidates
+    * the join's implicit coercion used to catch — write and probe
+    * sides must bucket through the same canonical type. */
   private def bucketCol(key: Column, nb: Int): Column =
-    pmod(hash(key), lit(nb))
+    pmod(hash(key.cast("long")), lit(nb))
 
   /** The batch's bucket set under `key` — driver-sized (≤ nb ints),
     * pushed as an IN-filter so store reads statically prune. */
@@ -107,12 +117,18 @@ object IncrementalDedup {
     * `<tree>.bktmp` (the bucketed copy being written) and
     * `<tree>.flat` (the retired flat tree, moved aside by one rename);
     * [[recoverBackfill]] finishes or unwinds any crash point, so the
-    * tree is never lost and the backfill simply re-runs. Returns the
-    * store's bucket count. */
-  private def ensureBuckets(spark: SparkSession, store: String): Int = {
+    * tree is never lost and the backfill simply re-runs. A pending
+    * [[rebucketStore]] intent finishes FIRST, so no caller can read a
+    * bucket count the layout doesn't have. `requested` binds only at
+    * store creation; an existing marker wins. Returns the store's
+    * bucket count. */
+  private def ensureBuckets(spark: SparkSession, store: String,
+      requested: Int = DefaultStoreBuckets): Int = {
     recoverBackfill(spark, store)
+    pendingRebucket(spark, store).foreach(n => doRebucket(spark, store, n))
     bucketsOf(spark, store).getOrElse {
-      val nb = DefaultStoreBuckets
+      require(requested > 0, s"storeBuckets must be positive: $requested")
+      val nb = requested
       val hp = new Path(store)
       val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
       def backfill(path: String, key: String): Unit =
@@ -130,6 +146,87 @@ object IncrementalDedup {
       catch { case _: java.io.IOException => () } // concurrent stamp
       nb
     }
+  }
+
+  /** Pending re-bucket target from a crashed [[rebucketStore]]'s
+    * intent marker, if any. */
+  private def pendingRebucket(
+      spark: SparkSession, store: String): Option[Int] = {
+    val hp = new Path(store)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hp)) None
+    else fs.listStatus(hp).toSeq.flatMap { f =>
+      f.getPath.getName match {
+        case RebucketRe(n) if f.isFile => Some(n.toInt)
+        case _                         => None
+      }
+    }.headOption
+  }
+
+  /** Re-bucket a live store to `buckets` — the operator the bucket
+    * count's creation-time immutability otherwise forbids: a corpus
+    * that outgrew its creation-time count (per-bucket scan width is
+    * |corpus| / buckets) rewrites BOTH trees to the new count through
+    * the same crash-safe staged swap as the legacy migration, under an
+    * intent marker (`_rebucket_<n>`): a crash at ANY point re-runs to
+    * completion on the next store touch ([[ensureBuckets]] finishes a
+    * pending re-bucket BEFORE reading the count), so no probe can ever
+    * prune with a count the layout doesn't match — the silent-miss
+    * mode a half-migrated store would otherwise have. O(store) by
+    * design — one columnar scan per tree, run at rebuild cadence, not
+    * per batch. The redelivery skip and all probes carry over
+    * unchanged: bucket membership is a pure function of (key, count).
+    * No-op when the store already has `buckets`. */
+  def rebucketStore(spark: SparkSession, storeDir: String,
+      buckets: Int): Unit = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    recoverBackfill(spark, storeDir)
+    pendingRebucket(spark, storeDir)
+      .foreach(n => doRebucket(spark, storeDir, n))
+    val cur = bucketsOf(spark, storeDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$storeDir is not a bucketed store (no _buckets_ marker) — " +
+          "the first processBatch creates one"))
+    if (cur == buckets) return
+    val hp = new Path(storeDir)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    try fs.create(new Path(hp, s"_rebucket_$buckets"), false).close()
+    catch { case _: java.io.IOException => () } // concurrent stamp
+    doRebucket(spark, storeDir, buckets)
+  }
+
+  /** Idempotent re-bucket body: rewrite both trees to `nb` buckets,
+    * then stamp the new count marker, drop the old one, drop the
+    * intent — in that order, so every crash point either re-runs the
+    * rewrite (harmless: re-bucketing an already-`nb` tree reproduces
+    * it) or finishes the marker swap; the intent marker outlives both
+    * `_buckets_` markers' window of coexistence, and every reader
+    * resolves the intent before trusting a marker. */
+  private def doRebucket(spark: SparkSession, store: String,
+      nb: Int): Unit = {
+    val hp = new Path(store)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    def rewrite(path: String, key: String): Unit =
+      if (exists(spark, path))
+        swapTree(spark, path) { tmp =>
+          spark.read.parquet(path)
+            .drop("b")
+            .withColumn("b", bucketCol(col(key), nb))
+            .repartition(col("b"))
+            .write.partitionBy("b").parquet(tmp)
+        }
+    rewrite(docsPath(store), "doc_id")
+    rewrite(bandsPath(store), "bk")
+    try fs.create(new Path(hp, s"_buckets_$nb"), false).close()
+    catch { case _: java.io.IOException => () } // re-run after a crash
+    fs.listStatus(hp).foreach { f =>
+      f.getPath.getName match {
+        case BucketsRe(m) if f.isFile && m.toInt != nb =>
+          fs.delete(f.getPath, false)
+        case _ => ()
+      }
+    }
+    fs.delete(new Path(hp, s"_rebucket_$nb"), false)
   }
 
   /** Rewrite a whole store tree through the crash-safe two-rename
@@ -266,9 +363,11 @@ object IncrementalDedup {
   def probeStorePairs(
       batch: DataFrame,
       storeDir: String,
-      threshold: Double = Dedup.JaccardThreshold): DataFrame = {
+      threshold: Double = Dedup.JaccardThreshold,
+      storeBuckets: Int = DefaultStoreBuckets): DataFrame = {
     val spark = batch.sparkSession
-    val incoming = batch.select(col("doc_id"), col("text"))
+    val incoming = batch
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .dropDuplicates("doc_id")
     if (!exists(spark, bandsPath(storeDir)))
       return incoming.select(col("doc_id").as("pub_id"),
@@ -276,7 +375,7 @@ object IncrementalDedup {
         lit(0.0).as("jaccard")).limit(0)
     // first touch of a legacy flat store migrates it (marker-gated,
     // crash-safe) — every read below then prunes on the bucket column
-    val nb = ensureBuckets(spark, storeDir)
+    val nb = ensureBuckets(spark, storeDir, storeBuckets)
     // batch-sized; feeds band keys AND the rescore — pin it so the
     // incoming docs shingle once
     val incSets = Dedup.docShingleSets(incoming, "doc_id", "text")
@@ -318,14 +417,19 @@ object IncrementalDedup {
 
   /** Process one batch of (doc_id, text): rejects near-dups of accepted
     * docs and in-batch near-dups (lower id wins), appends survivors to
-    * the store, and returns the decision counts. */
+    * the store, and returns the decision counts. `storeBuckets` binds
+    * only when this call CREATES the store (the `_buckets_<n>` marker
+    * wins thereafter — [[rebucketStore]] is the way to change a live
+    * store's count). */
   def processBatch(
       batch: DataFrame,
       storeDir: String,
-      threshold: Double = Dedup.JaccardThreshold): BatchResult = {
+      threshold: Double = Dedup.JaccardThreshold,
+      storeBuckets: Int = DefaultStoreBuckets): BatchResult = {
     val spark = batch.sparkSession
-    val nb = ensureBuckets(spark, storeDir)
-    val incoming = batch.select(col("doc_id"), col("text"))
+    val nb = ensureBuckets(spark, storeDir, storeBuckets)
+    val incoming = batch
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .dropDuplicates("doc_id").localCheckpoint()
     // one existence probe per batch (each is a FileSystem RPC); the
     // bands store may lag docs by half a crashed batch, but writes go

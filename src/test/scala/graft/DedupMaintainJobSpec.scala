@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.dedup.IncrementalDedup
+import graft.streaming.{AnnMaintainJob, DedupMaintainJob}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream≡batch for the standing dedup drain: a checkpointed drain of
+  * landed doc-batch files leaves the store equal to the direct
+  * processBatch composition, replay converges through the store's own
+  * redelivery skip (no version chain needed — the feed is insert-only),
+  * and auto-compaction keeps a long drain's file counts bounded. */
+class DedupMaintainJobSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the riverbank " +
+      "while birds sing in the morning light across the quiet valley"
+  private val other =
+    "completely different content about distributed query engines and " +
+      "columnar execution with vectorized readers and shuffle services"
+  private val third =
+    "yet another unrelated document discussing perceptual hashing of " +
+      "images audio fingerprints and training corpus quality filters"
+
+  private def docIds(store: String): Set[Long] =
+    spark.read.parquet(s"$store/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("drains admit like the direct processBatch composition; replay converges") {
+    val dir = Files.createTempDirectory("dedupjob").toString
+    val feed = s"$dir/feed"
+    val store = s"$dir/corpus"
+    // batch 1: two novel docs; batch 2: a near-dup of an ACCEPTED doc
+    // (cross-batch rejection), a redelivery, and a novel doc — landed
+    // with explicit mtime separation (burst-landing discipline)
+    val b1 = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val b2 = Seq((10L, base.replace("valley", "meadow")), (2L, other),
+      (11L, third)).toDF("doc_id", "text")
+    AnnMaintainJob.landDelta(spark, b1, feed)
+    AnnMaintainJob.landDelta(spark, b2, feed)
+
+    val r = DedupMaintainJob.runOnce(spark, feed, store, s"$dir/ckpt")
+    assert(r.batches == 2, s"$r")
+    assert(r.accepted == 3 && r.rejectedNearDup == 1 &&
+      r.skippedRedelivered == 1, s"$r")
+    assert(docIds(store) == Set(1L, 2L, 11L))
+
+    // idle re-drain: the checkpoint remembers both files
+    val r2 = DedupMaintainJob.runOnce(spark, feed, store, s"$dir/ckpt")
+    assert(r2.batches == 0, s"$r2")
+
+    // wholesale replay (fresh checkpoint): the store's own doc_id skip
+    // absorbs every row — same store, nothing double-admitted
+    val r3 = DedupMaintainJob.runOnce(spark, feed, store, s"$dir/ckpt2")
+    assert(r3.batches == 2 && r3.accepted == 0, s"$r3")
+    assert(r3.skippedRedelivered == 4, // docs 1,2 then 2,11 — all known
+      s"$r3")
+    assert(r3.rejectedNearDup == 1, // doc 10 re-rejects, never admitted
+      s"$r3")
+    assert(docIds(store) == Set(1L, 2L, 11L))
+
+    // the drained store equals the direct processBatch composition
+    val twin = s"$dir/twin"
+    IncrementalDedup.processBatch(b1, twin)
+    IncrementalDedup.processBatch(b2, twin)
+    assert(docIds(store) == docIds(twin))
+    val a = spark.read.parquet(s"$store/bands").select("bk", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val b = spark.read.parquet(s"$twin/bands").select("bk", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(a == b, "band indexes must mirror the direct composition")
+  }
+
+  test("auto-compaction keeps a long drain's file counts bounded") {
+    val dir = Files.createTempDirectory("dedupjob_ac").toString
+    val feed = s"$dir/feed"
+    // four batches of distinct docs fragment every touched bucket
+    (0 until 4).foreach { k =>
+      val b = (k * 100 until (k + 1) * 100).map(i =>
+        (i.toLong, s"$other unique token$i tag${i * 3} z${i % 11}"))
+        .toDF("doc_id", "text")
+      AnnMaintainJob.landDelta(spark, b, feed)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def maxFilesPerBucket(path: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("b="))
+        .map(d => fs.listStatus(d.getPath).count(f =>
+          f.isFile && !f.getPath.getName.startsWith("_"))).max
+    // control: plain drain fragments
+    val plain = s"$dir/plain"
+    DedupMaintainJob.runOnce(spark, feed, plain, s"$dir/ckpt_p")
+    assert(maxFilesPerBucket(s"$plain/docs") > 2,
+      "fixture must fragment for the bound to mean anything")
+    // compacting drain stays within the bound, content identical
+    val ac = s"$dir/ac"
+    val r = DedupMaintainJob.runOnce(spark, feed, ac, s"$dir/ckpt_a",
+      autoCompactEvery = 2, autoCompactMaxFiles = 1)
+    assert(r.batches == 4 && r.accepted == 400, s"$r")
+    assert(maxFilesPerBucket(s"$ac/docs") <= 2, // one batch may land
+      "auto-compaction must bound fragmentation") // after the last tick
+    assert(docIds(ac) == docIds(plain))
+  }
+}

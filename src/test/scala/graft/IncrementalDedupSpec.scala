@@ -192,6 +192,115 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(r.accepted == 0 && r.skippedRedelivered == 50, s"$r")
   }
 
+  test("a non-default bucket count drives the store end to end") {
+    val store = Files.createTempDirectory("incdedup64").toString + "/corpus"
+    // 800 distinct docs at 64 buckets: creation-time storeBuckets binds
+    val many = (0 until 800).map(i =>
+      (i.toLong, s"$other unique token$i marker${i * 7} tail${i % 13}"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.processBatch(many, store, storeBuckets = 64)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$store/_buckets_64")))
+    val docBuckets = spark.read.parquet(s"$store/docs")
+      .select("b").distinct().count()
+    assert(docBuckets == 64L, s"want all 64 doc buckets: $docBuckets")
+    // a later call's storeBuckets is ignored — the marker wins
+    val r = IncrementalDedup.processBatch(
+      Seq((900L, base)).toDF("doc_id", "text"), store, storeBuckets = 8)
+    assert(r.accepted == 1)
+    assert(spark.read.parquet(s"$store/docs")
+      .select("b").distinct().count() <= 64L)
+    // one-bucket probes prune 4x harder than the default-16 layout
+    val b7 = spark.range(1)
+      .select(org.apache.spark.sql.functions
+        .pmod(org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.lit(7L)),
+          org.apache.spark.sql.functions.lit(64))).head().getInt(0)
+    val probe = IncrementalDedup.treeFor(spark, s"$store/docs", Seq(b7))
+      .select("doc_id")
+    assert(probe.collect().map(_.getLong(0)).contains(7L))
+    val filesRead = scans(probe.queryExecution.executedPlan, "docs")
+      .map(_.metrics("numFiles").value).sum
+    val totalFiles = scans(spark.read.parquet(s"$store/docs")
+      .queryExecution.executedPlan, "docs")
+      .map(_.relation.location.inputFiles.length).sum
+    assert(filesRead > 0 && filesRead <= totalFiles / 32,
+      s"64-bucket probes must prune: read $filesRead of $totalFiles")
+    // dedup semantics bind unchanged at the non-default count
+    val r2 = IncrementalDedup.processBatch(
+      Seq((901L, base.replace("valley", "meadow")), (900L, base))
+        .toDF("doc_id", "text"), store)
+    assert(r2 == IncrementalDedup.BatchResult(0, 1, 1), s"$r2")
+  }
+
+  test("rebucketStore rewrites the layout; every decision carries over") {
+    val store = Files.createTempDirectory("incdedupr").toString + "/corpus"
+    val many = (0 until 300).map(i =>
+      (i.toLong, s"$other unique token$i marker${i * 7} tail${i % 13}"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.processBatch(many, store) // default 16 buckets
+    def snapshot() = (
+      spark.read.parquet(s"$store/docs").select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet,
+      spark.read.parquet(s"$store/bands").select("bk", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val before = snapshot()
+    IncrementalDedup.rebucketStore(spark, store, 64)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$store/_buckets_64")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/_buckets_16")),
+      "the old count marker must not survive the re-bucket")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/_rebucket_64")),
+      "the intent marker must not survive a completed re-bucket")
+    assert(snapshot() == before,
+      "re-bucketing must be content-identical in both trees")
+    assert(spark.read.parquet(s"$store/docs")
+      .select("b").distinct().count() > 16L,
+      "the layout must actually use the new bucket space")
+    // redelivery skip and near-dup rejection bind through the new layout
+    val r = IncrementalDedup.processBatch(
+      Seq((7L, "redelivered but ignored"), (900L, base))
+        .toDF("doc_id", "text"), store)
+    assert(r == IncrementalDedup.BatchResult(1, 0, 1), s"$r")
+    val r2 = IncrementalDedup.processBatch(
+      Seq((901L, base.replace("valley", "meadow"))).toDF("doc_id", "text"),
+      store)
+    assert(r2.rejectedNearDup == 1, s"$r2")
+    // same count = no-op; a bucket-less path fails loudly
+    val afterBatches = snapshot()
+    IncrementalDedup.rebucketStore(spark, store, 64)
+    assert(snapshot() == afterBatches, "same-count re-bucket is a no-op")
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDedup.rebucketStore(spark,
+        Files.createTempDirectory("incdedupr2").toString + "/none", 64)
+    }
+    assert(ex.getMessage.contains("not a bucketed store"))
+  }
+
+  test("batch key type never shifts buckets: int ids hit a long store") {
+    // Spark hash() is type-sensitive (hash(7) != hash(7L)); the store
+    // canonicalizes the key to long on BOTH sides, so a producer that
+    // sends int doc_ids still prunes to the right buckets — before the
+    // canonical cast this was a silent-miss mode (redeliveries
+    // re-admitted, near-dups unseen)
+    val store = Files.createTempDirectory("incdedupt").toString + "/corpus"
+    IncrementalDedup.processBatch(
+      Seq((7L, base), (8L, other)).toDF("doc_id", "text"), store)
+    val intBatch = Seq((7, base), (9, third)).toDF("doc_id", "text")
+    assert(intBatch.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val r = IncrementalDedup.processBatch(intBatch, store)
+    assert(r == IncrementalDedup.BatchResult(1, 0, 1),
+      s"int-typed redelivery must hit the skip, got $r")
+    val probe = IncrementalDedup.probeStorePairs(
+      Seq((100, base.replace("valley", "meadow"))).toDF("doc_id", "text"),
+      store)
+    assert(probe.count() == 1,
+      "int-typed probe must still find the near-dup candidate")
+  }
+
   test("a legacy flat store migrates on first touch, content intact") {
     val store = Files.createTempDirectory("incdedupm").toString + "/corpus"
     // craft the retired flat layout: parquet files directly under
