@@ -318,15 +318,41 @@ object IncrementalAnnIndex {
   private def quantizeExpr(v: Column): Column =
     transform(v, e => round(e * KMeans.Micro).cast("long") + KMeans.Shift)
 
-  /** Quantized centroid of the row's assigned `cid` — a literal
-    * when-chain over the driver-sized quantizer (quantization happens
-    * IN the expression, so it is Spark's own round semantics). */
-  private def qcentExpr(cents: Array[(Long, Seq[Double])],
-      cid: Column): Column = {
+  /** Quantized centroid of the row's assigned `cid`, appended as a
+    * `qcent` column — used by every PQ encode (insert-side residuals)
+    * and by the per-query ADC tables. Small quantizers inline a
+    * literal when-chain (quantization happens IN the expression, so
+    * it is Spark's own round semantics); above [[InlineQuantizerMax]]
+    * the chain would bloat the generated code (|centroids| dim-wide
+    * quantized literals per expression — at 1024 centroids ~65k
+    * literals, codegen blowup or the interpreted fallback), so the
+    * column comes from a broadcast join against the quantized
+    * quantizer instead — the same fallback discipline as
+    * [[assign]]/[[probeSelection]], and the SAME arithmetic: the join
+    * side quantizes through the identical expression. Both forms are
+    * package-visible so the spec pins their equivalence directly. */
+  private def withQcent(df: DataFrame,
+      cents: Array[(Long, Seq[Double])]): DataFrame =
+    if (cents.length <= InlineQuantizerMax) qcentInline(df, cents)
+    else qcentJoined(df, cents)
+
+  private[graft] def qcentInline(df: DataFrame,
+      cents: Array[(Long, Seq[Double])]): DataFrame = {
     def qlit(cv: Seq[Double]): Column = quantizeExpr(typedLit(cv))
-    cents.tail.foldLeft(when(cid === cents.head._1, qlit(cents.head._2))) {
-      case (acc, (c, cv)) => acc.when(cid === c, qlit(cv))
+    val chain = cents.tail.foldLeft(
+        when(col("cid") === cents.head._1, qlit(cents.head._2))) {
+      case (acc, (c, cv)) => acc.when(col("cid") === c, qlit(cv))
     }
+    df.withColumn("qcent", chain)
+  }
+
+  private[graft] def qcentJoined(df: DataFrame,
+      cents: Array[(Long, Seq[Double])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centsDf = cents.toSeq.toDF("cid", "cv")
+      .select(col("cid"), quantizeExpr(col("cv")).as("qcent"))
+    df.join(broadcast(centsDf), Seq("cid"))
   }
 
   /** Exact integer squared L2 between two long-array columns. */
@@ -390,20 +416,28 @@ object IncrementalAnnIndex {
     df.withColumn("vec_id", coalesce(seedMap, col("vec_id") + k))
   }
 
-  /** Residual of the assigned row: quantized vector − quantized
-    * centroid + re-shift, every coordinate a non-negative long. Input
-    * must carry (v, cid). */
-  private def residualExpr(cents: Array[(Long, Seq[Double])]): Column =
-    zip_with(quantizeExpr(col("v")), qcentExpr(cents, col("cid")),
-      (a, b) => a - b + lit(PqRShift))
+  /** Residual of the assigned rows (`out` = quantized `vCol` −
+    * quantized centroid + re-shift, every coordinate a non-negative
+    * long). Input must carry (`vCol`, cid); the transient qcent
+    * column is dropped. */
+  private def withResidual(df: DataFrame,
+      cents: Array[(Long, Seq[Double])], vCol: String,
+      out: String): DataFrame =
+    withQcent(df, cents)
+      .withColumn(out, zip_with(quantizeExpr(col(vCol)), col("qcent"),
+        (a, b) => a - b + lit(PqRShift)))
+      .drop("qcent")
 
-  /** The lists-tree row shape: (vec_id, v, cid) plus the `pq` codes
-    * column when the source carries one (PQ stores) — the one place
-    * that decides which columns survive a rewrite, so the survivor
-    * merge, compaction, and the staged write can never drop codes. */
+  /** The lists-tree row shape: (vec_id, [v,] cid[, pq]) — the raw
+    * vector column absent in an ADC-only store, the codes column
+    * present in a PQ one. The one place that decides which columns
+    * survive a rewrite, so the survivor merge, compaction, and the
+    * staged write can never drop codes (nor resurrect a dropped raw
+    * column). */
   private def listsProjection(lists: DataFrame): DataFrame =
-    lists.select(Seq(col("vec_id"), col("v"),
-      col("cid").cast("long").as("cid")) ++
+    lists.select(Seq(col("vec_id")) ++
+      (if (lists.columns.contains("v")) Seq(col("v")) else Nil) ++
+      Seq(col("cid").cast("long").as("cid")) ++
       (if (lists.columns.contains("pq")) Seq(col("pq")) else Nil): _*)
 
   /** Add the `pq` codes column to assigned rows (vec_id, v, cid, …):
@@ -414,12 +448,33 @@ object IncrementalAnnIndex {
       cents: Array[(Long, Seq[Double])],
       books: Seq[Seq[(Long, Seq[Long])]]): DataFrame = {
     val segDim = books.head.head._2.size
-    val rq = residualExpr(cents)
-    assigned.withColumn("pq",
-      array((0 until books.size).map { s =>
-        KMeans.assignExpr(books(s), slice(rq, s * segDim + 1, segDim))
-      }: _*))
+    withResidual(assigned, cents, "v", "__rq")
+      .withColumn("pq",
+        array((0 until books.size).map { s =>
+          KMeans.assignExpr(books(s), slice(col("__rq"), s * segDim + 1,
+            segDim))
+        }: _*))
+      .drop("__rq")
   }
+
+  /** Marker stamping the ADC-ONLY layout: the lists tree carries no
+    * raw vector column, so only codes-path reads are legal. Created by
+    * [[init]] (keepRaw = false) or [[dropRawVectors]]; checked by
+    * every raw-needing read path ([[requireRaw]]) and by maintenance
+    * (which stops writing `v`). */
+  private val AdcOnlyMarker = "_adc_only"
+
+  private def isAdcOnly(spark: SparkSession, store: String): Boolean = {
+    val (fs, sp) = fsOf(spark, store)
+    fs.exists(new Path(sp, AdcOnlyMarker))
+  }
+
+  private def requireRaw(spark: SparkSession, store: String,
+      op: String): Unit =
+    require(!isAdcOnly(spark, store),
+      s"$store is an ADC-only store (no raw vectors): $op needs the raw " +
+        "vector column — serve with topKPqAdc, or rebuild from the " +
+        "source corpus via init(pq = true) to restore the raw layout")
 
   /** Initialize the store: the quantizer is the `nCentroids`
     * lowest-vec_id vectors of the init batch (deterministic, like
@@ -430,18 +485,32 @@ object IncrementalAnnIndex {
     * ([[KMeans.fitQ]], seeded from the [[PqCodes]] lowest vec_ids via
     * [[rekeyLowestIds]] — ids stay arbitrary) and every row ever
     * appended carries its `pq` codes column. The vector dimension must
-    * divide evenly into [[PqSegments]] segments. */
+    * divide evenly into [[PqSegments]] segments.
+    *
+    * `keepRaw = false` (requires pq) initializes the ADC-ONLY layout:
+    * the lists tree is written WITHOUT the raw vector column, so the
+    * store's footprint is [[PqSegments]] code longs per row instead of
+    * the full vector (a dim-64 float64 vector is 512 B; 4 code longs
+    * are 32 B raw and ~4 B parquet-encoded — the 8x-plus storage win
+    * the PQ layout exists for). [[topKPqAdc]] serves unchanged (its
+    * scans never read `v` anyway); [[topK]]/[[topKAmong]]/[[topKPq]]/
+    * [[topKPqAmong]]/[[rebuild]] refuse loudly — the rerank's recall
+    * recovery is exactly what the layout trades away. */
   def init(batch: DataFrame, storeDir: String,
       nCentroids: Int = Similarity.IvfCentroids,
       ledgerBuckets: Int = DefaultLedgerBuckets,
-      pq: Boolean = false): AppendResult = {
+      pq: Boolean = false,
+      keepRaw: Boolean = true): AppendResult = {
+    require(pq || keepRaw,
+      "keepRaw = false requires pq = true: a store with neither raw " +
+        "vectors nor codes has nothing to search")
+    val spark = batch.sparkSession
     val cents = vecsOf(batch)
       .orderBy(col("vec_id")).limit(nCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     cents.write.mode("overwrite").parquet(centroidsPath(storeDir))
     centroidCache.remove(centroidsPath(storeDir))
     if (pq) {
-      val spark = batch.sparkSession
       val centsArr = centroidsOf(spark, storeDir)
       val dim = centsArr.head._2.size
       require(dim % PqSegments == 0,
@@ -452,8 +521,8 @@ object IncrementalAnnIndex {
       val deduped = vecsOf(batch)
         .groupBy(col("vec_id")).agg(first(col("v")).as("v"))
       val resid = rekeyLowestIds(
-        assign(deduped, centsArr)
-          .select(col("vec_id"), residualExpr(centsArr).as("rq")),
+        withResidual(assign(deduped, centsArr), centsArr, "v", "rq")
+          .select(col("vec_id"), col("rq")),
         PqCodes).localCheckpoint()
       val books = (0 until PqSegments).map { s =>
         KMeans.fitQ(
@@ -464,6 +533,11 @@ object IncrementalAnnIndex {
       }.reduce(_ unionByName _)
       books.coalesce(1).write.mode("overwrite").parquet(booksPath(storeDir))
       booksCache.remove(booksPath(storeDir))
+    }
+    if (!keepRaw) {
+      val (fs, sp) = fsOf(spark, storeDir)
+      try fs.create(new Path(sp, AdcOnlyMarker), false).close()
+      catch { case _: java.io.IOException => () } // re-init stamp: fine
     }
     appendBatch(batch, storeDir, ledgerBuckets)
   }
@@ -631,7 +705,17 @@ object IncrementalAnnIndex {
     val assigned = books.fold(assigned0)(withPqCodes(assigned0, cents, _))
     val doomedIds = delta.filter(col("is_del")).select("vec_id")
 
-    val newLists = listsProjection(assigned)
+    // an ADC-only store never writes the raw column: the codes ARE the
+    // stored content (the survivor merge below reads a v-less tree and
+    // listsProjection keeps the shapes aligned)
+    val adcOnly = isAdcOnly(spark, store)
+    if (adcOnly) require(books.isDefined,
+      s"$store is stamped ADC-only but has no pqbooks — the store is " +
+        "unservable; rebuild it from the source corpus")
+    val newLists = {
+      val p = listsProjection(assigned)
+      if (adcOnly) p.drop("v") else p
+    }
     val listsOut =
       if (affectedCids.isEmpty) newLists
       else listsProjection(spark.read.parquet(listsPath(store))
@@ -670,19 +754,18 @@ object IncrementalAnnIndex {
     // as `ref_cid` so a lists FILE never carries a data column named
     // like its partition column (ledger reads alias it back to cid;
     // lists reads never select it). Lists-only columns beyond the
-    // fixed trio (the PQ codes) ride the union with the ledger side
-    // null-padded — parquet stores the nulls as column metadata, so
-    // the ledger files stay two longs per row.
+    // fixed (vec_id, cid) pair — the raw vector `v` (absent in an
+    // ADC-only store) and the PQ codes — ride the union with the
+    // ledger side null-padded; parquet stores the nulls as column
+    // metadata, so the ledger files stay two longs per row.
     val extras = listsOut.schema.fields
-      .filterNot(f => Set("vec_id", "v", "cid")(f.name))
-    val vType = listsOut.schema("v").dataType
+      .filterNot(f => Set("vec_id", "cid")(f.name))
     val combined = listsOut
-      .select(Seq(col("vec_id"), col("v"),
+      .select(Seq(col("vec_id"),
         col("cid").cast("long").as("ref_cid")) ++
         extras.map(f => col(f.name)) ++
         Seq(lit("lists").as("tree"), col("cid").cast("long").as("pk")): _*)
       .unionByName(ledgerOut.select(Seq(col("vec_id"),
-        lit(null).cast(vType).as("v"),
         col("cid").cast("long").as("ref_cid")) ++
         extras.map(f => lit(null).cast(f.dataType).as(f.name)) ++
         Seq(lit("ledger").as("tree"), col("b").cast("long").as("pk")): _*))
@@ -864,6 +947,45 @@ object IncrementalAnnIndex {
     (cids.size, buckets.size)
   }
 
+  /** ONE-WAY migration of a PQ store to the ADC-ONLY layout: stamp
+    * [[AdcOnlyMarker]] (the semantic switch — every raw-vector read
+    * path refuses from this point and maintenance stops writing `v`),
+    * then rewrite every list partition without the raw column through
+    * the SAME staged transaction as maintenance (the space reclaim).
+    * Marker-first is the crash order that can never lie: a crash
+    * after the stamp leaves some partitions still carrying dead `v`
+    * bytes — never read, reclaimed by a re-run — while the reverse
+    * order could leave raw-less files behind a store that still
+    * promises reranks (a rerank over silently-null vectors). Storage
+    * arithmetic: a dim-64 float64 vector is 512 B/row; [[PqSegments]]
+    * code longs are 32 B raw and ~4 B parquet-encoded — the 8x-plus
+    * footprint reduction the PQ layout exists for. Returns the number
+    * of list partitions rewritten. Irreversible: restoring raw
+    * vectors is an init from the source corpus. */
+  def dropRawVectors(spark: SparkSession, storeDir: String): Int = {
+    recover(spark, storeDir)
+    require(booksOf(spark, storeDir).isDefined,
+      s"$storeDir is not a PQ store (no pqbooks): an ADC-only store " +
+        "serves searches from codes alone — init(pq = true) first")
+    val (fs, sp) = fsOf(spark, storeDir)
+    try fs.create(new Path(sp, AdcOnlyMarker), false).close()
+    catch { case _: java.io.IOException => () } // re-run: reclaim only
+    val lp = new Path(listsPath(storeDir))
+    val cids =
+      if (!fs.exists(lp)) Nil
+      else fs.listStatus(lp).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cid="))
+        .map(_.getPath.getName.stripPrefix("cid=").toLong).sorted
+    if (cids.isEmpty) return 0
+    val listsOut = listsProjection(
+      spark.read.parquet(listsPath(storeDir)).drop("v"))
+    val ledgerOut = ledgerFor(spark, storeDir, Seq(-1)) // schema-only
+      .select(col("vec_id"), col("cid"), col("b"))
+    commitTxn(spark, storeDir, listsOut, ledgerOut,
+      replaceCids = cids, replaceBuckets = Nil, coalesce = false)
+    cids.size
+  }
+
   /** Filtered vector search — top-k WITHIN an allowlist of ids (the
     * production "vector search + metadata predicate" shape: the caller
     * derives `allowed` (vec_id) from any predicate over its metadata
@@ -898,6 +1020,8 @@ object IncrementalAnnIndex {
   def rebuild(spark: SparkSession, storeDir: String, destDir: String,
       nCentroids: Int = Similarity.IvfCentroids,
       ledgerBuckets: Int = DefaultLedgerBuckets): AppendResult = {
+    requireRaw(spark, storeDir,
+      "rebuild (re-trains and re-assigns over the stored raw vectors)")
     recover(spark, storeDir)
     val (fs, destP) = fsOf(spark, destDir)
     require(!fs.exists(destP),
@@ -1004,7 +1128,17 @@ object IncrementalAnnIndex {
     * max, so the served pointer is untouched). Generations ABOVE the
     * served one are left alone — an unmarked one is a possibly
     * in-flight rebuild, and [[rebuildServed]] discards its own debris.
-    * Returns the removed generation numbers. */
+    * Returns the removed generation numbers.
+    *
+    * Retention contract (the standard vacuum hazard,
+    * [[graft.sinks.VersionedTable.vacuum]]'s discipline): deleting a
+    * retired generation fails any IN-FLIGHT reader that resolved the
+    * pointer before the cutover — marker-first ordering stops new
+    * readers from resolving a doomed generation, but cannot protect
+    * ones already inside it. So vacuum with `keep = 1` only after the
+    * deployment's maximum query runtime has elapsed since the last
+    * cutover, or run `keep >= 2` routinely so the previous generation
+    * survives one full rebuild cycle of grace. */
   def vacuumGenerations(spark: SparkSession, root: String,
       keep: Int = 1): Seq[Long] = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
@@ -1076,6 +1210,7 @@ object IncrementalAnnIndex {
   private def topKImpl(queries: DataFrame, storeDir: String, k: Int,
       nProbe: Int, restrict: DataFrame => DataFrame): DataFrame = {
     val spark = queries.sparkSession
+    requireRaw(spark, storeDir, "exact search (topK/topKAmong)")
     val cents = centroidsOf(spark, storeDir)
     val (probes, probedCids) = probeSelection(queries, cents, nProbe)
     val lists = restrict(spark.read.parquet(listsPath(storeDir))
@@ -1139,6 +1274,8 @@ object IncrementalAnnIndex {
       restrict: DataFrame => DataFrame): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k = $k")
     val spark = queries.sparkSession
+    requireRaw(spark, storeDir,
+      "the exact rerank (topKPq/topKPqAmong)")
     val (scored, probedCids) = pqScored(queries, storeDir, nProbe, restrict)
     val wShort = Window.partitionBy(col("qid"))
       .orderBy(col("adc"), col("vec_id"))
@@ -1184,11 +1321,11 @@ object IncrementalAnnIndex {
     // per-(query, probed list) ADC tables: the query's residual
     // AGAINST THAT LIST's centroid; per segment an array of exact
     // integer distances to each codebook entry in books(s) order —
-    // query-side-sized (|queries| x nProbe rows), broadcast below
-    val qr = zip_with(quantizeExpr(col("qv")),
-      qcentExpr(cents, col("cid")), (a, b) => a - b + lit(PqRShift))
-    val tabs = probes
-      .withColumn("qr", qr)
+    // query-side-sized (|queries| x nProbe rows), broadcast below.
+    // withResidual routes through the same inline/broadcast-join
+    // quantizer split as the encode path, so an oversized quantizer
+    // never inlines here either.
+    val tabs = withResidual(probes, cents, "qv", "qr")
       .select(col("qid") +: col("qv") +: col("cid") +:
         books.indices.map { s =>
           val qseg = slice(col("qr"), s * segDim + 1, segDim)

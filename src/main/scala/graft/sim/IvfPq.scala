@@ -64,7 +64,11 @@ object IvfPq {
   /** IVFADC top-k: queries are vec_id < nQueries; k nearest by summed
     * per-segment residual ADC over the NProbe probed lists (self
     * excluded; (adc, cid) tiebreak). Output (qid, rank, cid, adc). */
-  def topK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  def topK(emb: DataFrame, nQueries: Int, k: Int): DataFrame =
+    topKImpl(emb, nQueries, k, identity)
+
+  private def topKImpl(emb: DataFrame, nQueries: Int, k: Int,
+      restrict: DataFrame => DataFrame): DataFrame = {
     require(nQueries >= 1 && k >= 1,
       s"nQueries and k must be positive, got ($nQueries, $k)")
     require(nQueries <= 1000000,
@@ -140,8 +144,10 @@ object IvfPq {
 
     // 7. ADC over the probed lists ONLY: codes join the broadcast
     //    query tables on list_id — the probed fraction is the join
-    //    selectivity, the corpus side never shuffles
-    val scored = codes
+    //    selectivity, the corpus side never shuffles. `restrict`
+    //    (the filtered-search forms) semi-joins the coded candidates
+    //    BEFORE ranking, so ranks are dense within the permitted set.
+    val scored = restrict(codes)
       .join(broadcast(tabs), Seq("list_id"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("adc", (0 until Segments).map(lookup).reduce(_ + _))
@@ -165,8 +171,32 @@ object IvfPq {
       shortlist: Int): DataFrame = {
     require(shortlist >= k,
       s"shortlist $shortlist must be >= k = $k")
-    val short = topK(emb, nQueries, shortlist)
-      .select(col("qid"), col("cid"))
+    rerank(emb, nQueries, k,
+      topKImpl(emb, nQueries, shortlist, identity))
+  }
+
+  /** [[topKRerank]] within an allowlist of ids — the filtered-search
+    * form over the ONE-SHOT IVFADC path
+    * ([[IncrementalAnnIndex.topKPqAmong]] is the maintained-store
+    * twin): the allowlist semi-joins the coded CANDIDATES before ADC
+    * ranking, so the shortlist, and therefore the final ranks, are
+    * dense within the permitted set; the rerank inherits the
+    * restriction through the shortlist itself. */
+  def topKRerankAmong(emb: DataFrame, nQueries: Int, k: Int,
+      shortlist: Int, allowed: DataFrame): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist $shortlist must be >= k = $k")
+    rerank(emb, nQueries, k,
+      topKImpl(emb, nQueries, shortlist,
+        c => c.join(allowed.select("vec_id"), Seq("vec_id"), "left_semi")))
+  }
+
+  /** Exact integer L2 re-rank of a (qid, cid) shortlist down to k —
+    * full-vector reads for shortlist·nQueries rows only, both joins
+    * against broadcast relations, never a corpus shuffle. */
+  private def rerank(emb: DataFrame, nQueries: Int, k: Int,
+      shortRanked: DataFrame): DataFrame = {
+    val short = shortRanked.select(col("qid"), col("cid"))
     val q = KMeans.quantized(emb)
     val qvecs = q.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("q").as("qv"))
@@ -226,7 +256,18 @@ object IvfPq {
   def topKRerankOracle(embRel: String, nQueries: Int, k: Int,
       shortlist: Int): String =
     s"""${searchCtes(embRel, nQueries)},
-       |short AS (SELECT qid, cid FROM ranked WHERE rank <= $shortlist),
+       |${rerankTail(k, shortlist)}""".stripMargin
+
+  /** DuckDB twin of [[topKRerankAmong]]: the same chain with the
+    * allowlist joined into the ADC stage (candidates restricted
+    * BEFORE ranking, exactly like the Spark side). */
+  def topKRerankAmongOracle(embRel: String, nQueries: Int, k: Int,
+      shortlist: Int, allowedSql: String): String =
+    s"""${searchCtes(embRel, nQueries, Some(allowedSql))},
+       |${rerankTail(k, shortlist)}""".stripMargin
+
+  private def rerankTail(k: Int, shortlist: Int): String =
+    s"""short AS (SELECT qid, cid FROM ranked WHERE rank <= $shortlist),
        |ex AS (
        |  SELECT s.qid, s.cid,
        |    CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS dist
@@ -266,8 +307,16 @@ object IvfPq {
        |FROM h ORDER BY qid""".stripMargin
 
   /** The shared WITH-chain through `ranked` (the full IVFADC search);
-    * callers append their final SELECT (and optional extra CTEs). */
-  private def searchCtes(embRel: String, nQueries: Int): String = {
+    * callers append their final SELECT (and optional extra CTEs).
+    * `allowed` (a SELECT yielding vec_id) joins the ADC stage so
+    * candidates restrict before ranking — [[topKRerankAmong]]'s
+    * contract. */
+  private def searchCtes(embRel: String, nQueries: Int,
+      allowed: Option[String] = None): String = {
+    val allowedCte = allowed
+      .map(a => s"allowed AS ($a),\n").getOrElse("")
+    val allowedJoin = allowed
+      .map(_ => " JOIN allowed w ON w.vec_id = r.vec_id").getOrElse("")
     val segChains = (0 until Segments).map { s =>
       val src =
         s"""(SELECT vec_id, dim - ${s * SegDim} AS dim, v FROM r_el
@@ -293,7 +342,7 @@ object IvfPq {
       s"JOIN qd$s q$s ON q$s.list_id = r.cid AND q$s.code = a$s.cid$sameQid"
     }.mkString(" ")
     val adcSum = (0 until Segments).map(s => s"q$s.d").mkString(" + ")
-    s"""WITH ${KMeans.oracleCtes(embRel, Coarse, CoarseIters, "g_")},
+    s"""WITH ${allowedCte}${KMeans.oracleCtes(embRel, Coarse, CoarseIters, "g_")},
        |${KMeans.assignCtes(CoarseIters, "g_")},
        |r_el AS (
        |  SELECT el.vec_id, el.dim, el.v - c.c + $RShift AS v
@@ -318,7 +367,7 @@ object IvfPq {
        |$qdCtes,
        |adc AS (
        |  SELECT q0.qid, r.vec_id AS cid, CAST($adcSum AS BIGINT) AS adc
-       |  FROM g_af r $codeJoins $qdJoins
+       |  FROM g_af r $codeJoins $qdJoins$allowedJoin
        |  WHERE q0.qid != r.vec_id),
        |ranked AS (
        |  SELECT qid, cid, adc,

@@ -215,11 +215,17 @@ class AnnMaintainJobSpec extends AnyFunSuite {
       IncrementalAnnIndex.initServed(vecs(0 until 10), annRoot)
     }
     assert(ex.getMessage.contains("already serves"))
-    // retention: gens 0..2 served along the way; keep=1 drops the two
-    // retired generations (marker first), the served one stays
-    // resolvable and intact, and a re-vacuum is a no-op
+    // retention: gens 0..2 served along the way; keep=2 leaves the
+    // PRIOR generation as in-flight-reader grace (the documented
+    // retention contract), keep=1 then retires it; the served one
+    // stays resolvable and intact, and a re-vacuum is a no-op
+    val dropped2 = IncrementalAnnIndex.vacuumGenerations(spark, annRoot,
+      keep = 2)
+    assert(dropped2 == Seq(0L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$annRoot/gen=1")),
+      "keep=2 must leave the previous generation for in-flight readers")
     val dropped = IncrementalAnnIndex.vacuumGenerations(spark, annRoot)
-    assert(dropped == Seq(0L, 1L))
+    assert(dropped == Seq(1L))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$annRoot/gen=0")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$annRoot/_serve_0")))
     assert(IncrementalAnnIndex.servedStore(spark, annRoot)

@@ -610,6 +610,147 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(r.appended == 10 && r.skippedRedelivered == 0)
   }
 
+  test("PQ quantizer above the inline threshold takes the join form, same codes") {
+    // the two qcent forms must be arithmetically identical (the join
+    // side quantizes through the same Spark expression) — pinned
+    // directly, then the >threshold store proves the whole encode +
+    // ADC-table path holds together on the join form
+    val cents: Array[(Long, Seq[Double])] = (0 until 12).map(i =>
+      (i.toLong, (0 until 8).map(d =>
+        (((i * 31 + d * 7) % 13) - 6).toDouble / 6))).toArray
+    val df = vecs(0 until 50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cid", pmod(col("vec_id"), lit(12L)))
+    val a = IncrementalAnnIndex.qcentInline(df, cents)
+      .select("vec_id", "qcent")
+    val b = IncrementalAnnIndex.qcentJoined(df, cents)
+      .select("vec_id", "qcent")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "inline and joined quantized centroids must be identical")
+
+    // 80 centroids > InlineQuantizerMax (64): every PQ path — encode
+    // at init, encode at append, the per-query ADC tables — runs the
+    // broadcast-join fallback; with a full shortlist the rerank pins
+    // the pipeline against the exact path, no tolerance
+    val store = Files.createTempDirectory("annpqbig").toString + "/store"
+    IncrementalAnnIndex.init(vecs(0 until 120), store, nCentroids = 80,
+      pq = true)
+    val r = IncrementalAnnIndex.appendBatch(vecs(120 until 200), store)
+    assert(r.appended == 80)
+    val queries = vecs(0 until 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val exact = IncrementalAnnIndex.topK(queries, store, 5)
+    val viaPq = IncrementalAnnIndex.topKPq(queries, store, 5,
+      shortlist = 1000)
+    assert(viaPq.except(exact).isEmpty && exact.except(viaPq).isEmpty,
+      "fallback-path PQ search must equal the exact probed search")
+    // replay converges with codes intact through the fallback encode
+    val replay = IncrementalAnnIndex.appendBatch(vecs(120 until 200), store)
+    assert(replay.appended == 0 && replay.skippedRedelivered == 80)
+  }
+
+  test("ADC-only store: no raw column on disk, same answers, loud refusals") {
+    val base = Files.createTempDirectory("annlean").toString
+    val raw = s"$base/raw"
+    val lean = s"$base/lean"
+    IncrementalAnnIndex.init(vecs(0 until 120), raw, pq = true)
+    IncrementalAnnIndex.init(vecs(0 until 120), lean, pq = true,
+      keepRaw = false)
+    IncrementalAnnIndex.appendBatch(vecs(120 until 200), raw)
+    IncrementalAnnIndex.appendBatch(vecs(120 until 200), lean)
+    // byte-level absence: a v column present in ANY file would surface
+    // in the merged parquet schema
+    assert(!spark.read.parquet(s"$lean/lists").columns.contains("v"),
+      "the lean lists tree must not carry the raw vector column")
+    def bytes(store: String): Long = {
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def walk(p: org.apache.hadoop.fs.Path): Long =
+        fs.listStatus(p).map(s =>
+          if (s.isDirectory) walk(s.getPath) else s.getLen).sum
+      walk(new org.apache.hadoop.fs.Path(s"$store/lists"))
+    }
+    assert(bytes(lean) < bytes(raw),
+      s"dropping v must shrink the lists tree: ${bytes(lean)} vs " +
+        s"${bytes(raw)}")
+    // identical decisions: codes, assignments, and ADC answers all
+    // match the raw-keeping twin row for row
+    val leanRows = spark.read.parquet(s"$lean/lists")
+      .select(col("vec_id"), col("cid").cast("long"),
+        col("pq").cast("string"))
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1),
+        r0.getString(2))).toSet
+    val rawRows = spark.read.parquet(s"$raw/lists")
+      .select(col("vec_id"), col("cid").cast("long"),
+        col("pq").cast("string"))
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1),
+        r0.getString(2))).toSet
+    assert(leanRows == rawRows)
+    val queries = vecs(0 until 6)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val a = IncrementalAnnIndex.topKPqAdc(queries, raw, 5)
+    val b = IncrementalAnnIndex.topKPqAdc(queries, lean, 5)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "ADC search must not notice the missing raw column")
+    // CDC maintenance (deletes + inserts in one staged txn) flows
+    // through the lean layout unchanged
+    val feed = vecs(0 until 200).filter(col("vec_id") % 10 === 7)
+      .withColumn("change_type", lit("delete"))
+      .unionByName(vecs(200 until 210)
+        .withColumn("change_type", lit("insert")))
+    IncrementalAnnIndex.applyChanges(feed, raw)
+    IncrementalAnnIndex.applyChanges(feed, lean)
+    assert(!spark.read.parquet(s"$lean/lists").columns.contains("v"))
+    val a2 = IncrementalAnnIndex.topKPqAdc(queries, raw, 5)
+    val b2 = IncrementalAnnIndex.topKPqAdc(queries, lean, 5)
+    assert(a2.except(b2).isEmpty && b2.except(a2).isEmpty)
+    // every raw-needing path refuses loudly
+    Seq(
+      () => IncrementalAnnIndex.topK(queries, lean, 5),
+      () => IncrementalAnnIndex.topKPq(queries, lean, 5, shortlist = 10),
+      () => IncrementalAnnIndex.rebuild(spark, lean, s"$base/dest")
+    ).foreach { f =>
+      val ex = intercept[IllegalArgumentException](f())
+      assert(ex.getMessage.contains("ADC-only"), ex.getMessage)
+    }
+    // keepRaw = false without pq has nothing to search
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalAnnIndex.init(vecs(0 until 50), s"$base/bad",
+        keepRaw = false)
+    }
+    assert(ex.getMessage.contains("requires pq"))
+  }
+
+  test("dropRawVectors migrates a raw PQ store to the lean layout") {
+    val base = Files.createTempDirectory("anndrop").toString
+    val store = s"$base/store"
+    IncrementalAnnIndex.init(vecs(0 until 150), store, pq = true)
+    val queries = vecs(0 until 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val before = IncrementalAnnIndex.topKPqAdc(queries, store, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val n = IncrementalAnnIndex.dropRawVectors(spark, store)
+    assert(n > 0, "every list partition must rewrite")
+    assert(!spark.read.parquet(s"$store/lists").columns.contains("v"),
+      "the raw column must be gone from every file")
+    val after = IncrementalAnnIndex.topKPqAdc(queries, store, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(after == before, "the ADC ranking must be unchanged")
+    intercept[IllegalArgumentException] {
+      IncrementalAnnIndex.topK(queries, store, 5)
+    }
+    // appends keep the lean shape (maintenance stops writing v)
+    IncrementalAnnIndex.appendBatch(vecs(150 until 180), store)
+    assert(!spark.read.parquet(s"$store/lists").columns.contains("v"))
+    // a non-PQ store refuses: codes are the only searchable content
+    val plain = s"$base/plain"
+    IncrementalAnnIndex.init(vecs(0 until 50), plain)
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalAnnIndex.dropRawVectors(spark, plain)
+    }
+    assert(ex.getMessage.contains("not a PQ store"))
+  }
+
   test("probe reads only the probed list partitions") {
     val store = Files.createTempDirectory("annidx").toString + "/store"
     IncrementalAnnIndex.init(vecs(0 until 200), store)

@@ -80,4 +80,22 @@ class IvfPqRerankSpec extends AnyFunSuite {
       assert(ppm === hits * (1000000L / K))
     }
   }
+
+  test("filtered re-rank is dense within the allowlist; full list = unfiltered") {
+    val allowed = emb.select(col("vec_id")).filter(col("vec_id") % 2 === 0)
+    val got = IvfPq.topKRerankAmong(emb, NQ, K, R, allowed)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, _, cid) => cid % 2 == 0 },
+      "only allowlisted ids may appear")
+    // ranks dense 1..k within the filtered set, not holes
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // an everything-allowlist reproduces the unfiltered re-rank exactly
+    val all = IvfPq.topKRerankAmong(emb, NQ, K, R,
+      emb.select(col("vec_id")))
+    val plain = IvfPq.topKRerank(emb, NQ, K, R)
+    assert(all.except(plain).isEmpty && plain.except(all).isEmpty)
+  }
 }
