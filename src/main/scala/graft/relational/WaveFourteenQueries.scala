@@ -28,7 +28,7 @@ object WaveFourteenQueries {
     * `initFilter` picks the init snapshot (quantizer + codebook
     * training corpus), `curFilter` the searched content; `allowed`
     * optionally restricts candidates before ADC ranking. */
-  private def pqOracle(initFilter: String, curFilter: String,
+  private[relational] def pqOracle(initFilter: String, curFilter: String,
       allowed: Option[String], adcOnly: Boolean = false): String = {
     val nC = Similarity.IvfCentroids
     val nP = Similarity.IvfProbes
