@@ -101,38 +101,74 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     new ConcurrentHashMap[(String, String), List[MaterializedSummary]]()
 
   /** Weak handles on every session that ever registered, keyed by its
-    * minted UUID. The registry itself must not hold the session (that
-    * would pin it forever); the weak reference is how [[reap]] notices
-    * a session was abandoned WITHOUT deregistering — once the JVM
-    * collects it, every registry and plan-cache entry under its UUID
-    * is unreachable garbage and is swept. Long-lived multi-session
-    * servers stop accreting, and the registry.isEmpty fast path comes
-    * back once the last live registration is gone. */
+    * minted UUID. NOTHING static may strongly reach the session — the
+    * registry values are plain strings and the plan cache lives inside
+    * the session itself ([[SessionPlanCache]]) — so abandoning a
+    * session really does make it unreachable; the weak reference then
+    * clears and [[reap]] sweeps its registry rows (its cached plans
+    * were collected with it). Long-lived multi-session servers stop
+    * accreting, and the registry.isEmpty fast path comes back once the
+    * last live registration is gone. */
   private val sessionRefs = new ConcurrentHashMap[
     String, java.lang.ref.WeakReference[SparkSession]]()
 
   /** Analyzed summary scans, resolved ONCE per summary directory PER
-    * REGISTRATION — keyed (session UUID, path): a served version
-    * directory is immutable (VersionedTable commit discipline), so the
-    * file listing + schema resolution happen at first routing instead
-    * of on every matched Aggregate. Entries die with THEIR OWN
-    * registration (register's same-shape replacement, deregister,
-    * reap) — two sessions registering the same summary path each hold
-    * their own entry, so one session's deregister never evicts a plan
-    * the other still serves. */
-  private val planCache =
-    new ConcurrentHashMap[(String, String), LogicalPlan]()
+    * REGISTRATION: a served version directory is immutable
+    * (VersionedTable commit discipline), so the file listing + schema
+    * resolution happen at first routing instead of on every matched
+    * Aggregate. The cache lives INSIDE the session it serves — a
+    * no-op optimizer rule attached to the session's
+    * `experimental.extraOptimizations`, the one public per-session
+    * slot a library can hang state off. It must NOT live in a static
+    * map: an analyzed scan's HadoopFsRelation/InMemoryFileIndex
+    * strongly reference their SparkSession, so a static cache would
+    * keep every abandoned session that ever ROUTED a query strongly
+    * reachable, its [[sessionRefs]] weak reference would never clear,
+    * and [[reap]] could never sweep it (the r16 advisor's finding —
+    * the registry kept accreting precisely in the common case). Held
+    * this way, an abandoned session, its holder, and its cached plans
+    * form an unreachable cycle and collect TOGETHER; the weak
+    * reference then clears and reap sweeps the registry rows. Entries
+    * still die with their own registration (register's same-shape
+    * replacement, deregister) — two sessions registering the same
+    * summary path each hold their own entry in their own holder, so
+    * one session's deregister never evicts a plan the other still
+    * serves. apply() is identity: the rule slot is a lifetime anchor,
+    * not a rewrite. */
+  private final class SessionPlanCache extends Rule[LogicalPlan] {
+    val plans = new ConcurrentHashMap[String, LogicalPlan]()
+    override def apply(plan: LogicalPlan): LogicalPlan = plan
+  }
 
-  /** Sweep every entry owned by a session the JVM has collected. Runs
-    * at each register/deregister and on the optimizer's lookup path —
-    * cost is one scan of the (registration-count-sized) session map,
-    * nothing data-sized. */
+  /** The session's plan-cache holder, if the session has one (every
+    * registered session does — [[register]] attaches it). Read-only:
+    * the optimizer's lookup path must never mutate session state. */
+  private def holderIfAny(spark: SparkSession): Option[SessionPlanCache] =
+    spark.experimental.extraOptimizations.collectFirst {
+      case h: SessionPlanCache => h
+    }
+
+  /** Attach (or find) the session's holder — write paths only. */
+  private def holderOf(session: SparkSession): SessionPlanCache =
+    session.experimental.synchronized {
+      holderIfAny(session).getOrElse {
+        val h = new SessionPlanCache
+        session.experimental.extraOptimizations =
+          session.experimental.extraOptimizations :+ h
+        h
+      }
+    }
+
+  /** Sweep every entry owned by a session the JVM has collected (its
+    * plan cache died with it — see [[SessionPlanCache]]). Runs at each
+    * register/deregister and on the optimizer's lookup path — cost is
+    * one scan of the (registration-count-sized) session map, nothing
+    * data-sized. */
   private def reap(): Unit =
     sessionRefs.forEach { (uuid, ref) =>
       if (ref.get() == null) {
         sessionRefs.remove(uuid)
         registry.keySet.removeIf(_._1 == uuid)
-        planCache.keySet.removeIf(_._1 == uuid)
       }
     }
 
@@ -162,9 +198,16 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   private def sessionKeyIfAny(spark: SparkSession): Option[String] =
     spark.conf.getOption(SessionIdKey)
 
-  /** Cached analyzed-plan count — spec hook pinning that routing
-    * resolves each served summary once, not once per query. */
-  private[graft] def cachedSummaryPlanCount: Int = planCache.size()
+  /** Cached analyzed-plan count across every LIVE registered session —
+    * spec hook pinning that routing resolves each served summary once,
+    * not once per query (and that deregistration evicts). */
+  private[graft] def cachedSummaryPlanCount: Int = {
+    val holders = scala.collection.mutable.Set.empty[SessionPlanCache]
+    sessionRefs.forEach { (_, ref) =>
+      Option(ref.get()).flatMap(holderIfAny).foreach(holders += _)
+    }
+    holders.toSeq.map(_.plans.size).sum
+  }
 
   /** Spec hooks for the reaping contract. */
   private[graft] def registrySize: Int = registry.size()
@@ -191,6 +234,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val sk = sessionKey(session)
     sessionRefs.putIfAbsent(sk,
       new java.lang.ref.WeakReference(session))
+    val holder = holderOf(session) // the session now anchors its cache
     val key = (sk, normalize(s.basePath))
     registry.compute(key, (_, old) => {
       // a re-registration of the same summary SHAPE (the maintenance
@@ -199,7 +243,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       val prev = Option(old).getOrElse(Nil)
       val (replaced, kept) = prev.partition(e =>
         e.groupCols == s.groupCols && e.aggCols == s.aggCols)
-      replaced.foreach(e => planCache.remove((sk, e.summaryPath)))
+      replaced.foreach(e => holder.plans.remove(e.summaryPath))
       (kept :+ s).sortBy(_.groupCols.size) // coarsest-first = cheapest
     })
   }
@@ -211,8 +255,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     reap()
     val sk = sessionKey(session)
     val old = registry.remove((sk, normalize(basePath)))
+    val holder = holderOf(session)
     Option(old).getOrElse(Nil)
-      .foreach(e => planCache.remove((sk, e.summaryPath)))
+      .foreach(e => holder.plans.remove(e.summaryPath))
   }
 
   /** Activate on a live session (idempotent). */
@@ -242,15 +287,19 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
   /** The cached analyzed scan of an (immutable) summary directory,
     * re-instanced per use so two routed subtrees in one query plan
-    * never share attribute ids. */
-  private def summaryPlan(spark: SparkSession, path: String): LogicalPlan =
-    // the lookup path only reaches here for a session with
-    // registrations, which therefore has an id; "" can never collide
-    // with a minted UUID
-    planCache.computeIfAbsent(
-      (sessionKeyIfAny(spark).getOrElse(""), path),
-      { case (_, p) => spark.read.parquet(p).queryExecution.analyzed })
-      .transformUp { case r: LogicalRelation => r.newInstance() }
+    * never share attribute ids. The cache is the SESSION's own holder
+    * (a registered session always has one — register attaches it; a
+    * cloned streaming session shares its parent's, matching the
+    * conf-id inheritance); a session without a holder resolves
+    * uncached rather than mutate session state mid-optimization. */
+  private def summaryPlan(spark: SparkSession, path: String): LogicalPlan = {
+    val plan = holderIfAny(spark) match {
+      case Some(h) => h.plans.computeIfAbsent(path,
+        p => spark.read.parquet(p).queryExecution.analyzed)
+      case None => spark.read.parquet(path).queryExecution.analyzed
+    }
+    plan.transformUp { case r: LogicalRelation => r.newInstance() }
+  }
 
   /** Base relation under any stack of pure-attribute Projects (column
     * pruning's shape) and Filters — the filters are RETURNED, not

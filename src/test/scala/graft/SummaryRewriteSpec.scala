@@ -426,14 +426,27 @@ class SummaryRewriteSpec extends AnyFunSuite {
   }
 
   /** Register a summary for a THROWAWAY session in its own stack
-    * frame, so no strong reference to the session survives the
-    * return (register takes the session explicitly — the thread's
-    * active session is never switched). */
+    * frame — and ROUTE a query through it, so the session's analyzed-
+    * plan cache is WARM when the session is abandoned. This is the r16
+    * advisor's scenario: cached analyzed plans strongly reference
+    * their session (HadoopFsRelation/InMemoryFileIndex), so a STATIC
+    * plan cache pinned every abandoned session that ever routed and
+    * reaping could never fire — the cache must die WITH the session.
+    * No strong reference survives the return (register takes the
+    * session explicitly — the thread's active session is never
+    * switched). */
   private def registerFromAbandonedSession(
       base: String, sumP: String): Unit = {
     val s = spark.newSession()
+    SummaryRewrite.enable(s)
     SummaryRewrite.register(MaterializedSummary(base, sumP, Seq("g"),
       Map(("count", "*") -> "n", ("sum", "v") -> "sv")), s)
+    val df = s.read.parquet(base).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(scanPaths(df) == Seq(sumP),
+      "the throwaway session must actually route — a cold plan cache " +
+        "would prove nothing about reaping")
+    assert(df.collect().nonEmpty) // and execute, like a real dashboard
   }
 
   test("abandoned sessions are reaped; no registry entries survive") {
