@@ -230,7 +230,10 @@ object Profile {
           "ann_incremental_cdc", "mv_rewrite_rollup",
           // r16: compressed-store maintenance + the serve-pointer
           // lifecycle under 10x
-          "ann_incremental_pq", "ann_rebuild_standing"))
+          "ann_incremental_pq", "ann_rebuild_standing",
+          // r17: the standing dedup drain (two feed files over the 10x
+          // corpus) and the codes-only store's CDC maintenance
+          "cross_corpus_dups_standing", "ann_adc_codes_only"))
         time(s"$q @10x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
       spark.stop()
       return
@@ -290,7 +293,10 @@ object Profile {
           // the encode projection must ride the staged write without
           // changing the delta-linear shape (init's codebook training
           // is O(index) by design, like rebuild's row)
-          "ann_incremental_pq"))
+          "ann_incremental_pq",
+          // r17: the codes-only write shape at 30x delta — dropping v
+          // must not change the delta-linear maintenance profile
+          "ann_adc_codes_only"))
         time(s"$q @30x")(noop(SparkEntry.queries(q)(spark, canaryDir)))
       spark.stop()
       return
