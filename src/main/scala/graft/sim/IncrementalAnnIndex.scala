@@ -92,9 +92,19 @@ object IncrementalAnnIndex {
   private def booksPath(store: String) = s"$store/pqbooks"
   private def txnPath(store: String) = s"$store/_txn"
 
-  /** PQ geometry for compressed stores: [[IvfPq]]'s segment count (the
-    * per-segment codebook size too) with the segment width derived
-    * from the store's own vector dimension at init. */
+  /** DEFAULT PQ geometry for compressed stores: [[IvfPq]]'s segment
+    * count (the per-segment codebook size too) with the segment width
+    * derived from the store's own vector dimension at init. The
+    * geometry is a PER-STORE [[init]] parameter, FIXED at init like
+    * the coarse quantizer (the books parquet IS the record: segment
+    * count and codebook size read back from it, so every search and
+    * encode path is geometry-agnostic and [[rebuild]] carries the
+    * source store's geometry into the re-trained books). Sizing at
+    * scale: ADC cost and code footprint are Segments longs per
+    * candidate; recall rises with Segments x log2(Codes) bits — a
+    * production dim-768 store would run 48-96 segments with 256
+    * codes, which is exactly why these cannot be compile-time
+    * constants. */
   val PqSegments: Int = IvfPq.Segments
   val PqCodes: Int = IvfPq.Codes
   val PqIters: Int = IvfPq.PqIters
@@ -469,6 +479,28 @@ object IncrementalAnnIndex {
     fs.exists(new Path(sp, AdcOnlyMarker))
   }
 
+  /** Geometry marker stamped by a PQ [[init]] — the TRAINED-k record
+    * (`_pq_s<segments>_c<codes>_i<iters>`). The books parquet cannot
+    * serve as this record: a training cluster that empties leaves a
+    * smaller codebook than the k it was trained with, so [[rebuild]]
+    * needs the marker to re-train at the INIT-TIME geometry.
+    * Pre-marker PQ stores (r16) fall back to books-derived segments +
+    * the default codes/iters — exactly the old rebuild behavior. */
+  private val PqGeomRe = "_pq_s(\\d+)_c(\\d+)_i(\\d+)".r
+
+  private def pqGeometryOf(spark: SparkSession,
+      store: String): Option[(Int, Int, Int)] = {
+    val (fs, sp) = fsOf(spark, store)
+    if (!fs.exists(sp)) None
+    else fs.listStatus(sp).toSeq.flatMap { f =>
+      f.getPath.getName match {
+        case PqGeomRe(s, c, i) if f.isFile =>
+          Some((s.toInt, c.toInt, i.toInt))
+        case _ => None
+      }
+    }.headOption
+  }
+
   private def requireRaw(spark: SparkSession, store: String,
       op: String): Unit =
     require(!isAdcOnly(spark, store),
@@ -480,12 +512,15 @@ object IncrementalAnnIndex {
     * lowest-vec_id vectors of the init batch (deterministic, like
     * ivfTopK's first-k rule), then the whole batch is appended.
     *
-    * `pq = true` initializes the COMPRESSED layout: [[PqSegments]]
-    * per-segment codebooks are trained over the init batch's residuals
-    * ([[KMeans.fitQ]], seeded from the [[PqCodes]] lowest vec_ids via
-    * [[rekeyLowestIds]] — ids stay arbitrary) and every row ever
-    * appended carries its `pq` codes column. The vector dimension must
-    * divide evenly into [[PqSegments]] segments.
+    * `pq = true` initializes the COMPRESSED layout: `pqSegments`
+    * per-segment codebooks of `pqCodes` entries are trained over the
+    * init batch's residuals ([[KMeans.fitQ]], seeded from the
+    * `pqCodes` lowest vec_ids via [[rekeyLowestIds]] — ids stay
+    * arbitrary) and every row ever appended carries its `pq` codes
+    * column. The vector dimension must divide evenly into
+    * `pqSegments` segments; the geometry is FIXED at init (the books
+    * parquet records it — searches, encodes, and [[rebuild]] read it
+    * back, so nothing downstream hard-wires the defaults).
     *
     * `keepRaw = false` (requires pq) initializes the ADC-ONLY layout:
     * the lists tree is written WITHOUT the raw vector column, so the
@@ -500,7 +535,10 @@ object IncrementalAnnIndex {
       nCentroids: Int = Similarity.IvfCentroids,
       ledgerBuckets: Int = DefaultLedgerBuckets,
       pq: Boolean = false,
-      keepRaw: Boolean = true): AppendResult = {
+      keepRaw: Boolean = true,
+      pqSegments: Int = PqSegments,
+      pqCodes: Int = PqCodes,
+      pqIters: Int = PqIters): AppendResult = {
     require(pq || keepRaw,
       "keepRaw = false requires pq = true: a store with neither raw " +
         "vectors nor codes has nothing to search")
@@ -511,11 +549,14 @@ object IncrementalAnnIndex {
     cents.write.mode("overwrite").parquet(centroidsPath(storeDir))
     centroidCache.remove(centroidsPath(storeDir))
     if (pq) {
+      require(pqSegments >= 1 && pqCodes >= 2 && pqIters >= 1,
+        s"bad PQ geometry: segments=$pqSegments codes=$pqCodes " +
+          s"iters=$pqIters")
       val centsArr = centroidsOf(spark, storeDir)
       val dim = centsArr.head._2.size
-      require(dim % PqSegments == 0,
-        s"vector dim $dim must divide into $PqSegments PQ segments")
-      val segDim = dim / PqSegments
+      require(dim % pqSegments == 0,
+        s"vector dim $dim must divide into $pqSegments PQ segments")
+      val segDim = dim / pqSegments
       // training input deduped per id (appendBatch's arbitrary-pick
       // rule) — the codebooks must see each vector once
       val deduped = vecsOf(batch)
@@ -523,16 +564,20 @@ object IncrementalAnnIndex {
       val resid = rekeyLowestIds(
         withResidual(assign(deduped, centsArr), centsArr, "v", "rq")
           .select(col("vec_id"), col("rq")),
-        PqCodes).localCheckpoint()
-      val books = (0 until PqSegments).map { s =>
+        pqCodes).localCheckpoint()
+      val books = (0 until pqSegments).map { s =>
         KMeans.fitQ(
             resid.select(col("vec_id"),
               slice(col("rq"), s * segDim + 1, segDim).as("q")),
-            PqCodes, PqIters)
+            pqCodes, pqIters)
           .select(lit(s).as("seg"), col("cid"), col("dim"), col("c"))
       }.reduce(_ unionByName _)
       books.coalesce(1).write.mode("overwrite").parquet(booksPath(storeDir))
       booksCache.remove(booksPath(storeDir))
+      val (gfs, gsp) = fsOf(spark, storeDir)
+      try gfs.create(new Path(gsp,
+        s"_pq_s${pqSegments}_c${pqCodes}_i$pqIters"), false).close()
+      catch { case _: java.io.IOException => () } // re-init stamp: fine
     }
     if (!keepRaw) {
       val (fs, sp) = fsOf(spark, storeDir)
@@ -1029,11 +1074,22 @@ object IncrementalAnnIndex {
         "in fresh directories (MVCC cutover), never over a live store")
     val current = spark.read.parquet(listsPath(storeDir))
       .select(col("vec_id"), col("v").as("embedding"))
-    // a PQ store rebuilds as a PQ store: the codebooks re-train over
-    // the current content alongside the quantizer (code drift against
-    // init-time books is erased by the same cutover)
+    // a PQ store rebuilds as a PQ store WITH ITS OWN GEOMETRY: the
+    // codebooks re-train over the current content alongside the
+    // quantizer (code drift against init-time books is erased by the
+    // same cutover) at the geometry the SOURCE was initialized with
+    // (the `_pq_*` marker — trained-k, not the lossy observed
+    // codebook size) — a non-default-geometry store never silently
+    // reverts to the defaults across a rebuild. Pre-marker stores
+    // fall back to books-derived segments + default codes/iters.
+    val srcBooks = booksOf(spark, storeDir)
+    val geom = pqGeometryOf(spark, storeDir)
     val r = init(current, destDir, nCentroids, ledgerBuckets,
-      pq = booksOf(spark, storeDir).isDefined)
+      pq = srcBooks.isDefined,
+      pqSegments = geom.map(_._1)
+        .orElse(srcBooks.map(_.size)).getOrElse(PqSegments),
+      pqCodes = geom.map(_._2).getOrElse(PqCodes),
+      pqIters = geom.map(_._3).getOrElse(PqIters))
     val (sfs, storeP) = fsOf(spark, storeDir)
     sfs.listStatus(storeP)
       .filter(f => f.isFile && f.getPath.getName.startsWith("_applied_v"))
@@ -1138,10 +1194,17 @@ object IncrementalAnnIndex {
     * ones already inside it. So vacuum with `keep = 1` only after the
     * deployment's maximum query runtime has elapsed since the last
     * cutover, or run `keep >= 2` routinely so the previous generation
-    * survives one full rebuild cycle of grace. */
+    * survives one full rebuild cycle of grace — `minRetiredAgeMs`
+    * encodes the first discipline directly: a generation is only
+    * deleted once its SUCCESSOR's serve marker (the moment it stopped
+    * being current) is at least that old, so "vacuum after the
+    * maximum query runtime" becomes a parameter instead of an
+    * operator's calendar. */
   def vacuumGenerations(spark: SparkSession, root: String,
-      keep: Int = 1): Seq[Long] = {
+      keep: Int = 1, minRetiredAgeMs: Long = 0L): Seq[Long] = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
+    require(minRetiredAgeMs >= 0,
+      s"minRetiredAgeMs must be >= 0, got $minRetiredAgeMs")
     val served = servedGen(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"$root has no served ANN store generation — run initServed"))
@@ -1152,7 +1215,20 @@ object IncrementalAnnIndex {
         case _                      => None
       }
     }.filter(_ <= served).sorted
-    val drop = marked.dropRight(keep)
+    // a retired generation's grace clock starts when its SUCCESSOR
+    // took over (the successor marker's create time) — no reader can
+    // have resolved it after that instant
+    val now = System.currentTimeMillis()
+    def retiredLongEnough(g: Long): Boolean =
+      minRetiredAgeMs == 0L || {
+        val idx = marked.indexOf(g)
+        idx + 1 < marked.size && {
+          val succ = new Path(rp, s"_serve_${marked(idx + 1)}")
+          now - fs.getFileStatus(succ).getModificationTime >=
+            minRetiredAgeMs
+        }
+      }
+    val drop = marked.dropRight(keep).filter(retiredLongEnough)
     drop.foreach { g =>
       fs.delete(new Path(rp, s"_serve_$g"), false)
       fs.delete(new Path(genDir(root, g)), true)

@@ -215,10 +215,17 @@ class AnnMaintainJobSpec extends AnyFunSuite {
       IncrementalAnnIndex.initServed(vecs(0 until 10), annRoot)
     }
     assert(ex.getMessage.contains("already serves"))
-    // retention: gens 0..2 served along the way; keep=2 leaves the
-    // PRIOR generation as in-flight-reader grace (the documented
-    // retention contract), keep=1 then retires it; the served one
+    // retention: gens 0..2 served along the way; the age guard keeps
+    // a generation until its SUCCESSOR's marker is old enough (the
+    // "vacuum only after the max query runtime" discipline as a
+    // parameter), keep=2 leaves the PRIOR generation as
+    // in-flight-reader grace, keep=1 then retires it; the served one
     // stays resolvable and intact, and a re-vacuum is a no-op
+    val droppedAge = IncrementalAnnIndex.vacuumGenerations(spark, annRoot,
+      keep = 1, minRetiredAgeMs = 3600L * 1000)
+    assert(droppedAge.isEmpty,
+      "nothing retired less than an hour ago may be vacuumed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$annRoot/gen=0")))
     val dropped2 = IncrementalAnnIndex.vacuumGenerations(spark, annRoot,
       keep = 2)
     assert(dropped2 == Seq(0L))

@@ -649,6 +649,56 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(replay.appended == 0 && replay.skippedRedelivered == 80)
   }
 
+  test("non-default PQ geometry drives the store end to end and survives rebuild") {
+    // dim 8 as 2 segments x 8 codes (vs the 4x4 default): geometry is
+    // an init parameter recorded in the books parquet; every encode,
+    // search, and the rebuild read it back — nothing downstream
+    // hard-wires the defaults
+    val base = Files.createTempDirectory("annpqgeo").toString
+    val store = s"$base/store"
+    IncrementalAnnIndex.init(vecs(0 until 120), store, pq = true,
+      pqSegments = 2, pqCodes = 8)
+    IncrementalAnnIndex.appendBatch(vecs(120 until 200), store)
+    val lists = spark.read.parquet(s"$store/lists")
+    assert(lists.select(size(col("pq"))).distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(2),
+      "each row must carry one code per configured segment")
+    assert(spark.read.parquet(s"$store/pqbooks")
+      .select(col("cid")).distinct().count() <= 8)
+    val queries = vecs(0 until 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val exact = IncrementalAnnIndex.topK(queries, store, 5)
+    val viaPq = IncrementalAnnIndex.topKPq(queries, store, 5,
+      shortlist = 1000)
+    assert(viaPq.except(exact).isEmpty && exact.except(viaPq).isEmpty,
+      "full-shortlist PQ search must equal exact at any geometry")
+    // ADC-only search serves the geometry unchanged, ranks dense
+    val adc = IncrementalAnnIndex.topKPqAdc(queries, store, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    adc.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+    // rebuild re-trains AT THE SOURCE GEOMETRY (never silently back
+    // to the 4x4 default) — bit-equal to a fresh same-geometry init
+    val dest = s"$base/rebuilt"
+    IncrementalAnnIndex.rebuild(spark, store, dest)
+    assert(spark.read.parquet(s"$dest/pqbooks")
+      .select(col("seg")).distinct().count() == 2,
+      "rebuild must carry the 2-segment geometry")
+    val fresh = s"$base/fresh"
+    IncrementalAnnIndex.init(vecs(0 until 200), fresh, pq = true,
+      pqSegments = 2, pqCodes = 8)
+    val a = IncrementalAnnIndex.topKPq(queries, dest, 5, shortlist = 12)
+    val b = IncrementalAnnIndex.topKPq(queries, fresh, 5, shortlist = 12)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // a geometry the dimension cannot host refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalAnnIndex.init(vecs(0 until 50), s"$base/bad",
+        pq = true, pqSegments = 3)
+    }
+    assert(ex.getMessage.contains("divide into 3"))
+  }
+
   test("ADC-only store: no raw column on disk, same answers, loud refusals") {
     val base = Files.createTempDirectory("annlean").toString
     val raw = s"$base/raw"
