@@ -54,6 +54,42 @@ object WaveFifteenQueries {
     }, Some(WaveFourteenQueries.pqOracle(
       "vec_id % 10 != 5", "vec_id % 10 != 2", None, adcOnly = true))),
 
+    // The compressed maintained store at a NON-DEFAULT geometry (2
+    // segments x 8 codes instead of the 4x4 default) under the real
+    // CDC lifecycle: the geometry is an init parameter recorded in the
+    // store's _pq_* marker, every encode/table/search path reads it
+    // back from the books, and this oracle recomputes the WHOLE IVFADC
+    // pipeline at that geometry in DuckDB — 2 residual-codebook
+    // k-means chains of 8 exact-integer centroids seeded from the 8
+    // lowest init ids, 32-wide segments, per-probe 8-entry ADC tables,
+    // shortlist, exact rerank. Pins that nothing anywhere hard-wires
+    // the default geometry at the value level.
+    Q("ann_incremental_pq_geometry", (s, dir) => {
+      import graft.sinks.VersionedTable
+      val base = java.nio.file.Files
+        .createTempDirectory("ann_ipqg").toString
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val root = s"$base/vt"
+      val v0 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 6), root)
+      val v1 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 1), root)
+      val store = s"$base/ivfpq"
+      IncrementalAnnIndex.init(
+        VersionedTable.readVersion(s, root, v0), store, pq = true,
+        pqSegments = 2, pqCodes = 8)
+      IncrementalAnnIndex.applyChanges(
+        VersionedTable.changes(s, root, v0, v1, Seq("vec_id")), store)
+      IncrementalAnnIndex.topKPq(
+          emb.filter(col("vec_id") < AnnQueries)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          store, AnnK, WaveFourteenQueries.PqShortlist)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(WaveFourteenQueries.pqOracle(
+      "vec_id % 10 != 6", "vec_id % 10 != 1", None,
+      segs = 2, kc = 8))),
+
     // Filtered search over the ONE-SHOT IVFADC path — topKRerankAmong:
     // the allowlist (English documents) semi-joins the coded
     // candidates before ADC ranking, so the shortlist and the final

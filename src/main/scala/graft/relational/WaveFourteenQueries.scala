@@ -29,12 +29,12 @@ object WaveFourteenQueries {
     * training corpus), `curFilter` the searched content; `allowed`
     * optionally restricts candidates before ADC ranking. */
   private[relational] def pqOracle(initFilter: String, curFilter: String,
-      allowed: Option[String], adcOnly: Boolean = false): String = {
+      allowed: Option[String], adcOnly: Boolean = false,
+      segs: Int = IncrementalAnnIndex.PqSegments,
+      kc: Int = IncrementalAnnIndex.PqCodes,
+      it: Int = IncrementalAnnIndex.PqIters): String = {
     val nC = Similarity.IvfCentroids
     val nP = Similarity.IvfProbes
-    val kc = IncrementalAnnIndex.PqCodes
-    val it = IncrementalAnnIndex.PqIters
-    val segs = IncrementalAnnIndex.PqSegments
     val segDim = 64 / segs
     val rshift = 2 * KMeans.Shift
     val segIdx = 0 until segs
