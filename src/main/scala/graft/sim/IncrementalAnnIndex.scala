@@ -574,10 +574,21 @@ object IncrementalAnnIndex {
       }.reduce(_ unionByName _)
       books.coalesce(1).write.mode("overwrite").parquet(booksPath(storeDir))
       booksCache.remove(booksPath(storeDir))
+      // refresh the geometry marker WITH the books it describes: a
+      // stale marker from an earlier init would make a later rebuild
+      // re-train at a geometry the books no longer have (delete-first;
+      // a crash in the gap leaves no marker, and rebuild's fallback —
+      // books-derived segments + defaults — is the safe degraded read)
       val (gfs, gsp) = fsOf(spark, storeDir)
+      gfs.listStatus(gsp).foreach { f =>
+        f.getPath.getName match {
+          case PqGeomRe(_, _, _) if f.isFile => gfs.delete(f.getPath, false)
+          case _                             => ()
+        }
+      }
       try gfs.create(new Path(gsp,
         s"_pq_s${pqSegments}_c${pqCodes}_i$pqIters"), false).close()
-      catch { case _: java.io.IOException => () } // re-init stamp: fine
+      catch { case _: java.io.IOException => () } // concurrent stamp
     }
     if (!keepRaw) {
       val (fs, sp) = fsOf(spark, storeDir)

@@ -697,6 +697,19 @@ class IncrementalAnnSpec extends AnyFunSuite {
         pq = true, pqSegments = 3)
     }
     assert(ex.getMessage.contains("divide into 3"))
+    // a re-init refreshes the geometry marker WITH the books — a stale
+    // marker would send a later rebuild to a geometry the books no
+    // longer have
+    val restamp = s"$base/restamp"
+    IncrementalAnnIndex.init(vecs(0 until 120), restamp, pq = true)
+    IncrementalAnnIndex.init(vecs(0 until 120), restamp, pq = true,
+      pqSegments = 2, pqCodes = 8)
+    val rfs = new org.apache.hadoop.fs.Path(restamp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!rfs.exists(new org.apache.hadoop.fs.Path(
+      s"$restamp/_pq_s4_c4_i1")), "the stale marker must be gone")
+    assert(rfs.exists(new org.apache.hadoop.fs.Path(
+      s"$restamp/_pq_s2_c8_i1")))
   }
 
   test("ADC-only store: no raw column on disk, same answers, loud refusals") {
