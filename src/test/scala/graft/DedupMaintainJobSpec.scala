@@ -81,6 +81,41 @@ class DedupMaintainJobSpec extends AnyFunSuite {
     assert(a == b, "band indexes must mirror the direct composition")
   }
 
+  test("re-bucketing between drains keeps every drain decision intact") {
+    // the operational composition: drain a feed, re-bucket the live
+    // store to a larger count (the corpus outgrew it), keep draining
+    // the SAME feed world — redeliveries still skip, cross-batch
+    // near-dups still reject, and a fresh-checkpoint replay of
+    // everything converges through the re-bucketed layout
+    val dir = Files.createTempDirectory("dedupjob_rb").toString
+    val feed = s"$dir/feed"
+    val store = s"$dir/corpus"
+    AnnMaintainJob.landDelta(spark,
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"), feed)
+    val r1 = DedupMaintainJob.runOnce(spark, feed, store, s"$dir/ckpt")
+    assert(r1.accepted == 2, s"$r1")
+
+    IncrementalDedup.rebucketStore(spark, store, 64)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$store/_buckets_64")))
+
+    AnnMaintainJob.landDelta(spark,
+      Seq((10L, base.replace("valley", "meadow")), (2L, other),
+        (11L, third)).toDF("doc_id", "text"), feed)
+    val r2 = DedupMaintainJob.runOnce(spark, feed, store, s"$dir/ckpt")
+    assert(r2.batches == 1 && r2.accepted == 1 &&
+      r2.rejectedNearDup == 1 && r2.skippedRedelivered == 1, s"$r2")
+    assert(docIds(store) == Set(1L, 2L, 11L))
+
+    // wholesale replay from a fresh checkpoint converges through the
+    // 64-bucket layout — nothing double-admits, nothing re-surfaces
+    val r3 = DedupMaintainJob.runOnce(spark, feed, store, s"$dir/ckpt2")
+    assert(r3.batches == 2 && r3.accepted == 0 &&
+      r3.skippedRedelivered == 4 && r3.rejectedNearDup == 1, s"$r3")
+    assert(docIds(store) == Set(1L, 2L, 11L))
+  }
+
   test("auto-compaction keeps a long drain's file counts bounded") {
     val dir = Files.createTempDirectory("dedupjob_ac").toString
     val feed = s"$dir/feed"
