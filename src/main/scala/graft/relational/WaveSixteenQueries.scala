@@ -1,0 +1,77 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+
+import graft.relational.RelationalQueries.Q
+import graft.relational.TrainingDataQueries.{AnnK, AnnQueries}
+import graft.sim.IncrementalAnnIndex
+
+/** Sixteenth-wave surface: the round-17 layouts composed into the
+  * serve-latest lifecycle — a served ADC-only store at a non-default
+  * PQ geometry rotating through `rebuildServedFromSource` (codes
+  * cannot retrain a quantizer; the versioned source corpus at the
+  * store's `_applied_v` position can) with the standing drain
+  * continuing across the cutover.
+  */
+object WaveSixteenQueries {
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  val all: Seq[Q] = Seq(
+
+    // ann_rebuild_standing's twin for the layouts a stored-vector
+    // rebuild cannot host, END TO END: generation 0 is ADC-ONLY at the
+    // non-default 2x8 geometry (initServed passes the full init layout
+    // surface through), the standing drain applies the v0->v1 delta,
+    // then the rotation the r17 lifecycle was missing —
+    // rebuildServedFromSource reads the VERSIONED corpus at the
+    // store's _applied_v position (v1), re-trains quantizer + 2x8
+    // codebooks from those raw source vectors, re-inits gen 1 in the
+    // SAME layout (ADC-only flag and _pq_* geometry both carry),
+    // copies the chain markers, cuts the pointer over — and the SAME
+    // checkpointed drain keeps going, landing the v1->v2 delta on the
+    // new generation. The search is pure ADC (no scan anywhere reads a
+    // raw vector — none is stored); the oracle recomputes the whole
+    // IVFADC pipeline at the 2x8 geometry from the REBUILD-POINT
+    // corpus (v1 quantizer + codebooks) over the FINAL content (v2),
+    // cut at the ADC ranking.
+    Q("ann_rebuild_standing_adc", (s, dir) => {
+      import graft.sinks.VersionedTable
+      import graft.streaming.AnnMaintainJob
+      val base = java.nio.file.Files
+        .createTempDirectory("ann_rbs_adc").toString
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val root = s"$base/vt"
+      val v0 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 8), root)
+      val v1 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 1), root)
+      val v2 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 5), root)
+      val annRoot = s"$base/ann"
+      IncrementalAnnIndex.initServed(
+        VersionedTable.readVersion(s, root, v0), annRoot,
+        pq = true, keepRaw = false, pqSegments = 2, pqCodes = 8)
+      val cdcDir = s"$base/cdc"
+      val ckpt = s"$base/ckpt"
+      AnnMaintainJob.landDelta(s,
+        VersionedTable.changes(s, root, v0, v1, Seq("vec_id")), cdcDir)
+      AnnMaintainJob.runOnceServed(s, cdcDir, annRoot, ckpt,
+        seedSourceVersion = v0)
+      // rotation: re-init gen 1 from the corpus at _applied_v (= v1)
+      IncrementalAnnIndex.rebuildServedFromSource(s, annRoot, root)
+      AnnMaintainJob.landDelta(s,
+        VersionedTable.changes(s, root, v1, v2, Seq("vec_id")), cdcDir)
+      AnnMaintainJob.runOnceServed(s, cdcDir, annRoot, ckpt,
+        seedSourceVersion = v0) // same checkpoint: drains delta 2
+      IncrementalAnnIndex.topKPqAdc(
+          emb.filter(col("vec_id") < AnnQueries)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          IncrementalAnnIndex.servedStore(s, annRoot), AnnK)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(WaveFourteenQueries.pqOracle(
+      "vec_id % 10 != 1", "vec_id % 10 != 5", None,
+      adcOnly = true, segs = 2, kc = 8))),
+  )
+}

@@ -505,8 +505,10 @@ object IncrementalAnnIndex {
       op: String): Unit =
     require(!isAdcOnly(spark, store),
       s"$store is an ADC-only store (no raw vectors): $op needs the raw " +
-        "vector column — serve with topKPqAdc, or rebuild from the " +
-        "source corpus via init(pq = true) to restore the raw layout")
+        "vector column — serve with topKPqAdc, rotate a served root " +
+        "with rebuildServedFromSource (codes cannot retrain a " +
+        "quantizer; the source corpus can), or init a fresh raw store " +
+        "from the source corpus")
 
   /** Initialize the store: the quantizer is the `nCentroids`
     * lowest-vec_id vectors of the init batch (deterministic, like
@@ -543,6 +545,17 @@ object IncrementalAnnIndex {
       "keepRaw = false requires pq = true: a store with neither raw " +
         "vectors nor codes has nothing to search")
     val spark = batch.sparkSession
+    // a raw re-init cannot land on a directory stamped ADC-only: the
+    // existing lists may already be reclaimed (no `v` column), so newly
+    // appended raw rows would produce a tree no survivor merge can
+    // union — and silently un-stamping would promise reranks over
+    // vectors the old partitions never kept. Loud refusal is the only
+    // honest option; restoring the raw layout is an init into a FRESH
+    // directory from the source corpus.
+    if (keepRaw) require(!isAdcOnly(spark, storeDir),
+      s"$storeDir is stamped ADC-only: a keepRaw re-init over it would " +
+        "mix raw and codes-only list partitions — init a fresh " +
+        "directory from the source corpus instead")
     val cents = vecsOf(batch)
       .orderBy(col("vec_id")).limit(nCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
@@ -772,12 +785,21 @@ object IncrementalAnnIndex {
       val p = listsProjection(assigned)
       if (adcOnly) p.drop("v") else p
     }
+    // the survivor side drops `v` under the ADC-only marker even when
+    // the files still carry it: a crash between dropRawVectors' stamp
+    // and its reclaim commit leaves dead `v` bytes in the live tree,
+    // and without the drop the union against the v-less fresh rows
+    // would throw — maintenance must tolerate a half-reclaimed store
+    // (this swap also reclaims the touched partitions as a side effect)
     val listsOut =
       if (affectedCids.isEmpty) newLists
-      else listsProjection(spark.read.parquet(listsPath(store))
+      else {
+        val survivors = spark.read.parquet(listsPath(store))
           .filter(col("cid").isin(affectedCids: _*)) // static pruning
-          .join(doomedIds, Seq("vec_id"), "left_anti"))
-        .unionByName(newLists)
+          .join(doomedIds, Seq("vec_id"), "left_anti")
+        listsProjection(if (adcOnly) survivors.drop("v") else survivors)
+          .unionByName(newLists)
+      }
     val newLedger = assigned
       .select(col("vec_id"), col("cid").cast("long").as("cid"), col("b"))
     val ledgerOut =
@@ -989,7 +1011,11 @@ object IncrementalAnnIndex {
     val cids = fragmented(listsPath(storeDir), "cid").map(_.toLong).sorted
     val buckets = fragmented(ledgerPath(storeDir), "b").map(_.toInt).sorted
     if (cids.isEmpty && buckets.isEmpty) return (0, 0)
-    val lists = spark.read.parquet(listsPath(storeDir))
+    // same half-reclaimed tolerance as the maintenance merge: under
+    // the ADC-only marker the rewrite never re-emits `v`, even if a
+    // crashed dropRawVectors left dead bytes in the fragmented files
+    val lists0 = spark.read.parquet(listsPath(storeDir))
+    val lists = if (isAdcOnly(spark, storeDir)) lists0.drop("v") else lists0
     val listsOut = listsProjection(
       if (cids.isEmpty) lists.filter(lit(false)) // schema-only: no swaps
       else lists.filter(col("cid").isin(cids: _*)))
@@ -1147,15 +1173,26 @@ object IncrementalAnnIndex {
       throw new IllegalArgumentException(
         s"$root has no served ANN store generation — run initServed")))
 
-  /** Initialize generation 0 under `root` and publish the pointer. */
+  /** Initialize generation 0 under `root` and publish the pointer.
+    * The full [[init]] layout surface rides through — `keepRaw = false`
+    * starts a served ADC-ONLY store, `pqSegments`/`pqCodes`/`pqIters`
+    * a non-default geometry — because the serve-latest root is exactly
+    * the deployment that wants the codes-only footprint (the 100 TB
+    * serving corpus); [[rebuildServedFromSource]] is its rotation
+    * path. */
   def initServed(batch: DataFrame, root: String,
       nCentroids: Int = Similarity.IvfCentroids,
       ledgerBuckets: Int = DefaultLedgerBuckets,
-      pq: Boolean = false): AppendResult = {
+      pq: Boolean = false,
+      keepRaw: Boolean = true,
+      pqSegments: Int = PqSegments,
+      pqCodes: Int = PqCodes,
+      pqIters: Int = PqIters): AppendResult = {
     val spark = batch.sparkSession
     require(servedGen(spark, root).isEmpty,
       s"$root already serves a generation — rebuildServed rotates it")
-    val r = init(batch, genDir(root, 0), nCentroids, ledgerBuckets, pq)
+    val r = init(batch, genDir(root, 0), nCentroids, ledgerBuckets, pq,
+      keepRaw, pqSegments, pqCodes, pqIters)
     val (fs, rp) = fsOf(spark, root)
     fs.create(new Path(rp, "_serve_0"), false).close()
     r
@@ -1180,6 +1217,85 @@ object IncrementalAnnIndex {
     val (dfs, dp) = fsOf(spark, dest)
     if (dfs.exists(dp)) dfs.delete(dp, true) // unmarked ⇒ crashed attempt
     rebuild(spark, genDir(root, g), dest, nCentroids, ledgerBuckets)
+    fs.create(new Path(rp, s"_serve_$destG"), false).close() // cutover
+    destG
+  }
+
+  private val AppliedVRe = "_applied_v(\\d+)".r
+
+  /** The store's applied-through CDC position — the max `_applied_v`
+    * chain marker ([[graft.streaming.AnnMaintainJob]]'s discipline) —
+    * if the store has ever drained a feed. */
+  def appliedPosition(spark: SparkSession, store: String): Option[Long] = {
+    val (fs, sp) = fsOf(spark, store)
+    if (!fs.exists(sp)) None
+    else fs.listStatus(sp).toSeq.flatMap { f =>
+      f.getPath.getName match {
+        case AppliedVRe(v) if f.isFile => Some(v.toLong)
+        case _                         => None
+      }
+    }.maxOption
+  }
+
+  /** [[rebuildServed]] for the layouts a stored-vector rebuild cannot
+    * host: an ADC-ONLY generation keeps no raw vectors, and codes
+    * genuinely cannot retrain a quantizer — but the CDC feed that
+    * maintains the store is derived from a VERSIONED corpus, so the
+    * source AT THE STORE'S `_applied_v` POSITION is exactly the
+    * store's logical content, with the raw vectors the rebuild needs.
+    * This reads that snapshot (`VersionedTable.readVersion(sourceRoot,
+    * appliedPosition)`), re-inits generation g+1 from it — re-trained
+    * quantizer and codebooks, the SAME layout as the served
+    * generation: its ADC-only flag and its `_pq_*` trained-k geometry
+    * both carry — copies the `_applied_v` chain markers (content
+    * equals the corpus at that position, so the new generation resumes
+    * the SAME feed slot), and cuts the pointer over. Works for raw
+    * generations too (a from-source rebuild is valid there as well);
+    * the position requirement is what scopes it: a store that never
+    * drained a feed has no position to read the source at — use
+    * [[rebuildServed]] (raw stores) or re-init a fresh root. Crash
+    * discipline is [[rebuildServed]]'s: an unmarked g+1 is discarded
+    * debris, the marker create is the cutover. Returns the new
+    * generation number. */
+  def rebuildServedFromSource(spark: SparkSession, root: String,
+      sourceRoot: String,
+      nCentroids: Int = Similarity.IvfCentroids,
+      ledgerBuckets: Int = DefaultLedgerBuckets): Long = {
+    val g = servedGen(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root has no served ANN store generation — run initServed"))
+    val cur = genDir(root, g)
+    recover(spark, cur)
+    val pos = appliedPosition(spark, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"$cur has no _applied_v chain marker: " +
+          "rebuildServedFromSource re-initializes from the versioned " +
+          "corpus AT the store's applied-through position, and a store " +
+          "that never drained a feed has none — use rebuildServed (raw " +
+          "stores) or initServed into a fresh root"))
+    val source = graft.sinks.VersionedTable
+      .readVersion(spark, sourceRoot, pos)
+      .select(col("vec_id"), col("embedding"))
+    val destG = g + 1
+    val dest = genDir(root, destG)
+    val (dfs, dp) = fsOf(spark, dest)
+    if (dfs.exists(dp)) dfs.delete(dp, true) // unmarked ⇒ crashed attempt
+    val geom = pqGeometryOf(spark, cur)
+    val srcBooks = booksOf(spark, cur)
+    init(source, dest, nCentroids, ledgerBuckets,
+      pq = srcBooks.isDefined,
+      keepRaw = !isAdcOnly(spark, cur),
+      pqSegments = geom.map(_._1)
+        .orElse(srcBooks.map(_.size)).getOrElse(PqSegments),
+      pqCodes = geom.map(_._2).getOrElse(PqCodes),
+      pqIters = geom.map(_._3).getOrElse(PqIters))
+    val (cfs, cp) = fsOf(spark, cur)
+    cfs.listStatus(cp)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("_applied_v"))
+      .foreach { m =>
+        dfs.create(new Path(dp, m.getPath.getName), false).close()
+      }
+    val (fs, rp) = fsOf(spark, root)
     fs.create(new Path(rp, s"_serve_$destG"), false).close() // cutover
     destG
   }

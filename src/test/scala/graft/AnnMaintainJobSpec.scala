@@ -241,6 +241,95 @@ class AnnMaintainJobSpec extends AnyFunSuite {
     assert(IncrementalAnnIndex.vacuumGenerations(spark, annRoot).isEmpty)
   }
 
+  test("ADC-only served root: from-source rotation carries the layout; " +
+      "the drain continues") {
+    val base = Files.createTempDirectory("annjob_adc").toString
+    val root = s"$base/vt"
+    val v0 = VersionedTable.commit(
+      vecs((0 until 120).filterNot(_ % 10 == 0)), root)
+    val v1 = VersionedTable.commit(vecs(0 until 120), root)
+    val v2 = VersionedTable.commit(
+      vecs((0 until 120).filterNot(_ % 15 == 0)), root)
+    val annRoot = s"$base/ann"
+    // generation 0: ADC-only at a NON-DEFAULT geometry — the full init
+    // layout surface rides through initServed
+    IncrementalAnnIndex.initServed(
+      VersionedTable.readVersion(spark, root, v0), annRoot,
+      pq = true, keepRaw = false, pqSegments = 2, pqCodes = 8)
+    val gen0 = IncrementalAnnIndex.servedStore(spark, annRoot)
+    assert(gen0.endsWith("gen=0"))
+    assert(!spark.read.parquet(s"$gen0/lists").columns.contains("v"),
+      "an ADC-only generation stores no raw vector column")
+    val q = vecs(0 until 5).select(col("vec_id").as("qid"), col("embedding"))
+    val exRaw = intercept[IllegalArgumentException] {
+      IncrementalAnnIndex.topK(q, gen0, 3)
+    }
+    assert(exRaw.getMessage.contains("ADC-only"))
+
+    val cdc = s"$base/cdc"
+    val ckpt = s"$base/ckpt"
+    AnnMaintainJob.landDelta(spark,
+      VersionedTable.changes(spark, root, v0, v1, Seq("vec_id")), cdc)
+    val r1 = AnnMaintainJob.runOnceServed(spark, cdc, annRoot, ckpt,
+      seedSourceVersion = v0)
+    assert(r1.applied == 1 && r1.appliedThrough == v1)
+
+    // a stored-vector rebuild genuinely cannot host this layout — the
+    // refusal names the from-source path
+    val exReb = intercept[Exception] {
+      IncrementalAnnIndex.rebuildServed(spark, annRoot)
+    }
+    assert(exReb.getMessage.contains("ADC-only") &&
+      exReb.getMessage.contains("rebuildServedFromSource"))
+
+    // rotation from the versioned SOURCE at the store's _applied_v
+    // position (v1): re-trained quantizer + codebooks from raw source
+    // vectors, same layout, chain markers carried, pointer cut over
+    val g = IncrementalAnnIndex.rebuildServedFromSource(spark, annRoot, root)
+    assert(g == 1)
+    val served = IncrementalAnnIndex.servedStore(spark, annRoot)
+    assert(served.endsWith("gen=1"))
+    val fs = new org.apache.hadoop.fs.Path(annRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$served/_adc_only")),
+      "the ADC-only flag must survive rotation")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$served/_pq_s2_c8_i1")),
+      "the trained-k geometry must survive rotation")
+    assert(!spark.read.parquet(s"$served/lists").columns.contains("v"))
+
+    // the SAME checkpoint keeps draining onto the new generation
+    AnnMaintainJob.landDelta(spark,
+      VersionedTable.changes(spark, root, v1, v2, Seq("vec_id")), cdc)
+    val r2 = AnnMaintainJob.runOnceServed(spark, cdc, annRoot, ckpt,
+      seedSourceVersion = v0)
+    assert(r2.applied == 1 && r2.appliedThrough == v2)
+    assert(listedIds(served) ==
+      (0 until 120).filterNot(_ % 15 == 0).map(_.toLong).toSet)
+
+    // answers exactly like a fresh ADC-only build at the rotation
+    // point maintained with the same last delta
+    val twin = s"$base/twin"
+    IncrementalAnnIndex.init(
+      VersionedTable.readVersion(spark, root, v1), twin,
+      pq = true, keepRaw = false, pqSegments = 2, pqCodes = 8)
+    IncrementalAnnIndex.applyChanges(
+      VersionedTable.changes(spark, root, v1, v2, Seq("vec_id")), twin)
+    val a = IncrementalAnnIndex.topKPqAdc(q, served, 3)
+    val b = IncrementalAnnIndex.topKPqAdc(q, twin, 3)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+
+    // a root whose store never drained a feed has no position to read
+    // the source at — loud refusal, not a wrong-version rebuild
+    val root2 = s"$base/ann2"
+    IncrementalAnnIndex.initServed(
+      VersionedTable.readVersion(spark, root, v0), root2,
+      pq = true, keepRaw = false, pqSegments = 2, pqCodes = 8)
+    val exPos = intercept[IllegalArgumentException] {
+      IncrementalAnnIndex.rebuildServedFromSource(spark, root2, root)
+    }
+    assert(exPos.getMessage.contains("_applied_v"))
+  }
+
   test("auto-compaction keeps a long drain's file counts bounded") {
     val base = Files.createTempDirectory("annjob_ac").toString
     val root = s"$base/vt"

@@ -814,6 +814,39 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a PQ store"))
   }
 
+  test("a half-reclaimed ADC-only store tolerates maintenance; " +
+      "a raw re-init over a stamped directory refuses") {
+    val base = Files.createTempDirectory("annhalf").toString
+    val store = s"$base/store"
+    IncrementalAnnIndex.init(vecs(0 until 150), store, pq = true)
+    // simulate dropRawVectors crashing AFTER the marker stamp but
+    // BEFORE the reclaim commit: marker present, files still carry v
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(s"$store/_adc_only"), false)
+      .close()
+    assert(spark.read.parquet(s"$store/lists").columns.contains("v"))
+    // a delete-touching delta must SUCCEED (the survivor merge drops
+    // the dead v bytes instead of throwing on a column-set mismatch)
+    val feed = vecs(Seq(3, 17))
+      .withColumn("change_type", lit("delete"))
+      .unionByName(vecs(150 until 160)
+        .withColumn("change_type", lit("insert")))
+    val r = IncrementalAnnIndex.applyChanges(feed, store)
+    assert(r.removed == 2 && r.appended == 10)
+    val q = vecs(0 until 3).select(col("vec_id").as("qid"), col("embedding"))
+    assert(IncrementalAnnIndex.topKPqAdc(q, store, 3).count() == 9)
+    // the re-run reclaim finishes what the crash left
+    IncrementalAnnIndex.dropRawVectors(spark, store)
+    assert(!spark.read.parquet(s"$store/lists").columns.contains("v"))
+    // a keepRaw re-init over the stamped directory refuses loudly: the
+    // reclaimed tree cannot host raw rows again
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalAnnIndex.init(vecs(0 until 50), store, pq = true)
+    }
+    assert(ex.getMessage.contains("ADC-only"))
+  }
+
   test("probe reads only the probed list partitions") {
     val store = Files.createTempDirectory("annidx").toString + "/store"
     IncrementalAnnIndex.init(vecs(0 until 200), store)
