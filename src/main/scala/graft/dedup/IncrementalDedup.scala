@@ -61,6 +61,57 @@ object IncrementalDedup {
 
   private val BucketsRe = "_buckets_(\\d+)".r
   private val RebucketRe = "_rebucket_(\\d+)".r
+  private val ThresholdRe = "_threshold_(\\d+)".r
+
+  private def thresholdPpm(t: Double): Long = math.round(t * 1000000L)
+
+  /** Admission threshold the store was created with, from its
+    * `_threshold_<ppm>` marker, if stamped. */
+  private def thresholdOf(
+      spark: SparkSession, store: String): Option[Long] = {
+    val hp = new Path(store)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hp)) None
+    else fs.listStatus(hp).toSeq.flatMap { f =>
+      f.getPath.getName match {
+        case ThresholdRe(n) if f.isFile => Some(n.toLong)
+        case _                          => None
+      }
+    }.headOption
+  }
+
+  /** Resolve the ADMISSION threshold for a store-mutating call. The
+    * store records its threshold at creation (`_threshold_<ppm>` — the
+    * same marker discipline as `_buckets_`): one store is ONE
+    * admission regime, so two drains (or a drain and an ad-hoc call)
+    * can never silently mix thresholds. A default call follows the
+    * marker; an explicit non-default threshold that disagrees with it
+    * refuses loudly (change of regime = a rebuild into a fresh store,
+    * not a flag flip). Read-side probes ([[probeStorePairs]]) stay
+    * per-call — a query threshold is a question, not an admission. A
+    * pre-marker store (or a first call) stamps the calling threshold. */
+  private def ensureThreshold(spark: SparkSession, store: String,
+      requested: Double): Double = {
+    val reqPpm = thresholdPpm(requested)
+    thresholdOf(spark, store) match {
+      case Some(ppm) if ppm == reqPpm => requested
+      case Some(ppm) =>
+        require(reqPpm == thresholdPpm(Dedup.JaccardThreshold),
+          s"$store was created with admission threshold " +
+            s"${ppm / 1e6} (_threshold_$ppm) but this call passed " +
+            s"$requested — one store is one admission regime; use the " +
+            "store's threshold, or rebuild into a fresh store to " +
+            "change it")
+        ppm / 1e6 // default call: the marker wins
+      case None =>
+        val hp = new Path(store)
+        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.mkdirs(hp)
+        try fs.create(new Path(hp, s"_threshold_$reqPpm"), false).close()
+        catch { case _: java.io.IOException => () } // concurrent stamp
+        requested
+    }
+  }
 
   private def exists(spark: SparkSession, p: String): Boolean = {
     val hp = new Path(p)
@@ -73,9 +124,35 @@ object IncrementalDedup {
     * so a batch whose doc_id arrived as int would otherwise hash to
     * the wrong buckets and silently miss redeliveries and candidates
     * the join's implicit coercion used to catch — write and probe
-    * sides must bucket through the same canonical type. */
+    * sides must bucket through the same canonical type.
+    *
+    * API boundary contract: store keys are LONG-CASTABLE ids, enforced
+    * loudly per batch ([[requireCastableKeys]]). A store whose bucket
+    * partitions predate the canonical cast (written from int-typed ids
+    * under the old hash(int) scheme) is mis-bucketed under this map;
+    * [[rebucketStore]] to the same count rewrites it through the
+    * canonical hash and is the supported migration. */
   private def bucketCol(key: Column, nb: Int): Column =
     pmod(hash(key.cast("long")), lit(nb))
+
+  /** Fail loudly — with a message naming the column and the canonical
+    * type — when any `doc_id` is NULL or not castable to long: under
+    * legacy cast semantics every such row becomes a null key and
+    * `dropDuplicates` silently collapses the lot into one doc (a
+    * destroyed batch, not a dedup decision), while ANSI mode would
+    * throw a bare cast error from deep inside the first store job.
+    * `try_cast` probes without tripping ANSI; castable string/int ids
+    * pass. One batch-sized aggregation. */
+  private def requireCastableKeys(batch: DataFrame, op: String): Unit = {
+    val bad = batch.agg(
+      count(when(col("doc_id").try_cast("long").isNull, 1)))
+      .head().getLong(0)
+    require(bad == 0,
+      s"$op: $bad doc_id value(s) are NULL or not castable to long " +
+        "(the store's canonical key type) — non-integral ids would " +
+        "silently collapse into one null-keyed doc; supply integral " +
+        "ids (or pre-map string ids to longs) instead")
+  }
 
   /** The batch's bucket set under `key` — driver-sized (≤ nb ints),
     * pushed as an IN-filter so store reads statically prune. */
@@ -149,7 +226,11 @@ object IncrementalDedup {
   }
 
   /** Pending re-bucket target from a crashed [[rebucketStore]]'s
-    * intent marker, if any. */
+    * intent marker, if any. Racing/crashed intents can leave SEVERAL
+    * markers; resolution must be deterministic (not listing-order),
+    * so the HIGHEST count wins — [[doRebucket]] then clears every
+    * intent in one pass, so the losers can never re-trigger a second
+    * O(store) rewrite on a later touch. */
   private def pendingRebucket(
       spark: SparkSession, store: String): Option[Int] = {
     val hp = new Path(store)
@@ -160,7 +241,7 @@ object IncrementalDedup {
         case RebucketRe(n) if f.isFile => Some(n.toInt)
         case _                         => None
       }
-    }.headOption
+    }.maxOption
   }
 
   /** Re-bucket a live store to `buckets` — the operator the bucket
@@ -176,7 +257,12 @@ object IncrementalDedup {
     * design — one columnar scan per tree, run at rebuild cadence, not
     * per batch. The redelivery skip and all probes carry over
     * unchanged: bucket membership is a pure function of (key, count).
-    * No-op when the store already has `buckets`. */
+    * No-op when the store already has `buckets`. A pending intent from
+    * a CRASHED earlier re-bucket (same count or different) is adopted
+    * and finished FIRST — deterministically, highest count wins when
+    * several markers coexist — and [[doRebucket]] clears every intent
+    * marker it finds, so this call's own intent can never be shadowed
+    * by, nor leave behind, a stale one. */
   def rebucketStore(spark: SparkSession, storeDir: String,
       buckets: Int): Unit = {
     require(buckets > 0, s"buckets must be positive: $buckets")
@@ -226,7 +312,16 @@ object IncrementalDedup {
         case _ => ()
       }
     }
-    fs.delete(new Path(hp, s"_rebucket_$nb"), false)
+    // clear EVERY intent, not just this one's: a surviving loser
+    // marker would deterministically re-bucket the store AGAIN on the
+    // next touch — correct content, but a second O(store) rewrite to
+    // a count nobody asked for anymore
+    fs.listStatus(hp).foreach { f =>
+      f.getPath.getName match {
+        case RebucketRe(_) if f.isFile => fs.delete(f.getPath, false)
+        case _                         => ()
+      }
+    }
   }
 
   /** Rewrite a whole store tree through the crash-safe two-rename
@@ -366,6 +461,7 @@ object IncrementalDedup {
       threshold: Double = Dedup.JaccardThreshold,
       storeBuckets: Int = DefaultStoreBuckets): DataFrame = {
     val spark = batch.sparkSession
+    requireCastableKeys(batch, "probeStorePairs")
     val incoming = batch
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .dropDuplicates("doc_id")
@@ -420,14 +516,20 @@ object IncrementalDedup {
     * the store, and returns the decision counts. `storeBuckets` binds
     * only when this call CREATES the store (the `_buckets_<n>` marker
     * wins thereafter — [[rebucketStore]] is the way to change a live
-    * store's count). */
+    * store's count); `threshold` likewise binds at creation via the
+    * `_threshold_<ppm>` marker ([[ensureThreshold]] — the marker wins
+    * for default calls, an explicit disagreeing threshold refuses). */
   def processBatch(
       batch: DataFrame,
       storeDir: String,
       threshold: Double = Dedup.JaccardThreshold,
       storeBuckets: Int = DefaultStoreBuckets): BatchResult = {
     val spark = batch.sparkSession
+    requireCastableKeys(batch, "processBatch")
     val nb = ensureBuckets(spark, storeDir, storeBuckets)
+    // one store = one admission regime: the marker wins for default
+    // calls, a disagreeing explicit threshold refuses loudly
+    val adm = ensureThreshold(spark, storeDir, threshold)
     val incoming = batch
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .dropDuplicates("doc_id").localCheckpoint()
@@ -487,7 +589,7 @@ object IncrementalDedup {
     val scored = rescore(
       vsStore.withColumn("src", lit("s"))
         .unionByName(inBatch.withColumn("src", lit("b"))),
-      texts, threshold).localCheckpoint()
+      texts, adm).localCheckpoint()
     val storeRejected = scored.filter(col("src") === "s")
       .select(col("db").as("doc_id")).distinct()
 

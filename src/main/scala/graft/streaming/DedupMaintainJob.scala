@@ -44,7 +44,10 @@ object DedupMaintainJob {
   /** Drain every available feed file (checkpointed AvailableNow), one
     * file per micro-batch, into the dedup store at `storeDir`.
     * `storeBuckets` binds only if the first batch CREATES the store
-    * (the marker wins thereafter, as in processBatch). */
+    * (the marker wins thereafter, as in processBatch); `threshold`
+    * likewise — the store's `_threshold_` marker wins for default
+    * calls, and an explicit disagreeing threshold fails the drain
+    * loudly (one store, one admission regime). */
   def runOnce(
       spark: SparkSession,
       feedDir: String,
@@ -58,6 +61,14 @@ object DedupMaintainJob {
     @volatile var accepted = 0L
     @volatile var rejected = 0L
     @volatile var skipped = 0L
+    // a drain scheduled before the first landing is a no-op, not a
+    // crash: the eager schema read below throws on a missing or
+    // data-less feed directory
+    val fp = new org.apache.hadoop.fs.Path(feedDir)
+    val ffs = fp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!ffs.exists(fp) || !ffs.listStatus(fp).exists(f =>
+        f.isFile && !f.getPath.getName.startsWith("_")))
+      return DedupMaintainSummary(0, 0L, 0L, 0L)
     val schema = spark.read.parquet(feedDir).schema
     val q = spark.readStream
       .schema(schema)

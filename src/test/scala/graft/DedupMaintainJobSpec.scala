@@ -81,6 +81,27 @@ class DedupMaintainJobSpec extends AnyFunSuite {
     assert(a == b, "band indexes must mirror the direct composition")
   }
 
+  test("a drain scheduled before the first landing is a no-op, not a crash") {
+    val dir = Files.createTempDirectory("dedupjob_empty").toString
+    val feed = s"$dir/feed"
+    val store = s"$dir/corpus"
+    // missing feed directory: empty summary
+    val r = DedupMaintainJob.runOnce(spark, feed, store, s"$dir/ckpt")
+    assert(r == DedupMaintainJob.DedupMaintainSummary(0, 0L, 0L, 0L), s"$r")
+    // existing but data-less feed directory: same
+    new org.apache.hadoop.fs.Path(feed)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .mkdirs(new org.apache.hadoop.fs.Path(feed))
+    val r2 = DedupMaintainJob.runOnce(spark, feed, store, s"$dir/ckpt")
+    assert(r2 == DedupMaintainJob.DedupMaintainSummary(0, 0L, 0L, 0L))
+    // the first real landing drains normally through the same call
+    AnnMaintainJob.landDelta(spark,
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"), feed)
+    val r3 = DedupMaintainJob.runOnce(spark, feed, store, s"$dir/ckpt")
+    assert(r3.batches == 1 && r3.accepted == 2, s"$r3")
+    assert(docIds(store) == Set(1L, 2L))
+  }
+
   test("re-bucketing between drains keeps every drain decision intact") {
     // the operational composition: drain a feed, re-bucket the live
     // store to a larger count (the corpus outgrew it), keep draining

@@ -301,6 +301,121 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "int-typed probe must still find the near-dup candidate")
   }
 
+  test("non-castable batch keys fail loudly; castable string ids work") {
+    val store = Files.createTempDirectory("incdedupk").toString + "/corpus"
+    // numeric-STRING ids cast cleanly to the canonical long key
+    val strBatch = Seq(("41", base), ("42", other)).toDF("doc_id", "text")
+    assert(strBatch.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val r = IncrementalDedup.processBatch(strBatch, store)
+    assert(r == IncrementalDedup.BatchResult(2, 0, 0), s"$r")
+    // a non-numeric string key casts to NULL; dropDuplicates would then
+    // collapse every such row into ONE null-keyed doc — the whole batch
+    // silently destroyed. Loud refusal instead, store untouched.
+    val badBatch = Seq(("sha1:abc", third), ("sha1:def", base))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDedup.processBatch(badBatch, store)
+    }
+    assert(ex.getMessage.contains("doc_id") &&
+      ex.getMessage.contains("long"))
+    assert(spark.read.parquet(s"$store/docs").count() == 2,
+      "a refused batch must leave the store untouched")
+    // a genuinely NULL key is the same defect, and the read-side probe
+    // guards identically
+    val nullBatch = Seq((null.asInstanceOf[String], third))
+      .toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.probeStorePairs(nullBatch, store)
+    }
+  }
+
+  test("the admission threshold binds at store creation: marker wins " +
+      "for default calls, a disagreeing explicit one refuses") {
+    val store = Files.createTempDirectory("incdedupth").toString + "/corpus"
+    // created at 1.01 (the ingest-all-then-probe shape)
+    val r1 = IncrementalDedup.processBatch(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"), store,
+      threshold = 1.01)
+    assert(r1.accepted == 2)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$store/_threshold_1010000")))
+    // a DEFAULT call follows the marker: this near-dup of doc 1 would
+    // reject at 0.8, but the store's recorded regime admits everything
+    val r2 = IncrementalDedup.processBatch(
+      Seq((3L, base.replace("valley", "meadow"))).toDF("doc_id", "text"),
+      store)
+    assert(r2.accepted == 1 && r2.rejectedNearDup == 0,
+      s"the store's recorded admission regime must win, got $r2")
+    // an explicit DISAGREEING threshold refuses loudly, store untouched
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDedup.processBatch(
+        Seq((4L, third)).toDF("doc_id", "text"), store, threshold = 0.9)
+    }
+    assert(ex.getMessage.contains("admission"))
+    assert(spark.read.parquet(s"$store/docs").count() == 3)
+    // an explicit MATCHING threshold is fine
+    val r3 = IncrementalDedup.processBatch(
+      Seq((4L, third)).toDF("doc_id", "text"), store, threshold = 1.01)
+    assert(r3.accepted == 1)
+    // read-side probes stay per-call: a 0.8 QUESTION against the
+    // 1.01-admission store still answers at 0.8 (docs 1 and 3 both
+    // near-dup the probe text)
+    val p = IncrementalDedup.probeStorePairs(
+      Seq((100L, base.replace("valley", "meadow"))).toDF("doc_id", "text"),
+      store)
+    assert(p.count() == 2)
+  }
+
+  test("racing re-bucket intents resolve deterministically; " +
+      "no stale intent survives to re-trigger a rewrite") {
+    val store = Files.createTempDirectory("incdedupri").toString + "/corpus"
+    val many = (0 until 200).map(i =>
+      (i.toLong, s"$other unique token$i marker${i * 7} tail${i % 13}"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.processBatch(many, store) // default 16 buckets
+    def snapshot() = (
+      spark.read.parquet(s"$store/docs").select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet,
+      spark.read.parquet(s"$store/bands").select("bk", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val before = snapshot()
+    // two crashed/racing intents coexist (a crashed re-bucket to 24,
+    // then an operator retry to 48): resolution must not depend on
+    // filesystem listing order
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(s"$store/_rebucket_24"), false)
+      .close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$store/_rebucket_48"), false)
+      .close()
+    // the next store touch adopts the HIGHEST count and clears EVERY
+    // intent — one rewrite, and nothing left to re-trigger another
+    val probe = IncrementalDedup.probeStorePairs(
+      Seq((900L, base)).toDF("doc_id", "text"), store)
+    probe.count()
+    def markers(): Set[String] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(store)).toSeq
+      .filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.startsWith("_buckets_") || n.startsWith("_rebucket_"))
+      .toSet
+    assert(markers() == Set("_buckets_48"),
+      s"deterministic max-count adoption, all intents cleared: ${markers()}")
+    assert(snapshot() == before,
+      "intent resolution must be content-identical in both trees")
+    assert(spark.read.parquet(s"$store/docs")
+      .select("b").distinct().count() > 16L)
+    // decisions carry: redelivery skip and near-dup rejection bind
+    // through the adopted layout, and no further rewrite is pending
+    val r = IncrementalDedup.processBatch(
+      Seq((7L, "redelivered but ignored"), (901L, base))
+        .toDF("doc_id", "text"), store)
+    assert(r == IncrementalDedup.BatchResult(1, 0, 1), s"$r")
+    assert(markers() == Set("_buckets_48"))
+  }
+
   test("a legacy flat store migrates on first touch, content intact") {
     val store = Files.createTempDirectory("incdedupm").toString + "/corpus"
     // craft the retired flat layout: parquet files directly under
