@@ -515,7 +515,7 @@ object TrainingDataQueries {
          |  GROUP BY f.doc_id)
          |SELECT s.doc_id, CAST(s.margin AS BIGINT) AS margin,
          |  CAST(CASE WHEN s.margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
-         |  y.y AS rule_label,
+         |  CAST(y.y AS BIGINT) AS rule_label,
          |  (CASE WHEN s.margin > 0 THEN 1 ELSE -1 END) = y.y AS agree
          |FROM qsc s JOIN qty y ON s.doc_id = y.doc_id
          |ORDER BY s.doc_id""".stripMargin)),

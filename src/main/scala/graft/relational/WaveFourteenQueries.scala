@@ -85,8 +85,11 @@ object WaveFourteenQueries {
     val adcSum = segIdx.map(s => s"q$s.d").mkString(" + ")
     val allowedCte = allowed
       .map(a => s"allowed AS ($a),\n").getOrElse("")
-    val allowedJoin = allowed
-      .map(_ => "JOIN allowed w ON w.vec_id = a.vec_id ").getOrElse("")
+    // semi-join restriction (IN), matching the Spark side's left_semi:
+    // a non-distinct allowlist must not duplicate ADC rows
+    val allowedPred = allowed
+      .map(_ => " AND a.vec_id IN (SELECT vec_id FROM allowed)")
+      .getOrElse("")
     s"""WITH f AS (SELECT vec_id, embedding::DOUBLE[] AS v
        |           FROM embeddings),
        |corpus0 AS (SELECT vec_id, v FROM f WHERE $initFilter),
@@ -170,8 +173,8 @@ object WaveFourteenQueries {
        |adc AS (
        |  SELECT q0.qid, a.vec_id AS cid,
        |    CAST($adcSum AS BIGINT) AS adc
-       |  FROM asgc a $codeJoins $qdJoins $allowedJoin
-       |  WHERE q0.qid != a.vec_id),
+       |  FROM asgc a $codeJoins $qdJoins
+       |  WHERE q0.qid != a.vec_id$allowedPred),
        |${if (adcOnly)
             s"""rk AS (
                |  SELECT qid, cid, adc,

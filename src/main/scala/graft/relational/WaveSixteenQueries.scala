@@ -3,8 +3,8 @@ package graft.relational
 import org.apache.spark.sql.functions._
 
 import graft.relational.RelationalQueries.Q
-import graft.relational.TrainingDataQueries.{AnnK, AnnQueries}
-import graft.sim.IncrementalAnnIndex
+import graft.relational.TrainingDataQueries.{AnnK, AnnQueries, AnnRerank}
+import graft.sim.{IncrementalAnnIndex, IvfPq}
 
 /** Sixteenth-wave surface: the round-17 layouts composed into the
   * serve-latest lifecycle — a served ADC-only store at a non-default
@@ -73,5 +73,23 @@ object WaveSixteenQueries {
     }, Some(WaveFourteenQueries.pqOracle(
       "vec_id % 10 != 1", "vec_id % 10 != 5", None,
       adcOnly = true, segs = 2, kc = 8))),
+
+    // The ONE-SHOT IVFADC path at a non-default geometry (2 segments x
+    // 8 codes, 3 probes over 8 coarse lists) — IvfPq.Geom lifts what
+    // were compile-time constants to a per-call value, the twin of the
+    // maintained store's per-store `_pq_*` geometry: the ad-hoc /
+    // benchmark form can now express the same dim-768 x 48-segment
+    // shapes. The oracle generator takes the SAME Geom, so the DuckDB
+    // twin recomputes coarse training, 2 residual codebook chains of 8
+    // exact-integer centroids, 32-wide segment tables, 3-probe ADC,
+    // shortlist, and exact rerank at that geometry.
+    Q("ann_topk_rerank_geom", (s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      IvfPq.topKRerank(emb, AnnQueries, AnnK, AnnRerank,
+          IvfPq.Geom(segments = 2, codes = 8, nProbe = 3))
+        .orderBy(col("qid"), col("rank"))
+    }, Some(IvfPq.topKRerankOracle("embeddings", AnnQueries, AnnK,
+      AnnRerank, IvfPq.Geom(segments = 2, codes = 8, nProbe = 3)))),
   )
 }

@@ -54,8 +54,32 @@ object IvfPq {
   /** Residual re-shift keeping residual coordinates non-negative. */
   val RShift = 2 * KMeans.Shift
 
-  private def segSlice(c: Column, s: Int): Column =
-    slice(c, s * SegDim + 1, SegDim)
+  /** One-shot search geometry — every structural constant of the
+    * IVFADC pipeline lifted to a value, so the ad-hoc/benchmark path
+    * can express the same dim-768 x 48-segment shapes the maintained
+    * store's per-store `_pq_*` geometry already can (the defaults
+    * reproduce the object constants bit for bit; the oracle generators
+    * take the same value, so Spark and DuckDB always agree on the
+    * shape). `dim` is the vector dimension the segment slicing divides
+    * — a geometry the dimension cannot host refuses at construction. */
+  final case class Geom(
+      coarse: Int = Coarse,
+      coarseIters: Int = CoarseIters,
+      nProbe: Int = NProbe,
+      segments: Int = Segments,
+      codes: Int = Codes,
+      pqIters: Int = PqIters,
+      dim: Int = Similarity.Dim) {
+    require(coarse >= 1 && coarseIters >= 1 && nProbe >= 1 &&
+      segments >= 1 && codes >= 2 && pqIters >= 1,
+      s"bad IVFADC geometry: $this")
+    require(dim % segments == 0,
+      s"vector dim $dim must divide into $segments PQ segments")
+    val segDim: Int = dim / segments
+  }
+
+  private def segSlice(c: Column, s: Int, segDim: Int): Column =
+    slice(c, s * segDim + 1, segDim)
 
   private def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -64,11 +88,12 @@ object IvfPq {
   /** IVFADC top-k: queries are vec_id < nQueries; k nearest by summed
     * per-segment residual ADC over the NProbe probed lists (self
     * excluded; (adc, cid) tiebreak). Output (qid, rank, cid, adc). */
-  def topK(emb: DataFrame, nQueries: Int, k: Int): DataFrame =
-    topKImpl(emb, nQueries, k, identity)
+  def topK(emb: DataFrame, nQueries: Int, k: Int,
+      geom: Geom = Geom()): DataFrame =
+    topKImpl(emb, nQueries, k, identity, geom)
 
   private def topKImpl(emb: DataFrame, nQueries: Int, k: Int,
-      restrict: DataFrame => DataFrame): DataFrame = {
+      restrict: DataFrame => DataFrame, g: Geom): DataFrame = {
     require(nQueries >= 1 && k >= 1,
       s"nQueries and k must be positive, got ($nQueries, $k)")
     require(nQueries <= 1000000,
@@ -79,7 +104,8 @@ object IvfPq {
     val q = KMeans.quantized(emb).localCheckpoint()
 
     // 1. coarse quantizer: trained Lloyd's loop, model-sized collect
-    val cents = KMeans.centroidsOf(KMeans.fitQ(q, Coarse, CoarseIters))
+    val cents = KMeans.centroidsOf(
+      KMeans.fitQ(q, g.coarse, g.coarseIters))
     val cdf = broadcast(cents.map { case (cid, arr) => (cid, arr) }
       .toDF("list_id", "cv"))
 
@@ -96,16 +122,18 @@ object IvfPq {
 
     // 3. per-segment codebooks TRAINED ON RESIDUALS (fitQ — residuals
     //    never had a float form)
-    val books = (0 until Segments).map { s =>
+    val books = (0 until g.segments).map { s =>
       KMeans.centroidsOf(KMeans.fitQ(
-        resid.select(col("vec_id"), segSlice(col("rq"), s).as("q")),
-        Codes, PqIters))
+        resid.select(col("vec_id"),
+          segSlice(col("rq"), s, g.segDim).as("q")),
+        g.codes, g.pqIters))
     }
 
     // 4. codes: one row-local projection — Segments small ids per vector
     val codes = resid.select(
-      col("vec_id") +: col("list_id") +: (0 until Segments).map { s =>
-        KMeans.assignExpr(books(s), segSlice(col("rq"), s)).as(s"c$s")
+      col("vec_id") +: col("list_id") +: (0 until g.segments).map { s =>
+        KMeans.assignExpr(books(s),
+          segSlice(col("rq"), s, g.segDim)).as(s"c$s")
       }: _*)
 
     // 5. probes: each query's NProbe nearest coarse centroids by exact
@@ -117,7 +145,7 @@ object IvfPq {
       .crossJoin(cdf)
       .withColumn("cdist", sqDist(col("qq"), col("cv")))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= NProbe)
+      .filter(col("rn") <= g.nProbe)
 
     // 6. per-(query, probed list) ADC tables: the query's residual
     //    AGAINST THAT LIST's centroid, per segment an array of exact
@@ -126,8 +154,9 @@ object IvfPq {
       .select(col("qid"), col("list_id"),
         zip_with(col("qq"), col("cv"),
           (a, b) => a - b + lit(RShift)).as("qr"))
-      .select(col("qid") +: col("list_id") +: (0 until Segments).map { s =>
-        val qseg = segSlice(col("qr"), s)
+      .select(col("qid") +: col("list_id") +:
+        (0 until g.segments).map { s =>
+        val qseg = segSlice(col("qr"), s, g.segDim)
         array(books(s).map { case (_, arr) =>
           sqDist(qseg, array(arr.map(lit): _*))
         }: _*).as(s"dt$s")
@@ -150,7 +179,7 @@ object IvfPq {
     val scored = restrict(codes)
       .join(broadcast(tabs), Seq("list_id"))
       .filter(col("qid") =!= col("vec_id"))
-      .withColumn("adc", (0 until Segments).map(lookup).reduce(_ + _))
+      .withColumn("adc", (0 until g.segments).map(lookup).reduce(_ + _))
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("adc"), col("vec_id"))
     scored.withColumn("rank", row_number().over(wRank))
@@ -168,11 +197,11 @@ object IvfPq {
     * recall recovers most of the quantization loss. Output
     * (qid, rank, cid, dist) with dist the EXACT distance. */
   def topKRerank(emb: DataFrame, nQueries: Int, k: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int, geom: Geom = Geom()): DataFrame = {
     require(shortlist >= k,
       s"shortlist $shortlist must be >= k = $k")
     rerank(emb, nQueries, k,
-      topKImpl(emb, nQueries, shortlist, identity))
+      topKImpl(emb, nQueries, shortlist, identity, geom))
   }
 
   /** [[topKRerank]] within an allowlist of ids — the filtered-search
@@ -183,12 +212,14 @@ object IvfPq {
     * dense within the permitted set; the rerank inherits the
     * restriction through the shortlist itself. */
   def topKRerankAmong(emb: DataFrame, nQueries: Int, k: Int,
-      shortlist: Int, allowed: DataFrame): DataFrame = {
+      shortlist: Int, allowed: DataFrame,
+      geom: Geom = Geom()): DataFrame = {
     require(shortlist >= k,
       s"shortlist $shortlist must be >= k = $k")
     rerank(emb, nQueries, k,
       topKImpl(emb, nQueries, shortlist,
-        c => c.join(allowed.select("vec_id"), Seq("vec_id"), "left_semi")))
+        c => c.join(allowed.select("vec_id"), Seq("vec_id"), "left_semi"),
+        geom))
   }
 
   /** Exact integer L2 re-rank of a (qid, cid) shortlist down to k —
@@ -220,10 +251,12 @@ object IvfPq {
     * is necessarily a scan; it runs once per index build, not per
     * query). Output (qid, hits, recall_ppm), ppm exact because
     * 1e6 % k == 0 is required. */
-  def recallEval(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  def recallEval(emb: DataFrame, nQueries: Int, k: Int,
+      geom: Geom = Geom()): DataFrame = {
     require(1000000L % k == 0,
       s"k = $k must divide 1e6 for an exact ppm grid")
-    val approx = topK(emb, nQueries, k).select(col("qid"), col("cid"))
+    val approx = topK(emb, nQueries, k, geom)
+      .select(col("qid"), col("cid"))
     val q = KMeans.quantized(emb)
     val qvecs = q.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("q").as("qv"))
@@ -246,24 +279,25 @@ object IvfPq {
   /** DuckDB twin: coarse k-means chain + residual relation + Segments
     * unrolled residual-codebook chains + probe ranking + per-probe
     * distance tables + ADC join, all exact integer. */
-  def topKOracle(embRel: String, nQueries: Int, k: Int): String =
-    s"""${searchCtes(embRel, nQueries)}
+  def topKOracle(embRel: String, nQueries: Int, k: Int,
+      geom: Geom = Geom()): String =
+    s"""${searchCtes(embRel, nQueries, None, geom)}
        |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, adc
        |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
   /** DuckDB twin of [[topKRerank]]: the full [[searchCtes]] chain,
     * then exact re-scoring of the shortlist against g_el. */
   def topKRerankOracle(embRel: String, nQueries: Int, k: Int,
-      shortlist: Int): String =
-    s"""${searchCtes(embRel, nQueries)},
+      shortlist: Int, geom: Geom = Geom()): String =
+    s"""${searchCtes(embRel, nQueries, None, geom)},
        |${rerankTail(k, shortlist)}""".stripMargin
 
   /** DuckDB twin of [[topKRerankAmong]]: the same chain with the
     * allowlist joined into the ADC stage (candidates restricted
     * BEFORE ranking, exactly like the Spark side). */
   def topKRerankAmongOracle(embRel: String, nQueries: Int, k: Int,
-      shortlist: Int, allowedSql: String): String =
-    s"""${searchCtes(embRel, nQueries, Some(allowedSql))},
+      shortlist: Int, allowedSql: String, geom: Geom = Geom()): String =
+    s"""${searchCtes(embRel, nQueries, Some(allowedSql), geom)},
        |${rerankTail(k, shortlist)}""".stripMargin
 
   private def rerankTail(k: Int, shortlist: Int): String =
@@ -283,8 +317,9 @@ object IvfPq {
 
   /** DuckDB twin of [[recallEval]]: ADC top-k vs the brute-force
     * exact ranking over the quantized element relation. */
-  def recallEvalOracle(embRel: String, nQueries: Int, k: Int): String =
-    s"""${searchCtes(embRel, nQueries)},
+  def recallEvalOracle(embRel: String, nQueries: Int, k: Int,
+      geom: Geom = Geom()): String =
+    s"""${searchCtes(embRel, nQueries, None, geom)},
        |approx AS (SELECT qid, cid FROM ranked WHERE rank <= $k),
        |ex0 AS (
        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
@@ -312,63 +347,69 @@ object IvfPq {
     * candidates restrict before ranking — [[topKRerankAmong]]'s
     * contract. */
   private def searchCtes(embRel: String, nQueries: Int,
-      allowed: Option[String] = None): String = {
+      allowed: Option[String], g: Geom): String = {
+    val segDim = g.segDim
     val allowedCte = allowed
       .map(a => s"allowed AS ($a),\n").getOrElse("")
+    // a SEMI-join restriction (IN), never an inner join: a
+    // non-distinct allowlist must not duplicate ADC rows and corrupt
+    // the row_number ranks — the Spark side's left_semi exactly
     val allowedJoin = allowed
-      .map(_ => " JOIN allowed w ON w.vec_id = r.vec_id").getOrElse("")
-    val segChains = (0 until Segments).map { s =>
+      .map(_ => " AND r.vec_id IN (SELECT vec_id FROM allowed)")
+      .getOrElse("")
+    val segChains = (0 until g.segments).map { s =>
       val src =
-        s"""(SELECT vec_id, dim - ${s * SegDim} AS dim, v FROM r_el
-           | WHERE dim >= ${s * SegDim} AND dim < ${(s + 1) * SegDim})"""
+        s"""(SELECT vec_id, dim - ${s * segDim} AS dim, v FROM r_el
+           | WHERE dim >= ${s * segDim} AND dim < ${(s + 1) * segDim})"""
           .stripMargin.replace("\n", "")
-      s"""${KMeans.oracleCtesFromEl(src, Codes, PqIters, s"s${s}_")},
-         |${KMeans.assignCtes(PqIters, s"s${s}_")}""".stripMargin
+      s"""${KMeans.oracleCtesFromEl(src, g.codes, g.pqIters, s"s${s}_")},
+         |${KMeans.assignCtes(g.pqIters, s"s${s}_")}""".stripMargin
     }.mkString(",\n")
-    val qdCtes = (0 until Segments).map { s =>
+    val qdCtes = (0 until g.segments).map { s =>
       s"""qd$s AS (
          |  SELECT q.qid, q.list_id, cb.cid AS code,
          |    CAST(sum((q.v - cb.c) * (q.v - cb.c)) AS BIGINT) AS d
-         |  FROM qr q JOIN s${s}_c$PqIters cb
-         |    ON cb.dim = q.dim - ${s * SegDim}
-         |  WHERE q.dim >= ${s * SegDim} AND q.dim < ${(s + 1) * SegDim}
+         |  FROM qr q JOIN s${s}_c${g.pqIters} cb
+         |    ON cb.dim = q.dim - ${s * segDim}
+         |  WHERE q.dim >= ${s * segDim} AND q.dim < ${(s + 1) * segDim}
          |  GROUP BY 1, 2, 3)""".stripMargin
     }.mkString(",\n")
-    val codeJoins = (0 until Segments)
+    val codeJoins = (0 until g.segments)
       .map(s => s"JOIN s${s}_af a$s ON a$s.vec_id = r.vec_id")
       .mkString(" ")
-    val qdJoins = (0 until Segments).map { s =>
+    val qdJoins = (0 until g.segments).map { s =>
       val sameQid = if (s == 0) "" else s" AND q$s.qid = q0.qid"
       s"JOIN qd$s q$s ON q$s.list_id = r.cid AND q$s.code = a$s.cid$sameQid"
     }.mkString(" ")
-    val adcSum = (0 until Segments).map(s => s"q$s.d").mkString(" + ")
-    s"""WITH ${allowedCte}${KMeans.oracleCtes(embRel, Coarse, CoarseIters, "g_")},
-       |${KMeans.assignCtes(CoarseIters, "g_")},
+    val adcSum = (0 until g.segments).map(s => s"q$s.d").mkString(" + ")
+    s"""WITH ${allowedCte}${
+         KMeans.oracleCtes(embRel, g.coarse, g.coarseIters, "g_")},
+       |${KMeans.assignCtes(g.coarseIters, "g_")},
        |r_el AS (
        |  SELECT el.vec_id, el.dim, el.v - c.c + $RShift AS v
        |  FROM g_el el JOIN g_af a USING (vec_id)
-       |  JOIN g_c$CoarseIters c ON c.cid = a.cid AND c.dim = el.dim),
+       |  JOIN g_c${g.coarseIters} c ON c.cid = a.cid AND c.dim = el.dim),
        |$segChains,
        |p0 AS (
        |  SELECT el.vec_id AS qid, c.cid AS list_id,
        |    sum((el.v - c.c) * (el.v - c.c)) AS cdist
-       |  FROM g_el el JOIN g_c$CoarseIters c ON el.dim = c.dim
+       |  FROM g_el el JOIN g_c${g.coarseIters} c ON el.dim = c.dim
        |  WHERE el.vec_id < $nQueries GROUP BY 1, 2),
        |p AS (
        |  SELECT qid, list_id FROM (
        |    SELECT qid, list_id, row_number() OVER (PARTITION BY qid
        |      ORDER BY cdist, list_id) AS rn
-       |    FROM p0) __p WHERE rn <= $NProbe),
+       |    FROM p0) __p WHERE rn <= ${g.nProbe}),
        |qr AS (
        |  SELECT el.vec_id AS qid, p.list_id, el.dim,
        |    el.v - c.c + $RShift AS v
        |  FROM g_el el JOIN p ON p.qid = el.vec_id
-       |  JOIN g_c$CoarseIters c ON c.cid = p.list_id AND c.dim = el.dim),
+       |  JOIN g_c${g.coarseIters} c ON c.cid = p.list_id AND c.dim = el.dim),
        |$qdCtes,
        |adc AS (
        |  SELECT q0.qid, r.vec_id AS cid, CAST($adcSum AS BIGINT) AS adc
-       |  FROM g_af r $codeJoins $qdJoins$allowedJoin
-       |  WHERE q0.qid != r.vec_id),
+       |  FROM g_af r $codeJoins $qdJoins
+       |  WHERE q0.qid != r.vec_id$allowedJoin),
        |ranked AS (
        |  SELECT qid, cid, adc,
        |    row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rank

@@ -81,6 +81,35 @@ class IvfPqRerankSpec extends AnyFunSuite {
     }
   }
 
+  test("non-default geometry: corpus-wide shortlist is exact at any " +
+      "shape; defaults reproduce the constants; bad shapes refuse") {
+    // a rerank whose probes cover every list and whose shortlist
+    // covers the corpus is the exact ranking whatever the codes looked
+    // like — so any two geometries must agree there (the structural
+    // proof that Geom changes the approximation, never the ranking
+    // contract)
+    val g = IvfPq.Geom(segments = 2, codes = 8, nProbe = 8)
+    val a = IvfPq.topKRerank(emb, NQ, K, 1000000, g)
+    val b = IvfPq.topKRerank(emb, NQ, K, 1000000, IvfPq.Geom(nProbe = 8))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // the default Geom IS the constant geometry, value for value
+    val viaGeom = IvfPq.topK(emb, NQ, K, IvfPq.Geom())
+    val viaConsts = IvfPq.topK(emb, NQ, K)
+    assert(viaGeom.except(viaConsts).isEmpty &&
+      viaConsts.except(viaGeom).isEmpty)
+    // non-default ADC output is well-formed: dense ranks per query
+    val adc = IvfPq.topK(emb, NQ, K, g)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    adc.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // a geometry the dimension cannot host refuses at construction
+    val ex = intercept[IllegalArgumentException] {
+      IvfPq.Geom(segments = 3)
+    }
+    assert(ex.getMessage.contains("divide into 3"))
+  }
+
   test("filtered re-rank is dense within the allowlist; full list = unfiltered") {
     val allowed = emb.select(col("vec_id")).filter(col("vec_id") % 2 === 0)
     val got = IvfPq.topKRerankAmong(emb, NQ, K, R, allowed)
