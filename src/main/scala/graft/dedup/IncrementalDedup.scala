@@ -66,7 +66,12 @@ object IncrementalDedup {
   private def thresholdPpm(t: Double): Long = math.round(t * 1000000L)
 
   /** Admission threshold the store was created with, from its
-    * `_threshold_<ppm>` marker, if stamped. */
+    * `_threshold_<ppm>` marker, if stamped. Two racing creators with
+    * DIFFERENT thresholds can each create their differently-named
+    * marker (create-if-absent cannot arbitrate across names), so
+    * resolution is deterministic — the LOWEST ppm wins, never listing
+    * order — and [[ensureThreshold]] re-reads after stamping so the
+    * race's loser refuses instead of proceeding on its own value. */
   private def thresholdOf(
       spark: SparkSession, store: String): Option[Long] = {
     val hp = new Path(store)
@@ -77,7 +82,7 @@ object IncrementalDedup {
         case ThresholdRe(n) if f.isFile => Some(n.toLong)
         case _                          => None
       }
-    }.headOption
+    }.minOption
   }
 
   /** Resolve the ADMISSION threshold for a store-mutating call. The
@@ -93,6 +98,24 @@ object IncrementalDedup {
   private def ensureThreshold(spark: SparkSession, store: String,
       requested: Double): Double = {
     val reqPpm = thresholdPpm(requested)
+    // converge a raced store to its single winning marker: losers are
+    // inert under the deterministic min rule, but leaving them would
+    // make the store's layout lie about its regime to a human reader
+    locally {
+      val hp = new Path(store)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(hp)) {
+        val marks = fs.listStatus(hp).toSeq.filter(f =>
+          f.isFile && ThresholdRe.matches(f.getPath.getName))
+        if (marks.size > 1) {
+          val keep = marks.map(_.getPath.getName).min(
+            Ordering.by((n: String) =>
+              n match { case ThresholdRe(p) => p.toLong }))
+          marks.filterNot(_.getPath.getName == keep)
+            .foreach(f => fs.delete(f.getPath, false))
+        }
+      }
+    }
     thresholdOf(spark, store) match {
       case Some(ppm) if ppm == reqPpm => requested
       case Some(ppm) =>
@@ -109,7 +132,18 @@ object IncrementalDedup {
         fs.mkdirs(hp)
         try fs.create(new Path(hp, s"_threshold_$reqPpm"), false).close()
         catch { case _: java.io.IOException => () } // concurrent stamp
-        requested
+        // re-read: a concurrent creator may have stamped a DIFFERENT
+        // ppm (different marker names never collide on create), and
+        // the deterministic winner must gate this call too
+        thresholdOf(spark, store) match {
+          case Some(ppm) if ppm != reqPpm =>
+            require(reqPpm == thresholdPpm(Dedup.JaccardThreshold),
+              s"$store concurrently recorded admission threshold " +
+                s"${ppm / 1e6} (_threshold_$ppm) but this call passed " +
+                s"$requested — one store is one admission regime")
+            ppm / 1e6
+          case _ => requested
+        }
     }
   }
 

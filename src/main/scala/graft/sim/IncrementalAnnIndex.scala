@@ -1276,6 +1276,25 @@ object IncrementalAnnIndex {
     val source = graft.sinks.VersionedTable
       .readVersion(spark, sourceRoot, pos)
       .select(col("vec_id"), col("embedding"))
+    // the rebuild's whole premise is that the corpus at `pos` IS the
+    // store's logical content (the CDC feed derives from the versioned
+    // table, so they agree by construction) — verify it instead of
+    // trusting it: a wrong sourceRoot, or a feed that was never
+    // derived from this table, would otherwise rebuild a silently
+    // WRONG index behind a healthy-looking cutover. Two ids-only
+    // anti-join counts (ledger side is two longs per row), at rebuild
+    // cadence — noise next to the re-train this call exists to do.
+    val srcIds = source.select(col("vec_id"))
+    val storeIds = spark.read.parquet(ledgerPath(cur)).select(col("vec_id"))
+    val missing = storeIds.join(srcIds, Seq("vec_id"), "left_anti").count()
+    val extra = srcIds.join(storeIds, Seq("vec_id"), "left_anti").count()
+    require(missing == 0 && extra == 0,
+      s"source snapshot $sourceRoot@v$pos disagrees with the served " +
+        s"store's content ($missing store id(s) absent from the " +
+        s"source, $extra source id(s) unknown to the store) — wrong " +
+        "sourceRoot, or the store's feed was not derived from this " +
+        "table; refusing to rebuild a store that would not match what " +
+        "it serves")
     val destG = g + 1
     val dest = genDir(root, destG)
     val (dfs, dp) = fsOf(spark, dest)

@@ -318,6 +318,19 @@ class AnnMaintainJobSpec extends AnyFunSuite {
     val b = IncrementalAnnIndex.topKPqAdc(q, twin, 3)
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
 
+    // a source table that does NOT match the store's content refuses
+    // loudly: rebuilding from the wrong corpus would cut over to a
+    // healthy-looking index that serves the wrong vectors
+    val wrongRoot = s"$base/vt_wrong"
+    (0 to 2).foreach(_ =>
+      VersionedTable.commit(vecs(500 until 620), wrongRoot))
+    val exSrc = intercept[IllegalArgumentException] {
+      IncrementalAnnIndex.rebuildServedFromSource(spark, annRoot, wrongRoot)
+    }
+    assert(exSrc.getMessage.contains("disagrees"))
+    assert(IncrementalAnnIndex.servedStore(spark, annRoot)
+      .endsWith("gen=1"), "a refused rebuild must not cut over")
+
     // a root whose store never drained a feed has no position to read
     // the source at — loud refusal, not a wrong-version rebuild
     val root2 = s"$base/ann2"

@@ -367,6 +367,24 @@ class IncrementalDedupSpec extends AnyFunSuite {
       Seq((100L, base.replace("valley", "meadow"))).toDF("doc_id", "text"),
       store)
     assert(p.count() == 2)
+    // racing creators can stamp TWO differently-named markers
+    // (create-if-absent cannot arbitrate across names): the lowest ppm
+    // wins deterministically and the next touch deletes the loser
+    fs.create(new org.apache.hadoop.fs.Path(s"$store/_threshold_800000"),
+      false).close()
+    val exRace = intercept[IllegalArgumentException] {
+      IncrementalDedup.processBatch(
+        Seq((5L, base)).toDF("doc_id", "text"), store, threshold = 1.01)
+    }
+    assert(exRace.getMessage.contains("admission"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$store/_threshold_1010000")),
+      "the losing marker must be cleaned up")
+    val r4 = IncrementalDedup.processBatch( // default call: winner binds
+      Seq((5L, "a wholly novel catalogue of lighthouse maintenance " +
+        "schedules and tide tables for the northern archipelago"))
+        .toDF("doc_id", "text"), store)
+    assert(r4.accepted == 1)
   }
 
   test("racing re-bucket intents resolve deterministically; " +
