@@ -74,6 +74,33 @@ object WaveSixteenQueries {
       "vec_id % 10 != 1", "vec_id % 10 != 5", None,
       adcOnly = true, segs = 2, kc = 8))),
 
+    // Filtered search on the ADC-ONLY store — the form a codes-only
+    // deployment was otherwise locked out of: the store keeps NO raw
+    // vectors (init keepRaw = false), the allowlist (English
+    // documents) semi-joins the probed CODED candidates before ADC
+    // ranking, and ranks are dense within the permitted set. No scan
+    // in the whole query reads a raw vector column, because none
+    // exists on disk. The oracle carries the allowlist inside its ADC
+    // stage and cuts at the ADC ranking.
+    Q("ann_adc_filtered", (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("ann_adcf").toString
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val store = s"$base/ivfpq"
+      IncrementalAnnIndex.init(emb, store, pq = true, keepRaw = false)
+      val allowed = s.read.parquet(t(dir, "documents"))
+        .filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      IncrementalAnnIndex.topKPqAdcAmong(
+          emb.filter(col("vec_id") < AnnQueries)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          store, AnnK, allowed)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(WaveFourteenQueries.pqOracle("TRUE", "TRUE",
+      Some("SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'"),
+      adcOnly = true))),
+
     // The ONE-SHOT IVFADC path at a non-default geometry (2 segments x
     // 8 codes, 3 probes over 8 coarse lists) — IvfPq.Geom lifts what
     // were compile-time constants to a per-call value, the twin of the

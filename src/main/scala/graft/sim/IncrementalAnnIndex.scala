@@ -1482,8 +1482,26 @@ object IncrementalAnnIndex {
     * search unchanged). Trades the rerank's recall recovery for
     * codes-only I/O end to end. Output (qid, rank, cid, adc). */
   def topKPqAdc(queries: DataFrame, storeDir: String, k: Int,
-      nProbe: Int = Similarity.IvfProbes): DataFrame = {
-    val (scored, _) = pqScored(queries, storeDir, nProbe, identity)
+      nProbe: Int = Similarity.IvfProbes): DataFrame =
+    topKPqAdcImpl(queries, storeDir, k, nProbe, identity)
+
+  /** [[topKPqAdc]] within an allowlist of ids — filtered search for
+    * the ADC-ONLY deployment (the form a codes-only store was
+    * otherwise locked out of: "vector search + metadata predicate"
+    * with no raw vectors anywhere). The allowlist semi-joins the
+    * probed CODED candidates before ranking, so ranks are dense
+    * within the permitted set; like [[topKPqAdc]], no scan in the
+    * whole query reads a raw vector column. */
+  def topKPqAdcAmong(queries: DataFrame, storeDir: String, k: Int,
+      allowed: DataFrame,
+      nProbe: Int = Similarity.IvfProbes): DataFrame =
+    topKPqAdcImpl(queries, storeDir, k, nProbe,
+      l => l.join(allowed.select("vec_id"), Seq("vec_id"), "left_semi"))
+
+  private def topKPqAdcImpl(queries: DataFrame, storeDir: String,
+      k: Int, nProbe: Int,
+      restrict: DataFrame => DataFrame): DataFrame = {
+    val (scored, _) = pqScored(queries, storeDir, nProbe, restrict)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

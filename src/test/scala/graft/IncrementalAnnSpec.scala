@@ -814,6 +814,30 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a PQ store"))
   }
 
+  test("ADC-only filtered search ranks densely within the allowlist") {
+    val base = Files.createTempDirectory("annleanf").toString
+    val store = s"$base/lean"
+    IncrementalAnnIndex.init(vecs(0 until 150), store,
+      pq = true, keepRaw = false)
+    val q = vecs(0 until 5).select(col("vec_id").as("qid"), col("embedding"))
+    val allowed = vecs(0 until 150).select(col("vec_id"))
+      .filter(col("vec_id") % 2 === 0)
+    val got = IncrementalAnnIndex.topKPqAdcAmong(q, store, 5, allowed)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, _, cid) => cid % 2 == 0 },
+      "only allowlisted ids may appear")
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq,
+        "ranks must be dense within the filtered set")
+    }
+    // an everything-allowlist reproduces the unfiltered ADC ranking
+    val all = IncrementalAnnIndex.topKPqAdcAmong(q, store, 5,
+      vecs(0 until 150).select(col("vec_id")))
+    val plain = IncrementalAnnIndex.topKPqAdc(q, store, 5)
+    assert(all.except(plain).isEmpty && plain.except(all).isEmpty)
+  }
+
   test("a half-reclaimed ADC-only store tolerates maintenance; " +
       "a raw re-init over a stamped directory refuses") {
     val base = Files.createTempDirectory("annhalf").toString
