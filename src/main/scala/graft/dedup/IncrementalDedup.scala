@@ -472,9 +472,112 @@ object IncrementalDedup {
   }
 
   /** The accepted corpus as (doc_id, text) — the store's read API
-    * (consumers should not depend on the layout's bucket column). */
+    * (consumers should not depend on the layout's bucket column).
+    * Tombstoned docs ([[removeDocs]]) are NOT part of the corpus. */
   def readDocs(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(docsPath(storeDir)).select("doc_id", "text")
+      .filter(col("text").isNotNull)
+
+  final case class RemoveResult(tombstoned: Long, bandRowsRemoved: Long)
+
+  /** TAKEDOWN — the removal a real training corpus needs (rights
+    * requests, policy strikes) that a naive delete cannot provide: the
+    * store's replay convergence RELIES on removed ids staying known
+    * (a deleted row would vanish from the redelivery skip, and a
+    * replayed feed file would silently RE-ADMIT the taken-down doc).
+    * So removal is a TOMBSTONE: the doc's text nulls out and its band
+    * rows leave the index, while the doc_id row stays — the skip set
+    * keeps recognizing it, forever. Semantics after removal:
+    *   - [[readDocs]] no longer returns the doc (the content is gone
+    *     from the corpus and from disk);
+    *   - new near-dups of the removed CONTENT are admitted (the
+    *     content is no longer in the corpus to collide with — the
+    *     policy-correct direction for a takedown);
+    *   - a redelivery of the removed doc_id still SKIPS (never
+    *     re-admitted, same or fresh checkpoint);
+    *   - re-running the same removal is a no-op (idempotent).
+    *
+    * I/O is bucket-pruned like every store operation: the docs
+    * rewrite touches only the doomed ids' buckets, the bands rewrite
+    * only the buckets the doomed docs' band keys hash to (re-derived
+    * from the stored text BEFORE it nulls). Writes go bands-FIRST
+    * (the inverse of the admit path's rationale: a crash between the
+    * two writes leaves the doc temporarily unguarded against its own
+    * near-dups — the post-removal behavior anyway — and the re-run
+    * converges from disk state, whereas docs-first would null the
+    * text the bands cleanup needs to locate its buckets). Dynamic
+    * partition overwrite cannot DROP a partition, so a bands bucket
+    * whose rows ALL leave is deleted explicitly after the survivor
+    * write; a crash before that delete leaves dangling band rows,
+    * which are harmless by construction (every text-reading path
+    * excludes tombstones, so such candidates die in the rescore) and
+    * leave on the re-run. Returns (docs tombstoned, band rows
+    * removed). */
+  def removeDocs(spark: SparkSession, storeDir: String,
+      doomed: DataFrame): RemoveResult = {
+    requireCastableKeys(doomed, "removeDocs")
+    if (!exists(spark, docsPath(storeDir))) return RemoveResult(0L, 0L)
+    val nb = ensureBuckets(spark, storeDir)
+    val ids = doomed.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+    val docBuckets = bucketSet(ids, col("doc_id"), nb)
+    // the doomed docs' LIVE texts (bucket-pruned; tombstones and
+    // never-admitted ids contribute nothing)
+    val doomedLive = treeFor(spark, docsPath(storeDir), docBuckets)
+      .join(ids, Seq("doc_id"), "left_semi")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").localCheckpoint()
+    val nLive = doomedLive.count()
+    if (nLive == 0) return RemoveResult(0L, 0L)
+
+    // bands first (see ordering note above): drop the doomed docs'
+    // rows from the buckets their band keys hash to
+    var bandRows = 0L
+    if (exists(spark, bandsPath(storeDir))) {
+      val doomedKeys = bandKeys(doomedLive)
+      val bandBuckets = bucketSet(doomedKeys, col("bk"), nb)
+      if (bandBuckets.nonEmpty) {
+        val tree = treeFor(spark, bandsPath(storeDir), bandBuckets)
+        bandRows = tree.join(ids, Seq("doc_id"), "left_semi").count()
+        if (bandRows > 0) {
+          val survivors = tree.join(ids, Seq("doc_id"), "left_anti")
+            .localCheckpoint() // break lineage: we overwrite the source
+          val survivorBuckets = survivors.select("b").distinct()
+            .collect().map(_.getInt(0)).toSet
+          if (survivorBuckets.nonEmpty)
+            survivors.repartition(col("b"))
+              .write.partitionBy("b")
+              .option("partitionOverwriteMode", "dynamic")
+              .mode(SaveMode.Overwrite).parquet(bandsPath(storeDir))
+          // dynamic overwrite replaces only partitions PRESENT in the
+          // output — a fully-emptied bucket must be dropped explicitly
+          val bfs = new Path(bandsPath(storeDir))
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          bandBuckets.filterNot(survivorBuckets).foreach { b =>
+            bfs.delete(new Path(s"${bandsPath(storeDir)}/b=$b"), true)
+          }
+        }
+      }
+    }
+
+    // docs second: null the text IN PLACE — every row survives as a
+    // row (tombstone or live), so every touched bucket stays non-empty
+    // and dynamic overwrite replaces exactly the touched partitions;
+    // the doomed set joins as a relation (never an IN-literal — a
+    // takedown list can be large)
+    val rewritten = treeFor(spark, docsPath(storeDir), docBuckets)
+      .join(ids.withColumn("__doomed", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__doomed"), lit(null).cast("string"))
+          .otherwise(col("text")).as("text"),
+        col("b"))
+      .localCheckpoint() // break lineage: we overwrite the source
+    rewritten.repartition(col("b"))
+      .write.partitionBy("b")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).parquet(docsPath(storeDir))
+    RemoveResult(nLive, bandRows)
+  }
 
   /** The cross-corpus probe in its DEPLOYMENT form —
     * [[Dedup.minhashLshPairsBetween]]'s contract served from the
@@ -527,6 +630,7 @@ object IncrementalDedup {
     // the docs scan's partitions prune dynamically off the candidate
     // side (DPP) while the probe stays one lazy plan.
     val pubDocs = spark.read.parquet(docsPath(storeDir))
+      .filter(col("text").isNotNull) // tombstones are not corpus
       .select(col("doc_id").as("pub_id"), col("text"), col("b"))
     cand
       .withColumn("b", bucketCol(col("pub_id"), nb))
@@ -613,6 +717,7 @@ object IncrementalDedup {
         fresh.limit(0)
       else treeFor(spark, docsPath(storeDir),
           bucketSet(vsStore, col("da"), nb)) // matched buckets only
+        .filter(col("text").isNotNull) // tombstones cannot match
         .select("doc_id", "text")
         .join(vsStore.select(col("da").as("doc_id")).distinct(), "doc_id")
     val texts = fresh.select("doc_id", "text").unionByName(storeTexts)

@@ -101,6 +101,41 @@ object WaveSixteenQueries {
       Some("SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'"),
       adcOnly = true))),
 
+    // TAKEDOWN on the persisted dedup store — the removal a real
+    // training corpus needs (rights requests, policy strikes), with
+    // the replay-convergence twist a naive delete would break: the
+    // removed doc's text and band-index rows leave the store, but its
+    // doc_id stays as a TOMBSTONE so the redelivery skip keeps
+    // recognizing it (a replayed feed file must never re-admit a
+    // taken-down doc). The published corpus (even ids) ingests, every
+    // doc_id % 8 == 0 is taken down, and the incoming crawl (odd ids)
+    // probes: pairs against removed pubs are gone, pairs against
+    // surviving pubs are untouched — so the oracle is the cross-parity
+    // LSH chain with the taken-down pub ids excluded.
+    Q("cross_corpus_dups_takedown", (s, dir) => {
+      import graft.dedup.IncrementalDedup
+      val store = java.nio.file.Files
+        .createTempDirectory("xdup_takedown").toString + "/corpus"
+      val d = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      IncrementalDedup.processBatch(
+        d.filter(col("doc_id") % 4 === 0), store, threshold = 1.01)
+      IncrementalDedup.processBatch(
+        d.filter(col("doc_id") % 4 === 2), store, threshold = 1.01)
+      IncrementalDedup.removeDocs(s, store,
+        d.filter(col("doc_id") % 8 === 0).select("doc_id"))
+      IncrementalDedup.probeStorePairs(
+          d.filter(col("doc_id") % 2 =!= 0), store)
+        .orderBy(col("pub_id"), col("new_id"))
+    }, Some(
+      s"""WITH ${graft.dedup.Dedup.minhashLshCtes("documents",
+            graft.dedup.Dedup.JaccardThreshold)}
+         |SELECT CASE WHEN da % 2 = 0 THEN da ELSE db END AS pub_id,
+         |  CASE WHEN da % 2 = 0 THEN db ELSE da END AS new_id, jaccard
+         |FROM lshpairs WHERE (da % 2 = 0) <> (db % 2 = 0)
+         |  AND (CASE WHEN da % 2 = 0 THEN da ELSE db END) % 8 <> 0
+         |ORDER BY pub_id, new_id""".stripMargin)),
+
     // The ONE-SHOT IVFADC path at a non-default geometry (2 segments x
     // 8 codes, 3 probes over 8 coarse lists) — IvfPq.Geom lifts what
     // were compile-time constants to a per-call value, the twin of the

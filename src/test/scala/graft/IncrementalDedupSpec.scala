@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.dedup.IncrementalDedup
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Incremental corpus dedup: batches dedup against the ACCEPTED corpus
@@ -432,6 +433,62 @@ class IncrementalDedupSpec extends AnyFunSuite {
         .toDF("doc_id", "text"), store)
     assert(r == IncrementalDedup.BatchResult(1, 0, 1), s"$r")
     assert(markers() == Set("_buckets_48"))
+  }
+
+  test("takedown is a tombstone: content gone, id stays down forever") {
+    val store = Files.createTempDirectory("incdeduptd").toString + "/corpus"
+    IncrementalDedup.processBatch(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"), store)
+    // while doc 2 is live, its content rejects (identical text — the
+    // deterministic collision)
+    val r0 = IncrementalDedup.processBatch(
+      Seq((10L, other)).toDF("doc_id", "text"), store)
+    assert(r0.rejectedNearDup == 1, s"$r0")
+    // take doc 2 down
+    val rr = IncrementalDedup.removeDocs(spark, store,
+      Seq(2L).toDF("doc_id"))
+    assert(rr.tombstoned == 1 && rr.bandRowsRemoved > 0, s"$rr")
+    // the content is gone: from the read API, from the docs files
+    // (tombstone row stays, text does not), and from the band index
+    assert(IncrementalDedup.readDocs(spark, store)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    val row2 = spark.read.parquet(s"$store/docs")
+      .filter(col("doc_id") === 2L).collect()
+    assert(row2.length == 1 && row2.head.isNullAt(1),
+      "the tombstone row stays, its text does not")
+    assert(spark.read.parquet(s"$store/bands")
+      .filter(col("doc_id") === 2L).count() == 0,
+      "the doc's band rows must leave the index files")
+    // the REMOVED content is now admitted (nothing in the corpus
+    // collides with it anymore)
+    val r1 = IncrementalDedup.processBatch(
+      Seq((11L, other)).toDF("doc_id", "text"), store)
+    assert(r1.accepted == 1 && r1.rejectedNearDup == 0, s"$r1")
+    // ...but the taken-down ID itself stays down: a redelivery (same
+    // content or any content) skips, never re-admits
+    val r2 = IncrementalDedup.processBatch(
+      Seq((2L, other)).toDF("doc_id", "text"), store)
+    assert(r2 == IncrementalDedup.BatchResult(0, 0, 1), s"$r2")
+    assert(IncrementalDedup.readDocs(spark, store)
+      .filter(col("doc_id") === 2L).count() == 0)
+    // probes pair against live docs only: identical content pairs
+    // with its live twin 11, never with tombstone 2
+    val p = IncrementalDedup.probeStorePairs(
+      Seq((101L, other)).toDF("doc_id", "text"),
+      store).collect().map(_.getLong(0)).toSet
+    assert(p == Set(11L), s"pairs must exclude the tombstone, got $p")
+    // re-running the same removal is a no-op
+    assert(IncrementalDedup.removeDocs(spark, store,
+      Seq(2L).toDF("doc_id")) == IncrementalDedup.RemoveResult(0L, 0L))
+    // removing a never-admitted id is a no-op too
+    assert(IncrementalDedup.removeDocs(spark, store,
+      Seq(999L).toDF("doc_id")) == IncrementalDedup.RemoveResult(0L, 0L))
+    // surviving docs still guard: a near-dup of doc 1 rejects (the
+    // fixture's verified one-word-change collision)
+    val r3 = IncrementalDedup.processBatch(
+      Seq((12L, base.replace("valley", "meadow")))
+        .toDF("doc_id", "text"), store)
+    assert(r3.rejectedNearDup == 1, s"$r3")
   }
 
   test("a legacy flat store migrates on first touch, content intact") {
