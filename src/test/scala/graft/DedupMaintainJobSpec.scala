@@ -137,6 +137,35 @@ class DedupMaintainJobSpec extends AnyFunSuite {
     assert(docIds(store) == Set(1L, 2L, 11L))
   }
 
+  test("takedown between drains: replay never re-admits a removed doc") {
+    val dir = Files.createTempDirectory("dedupjob_td").toString
+    val feed = s"$dir/feed"
+    val store = s"$dir/corpus"
+    AnnMaintainJob.landDelta(spark,
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"), feed)
+    val r1 = DedupMaintainJob.runOnce(spark, feed, store, s"$dir/ckpt")
+    assert(r1.accepted == 2, s"$r1")
+    // takedown doc 2 between drains
+    val rr = IncrementalDedup.removeDocs(spark, store, Seq(2L).toDF("doc_id"))
+    assert(rr.tombstoned == 1)
+    // the drain continues: the removed CONTENT is re-admittable under
+    // a fresh id, novel docs land as always
+    AnnMaintainJob.landDelta(spark,
+      Seq((11L, other), (3L, third)).toDF("doc_id", "text"), feed)
+    val r2 = DedupMaintainJob.runOnce(spark, feed, store, s"$dir/ckpt")
+    assert(r2.batches == 1 && r2.accepted == 2, s"$r2")
+    def corpus(): Set[Long] = IncrementalDedup.readDocs(spark, store)
+      .collect().map(_.getLong(0)).toSet // docIds would see the tombstone
+    assert(corpus() == Set(1L, 3L, 11L))
+    // wholesale replay from a FRESH checkpoint: doc 2 redelivers from
+    // file 1 and hits the TOMBSTONE's skip — the takedown survives any
+    // replay; nothing double-admits, the corpus is unchanged
+    val r3 = DedupMaintainJob.runOnce(spark, feed, store, s"$dir/ckpt2")
+    assert(r3.batches == 2 && r3.accepted == 0 &&
+      r3.skippedRedelivered == 4, s"$r3")
+    assert(corpus() == Set(1L, 3L, 11L))
+  }
+
   test("auto-compaction keeps a long drain's file counts bounded") {
     val dir = Files.createTempDirectory("dedupjob_ac").toString
     val feed = s"$dir/feed"
