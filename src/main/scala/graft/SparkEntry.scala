@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.pipeline.{IngestPipeline, PipelineFixtures, ValidityPipeline}
 import graft.price.PriceFunctions
-import graft.relational.{AdvancedQueries, Fixtures, RelationalQueries, StreamingQueries, TrainingDataQueries, WaveEightQueries, WaveElevenQueries, WaveFifteenQueries, WaveSixteenQueries, WaveFiveQueries, WaveFourteenQueries, WaveNineQueries, WaveFourQueries, WaveSevenQueries, WaveSixQueries, WaveTenQueries, WaveThirteenQueries, WaveThreeQueries, WaveTwelveQueries}
+import graft.relational.{AdvancedQueries, Fixtures, RelationalQueries, StreamingQueries, TrainingDataQueries, WaveEightQueries, WaveElevenQueries, WaveFifteenQueries, WaveSeventeenQueries, WaveSixteenQueries, WaveFiveQueries, WaveFourteenQueries, WaveNineQueries, WaveFourQueries, WaveSevenQueries, WaveSixQueries, WaveTenQueries, WaveThirteenQueries, WaveThreeQueries, WaveTwelveQueries}
 import graft.text.{CzechText, NameCorrection}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -253,7 +253,7 @@ object SparkEntry {
       WaveTenQueries.all ++ WaveElevenQueries.all ++
       WaveTwelveQueries.all ++ WaveThirteenQueries.all ++
       WaveFourteenQueries.all ++ WaveFifteenQueries.all ++
-      WaveSixteenQueries.all ++
+      WaveSixteenQueries.all ++ WaveSeventeenQueries.all ++
       TrainingDataQueries.all ++ StreamingQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   *   - `bands`: (bk, doc_id)  — MinHash-LSH band index over them
   *
   * Both stores are HASH-BUCKETED hive partitions (`b=<k>`, Murmur3 of
-  * the key mod the store's bucket count, recorded once in a
-  * `_buckets_<n>` marker — the ANN ledger's discipline,
-  * [[graft.sim.IncrementalAnnIndex]]): docs bucket on doc_id, bands on
+  * the key mod the store's bucket count, recorded once — together
+  * with the admission-threshold ppm — in a fused `_meta_b<n>_t<ppm>`
+  * creation record; legacy r18 `_buckets_`/`_threshold_` marker pairs
+  * fold into it on first touch): docs bucket on doc_id, bands on
   * the band key. Every store-side read a batch performs — the
   * redelivery skip, the band-index probe, the matched-docs fetch for
   * the rescore — statically prunes to the buckets the BATCH's keys
@@ -52,8 +53,8 @@ object IncrementalDedup {
   /** Default store bucket count — like the ANN ledger's: enough that a
     * small batch prunes most of the corpus, few enough that per-batch
     * appends don't shatter into near-empty files. Fixed at store
-    * CREATION by the `_buckets_<n>` marker (the first
-    * [[processBatch]]/[[probeStorePairs]] call's `storeBuckets`
+    * CREATION by the fused `_meta_b<n>_t<ppm>` creation record (the
+    * first [[processBatch]]/[[probeStorePairs]] call's `storeBuckets`
     * argument); 16 suits the gate scales, a 10B-doc deployment inits
     * with O(1000). A live store re-buckets through [[rebucketStore]] —
     * an explicit O(store) rewrite, never a silent reinterpretation. */
@@ -62,94 +63,221 @@ object IncrementalDedup {
   private val BucketsRe = "_buckets_(\\d+)".r
   private val RebucketRe = "_rebucket_(\\d+)".r
   private val ThresholdRe = "_threshold_(\\d+)".r
+  private val MetaRe = "_meta_b(\\d+)_t(\\d+)".r
 
   private def thresholdPpm(t: Double): Long = math.round(t * 1000000L)
 
-  /** Admission threshold the store was created with, from its
-    * `_threshold_<ppm>` marker, if stamped. Two racing creators with
-    * DIFFERENT thresholds can each create their differently-named
-    * marker (create-if-absent cannot arbitrate across names), so
-    * resolution is deterministic — the LOWEST ppm wins, never listing
-    * order — and [[ensureThreshold]] re-reads after stamping so the
-    * race's loser refuses instead of proceeding on its own value. */
-  private def thresholdOf(
-      spark: SparkSession, store: String): Option[Long] = {
-    val hp = new Path(store)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+  private def fsOf(spark: SparkSession, p: String) = {
+    val hp = new Path(p)
+    (hp.getFileSystem(spark.sessionState.newHadoopConf()), hp)
+  }
+
+  /** The docs tree holds ANY rows (live or tombstoned, bucketed or
+    * legacy flat) — the store is ESTABLISHED: creation-race
+    * arbitration must never apply to it (see [[metaOf]]). */
+  private def storeHasContent(spark: SparkSession, store: String): Boolean = {
+    val (fs, _) = fsOf(spark, store)
+    val dp = new Path(docsPath(store))
+    fs.exists(dp) && fs.listStatus(dp).exists(f =>
+      !f.getPath.getName.startsWith("_"))
+  }
+
+  /** All fused creation-record markers, as (ppm, buckets) sorted. */
+  private def metaMarkers(spark: SparkSession,
+      store: String): Seq[(Long, Int)] = {
+    val (fs, hp) = fsOf(spark, store)
+    if (!fs.exists(hp)) Nil
+    else fs.listStatus(hp).toSeq.flatMap { f =>
+      f.getPath.getName match {
+        case MetaRe(b, t) if f.isFile => Some((t.toLong, b.toInt))
+        case _                        => None
+      }
+    }.sorted
+  }
+
+  /** The store's CREATION RECORD — one fused `_meta_b<n>_t<ppm>`
+    * marker holding bucket count and admission-threshold ppm, written
+    * created-if-absent at creation so a second record for the SAME
+    * values genuinely cannot land. Two racing creators with DIFFERENT
+    * values still create differently-named markers (create-if-absent
+    * cannot arbitrate across names); resolution is deterministic —
+    * lowest ppm, then lowest bucket count — but ONLY while the store
+    * is still empty (a true creation race: both creators started from
+    * nothing, either record is a valid creation). On an ESTABLISHED
+    * store a second marker is an INTERLOPER next to the creation
+    * record, nothing distinguishes them by name, and adopting either
+    * would silently flip a content-bearing store's regime — so the
+    * resolution refuses loudly instead (delete the marker that was
+    * not there at creation, or rebuild via [[rebuildStoreThreshold]]).
+    * The sole benign multi-marker window — [[doRebucket]] moving the
+    * count between two fused markers with the SAME ppm — always
+    * coexists with a `_rebucket_` intent, and every reader resolves
+    * the intent (re-running the rebucket to completion) BEFORE
+    * consulting this record. */
+  private def metaOf(spark: SparkSession,
+      store: String): Option[(Int, Long)] = {
+    val marks = metaMarkers(spark, store)
+    if (marks.isEmpty) None
+    else if (marks.size == 1) Some((marks.head._2, marks.head._1))
+    else if (storeHasContent(spark, store))
+      throw new IllegalStateException(
+        s"$store carries ${marks.size} creation-record markers (" +
+          marks.map { case (t, b) => s"_meta_b${b}_t$t" }.mkString(", ") +
+          ") on a content-bearing store — a marker landed NEXT TO the " +
+          "creation record and nothing distinguishes them by name; " +
+          "refusing to guess which regime created this store. Remove " +
+          "the interloper marker, or rebuildStoreThreshold into a " +
+          "fresh store.")
+    else {
+      // true creation race on an EMPTY store: deterministic winner,
+      // losers deleted so the layout never lies to a human reader
+      val (fs, hp) = fsOf(spark, store)
+      val (wt, wb) = marks.head
+      marks.tail.foreach { case (t, b) =>
+        fs.delete(new Path(hp, s"_meta_b${b}_t$t"), false)
+      }
+      Some((wb, wt))
+    }
+  }
+
+  /** Legacy (r18 two-marker) forms, read for migration only. */
+  private def legacyBucketsOf(spark: SparkSession,
+      store: String): Option[Int] = {
+    val (fs, hp) = fsOf(spark, store)
     if (!fs.exists(hp)) None
+    else fs.listStatus(hp).toSeq.flatMap { f =>
+      f.getPath.getName match {
+        case BucketsRe(n) if f.isFile => Some(n.toInt)
+        case _                        => None
+      }
+    }.headOption
+  }
+
+  private def legacyThresholdsOf(spark: SparkSession,
+      store: String): Seq[Long] = {
+    val (fs, hp) = fsOf(spark, store)
+    if (!fs.exists(hp)) Nil
     else fs.listStatus(hp).toSeq.flatMap { f =>
       f.getPath.getName match {
         case ThresholdRe(n) if f.isFile => Some(n.toLong)
         case _                          => None
       }
-    }.minOption
+    }.sorted
   }
 
-  /** Resolve the ADMISSION threshold for a store-mutating call. The
-    * store records its threshold at creation (`_threshold_<ppm>` — the
-    * same marker discipline as `_buckets_`): one store is ONE
-    * admission regime, so two drains (or a drain and an ad-hoc call)
-    * can never silently mix thresholds. A default call follows the
-    * marker; an explicit non-default threshold that disagrees with it
-    * refuses loudly (change of regime = a rebuild into a fresh store,
-    * not a flag flip). Read-side probes ([[probeStorePairs]]) stay
-    * per-call — a query threshold is a question, not an admission. A
-    * pre-marker store (or a first call) stamps the calling threshold. */
-  private def ensureThreshold(spark: SparkSession, store: String,
-      requested: Double): Double = {
-    val reqPpm = thresholdPpm(requested)
-    // converge a raced store to its single winning marker: losers are
-    // inert under the deterministic min rule, but leaving them would
-    // make the store's layout lie about its regime to a human reader
-    locally {
-      val hp = new Path(store)
-      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(hp)) {
-        val marks = fs.listStatus(hp).toSeq.filter(f =>
-          f.isFile && ThresholdRe.matches(f.getPath.getName))
-        if (marks.size > 1) {
-          val keep = marks.map(_.getPath.getName).min(
-            Ordering.by((n: String) =>
-              n match { case ThresholdRe(p) => p.toLong }))
-          marks.filterNot(_.getPath.getName == keep)
-            .foreach(f => fs.delete(f.getPath, false))
-        }
+  private def deleteLegacyMarkers(spark: SparkSession,
+      store: String): Unit = {
+    val (fs, hp) = fsOf(spark, store)
+    if (fs.exists(hp)) fs.listStatus(hp).foreach { f =>
+      f.getPath.getName match {
+        case BucketsRe(_) | ThresholdRe(_) if f.isFile =>
+          fs.delete(f.getPath, false)
+        case _ => ()
       }
     }
-    thresholdOf(spark, store) match {
-      case Some(ppm) if ppm == reqPpm => requested
-      case Some(ppm) =>
-        require(reqPpm == thresholdPpm(Dedup.JaccardThreshold),
-          s"$store was created with admission threshold " +
-            s"${ppm / 1e6} (_threshold_$ppm) but this call passed " +
-            s"$requested — one store is one admission regime; use the " +
-            "store's threshold, or rebuild into a fresh store to " +
-            "change it")
-        ppm / 1e6 // default call: the marker wins
+  }
+
+  /** Resolve — or create — the store's creation record and gate this
+    * call's admission threshold against it: returns (bucket count,
+    * threshold ppm). `requestedPpm = Some(p)` is an ADMISSION call
+    * ([[processBatch]] / the drain): a default-threshold call follows
+    * the record, an explicit disagreeing threshold refuses loudly
+    * (change of regime = [[rebuildStoreThreshold]] into a fresh
+    * store, never a flag flip). `None` is a call with no admission
+    * opinion (probes, compaction, takedown, re-bucket) — it resolves
+    * the record without gating, and a record it must CREATE (legacy
+    * store) adopts the session default. API carve-out (documented on
+    * [[processBatch]]): an explicit threshold that happens to EQUAL
+    * the session default is indistinguishable from a defaulted call
+    * and follows the marker rather than refusing.
+    *
+    * Legacy migration: a store carrying the r18 two-marker form
+    * (`_buckets_<n>` / `_threshold_<ppm>`) folds both into the fused
+    * record on first touch and drops the legacy files; a PRE-MARKER
+    * content-bearing store (no threshold ever recorded) adopts the
+    * calling/default value and says so LOUDLY on stderr — the
+    * operator of a store that was drained at a non-default threshold
+    * must hear that an upgrade just recorded a different regime. */
+  private def ensureMeta(spark: SparkSession, store: String,
+      requestedBuckets: Int, requestedPpm: Option[Long]): (Int, Long) = {
+    recoverBackfill(spark, store)
+    pendingRebucket(spark, store).foreach(n => doRebucket(spark, store, n))
+    val defPpm = thresholdPpm(Dedup.JaccardThreshold)
+    def gate(ppm: Long): Unit = requestedPpm.foreach { req =>
+      require(req == ppm || req == defPpm,
+        s"$store was created with admission threshold ${ppm / 1e6} " +
+          s"(_meta_*_t$ppm) but this call passed ${req / 1e6} — one " +
+          "store is one admission regime; use the store's threshold, " +
+          "or rebuildStoreThreshold into a fresh store to change it")
+    }
+    metaOf(spark, store) match {
+      case Some((b, ppm)) =>
+        deleteLegacyMarkers(spark, store) // crashed-migration debris
+        gate(ppm)
+        (b, ppm)
       case None =>
-        val hp = new Path(store)
-        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.mkdirs(hp)
-        try fs.create(new Path(hp, s"_threshold_$reqPpm"), false).close()
-        catch { case _: java.io.IOException => () } // concurrent stamp
-        // re-read: a concurrent creator may have stamped a DIFFERENT
-        // ppm (different marker names never collide on create), and
-        // the deterministic winner must gate this call too
-        thresholdOf(spark, store) match {
-          case Some(ppm) if ppm != reqPpm =>
-            require(reqPpm == thresholdPpm(Dedup.JaccardThreshold),
-              s"$store concurrently recorded admission threshold " +
-                s"${ppm / 1e6} (_threshold_$ppm) but this call passed " +
-                s"$requested — one store is one admission regime")
-            ppm / 1e6
-          case _ => requested
+        val content = storeHasContent(spark, store)
+        val legacyT = legacyThresholdsOf(spark, store)
+        if (legacyT.size > 1 && content)
+          throw new IllegalStateException(
+            s"$store carries ${legacyT.size} legacy _threshold_ " +
+              "markers on a content-bearing store — refusing to guess " +
+              "which regime created it; remove the interloper marker")
+        val nb = legacyBucketsOf(spark, store).getOrElse {
+          require(requestedBuckets > 0,
+            s"storeBuckets must be positive: $requestedBuckets")
+          // legacy FLAT data backfills into the bucketed layout first
+          def backfill(path: String, key: String): Unit =
+            if (hasFlatData(spark, path))
+              swapTree(spark, path) { tmp =>
+                spark.read.parquet(path)
+                  .withColumn("b", bucketCol(col(key), requestedBuckets))
+                  .repartition(col("b"))
+                  .write.partitionBy("b").parquet(tmp)
+              }
+          backfill(docsPath(store), "doc_id")
+          backfill(bandsPath(store), "bk")
+          requestedBuckets
         }
+        val ppm = legacyT.headOption
+          .getOrElse(requestedPpm.getOrElse(defPpm))
+        if (content && legacyT.isEmpty)
+          Console.err.println(
+            s"[IncrementalDedup] stamping LEGACY (pre-marker) store " +
+              s"$store with admission threshold ${ppm / 1e6} — if this " +
+              "store was drained at a different threshold, " +
+              "rebuildStoreThreshold it into a fresh store at that value")
+        val (fs, hp) = fsOf(spark, store)
+        fs.mkdirs(hp)
+        try fs.create(new Path(hp, s"_meta_b${nb}_t$ppm"), false).close()
+        catch { case _: java.io.IOException => () } // concurrent stamp
+        // re-read: a concurrent creator may have stamped DIFFERENT
+        // values; the deterministic winner (or, on a content-bearing
+        // store, the refusal) must gate this call too
+        val (b2, ppm2) = metaOf(spark, store).getOrElse((nb, ppm))
+        deleteLegacyMarkers(spark, store)
+        gate(ppm2)
+        (b2, ppm2)
     }
   }
 
   private def exists(spark: SparkSession, p: String): Boolean = {
     val hp = new Path(p)
     hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+  }
+
+  /** The band index holds any rows. Two shapes make docs-without-bands
+    * legal, so band reads must not assume the admit path's bands-first
+    * invariant: a [[rebuildStoreThreshold]] destination starts as
+    * tombstones only (docs rows, no bands), and a [[removeDocs]] that
+    * empties EVERY band bucket leaves a file-less bands directory
+    * (the explicit partition drop). Reading either would fail schema
+    * inference; both simply mean "empty index". */
+  private def hasBandRows(spark: SparkSession, store: String): Boolean = {
+    val bp = new Path(bandsPath(store))
+    val fs = bp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(bp) && fs.listStatus(bp).exists(f =>
+      !f.getPath.getName.startsWith("_"))
   }
 
   /** Stable key→bucket map (Murmur3 mod n — engine-internal, never
@@ -200,18 +328,11 @@ object IncrementalDedup {
       buckets: Seq[Int]): DataFrame =
     spark.read.parquet(path).filter(col("b").isin(buckets: _*))
 
-  /** Bucket count from the store marker, if the store is bucketed. */
-  private def bucketsOf(spark: SparkSession, store: String): Option[Int] = {
-    val hp = new Path(store)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(hp)) None
-    else fs.listStatus(hp).toSeq.flatMap { f =>
-      f.getPath.getName match {
-        case BucketsRe(n) if f.isFile => Some(n.toInt)
-        case _                        => None
-      }
-    }.headOption
-  }
+  /** Bucket count from the creation record (fused marker first,
+    * legacy `_buckets_` fallback), if the store is bucketed. */
+  private def bucketsOf(spark: SparkSession, store: String): Option[Int] =
+    metaOf(spark, store).map(_._1)
+      .orElse(legacyBucketsOf(spark, store))
 
   /** Tree holds FLAT legacy data: parquet files directly under the
     * root instead of `b=` partitions. */
@@ -222,42 +343,17 @@ object IncrementalDedup {
       f.isFile && !f.getPath.getName.startsWith("_"))
   }
 
-  /** Bucket the store (create the marker; backfill any legacy flat
-    * tree into `b=` partitions first — one columnar scan per tree).
-    * The per-tree swap is crash-safe through two sibling dirs:
-    * `<tree>.bktmp` (the bucketed copy being written) and
-    * `<tree>.flat` (the retired flat tree, moved aside by one rename);
-    * [[recoverBackfill]] finishes or unwinds any crash point, so the
-    * tree is never lost and the backfill simply re-runs. A pending
-    * [[rebucketStore]] intent finishes FIRST, so no caller can read a
-    * bucket count the layout doesn't have. `requested` binds only at
-    * store creation; an existing marker wins. Returns the store's
-    * bucket count. */
+  /** Bucket the store (resolve — or create — the creation record;
+    * backfill any legacy flat tree into `b=` partitions first — one
+    * columnar scan per tree, crash-safe through [[swapTree]] /
+    * [[recoverBackfill]]). A pending [[rebucketStore]] intent
+    * finishes FIRST, so no caller can read a bucket count the layout
+    * doesn't have. `requested` binds only at store creation; an
+    * existing record wins. The no-admission-opinion form of
+    * [[ensureMeta]] — returns the store's bucket count. */
   private def ensureBuckets(spark: SparkSession, store: String,
-      requested: Int = DefaultStoreBuckets): Int = {
-    recoverBackfill(spark, store)
-    pendingRebucket(spark, store).foreach(n => doRebucket(spark, store, n))
-    bucketsOf(spark, store).getOrElse {
-      require(requested > 0, s"storeBuckets must be positive: $requested")
-      val nb = requested
-      val hp = new Path(store)
-      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-      def backfill(path: String, key: String): Unit =
-        if (hasFlatData(spark, path))
-          swapTree(spark, path) { tmp =>
-            spark.read.parquet(path)
-              .withColumn("b", bucketCol(col(key), nb))
-              .repartition(col("b"))
-              .write.partitionBy("b").parquet(tmp)
-          }
-      backfill(docsPath(store), "doc_id")
-      backfill(bandsPath(store), "bk")
-      fs.mkdirs(hp)
-      try fs.create(new Path(hp, s"_buckets_$nb"), false).close()
-      catch { case _: java.io.IOException => () } // concurrent stamp
-      nb
-    }
-  }
+      requested: Int = DefaultStoreBuckets): Int =
+    ensureMeta(spark, store, requested, None)._1
 
   /** Pending re-bucket target from a crashed [[rebucketStore]]'s
     * intent marker, if any. Racing/crashed intents can leave SEVERAL
@@ -337,8 +433,30 @@ object IncrementalDedup {
         }
     rewrite(docsPath(store), "doc_id")
     rewrite(bandsPath(store), "bk")
-    try fs.create(new Path(hp, s"_buckets_$nb"), false).close()
-    catch { case _: java.io.IOException => () } // re-run after a crash
+    // move the count inside the creation record. Fused stores
+    // re-stamp the fused marker at the store's OWN ppm — the
+    // two-marker window between the create and the delete always
+    // coexists with the intent marker (cleared last), and every
+    // reader resolves the intent before consulting the record, so
+    // the window is unobservable. Pre-migration stores keep the
+    // legacy count marker; the fused fold happens in ensureMeta,
+    // where a legacy adoption is the one that must be logged.
+    val fusedPpms = metaMarkers(spark, store).map(_._1).distinct
+    require(fusedPpms.size <= 1,
+      s"$store carries creation-record markers with DISAGREEING " +
+        s"thresholds (${fusedPpms.mkString(", ")} ppm) — resolve the " +
+        "interloper before re-bucketing")
+    fusedPpms.headOption match {
+      case Some(ppm) =>
+        try fs.create(new Path(hp, s"_meta_b${nb}_t$ppm"), false).close()
+        catch { case _: java.io.IOException => () } // re-run after crash
+        metaMarkers(spark, store).foreach { case (t, b) =>
+          if (b != nb) fs.delete(new Path(hp, s"_meta_b${b}_t$t"), false)
+        }
+      case None =>
+        try fs.create(new Path(hp, s"_buckets_$nb"), false).close()
+        catch { case _: java.io.IOException => () } // re-run after crash
+    }
     fs.listStatus(hp).foreach { f =>
       f.getPath.getName match {
         case BucketsRe(m) if f.isFile && m.toInt != nb =>
@@ -533,7 +651,7 @@ object IncrementalDedup {
     // bands first (see ordering note above): drop the doomed docs'
     // rows from the buckets their band keys hash to
     var bandRows = 0L
-    if (exists(spark, bandsPath(storeDir))) {
+    if (hasBandRows(spark, storeDir)) {
       val doomedKeys = bandKeys(doomedLive)
       val bandBuckets = bucketSet(doomedKeys, col("bk"), nb)
       if (bandBuckets.nonEmpty) {
@@ -579,6 +697,78 @@ object IncrementalDedup {
     RemoveResult(nLive, bandRows)
   }
 
+  final case class RegimeRebuildResult(accepted: Long,
+      rejectedNearDup: Long, tombstonesCarried: Long)
+
+  /** ADMISSION-REGIME REBUILD — the operator [[ensureMeta]]'s refusal
+    * message points at: one store is one admission regime, so
+    * changing the threshold means replaying the accepted corpus
+    * through a FRESH store at the new value, in deterministic doc_id
+    * order (one [[processBatch]] call over the whole live corpus —
+    * its sequential-greedy in-batch resolution IS one-at-a-time
+    * id-order admission, so the replay needs no driver-side loop and
+    * no ordering shuffle beyond what the greedy rounds already do).
+    *
+    * The subtle part a naive ad-hoc replay gets wrong is TOMBSTONE
+    * CARRY: a taken-down id ([[removeDocs]]) must stay down in the
+    * new store — under the new regime, under feed replay, forever —
+    * so the tombstone rows copy into the destination BEFORE the
+    * replay, arming the redelivery skip from the store's first byte.
+    * (They cannot re-admit through the replay itself either: the live
+    * corpus excludes them by construction.)
+    *
+    * O(src store) by design, run at rebuild cadence like the ANN
+    * [[rebuild]]: the destination is a fresh directory (MVCC cutover
+    * — readers keep the old store until the caller swaps pointers),
+    * the source is never touched. `storeBuckets` defaults to the
+    * source's count; a regime rebuild is also a legitimate moment to
+    * re-bucket. Returns the replay decisions and the carried
+    * tombstone count. */
+  def rebuildStoreThreshold(spark: SparkSession, srcDir: String,
+      destDir: String, newThreshold: Double,
+      storeBuckets: Option[Int] = None): RegimeRebuildResult = {
+    require(!exists(spark, destDir),
+      s"rebuild destination already exists: $destDir — regime " +
+        "rebuilds land in fresh directories (MVCC cutover), never " +
+        "over a live store")
+    // finish any pending re-bucket/backfill intents, then read the
+    // source layout; refuse a source with nothing to replay
+    require(exists(spark, docsPath(srcDir)),
+      s"$srcDir has no docs tree — nothing to rebuild")
+    val nbSrc = ensureBuckets(spark, srcDir)
+    val nb = storeBuckets.getOrElse(nbSrc)
+    require(nb > 0, s"storeBuckets must be positive: $nb")
+    val newPpm = thresholdPpm(newThreshold)
+
+    // destination creation record FIRST: the new store is the new
+    // regime from its first byte (a crash after this leaves an empty
+    // marked store — the re-run refuses on "destination already
+    // exists" and the operator deletes the debris; never a
+    // half-regime store)
+    val (dfs, dhp) = fsOf(spark, destDir)
+    dfs.mkdirs(dhp)
+    try dfs.create(new Path(dhp, s"_meta_b${nb}_t$newPpm"), false).close()
+    catch { case _: java.io.IOException => () }
+
+    val docs = spark.read.parquet(docsPath(srcDir))
+    // 1. tombstone carry — removed ids stay down in the new store
+    val tombs = docs.filter(col("text").isNull)
+      .select(col("doc_id"), col("text"))
+    val nTombs = tombs.count()
+    if (nTombs > 0)
+      tombs.withColumn("b", bucketCol(col("doc_id"), nb))
+        .repartition(col("b"))
+        .write.partitionBy("b").mode(SaveMode.Append)
+        .parquet(docsPath(destDir))
+
+    // 2. the replay: the whole live corpus through ONE processBatch at
+    // the new threshold — sequential-greedy lowest-id-first admission,
+    // exactly "replay the accepted docs in id order"
+    val live = docs.filter(col("text").isNotNull).select("doc_id", "text")
+    val r = processBatch(live, destDir, newThreshold, nb)
+    RegimeRebuildResult(r.accepted, r.rejectedNearDup, nTombs)
+  }
+
   /** The cross-corpus probe in its DEPLOYMENT form —
     * [[Dedup.minhashLshPairsBetween]]'s contract served from the
     * PERSISTED store instead of re-banding the published side: the
@@ -602,7 +792,7 @@ object IncrementalDedup {
     val incoming = batch
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .dropDuplicates("doc_id")
-    if (!exists(spark, bandsPath(storeDir)))
+    if (!hasBandRows(spark, storeDir))
       return incoming.select(col("doc_id").as("pub_id"),
         col("doc_id").as("new_id"),
         lit(0.0).as("jaccard")).limit(0)
@@ -651,12 +841,19 @@ object IncrementalDedup {
 
   /** Process one batch of (doc_id, text): rejects near-dups of accepted
     * docs and in-batch near-dups (lower id wins), appends survivors to
-    * the store, and returns the decision counts. `storeBuckets` binds
-    * only when this call CREATES the store (the `_buckets_<n>` marker
-    * wins thereafter — [[rebucketStore]] is the way to change a live
-    * store's count); `threshold` likewise binds at creation via the
-    * `_threshold_<ppm>` marker ([[ensureThreshold]] — the marker wins
-    * for default calls, an explicit disagreeing threshold refuses). */
+    * the store, and returns the decision counts. `storeBuckets` and
+    * `threshold` bind only when this call CREATES the store — both
+    * live in the fused creation record (`_meta_b<n>_t<ppm>`) and the
+    * record wins thereafter: [[rebucketStore]] changes a live store's
+    * count, [[rebuildStoreThreshold]] its admission regime. An
+    * explicit threshold that DISAGREES with the record refuses
+    * loudly; a default-threshold call follows the record. API
+    * carve-out: an explicit threshold EQUAL to
+    * [[Dedup.JaccardThreshold]] is indistinguishable from a defaulted
+    * call and follows the record rather than refusing — callers that
+    * need their exact value enforced against an unknown store should
+    * compare the refusal contract first. Threshold identity is
+    * recorded at ppm (1e-6) resolution; finer digits round. */
   def processBatch(
       batch: DataFrame,
       storeDir: String,
@@ -664,17 +861,22 @@ object IncrementalDedup {
       storeBuckets: Int = DefaultStoreBuckets): BatchResult = {
     val spark = batch.sparkSession
     requireCastableKeys(batch, "processBatch")
-    val nb = ensureBuckets(spark, storeDir, storeBuckets)
-    // one store = one admission regime: the marker wins for default
-    // calls, a disagreeing explicit threshold refuses loudly
-    val adm = ensureThreshold(spark, storeDir, threshold)
+    // one store = one admission regime: the creation record wins for
+    // default calls, a disagreeing explicit threshold refuses loudly
+    val (nb, admPpm) = ensureMeta(spark, storeDir, storeBuckets,
+      Some(thresholdPpm(threshold)))
+    val adm = admPpm / 1e6
     val incoming = batch
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .dropDuplicates("doc_id").localCheckpoint()
     // one existence probe per batch (each is a FileSystem RPC); the
     // bands store may lag docs by half a crashed batch, but writes go
-    // bands-first so that lag direction never loses index entries
+    // bands-first so that lag direction never loses index entries.
+    // Docs-WITHOUT-bands is also legal (see hasBandRows): the
+    // redelivery skip reads docs, candidate generation reads bands —
+    // each gates on its own tree.
     val storeExists = exists(spark, docsPath(storeDir))
+    val bandsLive = storeExists && hasBandRows(spark, storeDir)
 
     val (fresh, nRedelivered) =
       if (!storeExists) (incoming, 0L)
@@ -691,7 +893,7 @@ object IncrementalDedup {
 
     // candidates vs the ACCEPTED corpus: equi-join on the band index
     val vsStore =
-      (if (!storeExists)
+      (if (!bandsLive)
         fresh.select(col("doc_id").as("da"), col("doc_id").as("db")).limit(0)
       else {
         // the index probe reads only the batch's band-key buckets

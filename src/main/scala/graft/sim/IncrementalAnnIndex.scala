@@ -501,6 +501,36 @@ object IncrementalAnnIndex {
     }.headOption
   }
 
+  /** Trained-k quantizer-size marker stamped by [[init]]
+    * (`_ivf_k<n>` — the REQUESTED nCentroids): the [[PqGeomRe]]
+    * rationale applied to the coarse quantizer. The centroids parquet
+    * cannot serve as this record because an init batch smaller than k
+    * leaves fewer centroids than the store was MEANT to train with,
+    * so a rebuild over a now-larger corpus must re-train at the
+    * requested k, not the lossy observed count. Pre-marker stores
+    * fall back to the observed centroid count — the honest carry for
+    * them (never a silent reset to the session default). */
+  private val IvfKRe = "_ivf_k(\\d+)".r
+
+  private def ivfKOf(spark: SparkSession, store: String): Option[Int] = {
+    val (fs, sp) = fsOf(spark, store)
+    if (!fs.exists(sp)) None
+    else fs.listStatus(sp).toSeq.flatMap { f =>
+      f.getPath.getName match {
+        case IvfKRe(n) if f.isFile => Some(n.toInt)
+        case _                     => None
+      }
+    }.headOption
+  }
+
+  /** The coarse-quantizer k a REBUILD of `store` re-trains at: the
+    * caller's explicit value, else the store's trained-k marker, else
+    * the observed centroid count (pre-marker stores). */
+  private def carryNCentroids(spark: SparkSession, store: String,
+      requested: Option[Int]): Int =
+    requested.orElse(ivfKOf(spark, store))
+      .getOrElse(centroidsOf(spark, store).length)
+
   private def requireRaw(spark: SparkSession, store: String,
       op: String): Unit =
     require(!isAdcOnly(spark, store),
@@ -561,6 +591,21 @@ object IncrementalAnnIndex {
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     cents.write.mode("overwrite").parquet(centroidsPath(storeDir))
     centroidCache.remove(centroidsPath(storeDir))
+    // refresh the trained-k marker WITH the quantizer it describes
+    // (delete-first, the geometry marker's crash rationale: a crash in
+    // the gap leaves no marker and the rebuild falls back to the
+    // observed centroid count — the safe degraded read)
+    locally {
+      val (kfs, ksp) = fsOf(spark, storeDir)
+      kfs.listStatus(ksp).foreach { f =>
+        f.getPath.getName match {
+          case IvfKRe(_) if f.isFile => kfs.delete(f.getPath, false)
+          case _                     => ()
+        }
+      }
+      try kfs.create(new Path(ksp, s"_ivf_k$nCentroids"), false).close()
+      catch { case _: java.io.IOException => () } // concurrent stamp
+    }
     if (pq) {
       require(pqSegments >= 1 && pqCodes >= 2 && pqIters >= 1,
         s"bad PQ geometry: segments=$pqSegments codes=$pqCodes " +
@@ -1100,7 +1145,7 @@ object IncrementalAnnIndex {
     * unchanged by a rebuild, so the rebuilt store resumes the SAME
     * feed position under [[graft.streaming.AnnMaintainJob]]). */
   def rebuild(spark: SparkSession, storeDir: String, destDir: String,
-      nCentroids: Int = Similarity.IvfCentroids,
+      nCentroids: Option[Int] = None,
       ledgerBuckets: Int = DefaultLedgerBuckets): AppendResult = {
     requireRaw(spark, storeDir,
       "rebuild (re-trains and re-assigns over the stored raw vectors)")
@@ -1121,7 +1166,12 @@ object IncrementalAnnIndex {
     // fall back to books-derived segments + default codes/iters.
     val srcBooks = booksOf(spark, storeDir)
     val geom = pqGeometryOf(spark, storeDir)
-    val r = init(current, destDir, nCentroids, ledgerBuckets,
+    // the coarse k carries like the PQ geometry does (`_ivf_k` —
+    // trained-k, falling back to the observed centroid count for
+    // pre-marker stores): a non-default quantizer size never silently
+    // reverts to the session default across a rebuild
+    val r = init(current, destDir,
+      carryNCentroids(spark, storeDir, nCentroids), ledgerBuckets,
       pq = srcBooks.isDefined,
       pqSegments = geom.map(_._1)
         .orElse(srcBooks.map(_.size)).getOrElse(PqSegments),
@@ -1206,7 +1256,7 @@ object IncrementalAnnIndex {
     * resolves to the re-trained store at the same applied-through feed
     * position. Returns the new generation number. */
   def rebuildServed(spark: SparkSession, root: String,
-      nCentroids: Int = Similarity.IvfCentroids,
+      nCentroids: Option[Int] = None,
       ledgerBuckets: Int = DefaultLedgerBuckets): Long = {
     val g = servedGen(spark, root).getOrElse(
       throw new IllegalArgumentException(
@@ -1256,11 +1306,30 @@ object IncrementalAnnIndex {
     * [[rebuildServed]] (raw stores) or re-init a fresh root. Crash
     * discipline is [[rebuildServed]]'s: an unmarked g+1 is discarded
     * debris, the marker create is the cutover. Returns the new
-    * generation number. */
+    * generation number.
+    *
+    * The layout overrides make this THE geometry-migration moment:
+    * every `None` carries the served generation's layout verbatim
+    * (ADC-only flag, `_pq_*` trained-k geometry, `_ivf_k` quantizer
+    * size), while an explicit value re-trains the new generation AT
+    * THE OVERRIDE — a from-source re-init is exactly when 4x4 can
+    * become 2x8 for a grown corpus, or a raw store can go ADC-only to
+    * reclaim the 8x footprint, because the raw source vectors are in
+    * hand either way. The new generation's markers re-stamp from the
+    * resolved values ([[init]] stamps them), so a migrated layout is
+    * the store's recorded layout from then on. A geometry override on
+    * a non-PQ store ADDS the PQ layout; dropping the PQ layout is not
+    * expressible (a codes-less ADC-only store has nothing to search,
+    * and discarding trained codes from a raw store is an init into a
+    * fresh root, not a rotation). */
   def rebuildServedFromSource(spark: SparkSession, root: String,
       sourceRoot: String,
-      nCentroids: Int = Similarity.IvfCentroids,
-      ledgerBuckets: Int = DefaultLedgerBuckets): Long = {
+      nCentroids: Option[Int] = None,
+      ledgerBuckets: Int = DefaultLedgerBuckets,
+      keepRaw: Option[Boolean] = None,
+      pqSegments: Option[Int] = None,
+      pqCodes: Option[Int] = None,
+      pqIters: Option[Int] = None): Long = {
     val g = servedGen(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"$root has no served ANN store generation — run initServed"))
@@ -1295,19 +1364,49 @@ object IncrementalAnnIndex {
         "sourceRoot, or the store's feed was not derived from this " +
         "table; refusing to rebuild a store that would not match what " +
         "it serves")
+    // the id check alone cannot catch a wrong source whose id SPACE
+    // coincides (same generator, different embeddings), so raw
+    // generations also compare a deterministic content sample — the
+    // lowest stored ids' vectors against the source's (exact: both
+    // sides are the same parquet doubles when the source is right).
+    // ADC-only generations keep no vectors to compare; for them the
+    // check is id-level BY CONSTRUCTION and documented as such.
+    if (!isAdcOnly(spark, cur)) {
+      val sample = spark.read.parquet(listsPath(cur))
+        .select(col("vec_id"), col("v"))
+        .orderBy(col("vec_id")).limit(8)
+      val diverged = sample.join(
+          source.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("__sv")),
+          Seq("vec_id"))
+        .filter(col("v") =!= col("__sv")).count()
+      require(diverged == 0,
+        s"source snapshot $sourceRoot@v$pos carries the store's ids " +
+          s"but $diverged sampled vector(s) differ from the stored " +
+          "content — a coinciding id space over different embeddings; " +
+          "refusing to rebuild a store that would not match what it " +
+          "serves")
+    }
     val destG = g + 1
     val dest = genDir(root, destG)
     val (dfs, dp) = fsOf(spark, dest)
     if (dfs.exists(dp)) dfs.delete(dp, true) // unmarked ⇒ crashed attempt
     val geom = pqGeometryOf(spark, cur)
     val srcBooks = booksOf(spark, cur)
-    init(source, dest, nCentroids, ledgerBuckets,
-      pq = srcBooks.isDefined,
-      keepRaw = !isAdcOnly(spark, cur),
-      pqSegments = geom.map(_._1)
+    // every override defaults to the carry; an explicit value is the
+    // migration (see the layout-override scaladoc above). keepRaw =
+    // false forces the PQ layout through init's own invariant.
+    val newKeepRaw = keepRaw.getOrElse(!isAdcOnly(spark, cur))
+    val newPq = srcBooks.isDefined || !newKeepRaw ||
+      pqSegments.isDefined || pqCodes.isDefined || pqIters.isDefined
+    init(source, dest, carryNCentroids(spark, cur, nCentroids),
+      ledgerBuckets,
+      pq = newPq,
+      keepRaw = newKeepRaw,
+      pqSegments = pqSegments.orElse(geom.map(_._1))
         .orElse(srcBooks.map(_.size)).getOrElse(PqSegments),
-      pqCodes = geom.map(_._2).getOrElse(PqCodes),
-      pqIters = geom.map(_._3).getOrElse(PqIters))
+      pqCodes = pqCodes.orElse(geom.map(_._2)).getOrElse(PqCodes),
+      pqIters = pqIters.orElse(geom.map(_._3)).getOrElse(PqIters))
     val (cfs, cp) = fsOf(spark, cur)
     cfs.listStatus(cp)
       .filter(f => f.isFile && f.getPath.getName.startsWith("_applied_v"))

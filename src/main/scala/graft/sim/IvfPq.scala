@@ -103,6 +103,18 @@ object IvfPq {
 
     val q = KMeans.quantized(emb).localCheckpoint()
 
+    // the declared dim must MATCH the data's: a Geom whose dim is
+    // smaller would silently slice away the trailing dimensions from
+    // ADC scoring on the Spark side AND the oracle (both slice by the
+    // same declared dim), so the twin comparison could never catch
+    // the truncation — assert against one observed row instead
+    q.select(size(col("q"))).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == g.dim,
+        s"Geom.dim ${g.dim} does not match the data's vector " +
+          s"dimension ${r.getInt(0)} — a mismatched dim would " +
+          "silently truncate (or fail to slice) every segment")
+    }
+
     // 1. coarse quantizer: trained Lloyd's loop, model-sized collect
     val cents = KMeans.centroidsOf(
       KMeans.fitQ(q, g.coarse, g.coarseIters))

@@ -35,24 +35,45 @@ object ProductQuantizer {
   val Codes = 4
   val Iters = 1
 
+  /** Plain-PQ geometry — [[IvfPq.Geom]]'s discipline applied to the
+    * un-nested path: every structural constant lifted to a per-call
+    * value (defaults reproduce the object constants bit for bit; the
+    * oracle generator takes the same value), so the ad-hoc PQ form can
+    * express dim-768 x 48-segment shapes too. A geometry the dimension
+    * cannot host refuses at construction. */
+  final case class Geom(
+      segments: Int = Segments,
+      codes: Int = Codes,
+      iters: Int = Iters,
+      dim: Int = Similarity.Dim) {
+    require(segments >= 1 && codes >= 2 && iters >= 1,
+      s"bad PQ geometry: $this")
+    require(dim % segments == 0,
+      s"vector dim $dim must divide into $segments PQ segments")
+    val segDim: Int = dim / segments
+  }
+
   /** One segment's (vec_id, embedding) view. */
-  private def segEmb(emb: DataFrame, s: Int): DataFrame =
+  private def segEmb(emb: DataFrame, s: Int, g: Geom): DataFrame =
     emb.select(col("vec_id"),
-      slice(col("embedding"), s * SegDim + 1, SegDim).as("embedding"))
+      slice(col("embedding"), s * g.segDim + 1, g.segDim).as("embedding"))
 
   /** Per-segment codebooks: Segments independent exact-integer k-means
     * fits, collected model-sized (cid -> shifted micro-unit coords). */
-  def train(emb: DataFrame): Seq[Seq[(Long, Seq[Long])]] =
-    (0 until Segments).map(s =>
-      KMeans.centroidsOf(KMeans.fit(segEmb(emb, s), Codes, Iters)))
+  def train(emb: DataFrame,
+      geom: Geom = Geom()): Seq[Seq[(Long, Seq[Long])]] =
+    (0 until geom.segments).map(s =>
+      KMeans.centroidsOf(
+        KMeans.fit(segEmb(emb, s, geom), geom.codes, geom.iters)))
 
   /** PQ codes: vec_id + one codebook id per segment, via a single
     * row-local projection over the quantized full vector. */
-  def encode(emb: DataFrame, books: Seq[Seq[(Long, Seq[Long])]]): DataFrame = {
+  def encode(emb: DataFrame, books: Seq[Seq[(Long, Seq[Long])]],
+      geom: Geom = Geom()): DataFrame = {
     val q = KMeans.quantized(emb)
-    q.select(col("vec_id") +: (0 until Segments).map { s =>
+    q.select(col("vec_id") +: (0 until geom.segments).map { s =>
       KMeans.assignExpr(books(s),
-        slice(col("q"), s * SegDim + 1, SegDim)).as(s"c$s")
+        slice(col("q"), s * geom.segDim + 1, geom.segDim)).as(s"c$s")
     }: _*)
   }
 
@@ -60,7 +81,8 @@ object ProductQuantizer {
     * vectors with the smallest summed per-segment exact integer squared
     * distance to the query's subvectors via their codebook entries
     * (self excluded; (adc, cid) tiebreak). */
-  def adcTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  def adcTopK(emb: DataFrame, nQueries: Int, k: Int,
+      geom: Geom = Geom()): DataFrame = {
     require(nQueries >= 1 && k >= 1,
       s"nQueries and k must be positive, got ($nQueries, $k)")
     // the query side broadcasts: nQueries x Segments x Codes longs —
@@ -68,14 +90,22 @@ object ProductQuantizer {
     // paths instead of an all-queries broadcast
     require(nQueries <= 1000000,
       s"nQueries = $nQueries would broadcast a corpus-scale query side")
-    val books = train(emb)
+    val books = train(emb, geom)
     val q = KMeans.quantized(emb)
+    // declared-vs-observed dim (the IvfPq.topKImpl assertion): a
+    // smaller declared dim would silently truncate every segment on
+    // both twins, so the oracle could never catch it
+    q.select(size(col("q"))).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == geom.dim,
+        s"Geom.dim ${geom.dim} does not match the data's vector " +
+          s"dimension ${r.getInt(0)}")
+    }
 
     // query-side distance tables: per segment an array of exact
     // distances to each codebook entry, in books(s) order
     val queries = q.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid") +: (0 until Segments).map { s =>
-        val qseg = slice(col("q"), s * SegDim + 1, SegDim)
+      .select(col("vec_id").as("qid") +: (0 until geom.segments).map { s =>
+        val qseg = slice(col("q"), s * geom.segDim + 1, geom.segDim)
         array(books(s).map { case (_, arr) =>
           val carr = array(arr.map(lit): _*)
           aggregate(zip_with(qseg, carr, (a, b) => (a - b) * (a - b)),
@@ -83,7 +113,7 @@ object ProductQuantizer {
         }: _*).as(s"dt$s")
       }: _*)
 
-    val codes = encode(emb, books)
+    val codes = encode(emb, books, geom)
 
     // code -> table position (books(s) order); cids can be sparse when
     // a training cluster emptied, so map explicitly instead of indexing
@@ -95,7 +125,7 @@ object ProductQuantizer {
       }
 
     val scored = codes.join(broadcast(queries), col("qid") =!= col("vec_id"))
-      .withColumn("adc", (0 until Segments).map(lookup).reduce(_ + _))
+      .withColumn("adc", (0 until geom.segments).map(lookup).reduce(_ + _))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -106,26 +136,28 @@ object ProductQuantizer {
   /** DuckDB twin: Segments unrolled k-means chains (prefixed CTEs) +
     * per-segment final assignments (= the codes) + per-segment query
     * distance relations, summed and ranked. */
-  def adcTopKOracle(embRel: String, nQueries: Int, k: Int): String = {
+  def adcTopKOracle(embRel: String, nQueries: Int, k: Int,
+      geom: Geom = Geom()): String = {
     def segRel(s: Int) =
-      s"(SELECT vec_id, embedding[${s * SegDim + 1}:${(s + 1) * SegDim}]" +
-        s" AS embedding FROM $embRel)"
-    val chains = (0 until Segments).map { s =>
-      s"""${KMeans.oracleCtes(segRel(s), Codes, Iters, s"s${s}_")},
-         |${KMeans.assignCtes(Iters, s"s${s}_")},
+      s"(SELECT vec_id, embedding[${s * geom.segDim + 1}:" +
+        s"${(s + 1) * geom.segDim}] AS embedding FROM $embRel)"
+    val chains = (0 until geom.segments).map { s =>
+      s"""${KMeans.oracleCtes(segRel(s), geom.codes, geom.iters,
+             s"s${s}_")},
+         |${KMeans.assignCtes(geom.iters, s"s${s}_")},
          |s${s}_qd AS (
          |  SELECT el.vec_id AS qid, c.cid,
          |    CAST(sum((el.v - c.c) * (el.v - c.c)) AS BIGINT) AS d
-         |  FROM s${s}_el el JOIN s${s}_c$Iters c ON el.dim = c.dim
+         |  FROM s${s}_el el JOIN s${s}_c${geom.iters} c ON el.dim = c.dim
          |  WHERE el.vec_id < $nQueries GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    val codeJoins = (1 until Segments)
+    val codeJoins = (1 until geom.segments)
       .map(s => s"JOIN s${s}_af a$s USING (vec_id)").mkString(" ")
-    val qdJoins = (0 until Segments).map { s =>
+    val qdJoins = (0 until geom.segments).map { s =>
       val sameQid = if (s == 0) "" else " AND q%d.qid = q0.qid".format(s)
       s"JOIN s${s}_qd q$s ON q$s.cid = a$s.cid$sameQid"
     }.mkString(" ")
-    val adcSum = (0 until Segments).map(s => s"q$s.d").mkString(" + ")
+    val adcSum = (0 until geom.segments).map(s => s"q$s.d").mkString(" + ")
     s"""WITH $chains,
        |adc AS (
        |  SELECT q0.qid, a0.vec_id AS cid, $adcSum AS adc

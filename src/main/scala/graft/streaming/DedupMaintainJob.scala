@@ -44,10 +44,18 @@ object DedupMaintainJob {
   /** Drain every available feed file (checkpointed AvailableNow), one
     * file per micro-batch, into the dedup store at `storeDir`.
     * `storeBuckets` binds only if the first batch CREATES the store
-    * (the marker wins thereafter, as in processBatch); `threshold`
-    * likewise — the store's `_threshold_` marker wins for default
-    * calls, and an explicit disagreeing threshold fails the drain
-    * loudly (one store, one admission regime). */
+    * (the creation record wins thereafter, as in processBatch);
+    * `threshold` likewise — the store's `_meta_b<n>_t<ppm>` creation
+    * record wins for default calls, and an explicit disagreeing
+    * threshold fails the drain loudly (one store, one admission
+    * regime; an explicit value EQUAL to the default follows the
+    * record — processBatch's documented carve-out).
+    *
+    * Feed contract: FLAT files directly under `feedDir` (the file
+    * stream source drains top-level files — [[AnnMaintainJob
+    * .landDelta]] lands them that way). A feed whose data sits only
+    * in subdirectories (e.g. a partitioned landing) refuses loudly
+    * instead of draining nothing. */
   def runOnce(
       spark: SparkSession,
       feedDir: String,
@@ -63,12 +71,26 @@ object DedupMaintainJob {
     @volatile var skipped = 0L
     // a drain scheduled before the first landing is a no-op, not a
     // crash: the eager schema read below throws on a missing or
-    // data-less feed directory
+    // data-less feed directory. The guard enforces the FLAT-file feed
+    // contract: data hiding only in subdirectories would pass a
+    // recursive emptiness check and then silently drain nothing (the
+    // file stream source lists top-level files), so that shape
+    // refuses loudly here instead of returning an empty summary.
     val fp = new org.apache.hadoop.fs.Path(feedDir)
     val ffs = fp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!ffs.exists(fp) || !ffs.listStatus(fp).exists(f =>
-        f.isFile && !f.getPath.getName.startsWith("_")))
+    if (!ffs.exists(fp)) return DedupMaintainSummary(0, 0L, 0L, 0L)
+    val entries = ffs.listStatus(fp).toSeq
+      .filterNot(_.getPath.getName.startsWith("_"))
+    if (!entries.exists(_.isFile)) {
+      require(!entries.exists(_.isDirectory),
+        s"feed $feedDir holds no top-level data files but has " +
+          s"subdirectories (${entries.filter(_.isDirectory)
+            .map(_.getPath.getName).take(3).mkString(", ")}…) — the " +
+          "dedup feed contract is FLAT files (a partitioned landing " +
+          "would silently drain nothing); land feed files directly " +
+          "under the feed directory, e.g. via AnnMaintainJob.landDelta")
       return DedupMaintainSummary(0, 0L, 0L, 0L)
+    }
     val schema = spark.read.parquet(feedDir).schema
     val q = spark.readStream
       .schema(schema)

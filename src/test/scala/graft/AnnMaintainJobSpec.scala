@@ -343,6 +343,137 @@ class AnnMaintainJobSpec extends AnyFunSuite {
     assert(exPos.getMessage.contains("_applied_v"))
   }
 
+  test("layout MIGRATION at from-source rotation: raw 4x4 rotates into " +
+      "2x8 ADC-only; markers re-stamp; the drain continues") {
+    val base = Files.createTempDirectory("annjob_mig").toString
+    val root = s"$base/vt"
+    val v0 = VersionedTable.commit(
+      vecs((0 until 120).filterNot(_ % 10 == 0)), root)
+    val v1 = VersionedTable.commit(vecs(0 until 120), root)
+    val v2 = VersionedTable.commit(
+      vecs((0 until 120).filterNot(_ % 15 == 0)), root)
+    val annRoot = s"$base/ann"
+    // generation 0: RAW at the default 4x4 geometry, non-default
+    // trained-k 12 (the quantizer size must survive the migration too)
+    IncrementalAnnIndex.initServed(
+      VersionedTable.readVersion(spark, root, v0), annRoot,
+      nCentroids = 12, pq = true)
+    val gen0 = IncrementalAnnIndex.servedStore(spark, annRoot)
+    assert(spark.read.parquet(s"$gen0/lists").columns.contains("v"),
+      "generation 0 is a raw store")
+    val cdc = s"$base/cdc"
+    val ckpt = s"$base/ckpt"
+    AnnMaintainJob.landDelta(spark,
+      VersionedTable.changes(spark, root, v0, v1, Seq("vec_id")), cdc)
+    AnnMaintainJob.runOnceServed(spark, cdc, annRoot, ckpt,
+      seedSourceVersion = v0)
+
+    // the migration: override the layout at rotation instead of
+    // carrying it — raw 4x4 becomes ADC-only 2x8 in the same
+    // from-source re-train
+    val g = IncrementalAnnIndex.rebuildServedFromSource(spark, annRoot,
+      root, keepRaw = Some(false), pqSegments = Some(2),
+      pqCodes = Some(8))
+    assert(g == 1)
+    val served = IncrementalAnnIndex.servedStore(spark, annRoot)
+    val fs = new org.apache.hadoop.fs.Path(annRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$served/_adc_only")),
+      "the migrated generation is ADC-only")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$served/_pq_s2_c8_i1")),
+      "the geometry marker re-stamps from the OVERRIDE")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$served/_ivf_k12")),
+      "the trained-k quantizer size carries (not a default reset)")
+    assert(!spark.read.parquet(s"$served/lists").columns.contains("v"),
+      "no raw vector column survives the migration")
+    assert(spark.read.parquet(s"$served/centroids").count() == 12)
+    // gen 0 keeps ITS layout (readers that resolved before the
+    // cutover still see the raw 4x4 store)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$gen0/_pq_s4_c4_i1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$gen0/_adc_only")))
+
+    // the SAME checkpoint keeps draining onto the migrated generation
+    AnnMaintainJob.landDelta(spark,
+      VersionedTable.changes(spark, root, v1, v2, Seq("vec_id")), cdc)
+    val r2 = AnnMaintainJob.runOnceServed(spark, cdc, annRoot, ckpt,
+      seedSourceVersion = v0)
+    assert(r2.applied == 1 && r2.appliedThrough == v2)
+    assert(listedIds(served) ==
+      (0 until 120).filterNot(_ % 15 == 0).map(_.toLong).toSet)
+
+    // twin equivalence: the migrated store answers exactly like a
+    // store that had always been 2x8 ADC-only from the rotation point
+    val twin = s"$base/twin"
+    IncrementalAnnIndex.init(
+      VersionedTable.readVersion(spark, root, v1), twin,
+      nCentroids = 12, pq = true, keepRaw = false,
+      pqSegments = 2, pqCodes = 8)
+    IncrementalAnnIndex.applyChanges(
+      VersionedTable.changes(spark, root, v1, v2, Seq("vec_id")), twin)
+    val q = vecs(0 until 5).select(col("vec_id").as("qid"), col("embedding"))
+    val a = IncrementalAnnIndex.topKPqAdc(q, served, 3)
+    val b = IncrementalAnnIndex.topKPqAdc(q, twin, 3)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+
+    // a geometry the dimension cannot host refuses before any cutover
+    val exGeo = intercept[IllegalArgumentException] {
+      IncrementalAnnIndex.rebuildServedFromSource(spark, annRoot, root,
+        pqSegments = Some(3))
+    }
+    assert(exGeo.getMessage.contains("divide"))
+    assert(IncrementalAnnIndex.servedStore(spark, annRoot)
+      .endsWith("gen=1"), "a refused migration must not cut over")
+
+    // and the REVERSE migration works too: ADC-only back to raw (the
+    // source has the vectors), carrying the 2x8 geometry this time
+    val g2 = IncrementalAnnIndex.rebuildServedFromSource(spark, annRoot,
+      root, keepRaw = Some(true))
+    assert(g2 == 2)
+    val served2 = IncrementalAnnIndex.servedStore(spark, annRoot)
+    assert(spark.read.parquet(s"$served2/lists").columns.contains("v"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$served2/_adc_only")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$served2/_pq_s2_c8_i1")),
+      "an un-overridden geometry carries through the reverse migration")
+    // the re-raw'd store serves the exact paths again
+    val exact = IncrementalAnnIndex.topK(q, served2, 3)
+    assert(exact.count() > 0)
+  }
+
+  test("from-source rotation refuses a coinciding id space whose " +
+      "content diverges (raw generations sample-compare vectors)") {
+    val base = Files.createTempDirectory("annjob_div").toString
+    def vecsAlt(ids: Seq[Int]) = ids.map { i =>
+      (i.toLong, (0 until 8).map(d =>
+        (((i * 17 + d * 5) % 11) - 5).toFloat / 5f).toArray)
+    }.toDF("vec_id", "embedding")
+    val root = s"$base/vt"
+    val v0 = VersionedTable.commit(vecs(0 until 80), root)
+    val v1 = VersionedTable.commit(vecs(0 until 100), root)
+    val annRoot = s"$base/ann"
+    IncrementalAnnIndex.initServed(
+      VersionedTable.readVersion(spark, root, v0), annRoot)
+    val cdc = s"$base/cdc"
+    AnnMaintainJob.landDelta(spark,
+      VersionedTable.changes(spark, root, v0, v1, Seq("vec_id")), cdc)
+    AnnMaintainJob.runOnceServed(spark, cdc, annRoot, s"$base/ckpt",
+      seedSourceVersion = v0)
+    // wrong source: the SAME id space and version history, DIFFERENT
+    // embeddings — the id-level check alone cannot tell them apart
+    val wrongRoot = s"$base/vt_wrong"
+    VersionedTable.commit(vecsAlt(0 until 80), wrongRoot)
+    VersionedTable.commit(vecsAlt(0 until 100), wrongRoot)
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalAnnIndex.rebuildServedFromSource(spark, annRoot,
+        wrongRoot)
+    }
+    assert(ex.getMessage.contains("sampled vector"))
+    assert(IncrementalAnnIndex.servedStore(spark, annRoot)
+      .endsWith("gen=0"), "a refused rebuild must not cut over")
+    // the true source passes the same gate
+    assert(IncrementalAnnIndex.rebuildServedFromSource(spark, annRoot,
+      root) == 1)
+  }
+
   test("auto-compaction keeps a long drain's file counts bounded") {
     val base = Files.createTempDirectory("annjob_ac").toString
     val root = s"$base/vt"

@@ -119,7 +119,9 @@ class DedupMaintainJobSpec extends AnyFunSuite {
     IncrementalDedup.rebucketStore(spark, store, 64)
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$store/_buckets_64")))
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$store/_meta_b64_t800000")),
+      "the fused creation record moves to the re-bucketed count")
 
     AnnMaintainJob.landDelta(spark,
       Seq((10L, base.replace("valley", "meadow")), (2L, other),

@@ -231,6 +231,37 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("destination already exists"))
   }
 
+  test("rebuild carries a non-default quantizer size (_ivf_k marker)") {
+    val base = Files.createTempDirectory("annivfk").toString
+    val store = s"$base/store"
+    // trained-k 5 is larger than the init batch can fill (3 vectors):
+    // the marker must record the REQUESTED k, so the rebuild over the
+    // grown corpus trains the quantizer the store was MEANT to have —
+    // neither the lossy observed count (3) nor the session default (8)
+    IncrementalAnnIndex.init(vecs(0 until 3), store, nCentroids = 5)
+    IncrementalAnnIndex.appendBatch(vecs(3 until 60), store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$store/_ivf_k5")))
+    val dest = s"$base/rebuilt"
+    IncrementalAnnIndex.rebuild(spark, store, dest)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dest/_ivf_k5")))
+    assert(spark.read.parquet(s"$dest/centroids").count() == 5,
+      "the rebuild must re-train at the trained-k, not the observed " +
+        "count or the default")
+    // a pre-marker store falls back to the observed centroid count
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/_ivf_k5"), false)
+    val dest2 = s"$base/rebuilt2"
+    IncrementalAnnIndex.rebuild(spark, store, dest2)
+    assert(spark.read.parquet(s"$dest2/centroids").count() == 3,
+      "pre-marker carry is the observed count — never a silent reset " +
+        "to the default")
+    // an explicit value still wins over both
+    val dest3 = s"$base/rebuilt3"
+    IncrementalAnnIndex.rebuild(spark, store, dest3, nCentroids = Some(7))
+    assert(spark.read.parquet(s"$dest3/centroids").count() == 7)
+  }
+
   test("compact rewrites only fragmented partitions; content identical") {
     val store = Files.createTempDirectory("anncompact").toString + "/store"
     IncrementalAnnIndex.init(vecs(0 until 100), store)

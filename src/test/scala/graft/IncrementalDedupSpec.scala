@@ -202,7 +202,8 @@ class IncrementalDedupSpec extends AnyFunSuite {
     IncrementalDedup.processBatch(many, store, storeBuckets = 64)
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$store/_buckets_64")))
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$store/_meta_b64_t800000")))
     val docBuckets = spark.read.parquet(s"$store/docs")
       .select("b").distinct().count()
     assert(docBuckets == 64L, s"want all 64 doc buckets: $docBuckets")
@@ -250,9 +251,11 @@ class IncrementalDedupSpec extends AnyFunSuite {
     IncrementalDedup.rebucketStore(spark, store, 64)
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$store/_buckets_64")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/_buckets_16")),
-      "the old count marker must not survive the re-bucket")
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$store/_meta_b64_t800000")))
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$store/_meta_b16_t800000")),
+      "the old creation record must not survive the re-bucket")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/_rebucket_64")),
       "the intent marker must not survive a completed re-bucket")
     assert(snapshot() == before,
@@ -331,8 +334,8 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
-  test("the admission threshold binds at store creation: marker wins " +
-      "for default calls, a disagreeing explicit one refuses") {
+  test("the admission threshold binds at store creation: the record " +
+      "wins for default calls, a disagreeing explicit one refuses") {
     val store = Files.createTempDirectory("incdedupth").toString + "/corpus"
     // created at 1.01 (the ingest-all-then-probe shape)
     val r1 = IncrementalDedup.processBatch(
@@ -342,8 +345,9 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
     assert(fs.exists(
-      new org.apache.hadoop.fs.Path(s"$store/_threshold_1010000")))
-    // a DEFAULT call follows the marker: this near-dup of doc 1 would
+      new org.apache.hadoop.fs.Path(s"$store/_meta_b16_t1010000")),
+      "buckets and threshold live in ONE fused creation record")
+    // a DEFAULT call follows the record: this near-dup of doc 1 would
     // reject at 0.8, but the store's recorded regime admits everything
     val r2 = IncrementalDedup.processBatch(
       Seq((3L, base.replace("valley", "meadow"))).toDF("doc_id", "text"),
@@ -368,24 +372,220 @@ class IncrementalDedupSpec extends AnyFunSuite {
       Seq((100L, base.replace("valley", "meadow"))).toDF("doc_id", "text"),
       store)
     assert(p.count() == 2)
-    // racing creators can stamp TWO differently-named markers
-    // (create-if-absent cannot arbitrate across names): the lowest ppm
-    // wins deterministically and the next touch deletes the loser
+    // a crafted LEGACY _threshold_ marker next to the creation record
+    // is migration debris: ignored in favor of the record, cleaned up,
+    // regime unchanged (r18's lowest-ppm rule would have FLIPPED this
+    // established store to 0.8)
     fs.create(new org.apache.hadoop.fs.Path(s"$store/_threshold_800000"),
       false).close()
-    val exRace = intercept[IllegalArgumentException] {
-      IncrementalDedup.processBatch(
-        Seq((5L, base)).toDF("doc_id", "text"), store, threshold = 1.01)
-    }
-    assert(exRace.getMessage.contains("admission"))
+    val r4 = IncrementalDedup.processBatch( // near-dup of doc 1: the
+      // 1.01 regime must still admit it
+      Seq((5L, base.replace("quick", "swift"))).toDF("doc_id", "text"),
+      store)
+    assert(r4.accepted == 1 && r4.rejectedNearDup == 0,
+      s"the creation record must win over a late legacy marker, got $r4")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
-      s"$store/_threshold_1010000")),
-      "the losing marker must be cleaned up")
-    val r4 = IncrementalDedup.processBatch( // default call: winner binds
-      Seq((5L, "a wholly novel catalogue of lighthouse maintenance " +
-        "schedules and tide tables for the northern archipelago"))
-        .toDF("doc_id", "text"), store)
-    assert(r4.accepted == 1)
+      s"$store/_threshold_800000")), "legacy debris must be cleaned up")
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$store/_meta_b16_t1010000")))
+    // an INTERLOPER creation record on a CONTENT-BEARING store refuses
+    // loudly instead of flipping the regime — nothing distinguishes
+    // the two markers by name, so guessing would be silent corruption
+    fs.create(new org.apache.hadoop.fs.Path(s"$store/_meta_b16_t800000"),
+      false).close()
+    val exInt = intercept[IllegalStateException] {
+      IncrementalDedup.processBatch(
+        Seq((6L, third)).toDF("doc_id", "text"), store)
+    }
+    assert(exInt.getMessage.contains("creation-record"))
+    assert(spark.read.parquet(s"$store/docs").count() == 5,
+      "a refused batch leaves the store untouched")
+    // removing the interloper restores service at the original regime
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/_meta_b16_t800000"),
+      false)
+    val r5 = IncrementalDedup.processBatch(
+      Seq((6L, base.replace("birds", "crows"))).toDF("doc_id", "text"),
+      store)
+    assert(r5.accepted == 1 && r5.rejectedNearDup == 0)
+  }
+
+  test("creation races arbitrate only on an EMPTY store; legacy marker " +
+      "pairs fold into the fused record on first touch") {
+    val dir = Files.createTempDirectory("incdedupmeta").toString
+    val hc = spark.sessionState.newHadoopConf()
+    // TRUE creation race: two fused records land on a store with no
+    // content — deterministic winner (lowest ppm), loser deleted
+    val raced = s"$dir/raced"
+    val rfs = new org.apache.hadoop.fs.Path(raced).getFileSystem(hc)
+    rfs.mkdirs(new org.apache.hadoop.fs.Path(raced))
+    rfs.create(new org.apache.hadoop.fs.Path(s"$raced/_meta_b16_t800000"),
+      false).close()
+    rfs.create(new org.apache.hadoop.fs.Path(s"$raced/_meta_b16_t900000"),
+      false).close()
+    val rr = IncrementalDedup.processBatch( // default call: winner binds
+      Seq((1L, base), (2L, base.replace("valley", "meadow")))
+        .toDF("doc_id", "text"), raced)
+    assert(rr.accepted == 1 && rr.rejectedNearDup == 1,
+      s"the 0.8 winner must reject the near-dup pair, got $rr")
+    assert(rfs.exists(
+      new org.apache.hadoop.fs.Path(s"$raced/_meta_b16_t800000")))
+    assert(!rfs.exists(
+      new org.apache.hadoop.fs.Path(s"$raced/_meta_b16_t900000")),
+      "the losing creation record must be deleted")
+
+    // LEGACY (r18 two-marker) store: first touch folds both markers
+    // into the fused record and drops the legacy files; decisions
+    // follow the recorded regime unchanged
+    val legacy = s"$dir/legacy"
+    IncrementalDedup.processBatch(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"), legacy,
+      threshold = 1.01)
+    val lfs = new org.apache.hadoop.fs.Path(legacy).getFileSystem(hc)
+    lfs.delete(new org.apache.hadoop.fs.Path(s"$legacy/_meta_b16_t1010000"),
+      false)
+    lfs.create(new org.apache.hadoop.fs.Path(s"$legacy/_buckets_16"),
+      false).close()
+    lfs.create(new org.apache.hadoop.fs.Path(s"$legacy/_threshold_1010000"),
+      false).close()
+    val lr = IncrementalDedup.processBatch( // near-dup: 1.01 admits
+      Seq((3L, base.replace("valley", "meadow"))).toDF("doc_id", "text"),
+      legacy)
+    assert(lr.accepted == 1 && lr.rejectedNearDup == 0)
+    assert(lfs.exists(
+      new org.apache.hadoop.fs.Path(s"$legacy/_meta_b16_t1010000")),
+      "the legacy pair must fold into the fused record")
+    assert(!lfs.exists(new org.apache.hadoop.fs.Path(s"$legacy/_buckets_16")))
+    assert(!lfs.exists(
+      new org.apache.hadoop.fs.Path(s"$legacy/_threshold_1010000")))
+
+    // PRE-MARKER legacy store (no threshold ever recorded): the first
+    // post-upgrade touch stamps the calling value as the recorded
+    // regime (and says so loudly on stderr) — pinned here by the
+    // resulting marker and by the refusal a later disagreeing
+    // explicit call gets
+    val premark = s"$dir/premark"
+    IncrementalDedup.processBatch(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"), premark)
+    val pfs = new org.apache.hadoop.fs.Path(premark).getFileSystem(hc)
+    pfs.delete(new org.apache.hadoop.fs.Path(s"$premark/_meta_b16_t800000"),
+      false)
+    pfs.create(new org.apache.hadoop.fs.Path(s"$premark/_buckets_16"),
+      false).close()
+    // first touch is a no-opinion probe: adopts the session default
+    IncrementalDedup.probeStorePairs(
+      Seq((100L, third)).toDF("doc_id", "text"), premark).count()
+    assert(pfs.exists(
+      new org.apache.hadoop.fs.Path(s"$premark/_meta_b16_t800000")),
+      "a pre-marker store's first touch records the default regime")
+    val exUp = intercept[IllegalArgumentException] {
+      IncrementalDedup.processBatch(
+        Seq((3L, third)).toDF("doc_id", "text"), premark,
+        threshold = 1.01)
+    }
+    assert(exUp.getMessage.contains("admission"))
+  }
+
+  test("admission-regime rebuild: replay at the new threshold, " +
+      "tombstones carried — removed ids stay down in the new store") {
+    val dir = Files.createTempDirectory("incdeduprb").toString
+    val store = s"$dir/corpus"
+    val thirdVar = third.replace("audio", "video")
+    // built LOOSE (1.01 admits everything, near-dups included)
+    IncrementalDedup.processBatch(
+      Seq((1L, base), (2L, base.replace("valley", "meadow")),
+        (3L, other)).toDF("doc_id", "text"), store, threshold = 1.01)
+    IncrementalDedup.processBatch(
+      Seq((4L, third), (5L, thirdVar)).toDF("doc_id", "text"), store,
+      threshold = 1.01)
+    // takedown doc 4, then rebuild into the DEFAULT (tighter) regime
+    IncrementalDedup.removeDocs(spark, store,
+      Seq(4L).toDF("doc_id"))
+    val dest = s"$dir/rebuilt"
+    val r = IncrementalDedup.rebuildStoreThreshold(spark, store, dest,
+      graft.dedup.Dedup.JaccardThreshold)
+    // the docs the old regime admitted and the new one rejects: doc 2
+    // (near-dup of 1). Doc 5 survives — its only near-dup (4) is
+    // tombstoned, and a tombstone is not corpus. Doc 4 itself is
+    // CARRIED as a tombstone, never replayed.
+    assert(r == IncrementalDedup.RegimeRebuildResult(3, 1, 1), s"got $r")
+    val ids = IncrementalDedup.readDocs(spark, dest)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 5L))
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dest/_meta_b16_t800000")),
+      "the destination records the NEW regime at creation")
+    // tombstone carry: a replayed feed row for the taken-down id
+    // SKIPS in the new store — same or fresh checkpoint, forever
+    val replay = IncrementalDedup.processBatch(
+      Seq((4L, third)).toDF("doc_id", "text"), dest)
+    assert(replay.skippedRedelivered == 1 && replay.accepted == 0,
+      s"a taken-down id must stay down in the rebuilt store, got $replay")
+    // a REJECTED doc is not a tombstone: re-delivering doc 2 is
+    // re-evaluated (and re-rejected) rather than skipped
+    val rere = IncrementalDedup.processBatch(
+      Seq((2L, base.replace("valley", "meadow"))).toDF("doc_id", "text"),
+      dest)
+    assert(rere.rejectedNearDup == 1 && rere.accepted == 0)
+    // the source store is untouched by the rebuild
+    val srcIds = IncrementalDedup.readDocs(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(srcIds == Set(1L, 2L, 3L, 5L))
+    // a taken destination refuses (MVCC: rebuilds never land on a
+    // live store)
+    val exDest = intercept[IllegalArgumentException] {
+      IncrementalDedup.rebuildStoreThreshold(spark, store, dest, 0.9)
+    }
+    assert(exDest.getMessage.contains("destination already exists"))
+    // and the new store enforces ITS regime like any other
+    val exAdm = intercept[IllegalArgumentException] {
+      IncrementalDedup.processBatch(
+        Seq((9L, other)).toDF("doc_id", "text"), dest, threshold = 1.01)
+    }
+    assert(exAdm.getMessage.contains("admission"))
+  }
+
+  test("takedown adopts and finishes a pending re-bucket intent first") {
+    val dir = Files.createTempDirectory("incdeduprbk").toString
+    val store = s"$dir/corpus"
+    IncrementalDedup.processBatch(
+      Seq((1L, base), (2L, other), (3L, third)).toDF("doc_id", "text"),
+      store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a crashed re-bucket left its intent marker behind
+    fs.create(new org.apache.hadoop.fs.Path(s"$store/_rebucket_8"),
+      false).close()
+    val r = IncrementalDedup.removeDocs(spark, store,
+      Seq(2L).toDF("doc_id"))
+    assert(r.tombstoned == 1)
+    // the takedown adopted and FINISHED the re-bucket before touching
+    // buckets: new fused record, no intent, layout actually at 8
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$store/_meta_b8_t800000")),
+      "the fused record must move to the adopted bucket count")
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$store/_meta_b16_t800000")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/_rebucket_8")))
+    val parts = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$store/docs")).toSeq
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith("b="))
+      .map(_.getPath.getName.stripPrefix("b=").toInt)
+    assert(parts.nonEmpty && parts.forall(_ < 8),
+      s"docs partitions must live in the 8-bucket layout, got $parts")
+    // the tombstone is correct in the adopted layout: content gone,
+    // id still down under replay, survivors still guarded
+    val ids = IncrementalDedup.readDocs(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L))
+    val replay = IncrementalDedup.processBatch(
+      Seq((2L, other)).toDF("doc_id", "text"), store)
+    assert(replay.skippedRedelivered == 1 && replay.accepted == 0)
+    val guard = IncrementalDedup.processBatch(
+      Seq((7L, base.replace("valley", "meadow"))).toDF("doc_id", "text"),
+      store)
+    assert(guard.rejectedNearDup == 1 && guard.accepted == 0)
   }
 
   test("racing re-bucket intents resolve deterministically; " +
@@ -418,9 +618,10 @@ class IncrementalDedupSpec extends AnyFunSuite {
     def markers(): Set[String] = fs.listStatus(
         new org.apache.hadoop.fs.Path(store)).toSeq
       .filter(_.isFile).map(_.getPath.getName)
-      .filter(n => n.startsWith("_buckets_") || n.startsWith("_rebucket_"))
+      .filter(n => n.startsWith("_buckets_") || n.startsWith("_rebucket_")
+        || n.startsWith("_meta_"))
       .toSet
-    assert(markers() == Set("_buckets_48"),
+    assert(markers() == Set("_meta_b48_t800000"),
       s"deterministic max-count adoption, all intents cleared: ${markers()}")
     assert(snapshot() == before,
       "intent resolution must be content-identical in both trees")
@@ -432,7 +633,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
       Seq((7L, "redelivered but ignored"), (901L, base))
         .toDF("doc_id", "text"), store)
     assert(r == IncrementalDedup.BatchResult(1, 0, 1), s"$r")
-    assert(markers() == Set("_buckets_48"))
+    assert(markers() == Set("_meta_b48_t800000"))
   }
 
   test("takedown is a tombstone: content gone, id stays down forever") {
@@ -513,7 +714,9 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(after.columns.contains("b"), "migrated tree must be bucketed")
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$store/_buckets_16")))
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$store/_meta_b16_t800000")),
+      "a flat legacy store's migration stamps the fused creation record")
     // replay is still a no-op through the migrated store
     val r2 = IncrementalDedup.processBatch(
       Seq((11L, third)).toDF("doc_id", "text"), store)
