@@ -493,6 +493,15 @@ object Profile {
         println(s"[profile]   delta rows: ${feed.count()}")
         time(s"applyChanges @x$mult (fixed delta)")(
           IncrementalAnnIndex.applyChanges(feed, store))
+        // takedown tier (r19): takedownVecs a FIXED 200-id set as the
+        // index grows — the probe prunes to the ids' ledger buckets
+        // and the rewrite touches only their (bucket, list) pairs, so
+        // the row must stay ~flat like applyChanges above. The doomed
+        // set is arrival ids (present at every tier, disjoint from the
+        // delta's leaver side).
+        val doomed = arrivals.limit(200).select("vec_id")
+        time(s"takedownVecs @x$mult (fixed 200 ids)")(
+          IncrementalAnnIndex.takedownVecs(spark, store, doomed))
       }
       spark.stop()
       return

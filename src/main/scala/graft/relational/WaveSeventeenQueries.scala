@@ -148,5 +148,67 @@ object WaveSeventeenQueries {
          |    IN (SELECT doc_id FROM acc)
          |ORDER BY pub_id, new_id""".stripMargin
     }),
+
+    // TAKEDOWN in the ANN serving lifecycle — the vector-index twin of
+    // cross_corpus_dups_takedown, with the composition hazard only the
+    // serve-latest chain exposes: a from-source rotation reads the
+    // UNREDACTED corpus (the rights request redacted the INDEX, not
+    // the versioned table), so without armor the rotation would
+    // quietly re-admit every taken-down vector behind a
+    // healthy-looking cutover. Here the ADC-only 2x8 store drains
+    // v0->v1, vec_id % 9 == 4 is taken down (some ids stored, some
+    // pre-arrival — the blocklist shape), the rotation re-trains on
+    // the REDACTED source at the store's _applied_v position (armor
+    // excluded from content AND training input, tombstones carried),
+    // and the SAME checkpointed drain lands v1->v2 — whose inserts
+    // include tombstoned ids the new generation must refuse. The
+    // oracle recomputes IVFADC at the 2x8 geometry with the takedown
+    // exclusion folded into BOTH corpus filters.
+    Q("ann_takedown_rotate", (s, dir) => {
+      import graft.sinks.VersionedTable
+      import graft.streaming.AnnMaintainJob
+      val base = java.nio.file.Files
+        .createTempDirectory("ann_td_rot").toString
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val root = s"$base/vt"
+      val v0 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 8), root)
+      val v1 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 1), root)
+      val v2 = VersionedTable.commit(
+        emb.filter(col("vec_id") % 10 =!= 5), root)
+      val annRoot = s"$base/ann"
+      IncrementalAnnIndex.initServed(
+        VersionedTable.readVersion(s, root, v0), annRoot,
+        pq = true, keepRaw = false, pqSegments = 2, pqCodes = 8)
+      val cdcDir = s"$base/cdc"
+      val ckpt = s"$base/ckpt"
+      AnnMaintainJob.landDelta(s,
+        VersionedTable.changes(s, root, v0, v1, Seq("vec_id")), cdcDir)
+      AnnMaintainJob.runOnceServed(s, cdcDir, annRoot, ckpt,
+        seedSourceVersion = v0)
+      // the takedown: every vec_id % 9 == 4, whether currently stored
+      // (most), pre-arrival (% 10 == 1 ids return at v2), or never
+      // coming — one armor for all three
+      IncrementalAnnIndex.takedownVecs(s,
+        IncrementalAnnIndex.servedStore(s, annRoot),
+        emb.filter(col("vec_id") % 9 === 4).select("vec_id"))
+      // rotation from the UNREDACTED versioned table: content and
+      // training input redact via the carried tombstones
+      IncrementalAnnIndex.rebuildServedFromSource(s, annRoot, root)
+      AnnMaintainJob.landDelta(s,
+        VersionedTable.changes(s, root, v1, v2, Seq("vec_id")), cdcDir)
+      AnnMaintainJob.runOnceServed(s, cdcDir, annRoot, ckpt,
+        seedSourceVersion = v0) // same checkpoint: drains delta 2
+      IncrementalAnnIndex.topKPqAdc(
+          emb.filter(col("vec_id") < AnnQueries)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          IncrementalAnnIndex.servedStore(s, annRoot), AnnK)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(WaveFourteenQueries.pqOracle(
+      "vec_id % 10 != 1 AND vec_id % 9 != 4",
+      "vec_id % 10 != 5 AND vec_id % 9 != 4", None,
+      adcOnly = true, segs = 2, kc = 8))),
   )
 }

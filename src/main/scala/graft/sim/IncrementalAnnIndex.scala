@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   *     index scan. The vectors themselves never enter the ledger; at
   *     10B vectors the whole ledger is two longs per row, and a
   *     one-bucket delta reads 1/`ledgerBuckets` of that.
+  *   - `tombstones/b=<k>/` — TAKEDOWN armor ([[takedownVecs]]): ids
+  *     removed for good, hash-bucketed like the ledger. Absent until
+  *     the first takedown; every admission path refuses ids found
+  *     here, and rebuilds carry the tree, so a taken-down id stays
+  *     down through replays, re-inserts, and from-source rotations.
   *
   * Append assigns each new vector to its nearest centroid (broadcast
   * quantizer, argmax with the same round-then-tiebreak discipline as
@@ -63,7 +68,8 @@ object IncrementalAnnIndex {
 
   final case class AppendResult(appended: Long, skippedRedelivered: Long)
   final case class ChangesResult(removed: Long, appended: Long,
-      skippedRedelivered: Long)
+      skippedRedelivered: Long, skippedTombstoned: Long = 0L)
+  final case class TakedownResult(removed: Long, tombstoned: Long)
 
   /** Default ledger bucket count — recorded in the store at creation
     * (`ledger/_buckets_<n>`), immutable thereafter (the bucket of an id
@@ -90,6 +96,7 @@ object IncrementalAnnIndex {
   private def listsPath(store: String) = s"$store/lists"
   private def ledgerPath(store: String) = s"$store/ledger"
   private def booksPath(store: String) = s"$store/pqbooks"
+  private def tombstonesPath(store: String) = s"$store/tombstones"
   private def txnPath(store: String) = s"$store/_txn"
 
   /** DEFAULT PQ geometry for compressed stores: [[IvfPq]]'s segment
@@ -175,6 +182,25 @@ object IncrementalAnnIndex {
     spark.read.parquet(ledgerPath(store))
       .filter(col("b").isin(buckets: _*)) // static partition pruning
       .select(col("vec_id"), col("ref_cid").as("cid"), col("b"))
+
+  /** The TAKEDOWN armor — `tombstones/b=<k>/` rows of vec_id, hash-
+    * bucketed like the ledger (same bucket count, same pruning
+    * discipline: a consult reads only the delta's buckets). A
+    * tombstoned id is DOWN FOREVER: its content left the lists and
+    * the ledger, and every later admission path (append, CDC insert,
+    * a from-source rebuild reading the unredacted corpus) skips it —
+    * the [[graft.dedup.IncrementalDedup.removeDocs]] replay-armor
+    * discipline applied to the vector index. Empty when the store has
+    * never taken anything down. `buckets = None` reads the whole tree
+    * (rebuilds); `Some(bs)` statically prunes to a delta's buckets. */
+  private def tombstonedFor(spark: SparkSession, store: String,
+      buckets: Option[Seq[Int]]): Option[DataFrame] =
+    if (!hasData(spark, tombstonesPath(store), "b")) None
+    else Some {
+      val t = spark.read.parquet(tombstonesPath(store))
+      buckets.fold(t)(bs => t.filter(col("b").isin(bs: _*)))
+        .select(col("vec_id"), col("b"))
+    }
 
   /** Create the ledger if missing and return its bucket count. A
     * pre-ledger store (lists without a ledger) backfills from the
@@ -722,6 +748,93 @@ object IncrementalAnnIndex {
       hasDeletes = true)
   }
 
+  /** TAKEDOWN — remove `ids` from the index FOREVER: the rights
+    * request / policy strike a serving corpus must honor, with the
+    * replay-convergence armor a plain [[applyChanges]] delete lacks.
+    * A CDC delete is a statement about the SOURCE (the row left the
+    * corpus, and a later insert legitimately re-admits it); a takedown
+    * is a statement about the ID (this vector must never be served
+    * again, even though the unredacted source still carries it — so a
+    * feed replay, a late re-insert, or a from-source rebuild reading
+    * that source must all refuse it).
+    *
+    * Mechanics: the doomed ids' list rows and ledger rows leave
+    * (bucket/list-pruned survivor rewrite, [[applyDelta]]'s shape) and
+    * the ids land in `tombstones/b=<k>/` — all in ONE staged
+    * transaction ([[commitTxn]] carries the third tree), so no crash
+    * can observe the content gone without the armor in place or vice
+    * versa. Every admission path consults the tombstones: appends and
+    * CDC inserts skip them (counted as `skippedTombstoned`), and
+    * [[rebuild]] / [[rebuildServed]] / [[rebuildServedFromSource]]
+    * CARRY them — a from-source rotation reads the unredacted corpus
+    * and excludes tombstoned ids from the new generation's content
+    * AND its training input. Taking down an id the store never held
+    * (or already removed) still arms the tombstone: the admission
+    * refusal is the point, presence is not a precondition. Idempotent
+    * and replay-convergent: re-running a takedown finds the content
+    * already gone and the tombstones already stamped.
+    *
+    * Erasure scope (deployment note): the coarse quantizer and PQ
+    * codebooks are TRAINED ARTIFACTS that may retain information
+    * derived from a taken-down vector (a centroid seeded from it
+    * verbatim, in the worst case). A deployment under strict erasure
+    * obligations follows takedowns with [[rebuildServedFromSource]] —
+    * the rotation re-trains quantizer and codebooks on the REDACTED
+    * corpus (tombstoned ids are excluded from its training input), so
+    * takedown + rotation is the complete erasure story. */
+  def takedownVecs(spark: SparkSession, store: String,
+      ids: DataFrame): TakedownResult = {
+    timed("recover")(recover(spark, store))
+    val nb = ledgerBucketsOf(spark, store).getOrElse(
+      throw new IllegalArgumentException(
+        s"$store has no ledger — takedown targets an initialized " +
+          "store (to blocklist ids before any content exists, init " +
+          "the store first, then take the ids down)"))
+    val doomed = timed("takedown ids ckpt")(ids
+      .select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .withColumn("b", bucketOf(col("vec_id"), nb))
+      .localCheckpoint())
+    val idSummary = timed("takedown summary")(doomed.agg(
+      count(lit(1)).as("n"),
+      collect_set(col("b")).as("buckets")).head())
+    val nIds = idSummary.getLong(0)
+    val idBuckets = idSummary.getSeq[Int](1)
+    if (nIds == 0) return TakedownResult(0L, 0L)
+    // ONE bucket-pruned ledger probe: which doomed ids are present,
+    // and in which (bucket, list) pairs — the rewrite touches only
+    // those partitions, so takedown cost is bucket-bounded at any
+    // corpus size
+    val stats: Array[(Int, Long, Long)] =
+      if (!hasData(spark, ledgerPath(store), "b")) Array.empty
+      else timed("takedown probe")(
+        ledgerFor(spark, store, idBuckets)
+          .join(doomed.select("vec_id"), Seq("vec_id"), "left_semi")
+          .groupBy(col("b"), col("cid")).count().collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))))
+    val removed = stats.map(_._3).sum
+    val affectedCids = stats.map(_._2).distinct.sorted.toSeq
+    val affectedBuckets = stats.map(_._1).distinct.sorted.toSeq
+    val adcOnly = isAdcOnly(spark, store)
+    val survivorsL = spark.read.parquet(listsPath(store))
+      .filter(col("cid").isin(affectedCids: _*)) // static pruning
+      .join(doomed.select("vec_id"), Seq("vec_id"), "left_anti")
+    val listsOut =
+      listsProjection(if (adcOnly) survivorsL.drop("v") else survivorsL)
+    val ledgerOut = ledgerFor(spark, store, affectedBuckets)
+      .join(doomed.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid").cast("long").as("cid"), col("b"))
+    // the armor: existing tombstones at the doomed buckets union the
+    // new ids (idempotent re-takedown lands on identical content)
+    val tombOut = tombstonedFor(spark, store, Some(idBuckets))
+      .fold(doomed.select(col("vec_id"), col("b")))(e =>
+        e.unionByName(doomed.select(col("vec_id"), col("b"))).distinct())
+    timed("commitTxn")(commitTxn(spark, store, listsOut, ledgerOut,
+      affectedCids, affectedBuckets, coalesce = false,
+      tombOut = Some(tombOut),
+      replaceTombBuckets = idBuckets.sorted))
+    TakedownResult(removed, nIds)
+  }
+
   /** The one maintenance primitive: remove the delta's `is_del` ids
     * and append its `is_ins` vectors, as a single staged transaction
     * over both trees.
@@ -754,21 +867,39 @@ object IncrementalAnnIndex {
     timed("recover")(recover(spark, store))
     val nb = timed("ensureLedger")(
       ensureLedger(spark, store, requestedBuckets))
-    val delta = timed("delta ckpt")(deltaRaw
+    // the takedown armor: a tombstoned id is down forever, so inserts
+    // carrying one are flagged in the SAME delta checkpoint (the
+    // tombstones tree is |takedowns| rows — tiny by nature — so the
+    // un-pruned read costs nothing, and stores that never took
+    // anything down skip it entirely on one exists probe)
+    val tomb = tombstonedFor(spark, store, None)
+    val deltaFlagged = tomb.fold(
+        deltaRaw.withColumn("is_tomb", lit(false)))(t =>
+      deltaRaw.join(t.select(col("vec_id"), lit(true).as("is_tomb")),
+          Seq("vec_id"), "left")
+        .withColumn("is_tomb", coalesce(col("is_tomb"), lit(false))))
+    val delta = timed("delta ckpt")(deltaFlagged
       .withColumn("b", bucketOf(col("vec_id"), nb))
       .localCheckpoint())
     // one driver-sized pass over the checkpoint: loud unknown-type
-    // failure, the insert count, and the delta's hash-bucket set
+    // failure, the insert count (tombstone-skipped rows counted apart
+    // — they are not incoming, they are refused), and the delta's
+    // hash-bucket set
     val summary = timed("summary collect")(delta.agg(
-      sum(when(col("is_ins"), 1L).otherwise(0L)).as("n_incoming"),
+      sum(when(col("is_ins") && !col("is_tomb"), 1L).otherwise(0L))
+        .as("n_incoming"),
       collect_set(col("bad_type")).as("bad"),
-      collect_set(col("b")).as("buckets")).head())
+      collect_set(col("b")).as("buckets"),
+      sum(when(col("is_ins") && col("is_tomb"), 1L).otherwise(0L))
+        .as("n_tombskip")).head())
     val bad = summary.getSeq[String](1)
     require(bad.isEmpty,
       s"IncrementalAnnIndex: unknown change_type(s): ${bad.mkString(", ")}")
     val nIncoming = Option(summary.get(0)).map(_.asInstanceOf[Long])
       .getOrElse(0L)
     val buckets = summary.getSeq[Int](2)
+    val nTombSkip = Option(summary.get(3)).map(_.asInstanceOf[Long])
+      .getOrElse(0L)
 
     // ONE bucket-pruned ledger probe, the delta's flags joined in:
     // delta-bounded, so every downstream id decision is local
@@ -798,12 +929,14 @@ object IncrementalAnnIndex {
     val affectedBuckets = stats.filter(_._3).map(_._1).distinct.sorted.toSeq
     val nFresh = nIncoming - skipped
     if (nFresh == 0 && affectedCids.isEmpty)
-      return ChangesResult(0L, 0L, skipped)
+      return ChangesResult(0L, 0L, skipped, nTombSkip)
 
     // fresh inserts: not known to the ledger unless doomed this delta
-    // (an update's postimage re-enters). Narrow recomputation over the
-    // two checkpoints — no materialization of its own.
-    val incoming = delta.filter(col("is_ins"))
+    // (an update's postimage re-enters), and never tombstoned — the
+    // takedown armor holds through any replay or late re-insert.
+    // Narrow recomputation over the two checkpoints — no
+    // materialization of its own.
+    val incoming = delta.filter(col("is_ins") && !col("is_tomb"))
       .select(col("vec_id"), col("v"), col("b"))
     val fresh = probe match {
       case None => incoming
@@ -857,7 +990,7 @@ object IncrementalAnnIndex {
     timed("commitTxn")(commitTxn(spark, store, listsOut, ledgerOut,
       affectedCids, affectedBuckets,
       coalesce = affectedCids.isEmpty && nFresh <= CoalescedAppendRows))
-    ChangesResult(removed, nFresh, skipped)
+    ChangesResult(removed, nFresh, skipped, nTombSkip)
   }
 
   /** Stage both trees under `_txn/`, record the manifest, mark `_ok`,
@@ -868,7 +1001,9 @@ object IncrementalAnnIndex {
   private def commitTxn(spark: SparkSession, store: String,
       listsOut: DataFrame, ledgerOut: DataFrame,
       replaceCids: Seq[Long], replaceBuckets: Seq[Int],
-      coalesce: Boolean): Unit = {
+      coalesce: Boolean,
+      tombOut: Option[DataFrame] = None,
+      replaceTombBuckets: Seq[Int] = Nil): Unit = {
     val (fs, txnP) = fsOf(spark, txnPath(store))
     fs.delete(txnP, true)
     // ONE write action stages BOTH trees: rows union under
@@ -883,7 +1018,7 @@ object IncrementalAnnIndex {
     // metadata, so the ledger files stay two longs per row.
     val extras = listsOut.schema.fields
       .filterNot(f => Set("vec_id", "cid")(f.name))
-    val combined = listsOut
+    val twoTrees = listsOut
       .select(Seq(col("vec_id"),
         col("cid").cast("long").as("ref_cid")) ++
         extras.map(f => col(f.name)) ++
@@ -892,6 +1027,16 @@ object IncrementalAnnIndex {
         col("cid").cast("long").as("ref_cid")) ++
         extras.map(f => lit(null).cast(f.dataType).as(f.name)) ++
         Seq(lit("ledger").as("tree"), col("b").cast("long").as("pk")): _*))
+    // the takedown armor rides the SAME staged write when present:
+    // tombstone rows are vec_id-only (ref_cid and the lists extras
+    // null-padded away by parquet column metadata), so content removal
+    // and the armor that keeps it removed land in ONE transaction — no
+    // crash can observe the takedown without the tombstone
+    val combined = tombOut.fold(twoTrees)(t =>
+      twoTrees.unionByName(t.select(Seq(col("vec_id"),
+        lit(null).cast("long").as("ref_cid")) ++
+        extras.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+        Seq(lit("tomb").as("tree"), col("b").cast("long").as("pk")): _*)))
     val shaped =
       if (coalesce) combined.repartition(1)
       else combined.repartition(col("tree"), col("pk"))
@@ -910,11 +1055,14 @@ object IncrementalAnnIndex {
     }
     val stagedLists = stagedParts("lists")
     val stagedLedger = stagedParts("ledger")
+    val stagedTomb = stagedParts("tomb")
     val manifest =
       replaceCids.map(c =>
         s"${if (stagedLists(c)) "swap" else "drop"} lists cid=$c") ++
       replaceBuckets.map(k =>
-        s"${if (stagedLedger(k.toLong)) "swap" else "drop"} ledger b=$k")
+        s"${if (stagedLedger(k.toLong)) "swap" else "drop"} ledger b=$k") ++
+      replaceTombBuckets.map(k =>
+        s"${if (stagedTomb(k.toLong)) "swap" else "drop"} tomb b=$k")
     val mf = fs.create(new Path(txnP, "_manifest"), true)
     mf.write(manifest.mkString("\n").getBytes(StandardCharsets.UTF_8))
     mf.close()
@@ -959,9 +1107,13 @@ object IncrementalAnnIndex {
       store: String): Unit = {
     val manifest = readManifest(fs, new Path(txnP, "_manifest"))
     Seq(("lists", "cid", new Path(listsPath(store))),
-        ("ledger", "b", new Path(ledgerPath(store)))).foreach {
+        ("ledger", "b", new Path(ledgerPath(store))),
+        ("tomb", "b", new Path(tombstonesPath(store)))).foreach {
       case (sub, livePrefix, liveRoot) =>
         val stagedSub = new Path(txnP, s"data/tree=$sub")
+        // a tree this transaction never touched (the usual case for
+        // `tomb`) is skipped outright — no empty live dir appears
+        if (manifest.exists(_._2 == sub) || fs.exists(stagedSub)) {
         fs.mkdirs(liveRoot)
         manifest.filter(_._2 == sub).foreach { case (action, _, part) =>
           val stagedDir = new Path(stagedSub,
@@ -1012,6 +1164,7 @@ object IncrementalAnnIndex {
                 }
             }
           }
+        }
         }
     }
   }
@@ -1130,6 +1283,22 @@ object IncrementalAnnIndex {
       restrict = l => l.join(allowed.select("vec_id"),
         Seq("vec_id"), "left_semi"))
 
+  /** Carry the takedown armor to a rebuilt store: the source's
+    * tombstoned ids re-bucket at the destination's ledger bucket
+    * count and land under its tombstones tree. Runs while the
+    * destination is still unpublished (no reader resolves it until
+    * the caller's cutover), so the plain write needs no staging —
+    * a crashed rebuild's destination is discarded wholesale. */
+  private def carryTombstones(spark: SparkSession, src: String,
+      dest: String, destBuckets: Int): Unit =
+    tombstonedFor(spark, src, None).foreach { t =>
+      t.select(col("vec_id"),
+          bucketOf(col("vec_id"), destBuckets).as("b"))
+        .distinct()
+        .write.mode("overwrite").partitionBy("b")
+        .parquet(tombstonesPath(dest))
+    }
+
   /** REBUILD — the one operation IVF cannot do incrementally, made
     * explicit: re-train the quantizer over the store's CURRENT
     * vectors (init's deterministic lowest-vec_id rule) and re-assign
@@ -1184,6 +1353,9 @@ object IncrementalAnnIndex {
         val out = fs.create(new Path(destP, m.getPath.getName), false)
         out.close()
       }
+    // takedown armor survives the rebuild: taken-down ids stay down
+    // in the re-trained store under any later replay or re-insert
+    carryTombstones(spark, storeDir, destDir, ledgerBuckets)
     r
   }
 
@@ -1353,17 +1525,25 @@ object IncrementalAnnIndex {
     // WRONG index behind a healthy-looking cutover. Two ids-only
     // anti-join counts (ledger side is two longs per row), at rebuild
     // cadence — noise next to the re-train this call exists to do.
+    // takedown armor: a tombstoned id legitimately sits in the source
+    // (the takedown redacted the STORE, not the unredacted corpus), so
+    // the verification treats it as expected-but-excluded, and the
+    // rebuild must neither refuse over it nor re-admit it
+    val tombstoned = tombstonedFor(spark, cur, None)
+      .map(_.select(col("vec_id")))
     val srcIds = source.select(col("vec_id"))
     val storeIds = spark.read.parquet(ledgerPath(cur)).select(col("vec_id"))
     val missing = storeIds.join(srcIds, Seq("vec_id"), "left_anti").count()
-    val extra = srcIds.join(storeIds, Seq("vec_id"), "left_anti").count()
+    val extraRaw = srcIds.join(storeIds, Seq("vec_id"), "left_anti")
+    val extra = tombstoned.fold(extraRaw)(t =>
+      extraRaw.join(t, Seq("vec_id"), "left_anti")).count()
     require(missing == 0 && extra == 0,
       s"source snapshot $sourceRoot@v$pos disagrees with the served " +
         s"store's content ($missing store id(s) absent from the " +
-        s"source, $extra source id(s) unknown to the store) — wrong " +
-        "sourceRoot, or the store's feed was not derived from this " +
-        "table; refusing to rebuild a store that would not match what " +
-        "it serves")
+        s"source, $extra source id(s) unknown to the store and not " +
+        "tombstoned) — wrong sourceRoot, or the store's feed was not " +
+        "derived from this table; refusing to rebuild a store that " +
+        "would not match what it serves")
     // the id check alone cannot catch a wrong source whose id SPACE
     // coincides (same generator, different embeddings), so raw
     // generations also compare a deterministic content sample — the
@@ -1399,7 +1579,14 @@ object IncrementalAnnIndex {
     val newKeepRaw = keepRaw.getOrElse(!isAdcOnly(spark, cur))
     val newPq = srcBooks.isDefined || !newKeepRaw ||
       pqSegments.isDefined || pqCodes.isDefined || pqIters.isDefined
-    init(source, dest, carryNCentroids(spark, cur, nCentroids),
+    // the rebuild input is the REDACTED source: tombstoned ids are
+    // excluded from the new generation's content AND its quantizer/
+    // codebook training — this rotation is the erasure completion the
+    // takedownVecs scaladoc promises (trained artifacts re-fit on a
+    // corpus that no longer contains the taken-down vectors)
+    val redacted = tombstoned.fold(source)(t =>
+      source.join(t, Seq("vec_id"), "left_anti"))
+    init(redacted, dest, carryNCentroids(spark, cur, nCentroids),
       ledgerBuckets,
       pq = newPq,
       keepRaw = newKeepRaw,
@@ -1413,6 +1600,9 @@ object IncrementalAnnIndex {
       .foreach { m =>
         dfs.create(new Path(dp, m.getPath.getName), false).close()
       }
+    // the armor itself carries too: a re-insert arriving AFTER the
+    // rotation must still be refused by the new generation
+    carryTombstones(spark, cur, dest, ledgerBuckets)
     val (fs, rp) = fsOf(spark, root)
     fs.create(new Path(rp, s"_serve_$destG"), false).close() // cutover
     destG

@@ -474,6 +474,65 @@ class AnnMaintainJobSpec extends AnyFunSuite {
       root) == 1)
   }
 
+  test("takedown in the served lifecycle: the drain refuses re-inserts, " +
+      "the from-source rotation excludes tombstoned ids and carries " +
+      "the armor") {
+    val base = Files.createTempDirectory("annjob_td").toString
+    val root = s"$base/vt"
+    val v0 = VersionedTable.commit(vecs(0 until 120), root)
+    val v1 = VersionedTable.commit(vecs(0 until 140), root)
+    val v2 = VersionedTable.commit(
+      vecs((0 until 140).filterNot(_ % 15 == 0)), root)
+    val annRoot = s"$base/ann"
+    IncrementalAnnIndex.initServed(
+      VersionedTable.readVersion(spark, root, v0), annRoot, pq = true)
+    val gen0 = IncrementalAnnIndex.servedStore(spark, annRoot)
+    // two stored ids leave; 130 is a PRE-ARRIVAL blocklist entry (it
+    // only enters the corpus at v1 — the drain must refuse it)
+    val td = IncrementalAnnIndex.takedownVecs(spark, gen0,
+      Seq(7L, 23L, 130L).toDF("vec_id"))
+    assert(td.removed == 2 && td.tombstoned == 3)
+
+    val cdc = s"$base/cdc"
+    val ckpt = s"$base/ckpt"
+    AnnMaintainJob.landDelta(spark,
+      VersionedTable.changes(spark, root, v0, v1, Seq("vec_id")), cdc)
+    val r1 = AnnMaintainJob.runOnceServed(spark, cdc, annRoot, ckpt,
+      seedSourceVersion = v0)
+    assert(r1.applied == 1 && r1.appliedThrough == v1)
+    assert(!listedIds(gen0).exists(Set(7L, 23L, 130L)),
+      "the drain must refuse the tombstoned insert (130) and the " +
+        "removed ids must stay gone")
+
+    // rotation from the UNREDACTED source: the id verification treats
+    // tombstoned ids as expected-but-excluded (no refusal), the new
+    // generation's content AND training input exclude them, and the
+    // armor carries
+    val g = IncrementalAnnIndex.rebuildServedFromSource(spark, annRoot, root)
+    assert(g == 1)
+    val served = IncrementalAnnIndex.servedStore(spark, annRoot)
+    assert(!listedIds(served).exists(Set(7L, 23L, 130L)))
+    val fs = new org.apache.hadoop.fs.Path(annRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$served/tombstones")),
+      "the tombstones tree must carry to the rotated generation")
+
+    // the SAME checkpoint keeps draining; a late re-insert of a
+    // tombstoned id through the feed is refused by the new generation
+    AnnMaintainJob.landDelta(spark,
+      VersionedTable.changes(spark, root, v1, v2, Seq("vec_id")), cdc)
+    val r2 = AnnMaintainJob.runOnceServed(spark, cdc, annRoot, ckpt,
+      seedSourceVersion = v0)
+    assert(r2.applied == 1 && r2.appliedThrough == v2)
+    assert(listedIds(served) ==
+      (0 until 140).filterNot(_ % 15 == 0)
+        .map(_.toLong).toSet -- Set(7L, 23L, 130L))
+    val app = IncrementalAnnIndex.appendBatch(vecs(Seq(7, 23, 130)), served)
+    assert(app.appended == 0,
+      "the rotated generation must still refuse taken-down ids")
+  }
+
   test("auto-compaction keeps a long drain's file counts bounded") {
     val base = Files.createTempDirectory("annjob_ac").toString
     val root = s"$base/vt"

@@ -902,6 +902,63 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("ADC-only"))
   }
 
+  test("takedown: content leaves, armor holds through every " +
+      "admission path") {
+    val store = Files.createTempDirectory("anntd").toString + "/store"
+    IncrementalAnnIndex.init(vecs(0 until 150), store)
+    val r = IncrementalAnnIndex.takedownVecs(spark, store,
+      Seq(10L, 20L, 30L, 999L).toDF("vec_id")) // 999 was never stored
+    assert(r.removed == 3 && r.tombstoned == 4,
+      "three stored ids leave; the absent id still arms")
+    val lists = spark.read.parquet(s"$store/lists")
+    assert(lists.count() == 147)
+    assert(lists.filter(col("vec_id").isin(10, 20, 30)).count() == 0)
+    assert(spark.read.parquet(s"$store/ledger")
+      .filter(col("vec_id").isin(10, 20, 30)).count() == 0)
+    // idempotent: the re-run finds content gone, armor already stamped
+    val again = IncrementalAnnIndex.takedownVecs(spark, store,
+      Seq(10L, 20L, 30L, 999L).toDF("vec_id"))
+    assert(again.removed == 0 && again.tombstoned == 4)
+    // append refuses the tombstoned ids (including the never-stored
+    // one) and admits the genuinely fresh row
+    val app = IncrementalAnnIndex.appendBatch(
+      vecs(Seq(10, 20, 999, 500)), store)
+    assert(app.appended == 1 && app.skippedRedelivered == 0)
+    assert(spark.read.parquet(s"$store/lists")
+      .filter(col("vec_id").isin(10, 20, 999)).count() == 0)
+    // the CDC path refuses them too, and a delete of a tombstoned id
+    // is a no-op, not a crash
+    val feed = vecs(Seq(30, 600))
+      .withColumn("change_type", lit("insert"))
+      .unionByName(vecs(Seq(10))
+        .withColumn("change_type", lit("delete")))
+    val cdc = IncrementalAnnIndex.applyChanges(feed, store)
+    assert(cdc.appended == 1 && cdc.removed == 0 &&
+      cdc.skippedTombstoned == 1,
+      s"insert of a tombstoned id must refuse, got $cdc")
+    // search never returns a taken-down id
+    val q = vecs(0 until 5).select(col("vec_id").as("qid"), col("embedding"))
+    val got = IncrementalAnnIndex.topK(q, store, 150).collect()
+    assert(!got.exists(r0 => Set(10L, 20L, 30L)(r0.getAs[Long]("cid"))))
+  }
+
+  test("takedown survives a stored-raw rebuild") {
+    val base = Files.createTempDirectory("anntdr").toString
+    val store = s"$base/store"
+    IncrementalAnnIndex.init(vecs(0 until 120), store)
+    IncrementalAnnIndex.takedownVecs(spark, store,
+      Seq(40L, 41L).toDF("vec_id"))
+    val dest = s"$base/rebuilt"
+    IncrementalAnnIndex.rebuild(spark, store, dest)
+    assert(spark.read.parquet(s"$dest/lists")
+      .filter(col("vec_id").isin(40, 41)).count() == 0)
+    // the armor carried: a replayed insert into the REBUILT store is
+    // still refused
+    val app = IncrementalAnnIndex.appendBatch(vecs(Seq(40, 41)), dest)
+    assert(app.appended == 0)
+    assert(spark.read.parquet(s"$dest/lists").count() == 118)
+  }
+
   test("probe reads only the probed list partitions") {
     val store = Files.createTempDirectory("annidx").toString + "/store"
     IncrementalAnnIndex.init(vecs(0 until 200), store)
