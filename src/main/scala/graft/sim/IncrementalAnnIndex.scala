@@ -1108,12 +1108,15 @@ object IncrementalAnnIndex {
     val manifest = readManifest(fs, new Path(txnP, "_manifest"))
     Seq(("lists", "cid", new Path(listsPath(store))),
         ("ledger", "b", new Path(ledgerPath(store))),
-        ("tomb", "b", new Path(tombstonesPath(store)))).foreach {
+        ("tomb", "b", new Path(tombstonesPath(store))))
+      // a tree this transaction never touched (the usual case for
+      // `tomb`) is skipped outright — no empty live dir appears
+      .filter { case (sub, _, _) =>
+        manifest.exists(_._2 == sub) ||
+          fs.exists(new Path(txnP, s"data/tree=$sub"))
+      }.foreach {
       case (sub, livePrefix, liveRoot) =>
         val stagedSub = new Path(txnP, s"data/tree=$sub")
-        // a tree this transaction never touched (the usual case for
-        // `tomb`) is skipped outright — no empty live dir appears
-        if (manifest.exists(_._2 == sub) || fs.exists(stagedSub)) {
         fs.mkdirs(liveRoot)
         manifest.filter(_._2 == sub).foreach { case (action, _, part) =>
           val stagedDir = new Path(stagedSub,
@@ -1164,7 +1167,6 @@ object IncrementalAnnIndex {
                 }
             }
           }
-        }
         }
     }
   }

@@ -942,6 +942,74 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(!got.exists(r0 => Set(10L, 20L, 30L)(r0.getAs[Long]("cid"))))
   }
 
+  test("a marked takedown txn publishes the tombstones forward on " +
+      "recovery — the armor beats the very next append") {
+    // crash right after takedownVecs' _ok marker: the staged txn
+    // carries all THREE trees, so recovery must land the content
+    // removal and the armor together — a recovery that restored the
+    // lists but dropped the tomb staging (or vice versa) would either
+    // keep serving the doomed vectors or leave the removal
+    // re-admittable. The probe: trigger recovery via an append OF THE
+    // DOOMED IDS — publish runs first, so the armor must refuse them.
+    val store = Files.createTempDirectory("anntdrec").toString + "/store"
+    IncrementalAnnIndex.init(vecs(0 until 100), store)
+    val doomed = Seq(10L, 20L)
+    val lists = spark.read.parquet(s"$store/lists")
+    val cids = lists.filter(col("vec_id").isin(doomed: _*))
+      .select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val ledger = spark.read.parquet(s"$store/ledger")
+    val tombBuckets = ledger.filter(col("vec_id").isin(doomed: _*))
+      .select("b").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val txn = s"$store/_txn"
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // stage all three trees exactly as commitTxn does (lists and
+    // ledger survivors, tomb rows), then the manifest and the marker
+    lists.filter(col("cid").cast("long").isin(cids: _*))
+      .filter(!col("vec_id").isin(doomed: _*))
+      .select(col("vec_id"), col("v"),
+        col("cid").cast("long").as("ref_cid"),
+        lit("lists").as("tree"), col("cid").cast("long").as("pk"))
+      .unionByName(ledger.filter(col("b").isin(tombBuckets: _*))
+        .filter(!col("vec_id").isin(doomed: _*))
+        .select(col("vec_id"), lit(null).cast("array<double>").as("v"),
+          col("ref_cid").cast("long").as("ref_cid"),
+          lit("ledger").as("tree"), col("b").cast("long").as("pk")))
+      .unionByName(ledger.filter(col("vec_id").isin(doomed: _*))
+        .select(col("vec_id"), lit(null).cast("array<double>").as("v"),
+          lit(null).cast("long").as("ref_cid"),
+          lit("tomb").as("tree"), col("b").cast("long").as("pk")))
+      .write.partitionBy("tree", "pk").parquet(s"$txn/data")
+    def stagedPks(sub: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$txn/data/tree=$sub")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName).toSet
+    }
+    val manifest = (
+      cids.map(c =>
+        s"${if (stagedPks("lists")(s"pk=$c")) "swap" else "drop"} lists cid=$c") ++
+      tombBuckets.map(k =>
+        s"${if (stagedPks("ledger")(s"pk=$k")) "swap" else "drop"} ledger b=$k") ++
+      tombBuckets.map(k => s"swap tomb b=$k")).mkString("\n")
+    val mf = fs.create(new org.apache.hadoop.fs.Path(s"$txn/_manifest"), true)
+    mf.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    mf.close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$txn/_ok"), false).close()
+    // recovery publishes the takedown, THEN the append runs — refused
+    val app = IncrementalAnnIndex.appendBatch(vecs(Seq(10, 20)), store)
+    assert(app.appended == 0 && app.skippedRedelivered == 0,
+      s"the recovered armor must refuse the re-insert, got $app")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(txn)))
+    assert(spark.read.parquet(s"$store/lists")
+      .filter(col("vec_id").isin(doomed: _*)).count() == 0)
+    assert(spark.read.parquet(s"$store/ledger")
+      .filter(col("vec_id").isin(doomed: _*)).count() == 0)
+    assert(spark.read.parquet(s"$store/tombstones")
+      .select("vec_id").collect().map(_.getLong(0)).toSet == doomed.toSet)
+  }
+
   test("takedown survives a stored-raw rebuild") {
     val base = Files.createTempDirectory("anntdr").toString
     val store = s"$base/store"
