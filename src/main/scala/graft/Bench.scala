@@ -19,7 +19,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // measurement aid (r19): SPARK_GRAFT_LOGLEVEL=INFO exposes
+    // per-job DAGScheduler timings for decomposition runs; the
+    // driver never sets it, so recorded benches stay WARN
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
 
     // noop sink: forces FULL evaluation of every output column — count()
     // would let Catalyst prune projection work (a map-only query's

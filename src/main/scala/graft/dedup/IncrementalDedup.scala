@@ -47,6 +47,29 @@ object IncrementalDedup {
     * dependency chain resolved exactly; realistic batches need < 5). */
   val MaxGreedyRounds = 64
 
+  /** Edge-count bound for resolving the in-batch greedy MIS on the
+    * DRIVER (r19): near-dup edges within one batch are rare by nature
+    * (admission keeps the store dup-free; a batch's internal dups are
+    * the exception), so the edge relation is usually a handful of
+    * rows — small enough that running the EXACT same round algorithm
+    * locally beats 4-6 Spark actions per round. Above the bound the
+    * distributed rounds run unchanged (driver state stays bounded by
+    * this constant: edges, never docs). */
+  val LocalGreedyMaxEdges = 100000L
+
+  /** Test seam: specs force the distributed rounds by lowering the
+    * bound (`-Dgraft.test.localGreedyMaxEdges=0`) to pin the two
+    * regimes equal on the same fixture. Production reads the val. */
+  private def localGreedyMaxEdges: Long =
+    sys.props.get("graft.test.localGreedyMaxEdges")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(LocalGreedyMaxEdges)
+
+  /** Batch-size bound under which store appends coalesce to one task
+    * (one file per bucket dir, no shuffle stage) — the
+    * IncrementalAnnIndex CoalescedAppendRows discipline. */
+  val CoalescedAppendRows = 100000L
+
   private def docsPath(store: String) = s"$store/docs"
   private def bandsPath(store: String) = s"$store/bands"
 
@@ -66,6 +89,18 @@ object IncrementalDedup {
   private val MetaRe = "_meta_b(\\d+)_t(\\d+)".r
 
   private def thresholdPpm(t: Double): Long = math.round(t * 1000000L)
+
+  /** Stage timing for the store's maintenance paths, printed only when
+    * SPARK_GRAFT_ANN_PROFILE is set — the [[graft.sim
+    * .IncrementalAnnIndex]] discipline applied to the dedup store (the
+    * same env var on purpose: one flag profiles a whole fixture). */
+  private def timed[A](label: String)(f: => A): A =
+    if (sys.env.contains("SPARK_GRAFT_ANN_PROFILE")) {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[dedupprof] $label%-22s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    } else f
 
   private def fsOf(spark: SparkSession, p: String) = {
     val hp = new Path(p)
@@ -863,12 +898,13 @@ object IncrementalDedup {
     requireCastableKeys(batch, "processBatch")
     // one store = one admission regime: the creation record wins for
     // default calls, a disagreeing explicit threshold refuses loudly
-    val (nb, admPpm) = ensureMeta(spark, storeDir, storeBuckets,
-      Some(thresholdPpm(threshold)))
+    val (nb, admPpm) = timed("ensureMeta")(
+      ensureMeta(spark, storeDir, storeBuckets,
+        Some(thresholdPpm(threshold))))
     val adm = admPpm / 1e6
-    val incoming = batch
+    val incoming = timed("incoming ckpt")(batch
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      .dropDuplicates("doc_id").localCheckpoint()
+      .dropDuplicates("doc_id").localCheckpoint())
     // one existence probe per batch (each is a FileSystem RPC); the
     // bands store may lag docs by half a crashed batch, but writes go
     // bands-first so that lag direction never loses index entries.
@@ -878,7 +914,7 @@ object IncrementalDedup {
     val storeExists = exists(spark, docsPath(storeDir))
     val bandsLive = storeExists && hasBandRows(spark, storeDir)
 
-    val (fresh, nRedelivered) =
+    val (fresh, nRedelivered) = timed("redelivery skip")(
       if (!storeExists) (incoming, 0L)
       else {
         // redelivery skip probes only the batch's id buckets
@@ -887,12 +923,12 @@ object IncrementalDedup {
         val f = incoming.join(known, Seq("doc_id"), "left_anti")
           .localCheckpoint()
         (f, incoming.count() - f.count())
-      }
+      })
 
-    val newBands = bandKeys(fresh).localCheckpoint()
+    val newBands = timed("bands ckpt")(bandKeys(fresh).localCheckpoint())
 
     // candidates vs the ACCEPTED corpus: equi-join on the band index
-    val vsStore =
+    val vsStore = timed("store candidates")(
       (if (!bandsLive)
         fresh.select(col("doc_id").as("da"), col("doc_id").as("db")).limit(0)
       else {
@@ -902,8 +938,8 @@ object IncrementalDedup {
         newBands.join(index.withColumnRenamed("doc_id", "da"), "bk")
           .select(col("da"), col("doc_id").as("db"))
           .distinct()
-      }).localCheckpoint() // candidate-sized; feeds the rescore AND
-                           // the matched-docs bucket set
+      }).localCheckpoint()) // candidate-sized; feeds the rescore AND
+                            // the matched-docs bucket set
 
     // in-batch candidates: band self-join, lower id survives
     val inBatch = newBands.as("a")
@@ -927,10 +963,10 @@ object IncrementalDedup {
     // One rescore over both candidate sets, tagged by provenance: a
     // store match always rejects the incoming doc (`db`), but an
     // in-batch match only rejects `db` if `da` is itself ACCEPTED.
-    val scored = rescore(
+    val scored = timed("rescore ckpt")(rescore(
       vsStore.withColumn("src", lit("s"))
         .unionByName(inBatch.withColumn("src", lit("b"))),
-      texts, adm).localCheckpoint()
+      texts, adm).localCheckpoint())
     val storeRejected = scored.filter(col("src") === "s")
       .select(col("db").as("doc_id")).distinct()
 
@@ -944,51 +980,103 @@ object IncrementalDedup {
     // UNDECIDED neighbor, rejects their neighbors, and drops both from
     // the graph — exactly the sequential result, in O(longest dependency
     // chain) rounds, with no driver-side edge materialization.
-    val batchAccepted = {
-      var remaining = fresh.select("doc_id")
-        .join(storeRejected, Seq("doc_id"), "left_anti").localCheckpoint()
-      var edges = scored.filter(col("src") === "b").select("da", "db")
-        .join(remaining.withColumnRenamed("doc_id", "da"), Seq("da"), "left_semi")
-        .join(remaining.withColumnRenamed("doc_id", "db"), Seq("db"), "left_semi")
-        .localCheckpoint()
-      val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      var rounds = 0
-      while (remaining.limit(1).count() > 0 && rounds < MaxGreedyRounds) {
-        rounds += 1
-        if (edges.limit(1).count() == 0) {
-          acc += remaining
-          remaining = remaining.limit(0)
-        } else {
-          // minima: no edge arrives from a smaller-id remaining doc
-          val minima = remaining
-            .join(edges.select(col("db").as("doc_id")), Seq("doc_id"), "left_anti")
-            .localCheckpoint()
-          val newRejected = edges
-            .join(minima.withColumnRenamed("doc_id", "da"), Seq("da"), "left_semi")
-            .select(col("db").as("doc_id")).distinct()
-          acc += minima
-          remaining = remaining
-            .join(minima, Seq("doc_id"), "left_anti")
-            .join(newRejected, Seq("doc_id"), "left_anti")
-            .localCheckpoint()
-          edges = edges
-            .join(remaining.withColumnRenamed("doc_id", "da"), Seq("da"), "left_semi")
-            .join(remaining.withColumnRenamed("doc_id", "db"), Seq("db"), "left_semi")
-            .localCheckpoint()
+    val batchAccepted = timed("greedy MIS") {
+      val inEdges = scored.filter(col("src") === "b").select("da", "db")
+      // regime split (r19): the similarity-edge relation is
+      // candidate-bounded and usually tiny (admission keeps the store
+      // dup-free, so in-batch near-dup edges are the exception) — under
+      // [[LocalGreedyMaxEdges]] the SAME round algorithm runs on the
+      // driver (same minima rule, same round cap, same
+      // undecided-after-cap rejection — IncrementalDedupSpec pins the
+      // regimes equal), replacing 4-6 Spark actions per round with one
+      // collect. Driver state is edges only, never docs; over the
+      // bound the distributed rounds below run unchanged.
+      val nEdges = inEdges.count() // scored is checkpointed: cheap
+      if (nEdges <= localGreedyMaxEdges) {
+        val storeRej = scored.filter(col("src") === "s")
+          .select(col("db")).distinct().collect()
+          .map(_.getLong(0)).toSet
+        val rawEdges = inEdges.collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        var rem = scala.collection.immutable.SortedSet.empty[Long] ++
+          rawEdges.iterator.flatMap(e => Iterator(e._1, e._2))
+            .filterNot(storeRej)
+        var es = rawEdges.filter(e => rem(e._1) && rem(e._2))
+        val acceptedIds = scala.collection.mutable.Set.empty[Long]
+        var rounds = 0
+        while (rem.nonEmpty && rounds < MaxGreedyRounds) {
+          rounds += 1
+          if (es.isEmpty) { acceptedIds ++= rem; rem = rem.empty }
+          else {
+            val targets = es.iterator.map(_._2).toSet
+            val minima = rem.filterNot(targets)
+            val newRej = es.iterator.filter(e => minima(e._1))
+              .map(_._2).toSet
+            acceptedIds ++= minima
+            rem = rem -- minima -- newRej
+            es = es.filter(e => rem(e._1) && rem(e._2))
+          }
         }
+        // endpoints neither store-rejected nor accepted — including
+        // any still undecided at the cap — are the greedy rejects;
+        // every non-endpoint fresh doc is accepted by construction
+        // (round 1 minima), so only this small set needs to ride back
+        val rejected = rawEdges.iterator
+          .flatMap(e => Iterator(e._1, e._2))
+          .filterNot(storeRej).filterNot(acceptedIds).toSeq
+          .distinct.sorted
+        import spark.implicits._
+        fresh.select("doc_id")
+          .join(storeRejected, Seq("doc_id"), "left_anti")
+          .join(broadcast(rejected.toDF("doc_id")),
+            Seq("doc_id"), "left_anti")
+      } else {
+        var remaining = fresh.select("doc_id")
+          .join(storeRejected, Seq("doc_id"), "left_anti").localCheckpoint()
+        var edges = inEdges
+          .join(remaining.withColumnRenamed("doc_id", "da"), Seq("da"), "left_semi")
+          .join(remaining.withColumnRenamed("doc_id", "db"), Seq("db"), "left_semi")
+          .localCheckpoint()
+        val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        var rounds = 0
+        while (remaining.limit(1).count() > 0 && rounds < MaxGreedyRounds) {
+          rounds += 1
+          if (edges.limit(1).count() == 0) {
+            acc += remaining
+            remaining = remaining.limit(0)
+          } else {
+            // minima: no edge arrives from a smaller-id remaining doc
+            val minima = remaining
+              .join(edges.select(col("db").as("doc_id")), Seq("doc_id"), "left_anti")
+              .localCheckpoint()
+            val newRejected = edges
+              .join(minima.withColumnRenamed("doc_id", "da"), Seq("da"), "left_semi")
+              .select(col("db").as("doc_id")).distinct()
+            acc += minima
+            remaining = remaining
+              .join(minima, Seq("doc_id"), "left_anti")
+              .join(newRejected, Seq("doc_id"), "left_anti")
+              .localCheckpoint()
+            edges = edges
+              .join(remaining.withColumnRenamed("doc_id", "da"), Seq("da"), "left_semi")
+              .join(remaining.withColumnRenamed("doc_id", "db"), Seq("db"), "left_semi")
+              .localCheckpoint()
+          }
+        }
+        // a >MaxGreedyRounds dependency chain is adversarial; the docs
+        // still undecided at the cap are rejected (conservative: never
+        // admits a near-dup, may drop a would-be survivor)
+        if (acc.isEmpty) fresh.select("doc_id").limit(0)
+        else acc.reduce(_ unionByName _)
       }
-      // a >MaxGreedyRounds dependency chain is adversarial; the docs
-      // still undecided at the cap are rejected (conservative: never
-      // admits a near-dup, may drop a would-be survivor)
-      if (acc.isEmpty) fresh.select("doc_id").limit(0)
-      else acc.reduce(_ unionByName _)
     }
 
-    val accepted = fresh.join(batchAccepted, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+    val accepted = timed("accepted ckpt")(
+      fresh.join(batchAccepted, Seq("doc_id"), "left_semi")
+        .localCheckpoint())
 
     val nAccepted = accepted.count()
-    if (nAccepted > 0) {
+    if (nAccepted > 0) timed("store writes") {
       // bands FIRST, docs second: a crash between the writes leaves
       // extra band rows pointing at absent docs (harmless — candidates
       // go through the rescore join against docs/), while the opposite
@@ -996,13 +1084,19 @@ object IncrementalDedup {
       // the doc_id redelivery skip would never backfill them.
       // Band rows come from the checkpointed newBands (a semi-join),
       // not a second full shingle+MinHash pass over the text.
-      newBands.join(accepted.select("doc_id"), Seq("doc_id"), "left_semi")
-        .withColumn("b", bucketCol(col("bk"), nb))
-        .repartition(col("b"))
+      // Batch-sized appends (the known nAccepted) write NARROW —
+      // coalesce(1): one task, one file per bucket dir, no shuffle
+      // stage (IncrementalAnnIndex's CoalescedAppendRows discipline);
+      // over-bound batches keep the keyed repartition for file sizing.
+      def shaped(df: DataFrame): DataFrame =
+        if (nAccepted <= CoalescedAppendRows) df.coalesce(1)
+        else df.repartition(col("b"))
+      shaped(newBands
+          .join(accepted.select("doc_id"), Seq("doc_id"), "left_semi")
+          .withColumn("b", bucketCol(col("bk"), nb)))
         .write.partitionBy("b").mode(SaveMode.Append)
         .parquet(bandsPath(storeDir))
-      accepted.withColumn("b", bucketCol(col("doc_id"), nb))
-        .repartition(col("b"))
+      shaped(accepted.withColumn("b", bucketCol(col("doc_id"), nb)))
         .write.partitionBy("b").mode(SaveMode.Append)
         .parquet(docsPath(storeDir))
     }

@@ -287,11 +287,16 @@ object IncrementalAnnIndex {
     * assignment is map-only and rides the surrounding stage. */
   private def centScores(vec: Column,
       cents: Array[(Long, Seq[Double])]): Column =
-    array(cents.map { case (cid, cv) =>
-      struct(
-        round(Similarity.cosine(vec, typedLit(cv)), 4).as("csim"),
-        lit(-cid).as("ncid"))
-    }: _*)
+    // the quantizer as ONE nested literal with the cosine lambda
+    // expressed once (KMeans.assignExpr's r19 plan-cost discipline):
+    // the per-centroid expression copies made every maintenance/search
+    // plan re-analyze k cosine trees. transform preserves the array
+    // order and the math per element is unchanged — bit-identical.
+    transform(
+      typedLit(cents.toSeq.map { case (cid, cv) => (-cid, cv) }),
+      c => struct(
+        round(Similarity.cosine(vec, c.getField("_2")), 4).as("csim"),
+        c.getField("_1").as("ncid")))
 
   /** Nearest-centroid assignment, identical to ivfTopK's: similarity
     * rounded to 4 decimals BEFORE the argmax, ties to the lower
@@ -374,12 +379,15 @@ object IncrementalAnnIndex {
 
   private[graft] def qcentInline(df: DataFrame,
       cents: Array[(Long, Seq[Double])]): DataFrame = {
-    def qlit(cv: Seq[Double]): Column = quantizeExpr(typedLit(cv))
-    val chain = cents.tail.foldLeft(
-        when(col("cid") === cents.head._1, qlit(cents.head._2))) {
-      case (acc, (c, cv)) => acc.when(col("cid") === c, qlit(cv))
-    }
-    df.withColumn("qcent", chain)
+    // one map literal + one quantize lambda instead of a k-branch
+    // when-chain of k dim-wide quantized literals (the r19 plan-cost
+    // discipline — see KMeans.assignExpr). The quantization still
+    // happens IN the expression (Spark's own round semantics), applied
+    // to the looked-up centroid — value-identical per cid, and a cid
+    // absent from the map yields null exactly like the fallen-through
+    // when-chain did.
+    val m = typedLit(cents.toSeq.toMap)
+    df.withColumn("qcent", quantizeExpr(element_at(m, col("cid"))))
   }
 
   private[graft] def qcentJoined(df: DataFrame,
@@ -615,7 +623,8 @@ object IncrementalAnnIndex {
     val cents = vecsOf(batch)
       .orderBy(col("vec_id")).limit(nCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    cents.write.mode("overwrite").parquet(centroidsPath(storeDir))
+    timed("init cents write")(
+      cents.write.mode("overwrite").parquet(centroidsPath(storeDir)))
     centroidCache.remove(centroidsPath(storeDir))
     // refresh the trained-k marker WITH the quantizer it describes
     // (delete-first, the geometry marker's crash rationale: a crash in
@@ -632,7 +641,7 @@ object IncrementalAnnIndex {
       try kfs.create(new Path(ksp, s"_ivf_k$nCentroids"), false).close()
       catch { case _: java.io.IOException => () } // concurrent stamp
     }
-    if (pq) {
+    if (pq) timed("init pq train") {
       require(pqSegments >= 1 && pqCodes >= 2 && pqIters >= 1,
         s"bad PQ geometry: segments=$pqSegments codes=$pqCodes " +
           s"iters=$pqIters")
@@ -649,13 +658,19 @@ object IncrementalAnnIndex {
         withResidual(assign(deduped, centsArr), centsArr, "v", "rq")
           .select(col("vec_id"), col("rq")),
         pqCodes).localCheckpoint()
-      val books = (0 until pqSegments).map { s =>
-        KMeans.fitQ(
-            resid.select(col("vec_id"),
-              slice(col("rq"), s * segDim + 1, segDim).as("q")),
-            pqCodes, pqIters)
-          .select(lit(s).as("seg"), col("cid"), col("dim"), col("c"))
-      }.reduce(_ unionByName _)
+      // all segments trained in ONE fused job per iteration
+      // (KMeans.fitSegmentsQ — bit-identical to per-segment fitQ runs;
+      // resid is already checkpointed, so no extra pass). The model is
+      // driver-sized (segments x codes x segDim rows), so the books
+      // parquet writes from a local relation instead of a Spark job.
+      val bookRows = KMeans.fitSegmentsQ(
+        resid.select(col("vec_id"), col("rq").as("q")),
+        pqSegments, segDim, pqCodes, pqIters, checkpointInput = false)
+      val books = {
+        import spark.implicits._
+        bookRows.map { case (seg, cid, d, _, c) => (seg, cid, d, c) }
+          .toDF("seg", "cid", "dim", "c")
+      }
       books.coalesce(1).write.mode("overwrite").parquet(booksPath(storeDir))
       booksCache.remove(booksPath(storeDir))
       // refresh the geometry marker WITH the books it describes: a
@@ -949,6 +964,9 @@ object IncrementalAnnIndex {
     val assigned0 = assign(fresh, cents)
     // a PQ store encodes every insert against the FIXED codebooks —
     // one more row-local projection riding the same staged write
+    // (measured r19: pinning this with a localCheckpoint did NOT
+    // shrink the staged write — its ~1s/call is the write machinery,
+    // not duplicated expression compute — so it stays a lazy plan)
     val assigned = books.fold(assigned0)(withPqCodes(assigned0, cents, _))
     val doomedIds = delta.filter(col("is_del")).select("vec_id")
 
@@ -1037,8 +1055,13 @@ object IncrementalAnnIndex {
         lit(null).cast("long").as("ref_cid")) ++
         extras.map(f => lit(null).cast(f.dataType).as(f.name)) ++
         Seq(lit("tomb").as("tree"), col("b").cast("long").as("pk")): _*)))
+    // small appends: coalesce(1), not repartition(1) — same rows, same
+    // one-file-per-partition layout (one task writes every pk dir),
+    // but NARROW: no shuffle stage, no AQE re-optimization for a
+    // bounded-size delta (the CoalescedAppendRows gate). Large/rewrite
+    // transactions keep the keyed repartition so file sizing scales.
     val shaped =
-      if (coalesce) combined.repartition(1)
+      if (coalesce) combined.coalesce(1)
       else combined.repartition(col("tree"), col("pk"))
     timed("  staged write")(shaped
       .write.partitionBy("tree", "pk").parquet(s"$txnP/data"))
@@ -1535,10 +1558,11 @@ object IncrementalAnnIndex {
       .map(_.select(col("vec_id")))
     val srcIds = source.select(col("vec_id"))
     val storeIds = spark.read.parquet(ledgerPath(cur)).select(col("vec_id"))
-    val missing = storeIds.join(srcIds, Seq("vec_id"), "left_anti").count()
+    val missing = timed("rotate verify missing")(
+      storeIds.join(srcIds, Seq("vec_id"), "left_anti").count())
     val extraRaw = srcIds.join(storeIds, Seq("vec_id"), "left_anti")
-    val extra = tombstoned.fold(extraRaw)(t =>
-      extraRaw.join(t, Seq("vec_id"), "left_anti")).count()
+    val extra = timed("rotate verify extra")(tombstoned.fold(extraRaw)(t =>
+      extraRaw.join(t, Seq("vec_id"), "left_anti")).count())
     require(missing == 0 && extra == 0,
       s"source snapshot $sourceRoot@v$pos disagrees with the served " +
         s"store's content ($missing store id(s) absent from the " +

@@ -116,8 +116,9 @@ object IvfPq {
     }
 
     // 1. coarse quantizer: trained Lloyd's loop, model-sized collect
+    //    (q is already checkpointed above — skip fitQ's re-pass)
     val cents = KMeans.centroidsOf(
-      KMeans.fitQ(q, g.coarse, g.coarseIters))
+      KMeans.fitQ(q, g.coarse, g.coarseIters, checkpointInput = false))
     val cdf = broadcast(cents.map { case (cid, arr) => (cid, arr) }
       .toDF("list_id", "cv"))
 
@@ -132,14 +133,16 @@ object IvfPq {
           (a, b) => a - b + lit(RShift)).as("rq"))
       .localCheckpoint()
 
-    // 3. per-segment codebooks TRAINED ON RESIDUALS (fitQ — residuals
-    //    never had a float form)
-    val books = (0 until g.segments).map { s =>
-      KMeans.centroidsOf(KMeans.fitQ(
-        resid.select(col("vec_id"),
-          segSlice(col("rq"), s, g.segDim).as("q")),
-        g.codes, g.pqIters))
-    }
+    // 3. per-segment codebooks TRAINED ON RESIDUALS (residuals never
+    //    had a float form) — ONE fused job per iteration for all
+    //    segments (KMeans.fitSegmentsQ: bit-identical to per-segment
+    //    fits; resid is already checkpointed, so no extra pass)
+    val books = KMeans.booksFromRows(
+      KMeans.fitSegmentsQ(
+        resid.select(col("vec_id"), col("rq").as("q")),
+        g.segments, g.segDim, g.codes, g.pqIters,
+        checkpointInput = false),
+      g.segments)
 
     // 4. codes: one row-local projection — Segments small ids per vector
     val codes = resid.select(

@@ -136,18 +136,30 @@ object KMeans {
       .select(col("vec_id"), col("cid"))
 
   /** Row-local argmin centroid id for an arbitrary quantized-vector
-    * column: squared L2 against each centroid (a literal array),
-    * lexicographic (dist, cid) min — no join, no shuffle. Public so
-    * composite quantizers (PQ's per-subspace encode) reuse the exact
-    * assignment semantics. */
+    * column: squared L2 against each centroid, lexicographic
+    * (dist, cid) min — no join, no shuffle. Public so composite
+    * quantizers (PQ's per-subspace encode) reuse the exact assignment
+    * semantics.
+    *
+    * The model rides as ONE nested literal (array<struct<cid, coords>>)
+    * with the distance lambda expressed ONCE — the r19 plan-cost fix:
+    * the pre-r19 form built k separate zip_with/aggregate trees (k x
+    * dims literal leaves), and Catalyst analysis+codegen of those
+    * trees, re-run for every action whose plan embeds an assignment,
+    * dominated the gate-scale maintenance calls (measured: ~9s of a
+    * 14s store-lifecycle query was driver-side planning between jobs).
+    * Same exact-integer arithmetic evaluated per element, and
+    * (dist, cid) struct min is order-independent (total order), so the
+    * result is bit-identical; this is [[broadcastCid]]'s expression
+    * with the model as a literal instead of a broadcast row. */
   def assignExpr(centroids: Seq[(Long, Seq[Long])], qCol: Column): Column =
-    array_min(array(centroids.map { case (cid, arr) =>
-      val carr = array(arr.map(lit): _*)
-      val d = aggregate(
-        zip_with(qCol, carr, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      struct(d.as("dist"), lit(cid).as("cid"))
-    }: _*)).getField("cid")
+    array_min(transform(
+      typedLit(centroids.map { case (cid, arr) => (cid, arr) }),
+      c => struct(
+        aggregate(
+          zip_with(qCol, c.getField("_2"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"),
+        c.getField("_1").as("cid")))).getField("cid")
 
   private def assignCol(centroids: Seq[(Long, Seq[Long])]): Column =
     assignExpr(centroids, col("q"))
@@ -164,13 +176,21 @@ object KMeans {
     * relation — the composition point for quantizers that train on
     * derived integer vectors (IVFADC's per-segment codebooks fit on
     * re-shifted residuals, which never had a float form). All values
-    * must be non-negative so truncating and floor division agree. */
-  def fitQ(qIn: DataFrame, k: Int, iters: Int): DataFrame = {
+    * must be non-negative so truncating and floor division agree.
+    *
+    * `checkpointInput = false` skips the input materialization when
+    * the caller ALREADY holds a checkpointed `(vec_id, q)` relation
+    * (IvfPq.topKImpl checkpoints once and trains coarse + segments
+    * off the same blocks) — values are unchanged either way, this is
+    * purely the number of materialization passes. */
+  def fitQ(qIn: DataFrame, k: Int, iters: Int,
+      checkpointInput: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // every iteration reads q twice (assign + update): checkpoint so
     // the quantization scan never re-runs per consumer
-    val q = qIn.select(col("vec_id"), col("q")).localCheckpoint()
+    val q0 = qIn.select(col("vec_id"), col("q"))
+    val q = if (checkpointInput) q0.localCheckpoint() else q0
 
     def collectCentroids(df: DataFrame): Seq[(Long, Seq[Long])] =
       df.collect()
@@ -207,6 +227,110 @@ object KMeans {
     }
     model.orderBy(col("cid"), col("dim"))
   }
+
+  /** Product-quantizer codebook training FUSED across segments: train
+    * `segments` independent k-means models — one per contiguous
+    * `segDim`-wide slice of `q` — in ONE Spark job per iteration
+    * instead of `segments` separate [[fitQ]] runs (each of which pays
+    * its own slice materialization, per-iteration job, and
+    * model collect). Bit-identical to the per-segment fits by
+    * construction: the same seed rule (vec_ids 0..k−1, observed once
+    * in one driver-sized collect and sliced locally), the same
+    * exact-integer argmin with (dist, cid) tiebreak per segment via
+    * [[assignExpr]] over the slice, and the same
+    * count/sum/truncating-div update — the fused groupBy keys on
+    * (seg, cid, dim) so each segment's aggregation sees exactly the
+    * multiset its independent fit would. Segment models whose
+    * combined literal count would blow the plan budget fall back to
+    * the sequential per-segment fits (same results, the pre-fusion
+    * shape).
+    *
+    * Returns the FINAL models as (seg, cid, dim, n, c) rows —
+    * dims segment-local — sorted by (seg, cid, dim): exactly the
+    * union of the per-segment [[fitQ]] outputs. */
+  def fitSegmentsQ(qIn: DataFrame, segments: Int, segDim: Int, k: Int,
+      iters: Int, checkpointInput: Boolean = true)
+      : Seq[(Int, Long, Int, Long, Long)] = {
+    require(segments >= 1, s"segments must be >= 1, got $segments")
+    require(segDim >= 1, s"segDim must be >= 1, got $segDim")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val q0 = qIn.select(col("vec_id"), col("q"))
+    if (segments.toLong * k * segDim > LiteralBudget) {
+      // over-budget fused plan: per-segment fits (the pre-fusion shape)
+      return (0 until segments).flatMap { s =>
+        fitQ(q0.select(col("vec_id"),
+            slice(col("q"), s * segDim + 1, segDim).as("q")),
+            k, iters, checkpointInput)
+          .collect()
+          .map(r => (s, r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getLong(3)))
+      }.sorted
+    }
+    val q = if (checkpointInput) q0.localCheckpoint() else q0
+
+    // seeds: the k lowest vec_ids' FULL vectors, collected once and
+    // sliced locally — fitQ's c0 per segment (cid = vec_id < k)
+    val initRows = q.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    require(initRows.map(_._1).distinct.length == k,
+      s"need vec_ids 0..${k - 1} present for init, found " +
+        s"${initRows.map(_._1).distinct.length}")
+    var cents: IndexedSeq[Seq[(Long, Seq[Long])]] =
+      (0 until segments).map { s =>
+        initRows.map { case (vid, arr) =>
+          vid -> arr.slice(s * segDim, (s + 1) * segDim)
+        }.sortBy(_._1).toSeq
+      }
+
+    var rows: Array[(Int, Long, Int, Long, Long)] = Array.empty
+    for (_ <- 0 until iters) {
+      // one projection assigns EVERY segment (each slice against its
+      // own centroids — identical per-segment argmin), one posexplode
+      // re-derives (seg, local dim) from the global position, one
+      // map-side-combined groupBy updates every segment's model.
+      // (The argmin runs in its own select BELOW the generator one:
+      // a generator projection strips non-top-level aliases, which
+      // would rename the argmin's internal struct fields.)
+      val assigned = q.select(col("q") +: (0 until segments).map(s =>
+        assignExpr(cents(s),
+          slice(col("q"), s * segDim + 1, segDim)).as(s"__c$s")): _*)
+      val cidArr = array((0 until segments).map(s => col(s"__c$s")): _*)
+      rows = assigned.select(cidArr.as("cids"),
+          posexplode(col("q")).as(Seq("gd", "v")))
+        .select(
+          (col("gd") / segDim).cast("int").as("seg"),
+          element_at(col("cids"),
+            (col("gd") / segDim).cast("int") + 1).as("cid"),
+          (col("gd") % segDim).as("dim"),
+          col("v"))
+        .groupBy(col("seg"), col("cid"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .withColumn("c", expr("s div n"))
+        .select(col("seg"), col("cid"), col("dim"), col("n"), col("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+          r.getLong(4)))
+      cents = (0 until segments).map { s =>
+        rows.filter(_._1 == s).groupBy(_._2).toSeq
+          .map { case (cid, rs) => cid -> rs.sortBy(_._3).map(_._5).toSeq }
+          .sortBy(_._1)
+      }
+    }
+    rows.sorted.toSeq
+  }
+
+  /** [[fitSegmentsQ]] rows regrouped into the per-segment codebook
+    * shape [[centroidsOf]] yields: books(s) = (cid → dims-sorted
+    * centroid coords), cid-sorted. */
+  def booksFromRows(rows: Seq[(Int, Long, Int, Long, Long)],
+      segments: Int): Seq[Seq[(Long, Seq[Long])]] =
+    (0 until segments).map { s =>
+      rows.filter(_._1 == s).groupBy(_._2).toSeq
+        .map { case (cid, rs) => cid -> rs.sortBy(_._3).map(_._5).toSeq }
+        .sortBy(_._1)
+    }
 
   /** DuckDB oracle: the SAME unrolled loop in SQL (k lowest-vec_id
     * init, per-iteration argmin with (dist, cid) tiebreak, floor-div

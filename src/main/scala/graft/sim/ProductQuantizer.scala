@@ -59,12 +59,17 @@ object ProductQuantizer {
       slice(col("embedding"), s * g.segDim + 1, g.segDim).as("embedding"))
 
   /** Per-segment codebooks: Segments independent exact-integer k-means
-    * fits, collected model-sized (cid -> shifted micro-unit coords). */
+    * fits — trained FUSED in one job per iteration over ONE
+    * quantization pass ([[KMeans.fitSegmentsQ]]; quantize-then-slice
+    * equals slice-then-quantize because the quantization is
+    * elementwise, so the models are bit-identical to the per-segment
+    * [[KMeans.fit]] runs). */
   def train(emb: DataFrame,
       geom: Geom = Geom()): Seq[Seq[(Long, Seq[Long])]] =
-    (0 until geom.segments).map(s =>
-      KMeans.centroidsOf(
-        KMeans.fit(segEmb(emb, s, geom), geom.codes, geom.iters)))
+    KMeans.booksFromRows(
+      KMeans.fitSegmentsQ(KMeans.quantized(emb),
+        geom.segments, geom.segDim, geom.codes, geom.iters),
+      geom.segments)
 
   /** PQ codes: vec_id + one codebook id per segment, via a single
     * row-local projection over the quantized full vector. */
@@ -90,8 +95,14 @@ object ProductQuantizer {
     // paths instead of an all-queries broadcast
     require(nQueries <= 1000000,
       s"nQueries = $nQueries would broadcast a corpus-scale query side")
-    val books = train(emb, geom)
-    val q = KMeans.quantized(emb)
+    // ONE quantization pass shared by training, the query tables and
+    // the encode below (the pre-r19 form quantized emb once per
+    // segment fit plus twice more) — values unchanged, passes fewer
+    val q = KMeans.quantized(emb).localCheckpoint()
+    val books = KMeans.booksFromRows(
+      KMeans.fitSegmentsQ(q, geom.segments, geom.segDim, geom.codes,
+        geom.iters, checkpointInput = false),
+      geom.segments)
     // declared-vs-observed dim (the IvfPq.topKImpl assertion): a
     // smaller declared dim would silently truncate every segment on
     // both twins, so the oracle could never catch it
@@ -113,7 +124,13 @@ object ProductQuantizer {
         }: _*).as(s"dt$s")
       }: _*)
 
-    val codes = encode(emb, books, geom)
+    // encode off the SAME checkpointed q ([[encode]]'s body inlined —
+    // it would otherwise re-quantize emb in a fresh scan)
+    val codes = q.select(
+      col("vec_id") +: (0 until geom.segments).map { s =>
+        KMeans.assignExpr(books(s),
+          slice(col("q"), s * geom.segDim + 1, geom.segDim)).as(s"c$s")
+      }: _*)
 
     // code -> table position (books(s) order); cids can be sparse when
     // a training cluster emptied, so map explicitly instead of indexing

@@ -98,6 +98,38 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(splitIds == oneIds, s"batch-boundary-dependent: $splitIds vs $oneIds")
   }
 
+  test("local and distributed greedy-MIS regimes land identical stores") {
+    // r19: under LocalGreedyMaxEdges the in-batch resolution runs the
+    // SAME round algorithm on the driver; this pins the two regimes
+    // equal on the non-transitive chain fixture (the case where a
+    // wrong resolution rule shows) plus a store-rejection composite.
+    val a = base
+    val b = base.replace("valley", "meadow")
+    val c = base.replace("valley", "meadow").replace("quick", "swift")
+    def run(): (IncrementalDedup.BatchResult, Set[Long]) = {
+      val store = Files.createTempDirectory("incdedup_mis").toString +
+        "/corpus"
+      IncrementalDedup.processBatch(
+        Seq((0L, other)).toDF("doc_id", "text"), store)
+      // batch: chain A~B~C plus a near-dup of the ACCEPTED doc 0 (a
+      // store rejection composing with the in-batch graph)
+      val r = IncrementalDedup.processBatch(
+        Seq((1L, a), (2L, b), (3L, c),
+          (4L, other.replace("services", "fabrics")))
+          .toDF("doc_id", "text"), store)
+      (r, spark.read.parquet(s"$store/docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    }
+    val (rLocal, idsLocal) = run()
+    System.setProperty("graft.test.localGreedyMaxEdges", "0")
+    val (rDist, idsDist) =
+      try run()
+      finally System.clearProperty("graft.test.localGreedyMaxEdges")
+    assert(rLocal == rDist, s"$rLocal vs $rDist")
+    assert(idsLocal == idsDist, s"$idsLocal vs $idsDist")
+    assert(idsLocal == Set(0L, 1L, 3L), s"$idsLocal")
+  }
+
   test("in-batch near-dups resolve lower-id-wins") {
     val store = Files.createTempDirectory("incdedup2").toString + "/corpus"
     val nearDup = base.replace("quick", "swift")

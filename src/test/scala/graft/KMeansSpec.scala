@@ -2,6 +2,7 @@ package graft
 
 import graft.sim.KMeans
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, slice}
 import org.scalatest.funsuite.AnyFunSuite
 
 import scala.util.Random
@@ -124,6 +125,37 @@ class KMeansSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
     assert(got == reference(vecs, k = 1040, iters = 1))
+  }
+
+  test("fused segment training is bit-identical to per-segment fitQ") {
+    // the r19 optimization: fitSegmentsQ trains every PQ segment in
+    // one job per iteration — this pins the fused models against the
+    // independent per-segment fits (same seeds, argmin, update)
+    val rnd = new scala.util.Random(77)
+    val vecs = (0L until 40L).map(id =>
+      id -> Seq.fill(16)(rnd.nextDouble() * 1.6 - 0.8))
+    val q = KMeans.quantized(vecs.toDF("vec_id", "embedding"))
+      .localCheckpoint()
+    for ((segments, k, iters) <- Seq((4, 4, 1), (2, 8, 2), (1, 3, 2))) {
+      val segDim = 16 / segments
+      val fused = KMeans.fitSegmentsQ(q, segments, segDim, k, iters,
+        checkpointInput = false)
+      val perSeg = (0 until segments).flatMap { s =>
+        KMeans.fitQ(q.select(col("vec_id"),
+            slice(col("q"), s * segDim + 1, segDim).as("q")), k, iters)
+          .collect()
+          .map(r => (s, r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getLong(3)))
+      }.sorted
+      assert(fused == perSeg, s"geometry ($segments, $k, $iters)")
+      // and the regrouped books match centroidsOf's shape
+      val books = KMeans.booksFromRows(fused, segments)
+      val refBooks = (0 until segments).map { s =>
+        KMeans.centroidsOf(KMeans.fitQ(q.select(col("vec_id"),
+          slice(col("q"), s * segDim + 1, segDim).as("q")), k, iters))
+      }
+      assert(books == refBooks)
+    }
   }
 
   test("assign regime-splits on the literal budget") {
