@@ -434,32 +434,6 @@ object IncrementalAnnIndex {
     }
   }
 
-  /** Re-key so the `k` LOWEST vec_ids become 0..k−1 (everyone else
-    * shifts up by k, collision-free for non-negative ids) —
-    * [[KMeans.fitQ]] seeds its clusters from vec_ids 0..k−1, and a
-    * real corpus's ids are arbitrary (hashes, snowflakes), so the
-    * store supplies the deterministic first-k-by-lowest-id rule
-    * itself. The seed set is driver-known (k rows) and the remap is a
-    * row-local when-chain; an oracle mirrors it with a LIMIT-k
-    * row_number join. Training-only: codes never see the remapped
-    * ids. */
-  private def rekeyLowestIds(df: DataFrame, k: Int): DataFrame = {
-    val seeds = df.select(col("vec_id")).distinct()
-      .orderBy(col("vec_id")).limit(k)
-      .collect().map(_.getLong(0))
-    require(seeds.length == k,
-      s"PQ training needs at least $k distinct vec_ids, found " +
-        s"${seeds.length}")
-    require(seeds.head >= 0,
-      s"PQ training re-key requires non-negative vec_ids, found " +
-        s"${seeds.head}")
-    val seedMap = seeds.zipWithIndex
-      .foldLeft(lit(null).cast("long")) { case (acc, (id, i)) =>
-        when(col("vec_id") === id, lit(i.toLong)).otherwise(acc)
-      }
-    df.withColumn("vec_id", coalesce(seedMap, col("vec_id") + k))
-  }
-
   /** Residual of the assigned rows (`out` = quantized `vCol` −
     * quantized centroid + re-shift, every coordinate a non-negative
     * long). Input must carry (`vCol`, cid); the transient qcent
@@ -580,8 +554,8 @@ object IncrementalAnnIndex {
     *
     * `pq = true` initializes the COMPRESSED layout: `pqSegments`
     * per-segment codebooks of `pqCodes` entries are trained over the
-    * init batch's residuals ([[KMeans.fitQ]], seeded from the
-    * `pqCodes` lowest vec_ids via [[rekeyLowestIds]] — ids stay
+    * init batch's residuals ([[KMeans.fitSegmentsQ]], seeded from the
+    * `pqCodes` lowest vec_ids' residuals passed explicitly — ids stay
     * arbitrary) and every row ever appended carries its `pq` codes
     * column. The vector dimension must divide evenly into
     * `pqSegments` segments; the geometry is FIXED at init (the books
@@ -620,12 +594,24 @@ object IncrementalAnnIndex {
       s"$storeDir is stamped ADC-only: a keepRaw re-init over it would " +
         "mix raw and codes-only list partitions — init a fresh " +
         "directory from the source corpus instead")
-    val cents = vecsOf(batch)
+    // the quantizer is model-sized: collect it ONCE, write the parquet
+    // from the driver-local relation, and seed the cache directly —
+    // the pre-r19 shape wrote a sort+limit plan and then read the file
+    // straight back for the PQ block below (two more jobs per init)
+    val spark0 = batch.sparkSession
+    val centRows = timed("init cents collect")(vecsOf(batch)
       .orderBy(col("vec_id")).limit(nCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))))
+      .sortBy(_._1)
+    val cents = {
+      import spark0.implicits._
+      centRows.toSeq.toDF("cent_id", "cv")
+    }
     timed("init cents write")(
-      cents.write.mode("overwrite").parquet(centroidsPath(storeDir)))
-    centroidCache.remove(centroidsPath(storeDir))
+      cents.coalesce(1).write.mode("overwrite")
+        .parquet(centroidsPath(storeDir)))
+    centroidCache.put(centroidsPath(storeDir),
+      centRows.map { case (id, cv) => (id, cv) })
     // refresh the trained-k marker WITH the quantizer it describes
     // (delete-first, the geometry marker's crash rationale: a crash in
     // the gap leaves no marker and the rebuild falls back to the
@@ -654,10 +640,19 @@ object IncrementalAnnIndex {
       // rule) — the codebooks must see each vector once
       val deduped = vecsOf(batch)
         .groupBy(col("vec_id")).agg(first(col("v")).as("v"))
-      val resid = rekeyLowestIds(
-        withResidual(assign(deduped, centsArr), centsArr, "v", "rq")
-          .select(col("vec_id"), col("rq")),
-        pqCodes).localCheckpoint()
+      val resid = withResidual(assign(deduped, centsArr), centsArr,
+          "v", "rq")
+        .select(col("vec_id"), col("rq")).localCheckpoint()
+      // seed rule unchanged (codebook cid i = the i-th LOWEST vec_id's
+      // residual), but the seeds now pass EXPLICITLY instead of
+      // remapping the whole batch's ids to 0..k-1 first — the remap's
+      // only consumer was the seed filter, so this is value-identical
+      // and drops the remap's collect + when-chain from the plan.
+      val seedRows = resid.orderBy(col("vec_id")).limit(pqCodes)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      require(seedRows.length == pqCodes,
+        s"PQ training needs at least $pqCodes distinct vec_ids, found " +
+          s"${seedRows.length}")
       // all segments trained in ONE fused job per iteration
       // (KMeans.fitSegmentsQ — bit-identical to per-segment fitQ runs;
       // resid is already checkpointed, so no extra pass). The model is
@@ -665,7 +660,8 @@ object IncrementalAnnIndex {
       // parquet writes from a local relation instead of a Spark job.
       val bookRows = KMeans.fitSegmentsQ(
         resid.select(col("vec_id"), col("rq").as("q")),
-        pqSegments, segDim, pqCodes, pqIters, checkpointInput = false)
+        pqSegments, segDim, pqCodes, pqIters, checkpointInput = false,
+        seeds = Some(seedRows.sortBy(_._1).map(_._2).toSeq))
       val books = {
         import spark.implicits._
         bookRows.map { case (seg, cid, d, _, c) => (seg, cid, d, c) }
@@ -1884,9 +1880,11 @@ object IncrementalAnnIndex {
       .select(col("qid") +: col("qv") +: col("cid") +:
         books.indices.map { s =>
           val qseg = slice(col("qr"), s * segDim + 1, segDim)
-          array(books(s).map { case (_, arr) =>
-            sqDistL(qseg, array(arr.map(lit): _*))
-          }: _*).as(s"dt$s")
+          // codebook as ONE nested literal, the distance lambda once
+          // (the r19 plan-cost discipline — entries stay in books(s)
+          // order, so the table positions are unchanged)
+          transform(typedLit(books(s).map(_._2)),
+            arr => sqDistL(qseg, arr)).as(s"dt$s")
         }: _*)
 
     // candidate scoring: codes columns ONLY (ReadSchema excludes v),
@@ -1895,12 +1893,15 @@ object IncrementalAnnIndex {
     val codes = restrict(spark.read.parquet(listsPath(storeDir))
       .filter(col("cid").isin(probedCids: _*)) // static partition pruning
       .select(col("vec_id"), col("cid"), col("pq")))
+    // code -> table position via one map literal (try_element_at: a
+    // code absent from the books — only a corrupt store could produce
+    // one — yields null exactly like the old when-chain fallthrough,
+    // instead of an ANSI missing-key error)
     def lookup(s: Int): Column =
-      books(s).zipWithIndex.foldLeft(lit(null).cast("long")) {
-        case (acc, ((c, _), i)) =>
-          when(element_at(col("pq"), s + 1) === c,
-            element_at(col(s"dt$s"), i + 1)).otherwise(acc)
-      }
+      element_at(col(s"dt$s"), try_element_at(
+        typedLit(books(s).zipWithIndex
+          .map { case ((c, _), i) => (c, i + 1) }.toMap),
+        element_at(col("pq"), s + 1)))
     val scored = codes.join(broadcast(tabs), Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("adc", books.indices.map(lookup).reduce(_ + _))

@@ -172,19 +172,21 @@ object IvfPq {
       .select(col("qid") +: col("list_id") +:
         (0 until g.segments).map { s =>
         val qseg = segSlice(col("qr"), s, g.segDim)
-        array(books(s).map { case (_, arr) =>
-          sqDist(qseg, array(arr.map(lit): _*))
-        }: _*).as(s"dt$s")
+        // codebook as ONE nested literal, the distance lambda once
+        // (r19 plan-cost discipline; entries stay in books(s) order)
+        transform(typedLit(books(s).map(_._2)),
+          arr => sqDist(qseg, arr)).as(s"dt$s")
       }: _*)
 
     // code -> table position (books(s) order); cids can be sparse when
-    // a training cluster emptied, so map explicitly instead of indexing
+    // a training cluster emptied, so map explicitly instead of
+    // indexing (try_element_at: an absent code yields null like the
+    // old when-chain fallthrough, not an ANSI missing-key error)
     def lookup(s: Int): Column =
-      books(s).zipWithIndex.foldLeft(lit(null).cast("long")) {
-        case (acc, ((cid, _), i)) =>
-          when(col(s"c$s") === cid, element_at(col(s"dt$s"), i + 1))
-            .otherwise(acc)
-      }
+      element_at(col(s"dt$s"), try_element_at(
+        typedLit(books(s).zipWithIndex
+          .map { case ((cid, _), i) => (cid, i + 1) }.toMap),
+        col(s"c$s")))
 
     // 7. ADC over the probed lists ONLY: codes join the broadcast
     //    query tables on list_id — the probed fraction is the join

@@ -245,80 +245,96 @@ object KMeans {
     * the sequential per-segment fits (same results, the pre-fusion
     * shape).
     *
+    * `seeds` (full-width vectors; seed i becomes centroid cid i in
+    * every segment) replaces the vec_id<k seed-collect — the caller
+    * form for corpora whose ids are arbitrary (the store's init
+    * previously REMAPPED ids just to satisfy the vec_id<k rule; the
+    * remap's only consumer was seeding, so passing the seed vectors
+    * directly is value-identical and drops a pass).
+    *
     * Returns the FINAL models as (seg, cid, dim, n, c) rows —
     * dims segment-local — sorted by (seg, cid, dim): exactly the
     * union of the per-segment [[fitQ]] outputs. */
   def fitSegmentsQ(qIn: DataFrame, segments: Int, segDim: Int, k: Int,
-      iters: Int, checkpointInput: Boolean = true)
+      iters: Int, checkpointInput: Boolean = true,
+      seeds: Option[Seq[Seq[Long]]] = None)
       : Seq[(Int, Long, Int, Long, Long)] = {
     require(segments >= 1, s"segments must be >= 1, got $segments")
     require(segDim >= 1, s"segDim must be >= 1, got $segDim")
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val q0 = qIn.select(col("vec_id"), col("q"))
-    if (segments.toLong * k * segDim > LiteralBudget) {
-      // over-budget fused plan: per-segment fits (the pre-fusion shape)
-      return (0 until segments).flatMap { s =>
-        fitQ(q0.select(col("vec_id"),
-            slice(col("q"), s * segDim + 1, segDim).as("q")),
-            k, iters, checkpointInput)
-          .collect()
-          .map(r => (s, r.getLong(0), r.getInt(1), r.getLong(2),
-            r.getLong(3)))
-      }.sorted
-    }
     val q = if (checkpointInput) q0.localCheckpoint() else q0
 
-    // seeds: the k lowest vec_ids' FULL vectors, collected once and
-    // sliced locally — fitQ's c0 per segment (cid = vec_id < k)
-    val initRows = q.filter(col("vec_id") < k)
-      .select(col("vec_id"), col("q")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1)))
-    require(initRows.map(_._1).distinct.length == k,
-      s"need vec_ids 0..${k - 1} present for init, found " +
-        s"${initRows.map(_._1).distinct.length}")
-    var cents: IndexedSeq[Seq[(Long, Seq[Long])]] =
-      (0 until segments).map { s =>
-        initRows.map { case (vid, arr) =>
-          vid -> arr.slice(s * segDim, (s + 1) * segDim)
-        }.sortBy(_._1).toSeq
-      }
-
-    var rows: Array[(Int, Long, Int, Long, Long)] = Array.empty
-    for (_ <- 0 until iters) {
-      // one projection assigns EVERY segment (each slice against its
-      // own centroids — identical per-segment argmin), one posexplode
-      // re-derives (seg, local dim) from the global position, one
-      // map-side-combined groupBy updates every segment's model.
-      // (The argmin runs in its own select BELOW the generator one:
-      // a generator projection strips non-top-level aliases, which
-      // would rename the argmin's internal struct fields.)
-      val assigned = q.select(col("q") +: (0 until segments).map(s =>
-        assignExpr(cents(s),
-          slice(col("q"), s * segDim + 1, segDim)).as(s"__c$s")): _*)
-      val cidArr = array((0 until segments).map(s => col(s"__c$s")): _*)
-      rows = assigned.select(cidArr.as("cids"),
-          posexplode(col("q")).as(Seq("gd", "v")))
-        .select(
-          (col("gd") / segDim).cast("int").as("seg"),
-          element_at(col("cids"),
-            (col("gd") / segDim).cast("int") + 1).as("cid"),
-          (col("gd") % segDim).as("dim"),
-          col("v"))
-        .groupBy(col("seg"), col("cid"), col("dim"))
-        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
-        .withColumn("c", expr("s div n"))
-        .select(col("seg"), col("cid"), col("dim"), col("n"), col("c"))
-        .collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
-          r.getLong(4)))
-      cents = (0 until segments).map { s =>
-        rows.filter(_._1 == s).groupBy(_._2).toSeq
-          .map { case (cid, rs) => cid -> rs.sortBy(_._3).map(_._5).toSeq }
-          .sortBy(_._1)
-      }
+    // seeds: explicit full-width vectors, or the k lowest vec_ids'
+    // vectors collected once and sliced locally (fitQ's c0 rule)
+    val seedVecs: IndexedSeq[(Long, Seq[Long])] = seeds match {
+      case Some(s) =>
+        require(s.length == k,
+          s"PQ training needs exactly $k seed vectors, got ${s.length}")
+        s.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toIndexedSeq
+      case None =>
+        val initRows = q.filter(col("vec_id") < k)
+          .select(col("vec_id"), col("q")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1)))
+        require(initRows.map(_._1).distinct.length == k,
+          s"need vec_ids 0..${k - 1} present for init, found " +
+            s"${initRows.map(_._1).distinct.length}")
+        initRows.sortBy(_._1).toIndexedSeq
     }
-    rows.sorted.toSeq
+
+    // contiguous segment chunks sized to the literal budget: default
+    // geometries train every segment in one job per iteration; a
+    // model too big to inline splits into per-chunk jobs (identical
+    // per-segment math either way — segments are independent)
+    val perSegLits = math.max(1L, k.toLong * segDim)
+    val chunk = math.max(1, math.min(segments.toLong,
+      LiteralBudget / perSegLits).toInt)
+    (0 until segments).grouped(chunk).flatMap { segs =>
+      val s0 = segs.head
+      var cents: Map[Int, Seq[(Long, Seq[Long])]] = segs.map(s => s ->
+        seedVecs.map { case (cid, arr) =>
+          cid -> arr.slice(s * segDim, (s + 1) * segDim)
+        }.sortBy(_._1).toSeq).toMap
+      var rows: Array[(Int, Long, Int, Long, Long)] = Array.empty
+      for (_ <- 0 until iters) {
+        // one projection assigns every segment in the chunk (each
+        // slice against its own centroids — identical per-segment
+        // argmin), one posexplode over the chunk's slice re-derives
+        // (seg, local dim), one map-side-combined groupBy updates
+        // every model. (The argmin runs in its own select BELOW the
+        // generator one: a generator projection strips non-top-level
+        // aliases, which would rename the argmin's struct fields.)
+        val assigned = q.select(
+          slice(col("q"), s0 * segDim + 1, segs.length * segDim)
+            .as("qc") +:
+          segs.map(s => assignExpr(cents(s),
+            slice(col("q"), s * segDim + 1, segDim)).as(s"__c$s")): _*)
+        val cidArr = array(segs.map(s => col(s"__c$s")): _*)
+        rows = assigned.select(cidArr.as("cids"),
+            posexplode(col("qc")).as(Seq("gd", "v")))
+          .select(
+            (lit(s0) + (col("gd") / segDim).cast("int")).as("seg"),
+            element_at(col("cids"),
+              (col("gd") / segDim).cast("int") + 1).as("cid"),
+            (col("gd") % segDim).as("dim"),
+            col("v"))
+          .groupBy(col("seg"), col("cid"), col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+          .withColumn("c", expr("s div n"))
+          .select(col("seg"), col("cid"), col("dim"), col("n"), col("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+            r.getLong(3), r.getLong(4)))
+        cents = segs.map(s => s ->
+          rows.filter(_._1 == s).groupBy(_._2).toSeq
+            .map { case (cid, rs) =>
+              cid -> rs.sortBy(_._3).map(_._5).toSeq
+            }
+            .sortBy(_._1)).toMap
+      }
+      rows
+    }.toSeq.sorted
   }
 
   /** [[fitSegmentsQ]] rows regrouped into the per-segment codebook

@@ -117,11 +117,11 @@ object ProductQuantizer {
     val queries = q.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid") +: (0 until geom.segments).map { s =>
         val qseg = slice(col("q"), s * geom.segDim + 1, geom.segDim)
-        array(books(s).map { case (_, arr) =>
-          val carr = array(arr.map(lit): _*)
-          aggregate(zip_with(qseg, carr, (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x)
-        }: _*).as(s"dt$s")
+        // codebook as ONE nested literal, the distance lambda once
+        // (r19 plan-cost discipline; entries stay in books(s) order)
+        transform(typedLit(books(s).map(_._2)), arr =>
+          aggregate(zip_with(qseg, arr, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x)).as(s"dt$s")
       }: _*)
 
     // encode off the SAME checkpointed q ([[encode]]'s body inlined —
@@ -133,13 +133,14 @@ object ProductQuantizer {
       }: _*)
 
     // code -> table position (books(s) order); cids can be sparse when
-    // a training cluster emptied, so map explicitly instead of indexing
+    // a training cluster emptied, so map explicitly instead of
+    // indexing (try_element_at: an absent code yields null like the
+    // old when-chain fallthrough, not an ANSI missing-key error)
     def lookup(s: Int): Column =
-      books(s).zipWithIndex.foldLeft(lit(null).cast("long")) {
-        case (acc, ((cid, _), i)) =>
-          when(col(s"c$s") === cid, element_at(col(s"dt$s"), i + 1))
-            .otherwise(acc)
-      }
+      element_at(col(s"dt$s"), try_element_at(
+        typedLit(books(s).zipWithIndex
+          .map { case ((cid, _), i) => (cid, i + 1) }.toMap),
+        col(s"c$s")))
 
     val scored = codes.join(broadcast(queries), col("qid") =!= col("vec_id"))
       .withColumn("adc", (0 until geom.segments).map(lookup).reduce(_ + _))

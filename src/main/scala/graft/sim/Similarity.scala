@@ -159,12 +159,19 @@ object Similarity {
       .toDF("qid", "rank", "cid", "sim")
   }
 
-  /** Sign-pattern LSH bucket id of an embedding column. */
+  /** Sign-pattern LSH bucket id of an embedding column. The plane
+    * family rides as ONE nested (bit, coefs) literal with the
+    * dot-sign lambda expressed once (the r19 plan-cost discipline);
+    * integer addition is commutative, so the aggregate sum equals the
+    * old per-plane reduce bit for bit. */
   def lshBucket(v: Column): Column =
-    (0 until NPlanes).map { p =>
-      val coefs = array(planes(p).toIndexedSeq.map(lit): _*)
-      when(array_dot(v, coefs) >= 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+    aggregate(
+      transform(
+        typedLit((0 until NPlanes).map(p =>
+          (1 << p, planes(p).toIndexedSeq))),
+        c => when(array_dot(v, c.getField("_2")) >= 0, c.getField("_1"))
+          .otherwise(lit(0))),
+      lit(0), (acc, x) => acc + x)
 
   /** Independent hyperplane families, one per LSH band (the md5 seed
     * carries the band index, so band 0 != the single-table [[planes]]
@@ -188,10 +195,13 @@ object Similarity {
   }
 
   private def bandBucket(v: Column, b: Int): Column =
-    (0 until NPlanes).map { p =>
-      val coefs = array(bandPlanes(b)(p).toIndexedSeq.map(lit): _*)
-      when(array_dot(v, coefs) >= 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+    aggregate(
+      transform(
+        typedLit((0 until NPlanes).map(p =>
+          (1 << p, bandPlanes(b)(p).toIndexedSeq))),
+        c => when(array_dot(v, c.getField("_2")) >= 0, c.getField("_1"))
+          .otherwise(lit(0))),
+      lit(0), (acc, x) => acc + x)
 
   /** All corpus pairs with cosine >= threshold, generated through
     * banded hyperplane LSH — the AT-SCALE form of [[similarPairs]].
