@@ -605,10 +605,12 @@ object IncrementalDedup {
       Dedup.docShingleSets(docs, "doc_id", "text")))
 
   /** Exact-Jaccard rescore of candidate (da, db) pairs given a combined
-    * (doc_id, text) relation covering both sides. */
-  private def rescore(cand: DataFrame, texts: DataFrame,
+    * (doc_id, ss) shingle-set relation covering both sides — the caller
+    * passes SETS, not texts, so a side whose sets are already pinned
+    * (processBatch's per-batch checkpoint) is never re-shingled. */
+  private def rescore(cand: DataFrame, shingleSets: DataFrame,
       threshold: Double): DataFrame = {
-    val sets = Dedup.docShingleSets(texts, "doc_id", "text")
+    val sets = shingleSets
       .select(col("doc_id"), col("ss"), size(col("ss")).cast("long").as("n"))
     cand
       .join(sets.select(col("doc_id").as("da"), col("ss").as("ssa"),
@@ -914,18 +916,30 @@ object IncrementalDedup {
     val storeExists = exists(spark, docsPath(storeDir))
     val bandsLive = storeExists && hasBandRows(spark, storeDir)
 
-    val (fresh, nRedelivered) = timed("redelivery skip")(
-      if (!storeExists) (incoming, 0L)
+    val (fresh, nFresh, nRedelivered) = timed("redelivery skip")(
+      if (!storeExists) (incoming, incoming.count(), 0L)
       else {
-        // redelivery skip probes only the batch's id buckets
+        // ONE driver-sized aggregation serves the probe's bucket set
+        // AND the incoming count (previously two jobs over the same
+        // checkpoint); the redelivery skip probes only those buckets
+        val s = incoming.agg(count(lit(1)).as("n"),
+          collect_set(bucketCol(col("doc_id"), nb)).as("bs")).head()
         val known = treeFor(spark, docsPath(storeDir),
-          bucketSet(incoming, col("doc_id"), nb)).select("doc_id")
+          s.getSeq[Int](1)).select("doc_id")
         val f = incoming.join(known, Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        (f, incoming.count() - f.count())
+        val nf = f.count()
+        (f, nf, s.getLong(0) - nf)
       })
 
-    val newBands = timed("bands ckpt")(bandKeys(fresh).localCheckpoint())
+    // fresh shingles ONCE per batch: the sets checkpoint feeds BOTH
+    // the band keys and the exact rescore (probeStorePairs' shape —
+    // the pre-r19opt form shingled the batch a second time inside the
+    // rescore's combined-texts pass)
+    val freshSets = timed("shingle ckpt")(
+      Dedup.docShingleSets(fresh, "doc_id", "text").localCheckpoint())
+    val newBands = timed("bands ckpt")(Dedup.minhashBandKeys(
+      Dedup.minhashSignaturesFromSets(freshSets)).localCheckpoint())
 
     // candidates vs the ACCEPTED corpus: equi-join on the band index
     val vsStore = timed("store candidates")(
@@ -958,15 +972,19 @@ object IncrementalDedup {
         .filter(col("text").isNotNull) // tombstones cannot match
         .select("doc_id", "text")
         .join(vsStore.select(col("da").as("doc_id")).distinct(), "doc_id")
-    val texts = fresh.select("doc_id", "text").unionByName(storeTexts)
 
     // One rescore over both candidate sets, tagged by provenance: a
     // store match always rejects the incoming doc (`db`), but an
     // in-batch match only rejects `db` if `da` is itself ACCEPTED.
+    // The sets side = the batch's pinned sets ∪ the matched store
+    // docs' sets (only those re-shingle — never the corpus, and never
+    // the batch a second time).
     val scored = timed("rescore ckpt")(rescore(
       vsStore.withColumn("src", lit("s"))
         .unionByName(inBatch.withColumn("src", lit("b"))),
-      texts, adm).localCheckpoint())
+      freshSets.unionByName(
+        Dedup.docShingleSets(storeTexts, "doc_id", "text")),
+      adm).localCheckpoint())
     val storeRejected = scored.filter(col("src") === "s")
       .select(col("db").as("doc_id")).distinct()
 
@@ -1100,6 +1118,8 @@ object IncrementalDedup {
         .write.partitionBy("b").mode(SaveMode.Append)
         .parquet(docsPath(storeDir))
     }
-    BatchResult(nAccepted, fresh.count() - nAccepted, nRedelivered)
+    // nFresh was counted in the redelivery-skip block — never recount
+    // a checkpointed relation for a number already in hand
+    BatchResult(nAccepted, nFresh - nAccepted, nRedelivered)
   }
 }

@@ -185,10 +185,15 @@ object CrawlIngestJob {
             % 1000000L < rate).otherwise(lit(false)))
       .localCheckpoint()
 
-    val nScope = flagged.filter(col("in_scope")).count()
-    val nWin = flagged.filter(col("url_winner")).count()
-    val nDomain = flagged.filter(col("domain_pass")).count()
-    val nAdmit = flagged.filter(col("admitted")).count()
+    // ONE aggregation over the checkpointed batch serves all four
+    // funnel counters (previously four count jobs over the same rows)
+    val cnts = flagged.agg(
+      count(when(col("in_scope"), 1)).as("ns"),
+      count(when(col("url_winner"), 1)).as("nw"),
+      count(when(col("domain_pass"), 1)).as("nd"),
+      count(when(col("admitted"), 1)).as("na")).head()
+    val (nScope, nWin, nDomain, nAdmit) =
+      (cnts.getLong(0), cnts.getLong(1), cnts.getLong(2), cnts.getLong(3))
 
     // ARCHIVE FIRST (idempotence source of truth), corpus second with
     // crash-orphan repair — the DomainReputationJob write discipline

@@ -132,9 +132,16 @@ object FrontierJob {
           HtmlExtract.resolveCol(col("href"), col("origin")))
           .as("norm_url"))
       .localCheckpoint()
-    val nLinks = resolved.count()
     val scoped = resolved
       .filter(UrlScope.classify(col("norm_url")).getField("in_scope"))
+    // one aggregation over the checkpointed links serves the link AND
+    // in-scope counters (previously two jobs, the second re-running
+    // the scope classifier over the same checkpointed rows)
+    val linkCnts = resolved.agg(
+      count(lit(1)).as("nl"),
+      count(when(UrlScope.classify(col("norm_url"))
+        .getField("in_scope"), 1)).as("nsc")).head()
+    val (nLinks, nScoped) = (linkCnts.getLong(0), linkCnts.getLong(1))
 
     // novelty: collapse to min source per URL, then subtract
     // everything known — crawled pages, the existing frontier, and
@@ -149,7 +156,6 @@ object FrontierJob {
     val discovered = candidates
       .join(known, Seq("norm_url"), "left_anti")
       .localCheckpoint()
-    val nScoped = scoped.count()
     val nDiscovered = discovered.count()
 
     // FRONTIER FIRST, crawled second (crash-safe either way: replayed

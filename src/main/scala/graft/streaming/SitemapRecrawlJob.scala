@@ -139,8 +139,12 @@ object SitemapRecrawlJob {
       .localCheckpoint()
 
     val emit = decided.filter(col("reason").isNotNull)
-    val nNew = emit.filter(col("reason") === "new").count()
-    val nUpd = emit.filter(col("reason") === "updated").count()
+    // one aggregation over the checkpointed decisions serves both
+    // reason counters (previously two count jobs over the same rows)
+    val reasons = decided.agg(
+      count(when(col("reason") === "new", 1)).as("nn"),
+      count(when(col("reason") === "updated", 1)).as("nu")).head()
+    val (nNew, nUpd) = (reasons.getLong(0), reasons.getLong(1))
 
     // TASKS FIRST, state second (crash-safe: redelivery re-derives the
     // same (url, lastmod) keys; tasks() dedups on that key)
